@@ -1,0 +1,102 @@
+"""End-to-end pipeline tests: testcard capture -> convert -> dummy display.
+
+Mirrors the reference's hardware-independent device tests
+(test/test_video_capture.c / test_video_display.c), which instantiate testcard
+and dummy through the real module API.
+"""
+
+import numpy as np
+
+from ultragrid_tpu.modules.registry import LibraryClass, list_modules
+from ultragrid_tpu.modules.video_capture import initialize_video_capture
+from ultragrid_tpu.modules.video_display import initialize_video_display
+from ultragrid_tpu.pipeline.loop import CaptureToDisplayPipeline, run_local_pipeline
+from ultragrid_tpu.types import Codec
+
+
+def test_modules_registered():
+    assert "testcard" in list_modules(LibraryClass.VIDEO_CAPTURE)
+    assert "dummy" in list_modules(LibraryClass.VIDEO_DISPLAY)
+    assert "null" in list_modules(LibraryClass.VIDEO_DISPLAY)
+
+
+def test_testcard_capture_defaults():
+    cap = initialize_video_capture("testcard")
+    assert cap.desc.width == 1920 and cap.desc.height == 1080
+    assert cap.desc.color_spec == Codec.UYVY
+    assert cap.desc.fps == 24.0
+    frame, audio = cap.grab()
+    assert frame.data.shape == (1080, 3840)
+
+
+def test_testcard_options():
+    cap = initialize_video_capture("testcard:s=640x360:f=120:c=RGB:pattern=gradient")
+    assert cap.desc.width == 640
+    assert cap.desc.color_spec == Codec.RGB
+    frame, _ = cap.grab()
+    assert frame.data.shape == (360, 1920)
+
+
+def test_testcard_legacy_positional():
+    cap = initialize_video_capture("testcard:320:240:30:UYVY")
+    assert (cap.desc.width, cap.desc.height, cap.desc.fps) == (320, 240, 30.0)
+
+
+def test_pipeline_end_to_end():
+    n = run_local_pipeline("testcard:s=320x240:f=1000:c=UYVY", "dummy", frame_limit=5)
+    assert n == 5
+
+
+def test_pipeline_with_conversion():
+    """Display that only accepts RGB forces a UYVY->RGB conversion."""
+    cap = initialize_video_capture("testcard:s=320x240:f=1000:c=UYVY")
+    disp = initialize_video_display("dummy:codec=RGB")
+    pipe = CaptureToDisplayPipeline(cap, disp, frame_limit=3)
+    n = pipe.run()
+    assert n == 3
+    assert disp.frames_shown == 3
+    assert disp.desc.color_spec == Codec.RGB
+
+
+def test_file_display(tmp_path):
+    out = tmp_path / "out.raw"
+    n = run_local_pipeline("testcard:s=128x96:f=1000:c=UYVY:still=1", f"file:{out}", frame_limit=2)
+    assert n == 2
+    data = np.fromfile(out, dtype=np.uint8)
+    assert data.size == 2 * 128 * 96 * 2
+
+
+def test_pattern_bars_has_expected_colors():
+    from ultragrid_tpu.utils.pattern import generate_pattern
+
+    rgba = generate_pattern(192, 128, Codec.RGBA, "bars")
+    # first bar is red (rect_colors[0] = 0xff0000ff -> bytes R=FF,G=00,B=00,A=FF)
+    assert list(rgba[0, :4]) == [0xFF, 0, 0, 0xFF]
+    # second bar green
+    assert list(rgba[0, 32 * 4 : 32 * 4 + 4]) == [0, 0xFF, 0, 0xFF]
+
+
+def test_messaging_tree():
+    from ultragrid_tpu.modules.messaging import (
+        Module,
+        MsgUniversal,
+        RESPONSE_NOT_FOUND,
+        RESPONSE_OK,
+        Response,
+        send_message,
+    )
+
+    root = Module("root")
+    video = Module("video", root)
+    compress = Module("compress", video)
+    got = []
+
+    def cb(msg):
+        got.append(msg)
+        return Response(RESPONSE_OK)
+
+    compress.msg_callback = cb
+    r = send_message(root, "video.compress", MsgUniversal("quality 80"))
+    assert r.ok and got[0].text == "quality 80"
+    r = send_message(root, "video.nonexistent", MsgUniversal("x"))
+    assert r.code == RESPONSE_NOT_FOUND

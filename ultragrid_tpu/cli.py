@@ -1,0 +1,82 @@
+"""CLI entry point — the analogue of the reference's ``uv`` binary.
+
+Options mirror src/main.cpp:690-740 where they exist yet:
+  -t DEVICE[:cfg]    capture device (testcard, noise, ...)
+  -d DISPLAY[:cfg]   display (dummy, null, dump, file, ...)
+  -c COMPRESS[:opts] video compression (none, ...)
+  -f FEC             forward error correction (none|mult:N|ldgm:...|rs:k:n)
+  -P ports           base RX/TX ports (default 5004)
+  -m MTU             MTU (default 1500)
+  --param key=val    tuning parameters
+  -V/--verbose       increase log level
+  --list-modules     print registered modules
+
+Run: ``python -m ultragrid_tpu -t testcard -d dummy``
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ultragrid_tpu.modules.registry import LibraryClass, list_modules
+from ultragrid_tpu.utils import log as _log
+from ultragrid_tpu.utils.params import print_param_doc, set_commandline_param
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ultragrid-tpu", description="TPU-native UltraGrid-class media pipeline"
+    )
+    p.add_argument("-t", "--capture", default=None, help="capture device spec")
+    p.add_argument("-d", "--display", default=None, help="display spec")
+    p.add_argument("-c", "--compress", default="none", help="video compression")
+    p.add_argument("-f", "--fec", default="none", help="FEC: none|mult:N|ldgm:k:m:c|rs:k:n")
+    p.add_argument("-P", "--ports", default="5004", help="RTP base port[:tx]")
+    p.add_argument("-m", "--mtu", type=int, default=1500)
+    p.add_argument("-V", "--verbose", action="count", default=0)
+    p.add_argument("--param", action="append", default=[], help="key=value tuning params")
+    p.add_argument("--frames", type=int, default=None, help="stop after N frames")
+    p.add_argument("--list-modules", action="store_true")
+    p.add_argument("host", nargs="?", default=None, help="receiver address (sender mode)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    _log.set_log_level(_log.LOG_LEVEL_INFO + args.verbose)
+
+    if args.list_modules:
+        for cls in LibraryClass:
+            mods = list_modules(cls)
+            if mods:
+                print(f"{cls.value}: {' '.join(mods)}")
+        print()
+        print(print_param_doc())
+        return 0
+
+    for kv in args.param:
+        key, _, val = kv.partition("=")
+        set_commandline_param(key, val or None)
+
+    if args.capture and args.host:
+        from ultragrid_tpu.pipeline.sender import run_sender
+
+        return run_sender(args)
+    if args.display and not args.capture:
+        from ultragrid_tpu.pipeline.receiver import run_receiver
+
+        return run_receiver(args)
+    if args.capture and args.display:
+        from ultragrid_tpu.pipeline.loop import run_local_pipeline
+
+        n = run_local_pipeline(args.capture, args.display, args.frames)
+        print(f"{n} frames processed")
+        return 0
+
+    print("nothing to do: specify -t (capture) and/or -d (display)", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

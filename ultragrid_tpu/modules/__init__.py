@@ -1,0 +1,17 @@
+"""Pluggable module runtime: registry, module tree, messaging.
+
+TPU-native analogue of the reference's lib_common/module/messaging layer
+(ref: src/lib_common.{h,cpp}, src/module.{h,c}, src/messaging.{h,cpp}).
+"""
+
+from ultragrid_tpu.modules.registry import (  # noqa: F401
+    LibraryClass,
+    register_module,
+    load_library,
+    list_modules,
+)
+
+# import built-in modules so they self-register (ref: constructor-time
+# REGISTER_MODULE, src/lib_common.h:124-143)
+import ultragrid_tpu.modules.video_capture  # noqa: E402,F401
+import ultragrid_tpu.modules.video_display  # noqa: E402,F401

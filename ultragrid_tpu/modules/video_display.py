@@ -1,0 +1,141 @@
+"""Video display module API + built-in displays.
+
+Mirrors the reference display contract (ref: struct video_display_info,
+src/video_display.h:153-199): the display owns the framebuffer; callers fetch
+a frame slot with ``get_frame`` and hand it back with ``put_frame``.
+
+Built-ins: dummy (stats only), null, dump (frames to files), file (raw
+concatenated stream).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ultragrid_tpu.modules.registry import LibraryClass, register_module
+from ultragrid_tpu.types import Codec, VideoDesc, VideoFrame, get_codec_info
+from ultragrid_tpu.utils.log import Logger
+
+log = Logger("display")
+
+
+class VideoDisplay:
+    def __init__(self, cfg: str):
+        self.cfg = cfg
+        self.desc: Optional[VideoDesc] = None
+        self.frames_shown = 0
+        self._fps_t0 = time.monotonic()
+        self._fps_count = 0
+
+    def get_property_codecs(self) -> List[Codec]:
+        """Codecs the display accepts natively (ref: DISPLAY_PROPERTY_CODECS)."""
+        return [c for c in Codec if not get_codec_info(c).opaque and c != Codec.NONE]
+
+    def reconfigure(self, desc: VideoDesc) -> bool:
+        self.desc = desc
+        return True
+
+    def get_frame(self) -> VideoFrame:
+        assert self.desc is not None
+        return VideoFrame.alloc(self.desc)
+
+    def put_frame(self, frame: Optional[VideoFrame], blocking: bool = True) -> None:
+        """None frame = poison pill/flush (ref: display_put_frame semantics)."""
+        if frame is None:
+            return
+        self.frames_shown += 1
+        self._fps_count += 1
+        now = time.monotonic()
+        if now - self._fps_t0 >= 5.0:
+            fps = self._fps_count / (now - self._fps_t0)
+            log.notice(f"{self.frames_shown} frames in {now - self._fps_t0:.2f} s ({fps:.2f} fps)")
+            self._fps_t0 = now
+            self._fps_count = 0
+
+    def done(self) -> None:
+        pass
+
+
+class DummyDisplay(VideoDisplay):
+    """Discards frames, reports stats (ref: src/video_display/dummy.c).
+
+    Option ``codec=X`` restricts accepted codecs (for forcing conversions).
+    """
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        self.forced_codec: Optional[Codec] = None
+        for tok in [t for t in cfg.split(":") if t]:
+            key, _, val = tok.partition("=")
+            if key == "codec":
+                from ultragrid_tpu.types import get_codec_from_name
+
+                self.forced_codec = get_codec_from_name(val)
+
+    def get_property_codecs(self) -> List[Codec]:
+        if self.forced_codec is not None:
+            return [self.forced_codec]
+        return super().get_property_codecs()
+
+
+class NullDisplay(VideoDisplay):
+    """Absolute no-op (ref: src/video_display/null.cpp)."""
+
+    def put_frame(self, frame, blocking: bool = True) -> None:
+        pass
+
+
+class DumpDisplay(VideoDisplay):
+    """Writes each frame to a file (ref: src/video_display/dump.cpp)."""
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        self.dir = cfg or "dump"
+        os.makedirs(self.dir, exist_ok=True)
+
+    def put_frame(self, frame, blocking: bool = True) -> None:
+        if frame is None:
+            return
+        super().put_frame(frame, blocking)
+        ext = get_codec_info(frame.desc.color_spec).file_extension or "raw"
+        path = os.path.join(self.dir, f"frame{self.frames_shown:06d}.{ext}")
+        np.asarray(frame.data).tofile(path)
+
+
+class FileDisplay(VideoDisplay):
+    """Appends raw frames to a single file (ref: src/video_display/file.cpp)."""
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        self.path = cfg or "out.raw"
+        self._fh = open(self.path, "wb")
+
+    def put_frame(self, frame, blocking: bool = True) -> None:
+        if frame is None:
+            return
+        super().put_frame(frame, blocking)
+        self._fh.write(np.asarray(frame.data).tobytes())
+
+    def done(self) -> None:
+        self._fh.close()
+
+
+register_module("dummy", LibraryClass.VIDEO_DISPLAY, DummyDisplay)
+register_module("null", LibraryClass.VIDEO_DISPLAY, NullDisplay)
+register_module("dump", LibraryClass.VIDEO_DISPLAY, DumpDisplay)
+register_module("file", LibraryClass.VIDEO_DISPLAY, FileDisplay)
+
+
+def initialize_video_display(spec: str) -> VideoDisplay:
+    """ref: initialize_video_display, src/video_display.c."""
+    from ultragrid_tpu.modules.registry import load_library
+
+    name, _, cfg = spec.partition(":")
+    cls = load_library(name, LibraryClass.VIDEO_DISPLAY)
+    if cls is None:
+        raise ValueError(f"unknown display {name!r}")
+    return cls(cfg)
