@@ -1,0 +1,163 @@
+"""DXT and JPEG compression tests.
+
+JPEG gate mirrors the reference acceptance: round-trip max per-component
+error <= 1 on testcard content (ref: test/gpujpeg_test.cpp:104).
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from ultragrid_tpu.ops import dxt
+from ultragrid_tpu.ops.jpeg import JpegEncoder, decode_jpeg, _assemble_python
+from ultragrid_tpu.types import Codec
+from ultragrid_tpu.utils.pattern import generate_pattern
+
+W, H = 192, 128
+
+
+def test_dxt1_roundtrip_quality():
+    rgb = generate_pattern(W, H, Codec.RGB, "bars")
+    enc = np.asarray(dxt.dxt1_encode_rgb(rgb, W))
+    assert enc.size == W * H // 2
+    dec = np.asarray(dxt.dxt1_decode_rgb(enc, W, H))
+    err = np.abs(dec.astype(int) - rgb.astype(int))
+    assert err.max() <= 8 and err.mean() < 1.0
+
+
+def test_dxt1_solid_block_near_exact():
+    solid = np.zeros((8, 24), np.uint8)
+    solid[:, 0::3], solid[:, 1::3], solid[:, 2::3] = 200, 100, 50
+    dec = np.asarray(dxt.dxt1_decode_rgb(np.asarray(dxt.dxt1_encode_rgb(solid, 8)), 8, 8))
+    assert np.abs(dec.astype(int) - solid.astype(int)).max() <= 4
+
+
+def test_dxt5_ycocg_roundtrip_quality():
+    rgb = generate_pattern(W, H, Codec.RGB, "gradient")
+    enc = np.asarray(dxt.dxt5_ycocg_encode_rgb(rgb, W))
+    assert enc.size == W * H
+    dec = np.asarray(dxt.dxt5_ycocg_decode_rgb(enc, W, H))
+    err = np.abs(dec.astype(int) - rgb.astype(int))
+    assert err.max() <= 16 and err.mean() < 2.0
+
+
+def test_dxt1_uyvy_input():
+    uy = generate_pattern(W, H, Codec.UYVY, "bars")
+    enc = np.asarray(dxt.dxt1_encode_uyvy(uy, W))
+    assert enc.size == W * H // 2
+
+
+def _pil_decode(data: np.ndarray):
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data.tobytes()))
+    img.load()
+    return img
+
+
+def test_jpeg_rgb_roundtrip_pil():
+    """Bitstream validity + quality gate via an independent decoder (PIL)."""
+    pytest.importorskip("PIL")
+    rgb = generate_pattern(W, H, Codec.RGB, "bars")
+    enc = JpegEncoder(W, H, in_codec=Codec.RGB, quality=90)
+    data = enc.encode(rgb)
+    img = _pil_decode(data)
+    assert img.size == (W, H)
+    dec = np.asarray(img.convert("RGB")).reshape(H, 3 * W).astype(int)
+    assert np.abs(dec - rgb.astype(int)).max() <= 1  # gpujpeg_test.cpp:104 gate
+
+
+def test_jpeg_uyvy_422_y_plane_exact_on_bars():
+    uy = generate_pattern(W, H, Codec.UYVY, "bars")
+    enc = JpegEncoder(W, H, in_codec=Codec.UYVY, quality=90)
+    data = enc.encode(uy)
+    planes, hh, ww, samp = decode_jpeg(data.tobytes())
+    assert (hh, ww) == (H, W)
+    assert samp[0] == (2, 1)
+    y = np.clip(np.round(planes[0]), 0, 255)[:H, :W]
+    np.testing.assert_array_equal(y, uy[:, 1::2].astype(float))
+
+
+def test_jpeg_entropy_noise_coefficient_roundtrip():
+    """Entropy encode->decode is lossless at the coefficient level (<=1
+    mismatch per 10k allowed for float-tie recomputation artifacts)."""
+    import jax.numpy as jnp
+
+    from ultragrid_tpu.ops.jpeg import _blockify_plane, _dct_quant_zigzag, dct_matrix_64
+
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 256, (H, 2 * W), dtype=np.int32).astype(np.uint8)
+    enc = JpegEncoder(W, H, in_codec=Codec.UYVY, quality=95, restart_interval=3)
+    data = enc.encode(noise)
+    _, _, _, _, coeffs = decode_jpeg(data.tobytes(), collect_coeffs=True)
+
+    from ultragrid_tpu.ops.jpeg import ZIGZAG
+
+    yp, up, vp = enc._planes_from_input(jnp.asarray(noise))
+    yb = yp.reshape(enc.nmcuy, 8, enc.nmcux, 2, 8).transpose(0, 2, 3, 1, 4).reshape(enc.nmcu * 2, 64)
+    qy = jnp.asarray(enc.qtab_luma[ZIGZAG]).astype(jnp.float32)
+    m = jnp.asarray(dct_matrix_64())
+    zzi = jnp.asarray(ZIGZAG)
+    exp_y = np.asarray(_dct_quant_zigzag(yb, qy, m, zzi))
+    got_y = coeffs[0]
+    mismatches = int((got_y != exp_y).sum())
+    assert mismatches <= max(2, got_y.size // 10000), mismatches
+
+
+def test_jpeg_restart_marker_structure():
+    uy = generate_pattern(W, H, Codec.UYVY, "bars")
+    enc = JpegEncoder(W, H, in_codec=Codec.UYVY, quality=80, restart_interval=4)
+    data = bytes(enc.encode(uy).tobytes())
+    # count RST markers: nseg - 1
+    count = 0
+    i = data.index(b"\xff\xda")  # SOS
+    i += 2
+    while i < len(data) - 1:
+        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+            count += 1
+            i += 2
+        else:
+            i += 1
+    assert count == enc.nseg - 1
+
+
+def test_jpeg_auto_slot_escalation():
+    rng = np.random.default_rng(1)
+    noise = rng.integers(0, 256, (H, 2 * W), dtype=np.int32).astype(np.uint8)
+    enc = JpegEncoder(W, H, in_codec=Codec.UYVY, quality=97)
+    start_w = enc.wwords
+    data = enc.encode(noise)
+    assert data.size > 0
+    # noise at q97 should have forced wider slots
+    assert enc.wwords >= start_w
+
+
+def test_jpeg_compress_module():
+    from ultragrid_tpu.modules.video_compress import compress_init
+    from ultragrid_tpu.types import VideoDesc, VideoFrame
+
+    uy = generate_pattern(W, H, Codec.UYVY, "bars")
+    frame = VideoFrame(VideoDesc(W, H, Codec.UYVY, 30.0), [uy])
+    comp = compress_init("jpeg:85")
+    out = comp.compress(frame)
+    assert out.desc.color_spec == Codec.JPEG
+    assert bytes(np.asarray(out.data)[:2].tobytes()) == b"\xff\xd8"
+
+    dxtc = compress_init("dxt:DXT5")
+    out2 = dxtc.compress(frame)
+    assert out2.desc.color_spec == Codec.DXT5
+    assert np.asarray(out2.data).size == W * H
+
+
+def test_dxt_decompress_module():
+    from ultragrid_tpu.modules.video_decompress import decompress_init
+    from ultragrid_tpu.types import VideoDesc, VideoFrame
+
+    rgb = generate_pattern(W, H, Codec.RGB, "bars")
+    enc = np.asarray(dxt.dxt1_encode_rgb(rgb, W))
+    frame = VideoFrame(VideoDesc(W, H, Codec.DXT1, 30.0), [enc])
+    dec, out_codec = decompress_init(Codec.DXT1, [Codec.RGB, Codec.UYVY])
+    assert out_codec == Codec.RGB
+    out = dec.decompress(frame, out_codec)
+    assert out.data.shape == (H, 3 * W)

@@ -40,6 +40,18 @@ class EncodePipeline:
         desc, cfg = self.desc, self.config
         width = desc.width
 
+        if cfg.compress == "jpeg":
+            from ultragrid_tpu.ops.jpeg import JpegEncoder
+
+            encoder = JpegEncoder(
+                desc.width, desc.height, in_codec=cfg.in_codec, quality=cfg.quality
+            )
+            self.jpeg_encoder = encoder
+            # the jitted device graph (per-component slots + bits + overflow)
+            return encoder._encode_cache.setdefault(
+                encoder.wwords, encoder._make_encode(encoder.wwords)
+            )
+
         def step(frame: jnp.ndarray):
             data = frame
             if cfg.work_codec != cfg.in_codec and cfg.compress == "none":
@@ -55,10 +67,6 @@ class EncodePipeline:
                 from ultragrid_tpu.ops.dxt import dxt5_ycocg_encode_rgb
 
                 data = dxt5_ycocg_encode_rgb(data, width)
-            elif cfg.compress == "jpeg":
-                from ultragrid_tpu.ops.jpeg import jpeg_encode_core
-
-                data = jpeg_encode_core(data, width, cfg.in_codec, cfg.quality)
             return data
 
         return jax.jit(step)

@@ -1,0 +1,236 @@
+"""Video compression modules + driver.
+
+Mirrors the reference compress contract (ref: src/video_compress.h:115-236):
+modules transform an uncompressed VideoFrame into a compressed one; the driver
+(ref: src/video_compress.cpp) owns worker threading and runtime reconfiguration
+via the message bus.
+
+Built-ins: none (passthrough), uyvy (pixfmt downconvert "compression"),
+dxt (DXT1/DXT5-YCoCg on device, the cuda_dxt/RTDXT equivalent),
+jpeg (GPUJPEG-equivalent on device).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from ultragrid_tpu.modules.messaging import (
+    Message,
+    MsgChangeCompress,
+    Module,
+    RESPONSE_INT_SERV_ERR,
+    RESPONSE_OK,
+    Response,
+)
+from ultragrid_tpu.modules.registry import LibraryClass, load_library, register_module
+from ultragrid_tpu.ops import pixfmt
+from ultragrid_tpu.types import Codec, VideoDesc, VideoFrame, get_codec_from_name
+from ultragrid_tpu.utils.log import Logger
+
+log = Logger("compress")
+
+
+class VideoCompress:
+    def __init__(self, cfg: str):
+        self.cfg = cfg
+
+    def compress(self, frame: VideoFrame) -> Optional[VideoFrame]:
+        raise NotImplementedError
+
+    def done(self) -> None:
+        pass
+
+
+class NoneCompress(VideoCompress):
+    """Passthrough (ref: src/video_compress/none.cpp)."""
+
+    def compress(self, frame: VideoFrame) -> VideoFrame:
+        return frame
+
+
+class UyvyCompress(VideoCompress):
+    """Downconvert to UYVY via the conversion registry
+    (ref: src/video_compress/uyvy.cpp)."""
+
+    def compress(self, frame: VideoFrame) -> Optional[VideoFrame]:
+        if frame.desc.color_spec == Codec.UYVY:
+            return frame
+        dec = pixfmt.get_decoder_from_to(frame.desc.color_spec, Codec.UYVY)
+        if dec is None:
+            log.error(f"uyvy: cannot convert from {frame.desc.color_spec.name}")
+            return None
+        data = pixfmt.convert_frame(frame.data, frame.desc.width, frame.desc.color_spec, Codec.UYVY)
+        out = VideoFrame(frame.desc.with_(color_spec=Codec.UYVY), [data])
+        out.timestamp = frame.timestamp
+        return out
+
+
+class DxtCompress(VideoCompress):
+    """DXT1 / DXT5-YCoCg block compression on device
+    (ref: src/video_compress/cuda_dxt.cpp + cuda_dxt kernels).
+
+    Config: ``dxt[:DXT1|DXT5]`` (default DXT1, "DXT6"/"DXT5" = DXT5-YCoCg).
+    Accepts UYVY (with the reference's YUV->RGB pre-pass) or RGB input.
+    """
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        kind = (cfg or "DXT1").upper().strip(":")
+        if kind in ("", "DXT1"):
+            self.out_codec = Codec.DXT1
+        elif kind in ("DXT5", "DXT6", "DXT5_YCOCG"):
+            self.out_codec = Codec.DXT5
+        else:
+            raise ValueError(f"dxt: unknown variant {cfg!r}")
+
+    def compress(self, frame: VideoFrame) -> Optional[VideoFrame]:
+        from ultragrid_tpu.ops import dxt as dxt_ops
+
+        desc = frame.desc
+        if desc.width % 4 or desc.height % 4:
+            log.error("dxt: dimensions must be multiples of 4")
+            return None
+        src_codec = desc.color_spec
+        if src_codec not in (Codec.UYVY, Codec.RGB, Codec.RGBA):
+            # convert through the registry to RGB
+            dec = pixfmt.get_decoder_from_to(src_codec, Codec.RGB)
+            if dec is None:
+                log.error(f"dxt: unsupported input {src_codec.name}")
+                return None
+            data = pixfmt.convert_frame(frame.data, desc.width, src_codec, Codec.RGB)
+            src_codec = Codec.RGB
+        else:
+            data = frame.data
+            if src_codec == Codec.RGBA:
+                data = pixfmt.convert_frame(data, desc.width, Codec.RGBA, Codec.RGB)
+                src_codec = Codec.RGB
+
+        if self.out_codec == Codec.DXT1:
+            if src_codec == Codec.UYVY:
+                comp = dxt_ops.dxt1_encode_uyvy(data, desc.width)
+            else:
+                comp = dxt_ops.dxt1_encode_rgb(data, desc.width)
+        else:
+            if src_codec == Codec.UYVY:
+                comp = dxt_ops.dxt5_ycocg_encode_uyvy(data, desc.width)
+            else:
+                comp = dxt_ops.dxt5_ycocg_encode_rgb(data, desc.width)
+
+        out = VideoFrame(desc.with_(color_spec=self.out_codec), [comp])
+        out.timestamp = frame.timestamp
+        return out
+
+
+class JpegCompress(VideoCompress):
+    """GPUJPEG-equivalent JPEG encoder on device
+    (ref: src/video_compress/gpujpeg.cpp).
+
+    Config: ``jpeg[:quality][:restart_interval]`` (quality default 80).
+    """
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        parts = [p for p in cfg.split(":") if p]
+        self.quality = int(parts[0]) if parts else 80
+        self.restart_interval = int(parts[1]) if len(parts) > 1 else None
+        self._encoder = None
+        self._desc: Optional[VideoDesc] = None
+
+    def compress(self, frame: VideoFrame) -> Optional[VideoFrame]:
+        from ultragrid_tpu.ops.jpeg import JpegEncoder
+
+        desc = frame.desc
+        if self._encoder is None or self._desc != desc:
+            self._encoder = JpegEncoder(
+                desc.width,
+                desc.height,
+                in_codec=desc.color_spec,
+                quality=self.quality,
+                restart_interval=self.restart_interval,
+            )
+            self._desc = desc
+        data = self._encoder.encode(frame.data)
+        out = VideoFrame(desc.with_(color_spec=Codec.JPEG), [data])
+        out.timestamp = frame.timestamp
+        return out
+
+
+register_module("none", LibraryClass.VIDEO_COMPRESS, NoneCompress)
+register_module("uyvy", LibraryClass.VIDEO_COMPRESS, UyvyCompress)
+register_module("dxt", LibraryClass.VIDEO_COMPRESS, DxtCompress)
+register_module("cuda_dxt", LibraryClass.VIDEO_COMPRESS, DxtCompress)  # alias
+register_module("jpeg", LibraryClass.VIDEO_COMPRESS, JpegCompress)
+register_module("gpujpeg", LibraryClass.VIDEO_COMPRESS, JpegCompress)  # alias
+
+
+def compress_init(spec: str) -> VideoCompress:
+    """ref: compress_init, src/video_compress.cpp:212."""
+    name, _, cfg = spec.partition(":")
+    cls = load_library(name, LibraryClass.VIDEO_COMPRESS)
+    if cls is None:
+        raise ValueError(f"unknown compression {name!r}")
+    return cls(cfg)
+
+
+class CompressDriver:
+    """Worker-thread compress stage with runtime reconfig
+    (ref: compress driver, src/video_compress.cpp:79-209).
+
+    Push frames with :meth:`enqueue`; pop results with :meth:`pop`.
+    A ``MsgChangeCompress`` on the module swaps in a new codec without
+    dropping frames (new state built off-thread, then atomically swapped).
+    """
+
+    def __init__(self, spec: str, parent: Optional[Module] = None):
+        self.module = Module("compress", parent)
+        self.module.msg_callback = self._on_message
+        self._impl = compress_init(spec)
+        self._lock = threading.Lock()
+        self.in_queue: "queue.Queue" = queue.Queue(maxsize=2)
+        self.out_queue: "queue.Queue" = queue.Queue(maxsize=2)
+        self._thread = threading.Thread(target=self._worker, name="compress", daemon=True)
+        self._thread.start()
+
+    def _on_message(self, msg: Message) -> Response:
+        if isinstance(msg, (MsgChangeCompress,)):
+            try:
+                new_impl = compress_init(msg.config)
+            except Exception as e:  # noqa: BLE001
+                return Response(RESPONSE_INT_SERV_ERR, str(e))
+            with self._lock:
+                old, self._impl = self._impl, new_impl
+            old.done()
+            log.notice(f"compression changed to {msg.config}")
+            return Response(RESPONSE_OK)
+        return Response(RESPONSE_INT_SERV_ERR, "unsupported message")
+
+    def _worker(self) -> None:
+        while True:
+            frame = self.in_queue.get()
+            if frame is None:
+                self.out_queue.put(None)
+                return
+            frame.compress_start = time.monotonic()
+            with self._lock:
+                impl = self._impl
+            out = impl.compress(frame)
+            if out is not None:
+                out.compress_start = frame.compress_start
+                out.compress_end = time.monotonic()
+                self.out_queue.put(out)
+
+    def enqueue(self, frame: Optional[VideoFrame]) -> None:
+        self.in_queue.put(frame)
+
+    def pop(self, timeout: Optional[float] = None) -> Optional[VideoFrame]:
+        return self.out_queue.get(timeout=timeout)
+
+    def stop(self) -> None:
+        self.in_queue.put(None)
+        self._thread.join(timeout=5)
+        self._impl.done()

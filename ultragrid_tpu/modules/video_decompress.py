@@ -1,0 +1,104 @@
+"""Video decompression modules (receiver side).
+
+Mirrors the reference decompress contract (ref: src/video_decompress.h:90-199):
+selection by (compressed codec, output codec) with priority probing.
+
+Built-ins: dxt (DXT1/DXT5-YCoCg -> RGB), jpeg (-> UYVY/RGB), i420 (-> UYVY
+shim, ref: src/video_decompress/i420.c).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ultragrid_tpu.modules.registry import LibraryClass, load_library, register_module
+from ultragrid_tpu.types import Codec, VideoDesc, VideoFrame
+from ultragrid_tpu.utils.log import Logger
+
+log = Logger("decompress")
+
+DECODER_GOT_CODEC = 1  # probing result marker (ref: video_decompress.h:95)
+
+
+class VideoDecompress:
+    #: (in_codec, out_codec) pairs this module supports
+    SUPPORTS: List[Tuple[Codec, Codec]] = []
+
+    def __init__(self) -> None:
+        pass
+
+    def decompress(self, frame: VideoFrame, out_codec: Codec) -> Optional[VideoFrame]:
+        raise NotImplementedError
+
+    def done(self) -> None:
+        pass
+
+
+class DxtDecompress(VideoDecompress):
+    """DXT1/DXT5-YCoCg -> RGB (ref: src/video_decompress/dxt_glsl.c +
+    dxt_compress display shaders, run as device kernels here)."""
+
+    SUPPORTS = [(Codec.DXT1, Codec.RGB), (Codec.DXT5, Codec.RGB)]
+
+    def decompress(self, frame: VideoFrame, out_codec: Codec) -> Optional[VideoFrame]:
+        from ultragrid_tpu.ops import dxt as dxt_ops
+
+        desc = frame.desc
+        if out_codec != Codec.RGB:
+            return None
+        if desc.color_spec == Codec.DXT1:
+            rgb = dxt_ops.dxt1_decode_rgb(frame.data.reshape(-1), desc.width, desc.height)
+        elif desc.color_spec == Codec.DXT5:
+            rgb = dxt_ops.dxt5_ycocg_decode_rgb(frame.data.reshape(-1), desc.width, desc.height)
+        else:
+            return None
+        out = VideoFrame(desc.with_(color_spec=Codec.RGB), [rgb])
+        out.timestamp = frame.timestamp
+        return out
+
+
+class I420Decompress(VideoDecompress):
+    """I420 -> UYVY shim (ref: src/video_decompress/i420.c)."""
+
+    SUPPORTS = [(Codec.I420, Codec.UYVY)]
+
+    def decompress(self, frame: VideoFrame, out_codec: Codec) -> Optional[VideoFrame]:
+        from ultragrid_tpu.ops.planar import i420_8_to_uyvy
+
+        if out_codec != Codec.UYVY:
+            return None
+        desc = frame.desc
+        data = i420_8_to_uyvy(frame.data.reshape(-1), desc.width, desc.height)
+        out = VideoFrame(desc.with_(color_spec=Codec.UYVY), [data])
+        out.timestamp = frame.timestamp
+        return out
+
+
+class JpegDecompress(VideoDecompress):
+    """JPEG -> UYVY / RGB (ref: src/video_decompress/gpujpeg.c)."""
+
+    SUPPORTS = [(Codec.JPEG, Codec.UYVY), (Codec.JPEG, Codec.RGB)]
+
+    def decompress(self, frame: VideoFrame, out_codec: Codec) -> Optional[VideoFrame]:
+        from ultragrid_tpu.ops.jpeg import decode_jpeg_to_frame
+
+        return decode_jpeg_to_frame(frame, out_codec)
+
+
+register_module("dxt", LibraryClass.VIDEO_DECOMPRESS, DxtDecompress)
+register_module("i420", LibraryClass.VIDEO_DECOMPRESS, I420Decompress)
+register_module("jpeg", LibraryClass.VIDEO_DECOMPRESS, JpegDecompress)
+
+_ALL = [DxtDecompress, I420Decompress, JpegDecompress]
+
+
+def decompress_init(in_codec: Codec, out_candidates: List[Codec]):
+    """Pick a decompressor + output codec (ref: src/video_decompress.c
+    selection by priority)."""
+    for out_codec in out_candidates:
+        for cls in _ALL:
+            if (in_codec, out_codec) in cls.SUPPORTS:
+                return cls(), out_codec
+    return None, None

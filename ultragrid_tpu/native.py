@@ -1,0 +1,58 @@
+"""Loader for the C native helpers (built on demand with the system compiler).
+
+The native pieces mirror where the reference uses C/C++ for host-side hot
+paths (entropy stream assembly, later: RTP packetizer, UDP I/O).  Build
+products are cached next to the sources in ``native/build/``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from functools import lru_cache
+from typing import Optional
+
+from ultragrid_tpu.utils.log import Logger
+
+log = Logger("native")
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_NATIVE_DIR = os.path.join(_ROOT, "native")
+_BUILD_DIR = os.path.join(_NATIVE_DIR, "build")
+
+
+def _build(name: str, sources: list[str], extra_flags: Optional[list[str]] = None) -> Optional[str]:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    so_path = os.path.join(_BUILD_DIR, f"{name}.so")
+    srcs = [os.path.join(_NATIVE_DIR, s) for s in sources]
+    newest_src = max(os.path.getmtime(s) for s in srcs)
+    if os.path.exists(so_path) and os.path.getmtime(so_path) >= newest_src:
+        return so_path
+    cmd = ["cc", "-O3", "-fPIC", "-shared", "-o", so_path, *srcs, *(extra_flags or [])]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        log.warning(f"native build of {name} failed ({e}); falling back to python")
+        return None
+    return so_path
+
+
+@lru_cache(maxsize=None)
+def jpeg_assemble_lib() -> Optional[ctypes.CDLL]:
+    so = _build("jpeg_assemble", ["jpeg_assemble.c"])
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.jpeg_assemble.restype = ctypes.c_int64
+    lib.jpeg_assemble.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.jpeg_assemble_3c.restype = ctypes.c_int64
+    lib.jpeg_assemble_3c.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+    ]
+    return lib

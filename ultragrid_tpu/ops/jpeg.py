@@ -1,0 +1,881 @@
+"""Baseline JPEG encoder, TPU-native (GPUJPEG-equivalent).
+
+Replaces the reference's CUDA GPUJPEG path (ref: src/video_compress/gpujpeg.cpp
+:279-353 — quality, restart intervals, 4:2:2/4:4:4 subsampling; bitstream
+contract in SURVEY §8.6 / src/utils/jpeg_writer.c).
+
+TPU-first design — a split entropy coder:
+  * device (one jit graph): 8x8 DCT as a single (nblocks, 64) @ (64, 64)
+    matmul on the MXU; quantization + zigzag fused elementwise; Huffman
+    symbols vectorized per *coefficient* (zero-runs via prefix-max, packed
+    <=64-entry code tables because larger XLA-TPU gathers fall off a cliff);
+    per-block bit packing into fixed-width word slots via a statically
+    unrolled dense accumulation (NO XLA scatters — they serialize on TPU);
+  * host (C, native/jpeg_assemble.c): concatenates the per-block slots into
+    byte-stuffed restart segments with RST markers and prepends headers.
+Restart intervals make segments independent — the same trick GPUJPEG uses to
+parallelize Huffman on CUDA; here they also bound DC-predictor chains so the
+symbol stage stays embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ultragrid_tpu.types import Codec, VideoFrame
+
+# ---------------------------------------------------------------------------
+# Tables (JPEG Annex K)
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# Huffman table specs: (BITS[1..16], HUFFVAL)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def build_huffman(bits, vals):
+    """Canonical Huffman codes from BITS/HUFFVAL -> (codes[256], lens[256])."""
+    codes = np.zeros(256, dtype=np.uint32)
+    lens = np.zeros(256, dtype=np.int32)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            v = vals[k]
+            codes[v] = code
+            lens[v] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return codes, lens
+
+
+def scale_quant_table(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg/GPUJPEG quality scaling."""
+    quality = max(1, min(100, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    tbl = (base * scale + 50) // 100
+    return np.clip(tbl, 1, 255).astype(np.int32)
+
+
+def dct_matrix_64() -> np.ndarray:
+    """Flattened 2-D DCT-II as one 64x64 matrix: out_flat = in_flat @ M.T."""
+    d = np.zeros((8, 8))
+    for k in range(8):
+        ck = math.sqrt(0.5) if k == 0 else 1.0
+        for n in range(8):
+            d[k, n] = 0.5 * ck * math.cos(math.pi * (2 * n + 1) * k / 16.0)
+    m = np.einsum("ui,vj->uvij", d, d).reshape(64, 64)
+    return m.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+_SLOTS = 65  # 1 DC + 63 AC + 1 EOB per block
+BYTES_PER_BLOCK_CAP = 256  # output budget per 8x8 block (worst realistic case)
+
+
+def pack_tables(codes: np.ndarray, lens: np.ndarray):
+    """Pack a 256-entry Huffman table into <=64-entry uint32 tables.
+
+    XLA-TPU gathers are only fast for tables up to 64 entries (measured); the
+    packed layout gives 3 fast gathers per lookup instead of one slow one:
+    lens as 4-bit nibbles (32 words), code low/high bytes 4-per-word (64 words).
+    """
+    # lengths are 1..16 -> stored as len-1 so they fit a nibble (len 0 =
+    # invalid symbol, never looked up by the encoder)
+    lens_nib = np.zeros(32, dtype=np.uint32)
+    for i, ln in enumerate(lens):
+        stored = max(int(ln) - 1, 0)
+        lens_nib[i >> 3] |= np.uint32(stored & 0xF) << ((i & 7) * 4)
+    code_lo = np.zeros(64, dtype=np.uint32)
+    code_hi = np.zeros(64, dtype=np.uint32)
+    for i, c in enumerate(codes):
+        code_lo[i >> 2] |= np.uint32(int(c) & 0xFF) << ((i & 3) * 8)
+        code_hi[i >> 2] |= np.uint32((int(c) >> 8) & 0xFF) << ((i & 3) * 8)
+    return lens_nib, code_lo, code_hi
+
+
+def _packed_lookup(tabs, sym):
+    """sym int32 array -> (code uint32, len int32) via packed <=64 gathers."""
+    lens_nib, code_lo, code_hi = tabs
+    ln = ((lens_nib[sym >> 3] >> ((sym & 7).astype(jnp.uint32) * 4)) & 0xF) + 1
+    lo = (code_lo[sym >> 2] >> ((sym & 3).astype(jnp.uint32) * 8)) & 0xFF
+    hi = (code_hi[sym >> 2] >> ((sym & 3).astype(jnp.uint32) * 8)) & 0xFF
+    return ((hi << 8) | lo), ln.astype(jnp.int32)
+
+
+def _size_of(v):
+    """Bit category of an int32 value: 32 - clz(|v|)."""
+    a = jnp.abs(v)
+    return jnp.where(a == 0, 0, 32 - jax.lax.clz(a))
+
+
+def _append_code(hi, lo, ln, code, clen):
+    """Append `code` (clen bits, clen < 32) to the (hi, lo, ln) bit value."""
+    code = code.astype(jnp.uint32)
+    clen_u = clen.astype(jnp.uint32)
+    new_hi = jnp.where(
+        clen_u == 0,
+        hi,
+        (hi << clen_u) | jnp.where(clen_u == 0, 0, lo >> (32 - clen_u)),
+    )
+    new_lo = jnp.where(clen_u == 0, lo, (lo << clen_u) | code)
+    return new_hi, new_lo, ln + clen
+
+
+def _encode_component_symbols(q, dc_codes, dc_lens, ac_tabs, eob_code, eob_len, zrl_code, zrl_len, seg_start):
+    """Per-block symbol lanes for one component.
+
+    q: [nb, 64] int32 zigzagged quantized coeffs (block stream order)
+    seg_start: [nb] bool, True where the DC predictor resets
+    returns (hi, lo, ln): each [nb, 65] uint32/int32
+    """
+    nb = q.shape[0]
+    dc = q[:, 0]
+    prev = jnp.roll(dc, 1).at[0].set(0)
+    diff = dc - jnp.where(seg_start, 0, prev)
+    s_dc = _size_of(diff)
+    amp_dc = jnp.where(diff > 0, diff, diff - 1).astype(jnp.uint32) & (
+        (jnp.uint32(1) << s_dc.astype(jnp.uint32)) - 1
+    )
+    hi0 = jnp.zeros((nb,), jnp.uint32)
+    lo0 = jnp.zeros((nb,), jnp.uint32)
+    ln0 = jnp.zeros((nb,), jnp.int32)
+    h, l, n = _append_code(hi0, lo0, ln0, dc_codes[s_dc], dc_lens[s_dc])
+    dc_hi, dc_lo, dc_ln = _append_code(h, l, n, amp_dc, s_dc)
+
+    # AC: positions 1..63
+    ac = q[:, 1:]
+    pos = jnp.arange(1, 64, dtype=jnp.int32)
+    nz = ac != 0
+    nz_pos = jnp.where(nz, pos[None, :], 0)
+    # exclusive prefix-max of nonzero positions = index of previous nonzero
+    prev_nz = jax.lax.cummax(nz_pos, axis=1)
+    prev_nz = jnp.roll(prev_nz, 1, axis=1).at[:, 0].set(0)
+    run = pos[None, :] - prev_nz - 1
+    k_zrl = run >> 4
+    rr = run & 0xF
+    s_ac = _size_of(ac)
+    sym = (rr << 4) | s_ac
+    amp = jnp.where(ac > 0, ac, ac - 1).astype(jnp.uint32) & (
+        (jnp.uint32(1) << s_ac.astype(jnp.uint32)) - 1
+    )
+    ac_code, ac_len = _packed_lookup(ac_tabs, sym)
+    hi = jnp.zeros_like(amp)
+    lo = jnp.zeros_like(amp)
+    ln = jnp.zeros_like(run)
+    for i in range(3):  # up to 3 ZRLs (run <= 62)
+        emit = k_zrl > i
+        h2, l2, n2 = _append_code(
+            hi, lo, ln,
+            jnp.broadcast_to(zrl_code, hi.shape), jnp.broadcast_to(zrl_len, ln.shape),
+        )
+        hi = jnp.where(emit, h2, hi)
+        lo = jnp.where(emit, l2, lo)
+        ln = jnp.where(emit, n2, ln)
+    h2, l2, n2 = _append_code(hi, lo, ln, ac_code, ac_len)
+    h3, l3, n3 = _append_code(h2, l2, n2, amp, s_ac)
+    ac_hi = jnp.where(nz, h3, 0)
+    ac_lo = jnp.where(nz, l3, 0)
+    ac_ln = jnp.where(nz, n3, 0)
+
+    # EOB when the last AC (position 63) region is zero-trailing
+    last_nz = jnp.max(nz_pos, axis=1)
+    need_eob = last_nz < 63
+    eob_hi = jnp.zeros((nb,), jnp.uint32)
+    eob_lo = jnp.where(need_eob, jnp.broadcast_to(eob_code, (nb,)), 0)
+    eob_ln = jnp.where(need_eob, jnp.broadcast_to(eob_len, (nb,)), 0)
+
+    hi_all = jnp.concatenate([dc_hi[:, None], ac_hi, eob_hi[:, None]], axis=1)
+    lo_all = jnp.concatenate([dc_lo[:, None], ac_lo, eob_lo[:, None]], axis=1)
+    ln_all = jnp.concatenate([dc_ln[:, None], ac_ln, eob_ln[:, None]], axis=1)
+    return hi_all, lo_all, ln_all
+
+
+def _pack_block_slots(hi, lo, ln, wwords: int):
+    """Pack per-symbol bit values into per-block fixed slots.
+
+    hi/lo/ln: [nbt, 65] symbol values (<= 59 bits each as hi:lo) and lengths.
+    Returns (slots [nbt, wwords] uint32 MSB-first, block_bits [nbt] int32,
+    overflow flag).  65-step scan, everything dense — no XLA scatters.
+    """
+    nbt = hi.shape[0]
+    cum = jnp.cumsum(ln, axis=1)
+    off = cum - ln  # exclusive
+    block_bits = cum[:, -1]
+    overflow = jnp.max(block_bits) > wwords * 32
+
+    iota = jnp.arange(wwords, dtype=jnp.int32)[None, :]
+
+    # Statically unrolled over the 65 symbol slots: the whole chain is pure
+    # elementwise/broadcast work, which XLA fuses into a single pass over the
+    # [nbt, wwords] accumulator (a lax.scan would stream it 65 times).
+    acc = jnp.zeros((nbt, wwords), jnp.uint32)
+    for si in range(hi.shape[1]):
+        s_hi, s_lo = hi[:, si], lo[:, si]
+        s_ln, s_off = ln[:, si], off[:, si]
+        t = (s_off & 31).astype(jnp.uint32)
+        w0 = s_off >> 5
+        r = jnp.uint32(96) - s_ln.astype(jnp.uint32) - t
+        a = (r >> 5).astype(jnp.int32)
+        s = r & 31
+        lo_ls = jnp.where(s == 0, s_lo, s_lo << s)
+        carry = jnp.where(s == 0, 0, s_lo >> (32 - jnp.maximum(s, 1)))
+        hi_ls = jnp.where(s == 0, s_hi, (s_hi << s) | carry)
+        top = jnp.where(s == 0, 0, s_hi >> (32 - jnp.maximum(s, 1)))
+        x0 = jnp.where(a == 0, top, jnp.where(a == 1, hi_ls, lo_ls))
+        x1 = jnp.where(a == 0, hi_ls, jnp.where(a == 1, lo_ls, 0))
+        x2 = jnp.where(a == 0, lo_ls, 0)
+        live = s_ln > 0
+        x0 = jnp.where(live, x0, 0)
+        x1 = jnp.where(live, x1, 0)
+        x2 = jnp.where(live, x2, 0)
+        w0c = w0[:, None]
+        contrib = (
+            jnp.where(iota == w0c, x0[:, None], 0)
+            | jnp.where(iota == w0c + 1, x1[:, None], 0)
+            | jnp.where(iota == w0c + 2, x2[:, None], 0)
+        )
+        acc = acc | contrib
+    return acc, block_bits, overflow
+
+
+def _dct_quant_zigzag(blocks_f32, qtab_zz, dct_m, zigzag):
+    """[nb, 64] f32 (level-shifted pixels) -> [nb, 64] int32 zigzag quantized."""
+    coef = jnp.dot(blocks_f32, dct_m.T, preferred_element_type=jnp.float32)
+    zz = coef[:, zigzag]
+    q = jnp.round(zz / qtab_zz[None, :]).astype(jnp.int32)
+    return q
+
+
+def _blockify_plane(plane, bh, bw):
+    """[H, W] -> [nby*nbx, 64] row-major blocks of 8x8."""
+    h, w = plane.shape
+    nby, nbx = h // 8, w // 8
+    b = plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(nby * nbx, 64)
+    return b
+
+
+class JpegEncoder:
+    """Fixed-geometry JPEG encoder; one jit graph per (size, codec, quality)."""
+
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        in_codec: Codec = Codec.UYVY,
+        quality: int = 80,
+        restart_interval: Optional[int] = None,
+        subsampling: Optional[str] = None,
+    ):
+        if width % 16 or height % 8:
+            raise ValueError("JPEG encoder requires width % 16 == 0 and height % 8 == 0")
+        self.width, self.height = width, height
+        self.in_codec = in_codec
+        self.quality = quality
+        # 4:2:2 for YCbCr sources, 4:4:4 for RGB (ref: gpujpeg.cpp:295-304)
+        if subsampling is None:
+            subsampling = "422" if in_codec in (Codec.UYVY, Codec.YUYV) else "444"
+        self.subsampling = subsampling
+        self.mcu_w = 16 if subsampling == "422" else 8
+        self.mcu_h = 8
+        self.nmcux = width // self.mcu_w
+        self.nmcuy = height // self.mcu_h
+        self.nmcu = self.nmcux * self.nmcuy
+        self.blocks_per_mcu = 4 if subsampling == "422" else 3
+        if restart_interval is None:
+            # keep >= 512 segments for TPU parallelism, but small overhead
+            restart_interval = max(1, min(32, self.nmcu // 512))
+        self.restart_interval = restart_interval
+        self.nseg = (self.nmcu + restart_interval - 1) // restart_interval
+
+        self.qtab_luma = scale_quant_table(QUANT_LUMA, quality)
+        self.qtab_chroma = scale_quant_table(QUANT_CHROMA, quality)
+        self._dc_l = build_huffman(DC_LUMA_BITS, DC_LUMA_VALS)
+        self._dc_c = build_huffman(DC_CHROMA_BITS, DC_CHROMA_VALS)
+        self._ac_l = build_huffman(AC_LUMA_BITS, AC_LUMA_VALS)
+        self._ac_c = build_huffman(AC_CHROMA_BITS, AC_CHROMA_VALS)
+        self._ac_l_packed = pack_tables(*self._ac_l)
+        self._ac_c_packed = pack_tables(*self._ac_c)
+        self._header = self._build_header()
+        self.nblocks = self.nmcu * self.blocks_per_mcu
+        # slot width in 32-bit words; bumped automatically on overflow
+        self.wwords = 16 if quality <= 90 else 32
+        self._encode_cache = {}
+
+    # -- header ---------------------------------------------------------
+
+    def _build_header(self) -> bytes:
+        def marker(m, payload=b""):
+            if payload:
+                return bytes([0xFF, m]) + (len(payload) + 2).to_bytes(2, "big") + payload
+            return bytes([0xFF, m])
+
+        out = marker(0xD8)  # SOI
+        out += marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        # DQT: table 0 luma, 1 chroma, in zigzag order
+        out += marker(0xDB, bytes([0]) + bytes(self.qtab_luma[ZIGZAG].tolist()))
+        out += marker(0xDB, bytes([1]) + bytes(self.qtab_chroma[ZIGZAG].tolist()))
+        # SOF0
+        h_y = 2 if self.subsampling == "422" else 1
+        sof = bytes([8]) + self.height.to_bytes(2, "big") + self.width.to_bytes(2, "big")
+        sof += bytes([3])
+        sof += bytes([1, (h_y << 4) | 1, 0])  # Y
+        sof += bytes([2, (1 << 4) | 1, 1])  # Cb
+        sof += bytes([3, (1 << 4) | 1, 1])  # Cr
+        out += marker(0xC0, sof)
+        # DHT
+        for cls, tid, (bits, vals) in (
+            (0, 0, (DC_LUMA_BITS, DC_LUMA_VALS)),
+            (1, 0, (AC_LUMA_BITS, AC_LUMA_VALS)),
+            (0, 1, (DC_CHROMA_BITS, DC_CHROMA_VALS)),
+            (1, 1, (AC_CHROMA_BITS, AC_CHROMA_VALS)),
+        ):
+            out += marker(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+        if self.restart_interval:
+            out += marker(0xDD, self.restart_interval.to_bytes(2, "big"))
+        # SOS
+        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+        out += marker(0xDA, sos)
+        return out
+
+    # -- device graph ---------------------------------------------------
+
+    def _planes_from_input(self, frame):
+        w, h = self.width, self.height
+        if self.in_codec == Codec.UYVY:
+            g = frame[:, : 2 * w].reshape(h, w // 2, 4).astype(jnp.float32)
+            u, y0, v, y1 = g[..., 0], g[..., 1], g[..., 2], g[..., 3]
+            y = jnp.stack([y0, y1], axis=-1).reshape(h, w)
+            return y - 128.0, u - 128.0, v - 128.0
+        if self.in_codec == Codec.YUYV:
+            g = frame[:, : 2 * w].reshape(h, w // 2, 4).astype(jnp.float32)
+            y0, u, y1, v = g[..., 0], g[..., 1], g[..., 2], g[..., 3]
+            y = jnp.stack([y0, y1], axis=-1).reshape(h, w)
+            return y - 128.0, u - 128.0, v - 128.0
+        if self.in_codec in (Codec.RGB, Codec.RGBA):
+            ncomp = 3 if self.in_codec == Codec.RGB else 4
+            px = frame[:, : ncomp * w].reshape(h, w, ncomp).astype(jnp.float32)
+            r, g, b = px[..., 0], px[..., 1], px[..., 2]
+            # JFIF YCbCr (full-range BT.601)
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+            cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+            return y - 128.0, cb - 128.0, cr - 128.0
+        raise ValueError(f"JPEG encoder: unsupported input {self.in_codec.name}")
+
+    def _make_encode(self, wwords: int):
+        """Build the jitted device graph for a given slot width."""
+
+        def encode_fn(frame):
+            w, h = self.width, self.height
+            ri = self.restart_interval
+            nmcu = self.nmcu
+            dct_m = jnp.asarray(dct_matrix_64())
+            zz = jnp.asarray(ZIGZAG)
+            qy = jnp.asarray(self.qtab_luma[ZIGZAG]).astype(jnp.float32)
+            qc = jnp.asarray(self.qtab_chroma[ZIGZAG]).astype(jnp.float32)
+            dcl_codes, dcl_lens = map(jnp.asarray, self._dc_l)
+            dcc_codes, dcc_lens = map(jnp.asarray, self._dc_c)
+            acl = tuple(jnp.asarray(t) for t in self._ac_l_packed)
+            acc_t = tuple(jnp.asarray(t) for t in self._ac_c_packed)
+            acl_codes, acl_lens = self._ac_l
+            acc_codes, acc_lens = self._ac_c
+            # EOB/ZRL codes are compile-time constants
+            eob_l = (jnp.uint32(int(acl_codes[0])), jnp.int32(int(acl_lens[0])))
+            zrl_l = (jnp.uint32(int(acl_codes[0xF0])), jnp.int32(int(acl_lens[0xF0])))
+            eob_c = (jnp.uint32(int(acc_codes[0])), jnp.int32(int(acc_lens[0])))
+            zrl_c = (jnp.uint32(int(acc_codes[0xF0])), jnp.int32(int(acc_lens[0xF0])))
+
+            yp, up, vp = self._planes_from_input(frame)
+
+            if self.subsampling == "422":
+                yb = yp.reshape(self.nmcuy, 8, self.nmcux, 2, 8).transpose(0, 2, 3, 1, 4)
+                yb = yb.reshape(nmcu * 2, 64)
+                ub = _blockify_plane(up, 8, 8)
+                vb = _blockify_plane(vp, 8, 8)
+            else:
+                yb = _blockify_plane(yp, 8, 8)
+                ub = _blockify_plane(up, 8, 8)
+                vb = _blockify_plane(vp, 8, 8)
+
+            qy_blocks = _dct_quant_zigzag(yb, qy, dct_m, zz)
+            qu_blocks = _dct_quant_zigzag(ub, qc, dct_m, zz)
+            qv_blocks = _dct_quant_zigzag(vb, qc, dct_m, zz)
+
+            mcu_idx = jnp.arange(nmcu, dtype=jnp.int32)
+            seg_start_mcu = (mcu_idx % ri) == 0
+            if self.subsampling == "422":
+                y_seg_start = jnp.stack(
+                    [seg_start_mcu, jnp.zeros_like(seg_start_mcu)], axis=1
+                ).reshape(-1)
+            else:
+                y_seg_start = seg_start_mcu
+
+            y_sym = _encode_component_symbols(
+                qy_blocks, dcl_codes, dcl_lens, acl, *eob_l, *zrl_l, y_seg_start)
+            u_sym = _encode_component_symbols(
+                qu_blocks, dcc_codes, dcc_lens, acc_t, *eob_c, *zrl_c, seg_start_mcu)
+            v_sym = _encode_component_symbols(
+                qv_blocks, dcc_codes, dcc_lens, acc_t, *eob_c, *zrl_c, seg_start_mcu)
+
+            ys, ybits, yovf = _pack_block_slots(*y_sym, wwords)
+            us, ubits, uovf = _pack_block_slots(*u_sym, wwords)
+            vs, vbits, vovf = _pack_block_slots(*v_sym, wwords)
+            overflow = yovf | uovf | vovf
+            return ys, ybits, us, ubits, vs, vbits, overflow
+
+        return jax.jit(encode_fn)
+
+    def _encode(self, frame):
+        """Device encode with automatic slot-width escalation."""
+        while True:
+            fn = self._encode_cache.get(self.wwords)
+            if fn is None:
+                fn = self._encode_cache[self.wwords] = self._make_encode(self.wwords)
+            out = fn(frame)
+            if not bool(out[-1]):
+                return out[:-1]
+            if self.wwords >= 64:
+                # 64 words = 256 B > the theoretical per-block maximum
+                return out[:-1]
+            self.wwords *= 2
+
+    # -- public ---------------------------------------------------------
+
+    def encode(self, frame) -> np.ndarray:
+        """frame: uint8 [H, linesize] -> np.uint8[1-D] complete JPEG file."""
+        parts = self._encode(jnp.asarray(frame))
+        body = self.assemble(*(np.asarray(p) for p in parts))
+        return np.concatenate(
+            [
+                np.frombuffer(self._header, dtype=np.uint8),
+                body,
+                np.frombuffer(b"\xff\xd9", dtype=np.uint8),
+            ]
+        )
+
+    def assemble(self, ys, ybits, us, ubits, vs, vbits) -> np.ndarray:
+        """Merge per-block/component slots into the stuffed entropy stream
+        (C fast path, python fallback)."""
+        from ultragrid_tpu.native import jpeg_assemble_lib
+
+        ky = 2 if self.subsampling == "422" else 1
+        lib = jpeg_assemble_lib()
+        arrs = [np.ascontiguousarray(a, dtype=np.uint32) for a in (ys, us, vs)]
+        bitsarr = [np.ascontiguousarray(b, dtype=np.int32) for b in (ybits, ubits, vbits)]
+        total_bits = int(sum(int(b.sum()) for b in bitsarr))
+        if lib is not None:
+            cap = int(total_bits // 8 + self.nblocks // 4 + 4 * self.nseg + 64)
+            out = np.empty(cap, dtype=np.uint8)
+            n = lib.jpeg_assemble_3c(
+                arrs[0].ctypes.data, bitsarr[0].ctypes.data,
+                arrs[1].ctypes.data, bitsarr[1].ctypes.data,
+                arrs[2].ctypes.data, bitsarr[2].ctypes.data,
+                self.nmcu, ky, arrs[0].shape[1], self.restart_interval,
+                out.ctypes.data, cap,
+            )
+            if n > cap:  # extremely unlikely; retry with exact size
+                out = np.empty(int(n), dtype=np.uint8)
+                n = lib.jpeg_assemble_3c(
+                    arrs[0].ctypes.data, bitsarr[0].ctypes.data,
+                    arrs[1].ctypes.data, bitsarr[1].ctypes.data,
+                    arrs[2].ctypes.data, bitsarr[2].ctypes.data,
+                    self.nmcu, ky, arrs[0].shape[1], self.restart_interval,
+                    out.ctypes.data, int(n),
+                )
+            return out[:n]
+        # python fallback: interleave into stream order then pack
+        W = arrs[0].shape[1]
+        slots = np.zeros((self.nblocks, W), np.uint32)
+        bits = np.zeros(self.nblocks, np.int32)
+        bpm = self.blocks_per_mcu
+        for k in range(ky):
+            slots[k::bpm] = arrs[0][k::ky]
+            bits[k::bpm] = bitsarr[0][k::ky]
+        slots[ky::bpm] = arrs[1]
+        bits[ky::bpm] = bitsarr[1]
+        slots[ky + 1 :: bpm] = arrs[2]
+        bits[ky + 1 :: bpm] = bitsarr[2]
+        return _assemble_python(slots, bits, self.restart_interval * bpm)
+
+    def encode_device(self, frame):
+        """On-device half: returns per-component (slots, bits) x 3."""
+        return self._encode(jnp.asarray(frame))
+
+
+def _assemble_python(slots: np.ndarray, bits: np.ndarray, blocks_per_seg: int) -> np.ndarray:
+    """Pure-python fallback for the C assembler (small frames/tests only)."""
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+    rst = 0
+
+    def put_byte(b):
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)
+
+    def flush():
+        nonlocal bitbuf, bitcnt
+        while bitcnt >= 8:
+            put_byte((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+            bitbuf &= (1 << bitcnt) - 1
+
+    def align():
+        nonlocal bitbuf, bitcnt
+        pad = (8 - (bitcnt & 7)) & 7
+        if pad:
+            bitbuf = (bitbuf << pad) | ((1 << pad) - 1)
+            bitcnt += pad
+        flush()
+
+    nb = slots.shape[0]
+    for b in range(nb):
+        if b and blocks_per_seg and b % blocks_per_seg == 0:
+            align()
+            out.append(0xFF)
+            out.append(0xD0 + (rst & 7))
+            rst += 1
+        remaining = int(bits[b])
+        i = 0
+        while remaining >= 32:
+            bitbuf = (bitbuf << 32) | int(slots[b, i])
+            bitcnt += 32
+            i += 1
+            remaining -= 32
+            flush()
+        if remaining:
+            bitbuf = (bitbuf << remaining) | (int(slots[b, i]) >> (32 - remaining))
+            bitcnt += remaining
+            flush()
+    align()
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Host-side decoder (for tests / receiver fallback)
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bitbuf = 0
+        self.bitcnt = 0
+
+    def align(self):
+        self.bitbuf = 0
+        self.bitcnt = 0
+
+    def read_bit(self) -> int:
+        if self.bitcnt == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise EOFError("marker in entropy stream")
+            self.bitbuf = b
+            self.bitcnt = 8
+        self.bitcnt -= 1
+        return (self.bitbuf >> self.bitcnt) & 1
+
+
+def _huff_decode_map(bits, vals):
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def decode_jpeg(data: bytes, collect_coeffs: bool = False):
+    """Minimal baseline JPEG decoder (numpy); returns (comps, H, W, sampling).
+
+    comps: list of per-component planes (float, after dequant+IDCT, range
+    0..255) at their sampled resolution.
+    """
+    pos = 2  # skip SOI
+    qtabs = {}
+    htabs = {}
+    ri = 0
+    comps_info = []
+    h_img = w_img = 0
+    while True:
+        assert data[pos] == 0xFF, hex(data[pos])
+        m = data[pos + 1]
+        pos += 2
+        if m == 0xD9:
+            break
+        ln = int.from_bytes(data[pos : pos + 2], "big")
+        payload = data[pos + 2 : pos + ln]
+        if m == 0xDB:
+            p = 0
+            while p < len(payload):
+                tid = payload[p] & 0xF
+                prec = payload[p] >> 4
+                assert prec == 0
+                tab = np.zeros(64, np.int32)
+                tab[ZIGZAG] = np.frombuffer(payload[p + 1 : p + 65], np.uint8)
+                qtabs[tid] = tab
+                p += 65
+        elif m == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc = payload[p] >> 4
+                th = payload[p] & 0xF
+                bits = list(payload[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + nv])
+                htabs[(tc, th)] = _huff_decode_map(bits, vals)
+                p += 17 + nv
+        elif m == 0xC0:
+            h_img = int.from_bytes(payload[1:3], "big")
+            w_img = int.from_bytes(payload[3:5], "big")
+            nc = payload[5]
+            for c in range(nc):
+                cid = payload[6 + 3 * c]
+                hv = payload[7 + 3 * c]
+                tq = payload[8 + 3 * c]
+                comps_info.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+        elif m == 0xDD:
+            ri = int.from_bytes(payload[:2], "big")
+        elif m == 0xDA:
+            ns = payload[0]
+            scan = []
+            for c in range(ns):
+                cs = payload[1 + 2 * c]
+                tt = payload[2 + 2 * c]
+                info = next(ci for ci in comps_info if ci["id"] == cs)
+                scan.append({**info, "td": tt >> 4, "ta": tt & 0xF})
+            pos += ln
+            return _decode_scan(data, pos, scan, qtabs, htabs, ri, h_img, w_img,
+                                collect_coeffs=collect_coeffs)
+        pos += ln
+    raise ValueError("no scan found")
+
+
+def _decode_scan(data, pos, scan, qtabs, htabs, ri, h_img, w_img, collect_coeffs=False):
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    nmcux = (w_img + mcu_w - 1) // mcu_w
+    nmcuy = (h_img + mcu_h - 1) // mcu_h
+    nmcu = nmcux * nmcuy
+    idct_m = np.linalg.inv(dct_matrix_64().astype(np.float64))
+    planes = [
+        np.zeros((nmcuy * 8 * c["v"], nmcux * 8 * c["h"]), np.float64) for c in scan
+    ]
+    coeff_lists = [[] for _ in scan]  # per-component quantized zigzag coeffs
+    preds = [0] * len(scan)
+    reader = _BitReader(data)
+    reader.pos = pos
+
+    def read_huff(table):
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("bad huffman code")
+
+    def receive_extend(s):
+        if s == 0:
+            return 0
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | reader.read_bit()
+        if v < (1 << (s - 1)):
+            v -= (1 << s) - 1
+        return v
+
+    for m in range(nmcu):
+        if ri and m and m % ri == 0:
+            # expect RST marker
+            reader.align()
+            assert data[reader.pos] == 0xFF and 0xD0 <= data[reader.pos + 1] <= 0xD7, (
+                hex(data[reader.pos]), hex(data[reader.pos + 1]))
+            reader.pos += 2
+            preds = [0] * len(scan)
+        my, mx = divmod(m, nmcux)
+        for ci, comp in enumerate(scan):
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    dctab = htabs[(0, comp["td"])]
+                    actab = htabs[(1, comp["ta"])]
+                    s = read_huff(dctab)
+                    diff = receive_extend(s)
+                    preds[ci] += diff
+                    zzvals = np.zeros(64, np.int64)
+                    zzvals[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = read_huff(actab)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break
+                        k += r
+                        zzvals[k] = receive_extend(s)
+                        k += 1
+                    if collect_coeffs:
+                        coeff_lists[ci].append(zzvals.copy())
+                    # dequant: zzvals are in zigzag order; map back to raster
+                    deq = np.zeros(64, np.float64)
+                    deq[ZIGZAG] = zzvals * qtabs[comp["tq"]][ZIGZAG]
+                    px = idct_m @ deq
+                    blk = px.reshape(8, 8) + 128.0
+                    yy = (my * comp["v"] + by) * 8
+                    xx = (mx * comp["h"] + bx) * 8
+                    planes[ci][yy : yy + 8, xx : xx + 8] = blk
+    if collect_coeffs:
+        coeffs = [np.array(cl, dtype=np.int64) for cl in coeff_lists]
+        return planes, h_img, w_img, [(c["h"], c["v"]) for c in scan], coeffs
+    return planes, h_img, w_img, [(c["h"], c["v"]) for c in scan]
+
+
+def decode_jpeg_to_frame(frame: VideoFrame, out_codec: Codec) -> Optional[VideoFrame]:
+    """Receiver-side JPEG decode to UYVY or RGB (host path for now)."""
+    data = bytes(np.asarray(frame.data).reshape(-1))
+    planes, h, w, sampling = decode_jpeg(data)
+    y, cb, cr = (np.clip(np.round(p), 0, 255) for p in planes)
+    if sampling[0] == (2, 1):  # 4:2:2
+        pass
+    elif sampling[0] == (1, 1):  # 4:4:4 -> subsample for UYVY
+        cb = cb[:, 0::2] if out_codec == Codec.UYVY else cb
+        cr = cr[:, 0::2] if out_codec == Codec.UYVY else cr
+    if out_codec == Codec.UYVY:
+        out = np.zeros((h, 2 * w), np.uint8)
+        out[:, 1::2] = y[:h, :w]
+        out[:, 0::4] = cb[:h, : w // 2]
+        out[:, 2::4] = cr[:h, : w // 2]
+        desc = frame.desc.with_(color_spec=Codec.UYVY)
+        vf = VideoFrame(desc, [out])
+        vf.timestamp = frame.timestamp
+        return vf
+    if out_codec == Codec.RGB:
+        if sampling[0] == (2, 1):
+            cb = np.repeat(cb, 2, axis=1)[:, :w]
+            cr = np.repeat(cr, 2, axis=1)[:, :w]
+        y = y[:h, :w]
+        cb = cb[:h, :w] - 128.0
+        cr = cr[:h, :w] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack([r, g, b], axis=-1)
+        rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8).reshape(h, 3 * w)
+        desc = frame.desc.with_(color_spec=Codec.RGB)
+        vf = VideoFrame(desc, [rgb])
+        vf.timestamp = frame.timestamp
+        return vf
+    return None
+
+
+def jpeg_encode_core(frame, width: int, in_codec: Codec, quality: int):
+    """Jit-friendly single-shot encode returning (padded bytes, length)."""
+    h = frame.shape[0]
+    enc = JpegEncoder(width, h, in_codec=in_codec, quality=quality)
+    return enc.encode_device(frame)
