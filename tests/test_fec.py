@@ -1,0 +1,151 @@
+"""FEC tests: LDGM and Reed-Solomon encode/recover round trips + reference
+matrix parity."""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from ultragrid_tpu.ops.fec import (
+    FecDesc,
+    LdgmSession,
+    RsSession,
+    build_ldgm_matrix,
+    fec_from_spec,
+    gf_mul,
+    ldgm_suggest_params,
+    rs_encode_matrix,
+)
+
+from . import refc
+
+
+def test_ldgm_roundtrip_no_loss():
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, 10000, dtype=np.int32).astype(np.uint8)
+    s = LdgmSession(64, 64, 5)
+    buf, desc = s.encode(frame)
+    assert desc.k == 64 and desc.symbol_size * (desc.k + desc.m) == buf.size
+    symbols = buf.reshape(desc.k + desc.m, desc.symbol_size)
+    present = np.ones(desc.k + desc.m, dtype=bool)
+    out = s.decode(symbols, present)
+    np.testing.assert_array_equal(out, frame)
+
+
+def test_ldgm_erasure_recovery():
+    rng = np.random.default_rng(1)
+    frame = rng.integers(0, 256, 40000, dtype=np.int32).astype(np.uint8)
+    s = LdgmSession(128, 128, 5)
+    buf, desc = s.encode(frame)
+    symbols = buf.reshape(desc.k + desc.m, desc.symbol_size).copy()
+    present = np.ones(desc.k + desc.m, dtype=bool)
+    # drop 10% of data symbols
+    drop = rng.choice(desc.k, size=desc.k // 10, replace=False)
+    present[drop] = False
+    symbols[drop] = 0
+    out = s.decode(symbols, present)
+    assert out is not None
+    np.testing.assert_array_equal(out, frame)
+
+
+def test_ldgm_staircase_parity_semantics():
+    """parity[m] = parity[m-1] XOR row-m data XOR (ref: encode_naive,
+    ldgm-session-cpu.cpp:198-242)."""
+    rng = np.random.default_rng(2)
+    k, m, c = 64, 64, 5
+    s = LdgmSession(k, m, c)
+    frame = rng.integers(0, 256, 5000, dtype=np.int32).astype(np.uint8)
+    buf, desc = s.encode(frame)
+    ps = desc.symbol_size
+    data = buf[: k * ps].reshape(k, ps)
+    parity = buf[k * ps :].reshape(m, ps)
+    expected_prev = np.zeros(ps, np.uint8)
+    for i in range(min(m, 8)):
+        acc = expected_prev.copy()
+        for j in np.nonzero(s.matrix[i])[0]:
+            acc ^= data[j]
+        np.testing.assert_array_equal(parity[i], acc, err_msg=f"row {i}")
+        expected_prev = parity[i]
+
+
+@pytest.mark.skipif(not refc.available(), reason="reference tree not present")
+def test_ldgm_matrix_matches_reference():
+    """Our RFC5170+PMMS matrix generator is bit-exact with the reference's."""
+    build_dir = "/tmp/ugtpu_ldgm_ref"
+    os.makedirs(build_dir, exist_ok=True)
+    so = os.path.join(build_dir, "ldpc.so")
+    if not os.path.exists(so):
+        wrapper = os.path.join(build_dir, "wrap.cpp")
+        with open(wrapper, "w") as f:
+            f.write(
+                '#include "ldpc-matrix.h"\n'
+                'extern "C" void lmi(char **m, int k, int n, int n1, int seed)'
+                "{ left_matrix_init(m, k, n, n1, seed); }\n"
+            )
+        subprocess.run(
+            ["g++", "-O2", "-fPIC", "-shared",
+             "-I/root/reference/ldgm/matrix-gen", "-o", so,
+             "/root/reference/ldgm/matrix-gen/ldpc-matrix.cpp", wrapper],
+            check=True, capture_output=True,
+        )
+    lib = ctypes.CDLL(so)
+    k, m, c, seed = 256, 192, 5, 1
+    rows = (ctypes.POINTER(ctypes.c_char) * m)()
+    storage = np.zeros((m, k), dtype=np.uint8)
+    for i in range(m):
+        rows[i] = storage[i].ctypes.data_as(ctypes.POINTER(ctypes.c_char))
+    lib.lmi(rows, k, k + m, c, seed)
+    ours = build_ldgm_matrix(k, m, c, seed)
+    np.testing.assert_array_equal(ours, storage)
+
+
+def test_rs_roundtrip_no_loss():
+    rng = np.random.default_rng(3)
+    payload = rng.integers(0, 256, 5000, dtype=np.int32).astype(np.uint8)
+    s = RsSession(20, 30)
+    buf, desc = s.encode(payload)
+    symbols = buf.reshape(s.n, desc.symbol_size)
+    out = s.decode(symbols, np.ones(s.n, dtype=bool))
+    np.testing.assert_array_equal(out, payload)
+
+
+def test_rs_erasure_recovery():
+    rng = np.random.default_rng(4)
+    payload = rng.integers(0, 256, 5000, dtype=np.int32).astype(np.uint8)
+    s = RsSession(20, 30)
+    buf, desc = s.encode(payload)
+    symbols = buf.reshape(s.n, desc.symbol_size).copy()
+    present = np.ones(s.n, dtype=bool)
+    drop = rng.choice(s.n, size=10, replace=False)  # lose 10 of 30
+    present[drop] = False
+    symbols[drop] = 0
+    out = s.decode(symbols, present)
+    assert out is not None
+    np.testing.assert_array_equal(out, payload)
+
+
+def test_rs_systematic():
+    """Top k rows of the encode matrix are identity (systematic code)."""
+    enc = rs_encode_matrix(10, 15)
+    np.testing.assert_array_equal(enc[:10], np.eye(10, dtype=np.uint8))
+
+
+def test_gf_mul_basics():
+    assert gf_mul(1, 77) == 77
+    assert gf_mul(0, 77) == 0
+    # distributivity spot check
+    for a, b, c in [(3, 7, 200), (255, 254, 2)]:
+        assert gf_mul(a, b ^ c) == gf_mul(a, b) ^ gf_mul(a, c)
+
+
+def test_fec_spec_parsing():
+    assert fec_from_spec("none") is None
+    s = fec_from_spec("ldgm:128:128:5")
+    assert isinstance(s, LdgmSession) and (s.k, s.m, s.c) == (128, 128, 5)
+    r = fec_from_spec("rs:200:240")
+    assert isinstance(r, RsSession) and (r.k, r.n) == (200, 240)
+    assert fec_from_spec("mult:3") == ("mult", 3)
+    k, m, c = ldgm_suggest_params(150000, 5.0)
+    assert (k, m, c) == (1500, 450, 6)

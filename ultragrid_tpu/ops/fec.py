@@ -1,0 +1,507 @@
+"""Forward error correction: LDGM (LDPC-staircase) and Reed-Solomon.
+
+TPU-native re-derivation of the reference FEC layer
+(ref: src/rtp/ldgm.cpp + ldgm/ tree; src/rtp/rs.cpp; abstract iface
+src/rtp/fec.h:53-78).  Both codes reduce to **GF(2) matrix multiplication**,
+which is the MXU's native language:
+
+* LDGM parities = sparse parity-check rows XORed over data symbols with a
+  staircase accumulation (ref: ldgm/src/ldgm-session-cpu.cpp:151-189).  Here:
+  unpack symbol bytes into bit planes, one f32 matmul with the dense 0/1
+  parity-check matrix, prefix-sum along parities for the staircase, mod 2,
+  repack.  Bit-exact with the reference (same RFC 5170 matrix from the same
+  Park-Miller PRNG, ref: ldgm/matrix-gen/ldpc-matrix.cpp:99-160,
+  rand_pmms.h).
+* Reed-Solomon GF(256) (zfec-compatible Vandermonde construction, ref:
+  src/rtp/rs.cpp + bundled zfec) — each GF(256) coefficient is an 8x8 GF(2)
+  bit matrix, so the whole encode is one [m*8, k*8] @ [k*8, ps*8] matmul.
+
+Decoding (erasure recovery) runs on host: LDGM by iterative peeling, RS by
+Gaussian elimination over GF(256) — the receive path is not the sender's
+latency-critical chip loop (ref: SURVEY hard-parts ranking).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Park-Miller PRNG + RFC 5170 LDPC-staircase matrix (bit-exact w/ reference)
+# ---------------------------------------------------------------------------
+
+
+class RandPmms:
+    """ref: ldgm/matrix-gen/rand_pmms.h."""
+
+    def __init__(self, seed: int):
+        assert 0 < seed < 0x7FFFFFFF
+        self.val = seed
+
+    def nextrand(self) -> int:
+        self.val = (16807 * self.val) % 0x7FFFFFFF
+        return self.val
+
+    def rand(self, maxv: int) -> int:
+        return int(float(maxv) * float(self.nextrand()) / float(0x7FFFFFFF))
+
+
+@lru_cache(maxsize=16)
+def build_ldgm_matrix(k: int, m: int, c: int, seed: int = 1) -> np.ndarray:
+    """Left parity-check matrix [m, k] (ref: left_matrix_init,
+    ldgm/matrix-gen/ldpc-matrix.cpp:99-160; staircase part is implicit in the
+    encoder's parity accumulation)."""
+    matrix = np.zeros((m, k), dtype=np.uint8)
+    rng = RandPmms(seed)
+    n = k + m
+    u = [(h % (n - k)) for h in range(c * k)]
+    t = 0
+    for j in range(k):
+        for _ in range(c):
+            i = t
+            while i < c * k and matrix[u[i]][j]:
+                i += 1
+            if i < c * k:
+                while True:
+                    i = t + rng.rand(c * k - t)
+                    if not matrix[u[i]][j]:
+                        break
+                matrix[u[i]][j] = 1
+                u[i] = u[t]
+                t += 1
+            else:
+                while True:
+                    i = rng.rand(n - k)
+                    if not matrix[i][j]:
+                        break
+                matrix[i][j] = 1
+    for i in range(m):
+        deg = int(matrix[i].sum())
+        if deg == 0:
+            j = rng.rand(k)
+            matrix[i][j] = 1
+            deg = 1
+        if deg == 1:
+            while True:
+                j = rng.rand(k)
+                if not matrix[i][j]:
+                    break
+            matrix[i][j] = 1
+    return matrix
+
+
+# ---------------------------------------------------------------------------
+# GF(2) bit-plane matmul (the shared device kernel)
+# ---------------------------------------------------------------------------
+
+
+def _unpack_bits(data_u8: jnp.ndarray) -> jnp.ndarray:
+    """[K, ps] uint8 -> [K, ps*8] float32 bits (MSB first within byte)."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (data_u8[..., None] >> shifts) & 1
+    return bits.reshape(data_u8.shape[0], -1).astype(jnp.float32)
+
+
+def _pack_bits(bits_i32: jnp.ndarray) -> jnp.ndarray:
+    """[M, ps*8] int32 (0/1) -> [M, ps] uint8."""
+    m = bits_i32.shape[0]
+    b = bits_i32.reshape(m, -1, 8)
+    weights = (1 << jnp.arange(7, -1, -1, dtype=jnp.int32))
+    return jnp.sum(b * weights, axis=-1).astype(jnp.uint8)
+
+
+@jax.jit
+def gf256_matmul(bitmat_f32: jnp.ndarray, data_u8: jnp.ndarray) -> jnp.ndarray:
+    """GF(256) RS parity via one GF(2) matmul.
+
+    bitmat: [(n-k)*8, k*8] expanded coefficient bit-matrix; data: [k, ss]
+    uint8 where each byte is an independent GF(256) element -> parity
+    [(n-k), ss] uint8.  Bit rows are per-symbol (MSB first).
+    """
+    k, ss = data_u8.shape
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = ((data_u8[:, :, None] >> shifts) & 1).astype(jnp.float32)  # [k, ss, 8]
+    bits = bits.transpose(0, 2, 1).reshape(k * 8, ss)
+    sums = jnp.dot(bitmat_f32, bits, preferred_element_type=jnp.float32)
+    par_bits = sums.astype(jnp.int32) & 1  # [(n-k)*8, ss]
+    m8 = par_bits.shape[0]
+    pb = par_bits.reshape(m8 // 8, 8, ss)
+    weights = (1 << jnp.arange(7, -1, -1, dtype=jnp.int32))[None, :, None]
+    return jnp.sum(pb * weights, axis=1).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def gf2_matmul(mask_f32: jnp.ndarray, data_u8: jnp.ndarray, staircase: bool = False) -> jnp.ndarray:
+    """Parity symbols = mask @ data over GF(2).
+
+    mask: [M, K] float32 0/1; data: [K, ps] uint8 -> [M, ps] uint8.
+    With ``staircase=True``, parity m also XORs parity m-1 (LDPC staircase),
+    computed as a prefix sum along M before the mod-2 reduction.
+    """
+    bits = _unpack_bits(data_u8)  # [K, ps*8]
+    sums = jnp.dot(mask_f32, bits, preferred_element_type=jnp.float32)  # [M, ps*8]
+    if staircase:
+        sums = jnp.cumsum(sums, axis=0)
+    par_bits = (sums.astype(jnp.int32)) & 1
+    return _pack_bits(par_bits)
+
+
+# ---------------------------------------------------------------------------
+# LDGM session
+# ---------------------------------------------------------------------------
+
+LDGM_HEADER_SIZE = 4  # ref: ldgm-session.h:124
+DEFAULT_LDGM_SEED = 1  # ref: src/rtp/ldgm.hpp:48
+
+# ref: suggested_configurations[], src/rtp/ldgm.cpp:116-139
+# (mtu_class, frame_size, loss_pct) -> (k, m, c)
+_LDGM_SUGGESTED = [
+    ("STD1500", 144000, 2.0, 750, 120, 5),
+    ("STD1500", 144000, 5.0, 1500, 450, 6),
+    ("STD1500", 144000, 10.0, 1000, 500, 7),
+    ("STD1500", 177000, 2.0, 1500, 240, 5),
+    ("STD1500", 177000, 5.0, 1250, 375, 6),
+    ("STD1500", 177000, 10.0, 1500, 750, 8),
+    ("STD1500", 217000, 2.0, 1500, 240, 6),
+    ("STD1500", 217000, 5.0, 1500, 450, 6),
+    ("STD1500", 217000, 10.0, 1500, 750, 8),
+    ("JUMBO9000", 4147200, 2.0, 1500, 180, 5),
+    ("JUMBO9000", 4147200, 5.0, 1000, 300, 6),
+    ("JUMBO9000", 4147200, 10.0, 1000, 500, 7),
+    ("STD1500", 4147200, 2.0, 1500, 250, 5),
+    ("STD1500", 4147200, 5.0, 1500, 650, 6),
+    ("STD1500", 4147200, 10.0, 1500, 1500, 8),
+]
+
+
+def ldgm_suggest_params(frame_size: int, loss_pct: float, mtu: int = 1500) -> Tuple[int, int, int]:
+    """Pick (k, m, c) like the reference percentage mode (ldgm.cpp:365-392)."""
+    packet_type = "JUMBO9000" if mtu > 1500 else "STD1500"
+    # snap loss to the nearest table class
+    classes = [2.0, 5.0, 10.0]
+    loss = min(classes, key=lambda x: abs(x - max(loss_pct, 0.01)))
+    best = None
+    for pt, fs, lo, k, m, c in _LDGM_SUGGESTED:
+        if pt == packet_type and lo == loss:
+            if best is None or abs(fs - frame_size) < abs(best[0] - frame_size):
+                best = (fs, k, m, c)
+    if best is None:
+        return 512, 384, 5  # DEFAULT_K/M/C, ldgm.cpp:141-144
+    return best[1], best[2], best[3]
+
+
+@dataclasses.dataclass(frozen=True)
+class FecDesc:
+    """Wire FEC parameters (ref: struct fec_desc, src/types.h:210-215)."""
+
+    type: str  # "ldgm" | "rs" | "none"
+    k: int = 0
+    m: int = 0
+    c: int = 0
+    seed: int = 0
+    symbol_size: int = 0
+
+
+class LdgmSession:
+    """LDGM encode/decode with the reference's buffer layout.
+
+    Output buffer = [uint32 frame_size][frame][zero pad so data part % (k*4)
+    == 0][m parity symbols] (ref: LDGM_session::encode_frame,
+    ldgm/src/ldgm-session.cpp:123-176).
+    """
+
+    def __init__(self, k: int, m: int, c: int, seed: int = DEFAULT_LDGM_SEED):
+        self.k, self.m, self.c, self.seed = k, m, c, seed
+        self.matrix = build_ldgm_matrix(k, m, c, seed)
+        self._mask = jnp.asarray(self.matrix.astype(np.float32))
+
+    def encode_params(self, frame_size: int) -> Tuple[int, int]:
+        """(packet/symbol size, total buffer size)."""
+        align = self.k * 4
+        data_size = frame_size + LDGM_HEADER_SIZE
+        if data_size % align:
+            data_size = (data_size // align + 1) * align
+        ps = data_size // self.k
+        return ps, data_size + self.m * ps
+
+    def encode(self, frame: np.ndarray) -> Tuple[np.ndarray, FecDesc]:
+        """frame: uint8 1-D -> (buffer uint8 1-D, FecDesc)."""
+        frame = np.asarray(frame, dtype=np.uint8).reshape(-1)
+        ps, buf_size = self.encode_params(frame.size)
+        data_size = buf_size - self.m * ps
+        data = np.zeros(data_size, dtype=np.uint8)
+        data[:4] = np.frombuffer(np.uint32(frame.size).tobytes(), np.uint8)
+        data[4 : 4 + frame.size] = frame
+        symbols = jnp.asarray(data.reshape(self.k, ps))
+        parity = np.asarray(gf2_matmul(self._mask, symbols, True))
+        buf = np.concatenate([data, parity.reshape(-1)])
+        return buf, FecDesc("ldgm", self.k, self.m, self.c, self.seed, ps)
+
+    def encode_device(self, data_symbols: jnp.ndarray) -> jnp.ndarray:
+        """Device-side: [k, ps] uint8 (header+frame+pad) -> [m, ps] parity."""
+        return gf2_matmul(self._mask, data_symbols, True)
+
+    def decode(
+        self, symbols: np.ndarray, present: np.ndarray
+    ) -> Optional[np.ndarray]:
+        """Erasure-recover the frame from received symbols.
+
+        symbols: [k+m, ps] uint8 (missing rows arbitrary); present: [k+m]
+        bool.  Returns the recovered frame bytes or None.  Peeling decoder
+        over the staircase Tanner graph (ref: ldgm-session.cpp decoding).
+        """
+        k, m, ps = self.k, self.m, symbols.shape[1]
+        sym = symbols.astype(np.uint8).copy()
+        have = present.copy()
+        # full parity-check rows: row i involves data cols (matrix) + parity
+        # i and parity i-1 (staircase)
+        rows: List[List[int]] = []
+        for i in range(m):
+            cols = [int(j) for j in np.nonzero(self.matrix[i])[0]]
+            cols.append(k + i)
+            if i > 0:
+                cols.append(k + i - 1)
+            rows.append(cols)
+        changed = True
+        while changed and not have[:k].all():
+            changed = False
+            for i in range(m):
+                missing = [j for j in rows[i] if not have[j]]
+                if len(missing) == 1:
+                    j = missing[0]
+                    acc = np.zeros(ps, np.uint8)
+                    for col in rows[i]:
+                        if col != j:
+                            acc ^= sym[col]
+                    sym[j] = acc
+                    have[j] = True
+                    changed = True
+        if not have[:k].all():
+            return None
+        data = sym[:k].reshape(-1)
+        frame_size = int(np.frombuffer(data[:4].tobytes(), np.uint32)[0])
+        if frame_size > data.size - 4:
+            return None
+        return data[4 : 4 + frame_size]
+
+
+# ---------------------------------------------------------------------------
+# Reed-Solomon GF(256) (zfec-compatible construction)
+# ---------------------------------------------------------------------------
+
+_GF_POLY = 0x11D  # 1 + x^2 + x^3 + x^4 + x^8 (zfec's primitive polynomial)
+
+
+@lru_cache(maxsize=1)
+def _gf_tables():
+    exp = np.zeros(510, dtype=np.int32)
+    log = np.zeros(256, dtype=np.int32)
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x <<= 1
+        if x & 0x100:
+            x ^= _GF_POLY
+    exp[255:510] = exp[0:255]
+    return exp, log
+
+
+def gf_mul(a: int, b: int) -> int:
+    if a == 0 or b == 0:
+        return 0
+    exp, log = _gf_tables()
+    return int(exp[log[a] + log[b]])
+
+
+def gf_inv(a: int) -> int:
+    exp, log = _gf_tables()
+    return int(exp[255 - log[a]])
+
+
+def _gf_mat_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    out = np.zeros((a.shape[0], b.shape[1]), dtype=np.uint8)
+    for i in range(a.shape[0]):
+        for j in range(b.shape[1]):
+            acc = 0
+            for t in range(a.shape[1]):
+                acc ^= gf_mul(int(a[i, t]), int(b[t, j]))
+            out[i, j] = acc
+    return out
+
+
+def _gf_mat_inv(mat: np.ndarray) -> np.ndarray:
+    n = mat.shape[0]
+    a = mat.astype(np.int32).copy()
+    inv = np.eye(n, dtype=np.int32)
+    for col in range(n):
+        pivot = None
+        for r in range(col, n):
+            if a[r, col]:
+                pivot = r
+                break
+        assert pivot is not None, "singular GF matrix"
+        if pivot != col:
+            a[[col, pivot]] = a[[pivot, col]]
+            inv[[col, pivot]] = inv[[pivot, col]]
+        pv = gf_inv(int(a[col, col]))
+        for j in range(n):
+            a[col, j] = gf_mul(int(a[col, j]), pv)
+            inv[col, j] = gf_mul(int(inv[col, j]), pv)
+        for r in range(n):
+            if r != col and a[r, col]:
+                f = int(a[r, col])
+                for j in range(n):
+                    a[r, j] ^= gf_mul(f, int(a[col, j]))
+                    inv[r, j] ^= gf_mul(f, int(inv[col, j]))
+    return inv.astype(np.uint8)
+
+
+@lru_cache(maxsize=8)
+def rs_encode_matrix(k: int, n: int) -> np.ndarray:
+    """Systematic encode matrix [n, k]: top k rows identity, bottom n-k
+    parity coefficient rows (zfec fec_new construction)."""
+    exp, log = _gf_tables()
+    # Vandermonde: vm[i][j] = alpha^(i*j)
+    vm = np.zeros((n, k), dtype=np.uint8)
+    for i in range(n):
+        for j in range(k):
+            vm[i, j] = exp[(i * j) % 255] if (i or j) else 1
+    top = vm[:k]
+    top_inv = _gf_mat_inv(top)
+    enc = _gf_mat_mul(vm, top_inv)
+    # force exact identity on top (numerical path is exact anyway)
+    enc[:k] = np.eye(k, dtype=np.uint8)
+    return enc
+
+
+@lru_cache(maxsize=8)
+def _gf2_companion_expand(k: int, n: int) -> np.ndarray:
+    """Expand the parity part of the RS matrix into a GF(2) bit matrix
+    [(n-k)*8, k*8]: each GF(256) coefficient a becomes the 8x8 matrix of
+    x -> a*x over GF(2) bit vectors (MSB-first bit order)."""
+    enc = rs_encode_matrix(k, n)[k:]
+    m = enc.shape[0]
+    bitmat = np.zeros((m * 8, k * 8), dtype=np.float32)
+    for i in range(m):
+        for j in range(k):
+            a = int(enc[i, j])
+            if a == 0:
+                continue
+            for bit in range(8):  # input bit (MSB first: weight 2^(7-bit))
+                prod = gf_mul(a, 1 << (7 - bit))
+                for ob in range(8):
+                    if prod & (1 << (7 - ob)):
+                        bitmat[i * 8 + ob, j * 8 + bit] = 1.0
+    return bitmat
+
+
+class RsSession:
+    """Reed-Solomon RS(k, n) over packets (ref: src/rtp/rs.cpp:155-220).
+
+    Buffer layout = [uint32 len][payload][zero pad to k*ss]; n-k parity
+    symbols appended.  Defaults k=200, n=240 for video (ref: rs.cpp:55-62).
+    """
+
+    MAX_K = 255
+
+    def __init__(self, k: int = 200, n: int = 240):
+        assert 0 < k < n <= 255
+        self.k, self.n = k, n
+        self._bitmat = jnp.asarray(_gf2_companion_expand(k, n))
+
+    def get_ss(self, hdr_len: int, payload_len: int) -> int:
+        """Symbol size covering header+payload (ref: rs.cpp get_ss)."""
+        total = 4 + hdr_len + payload_len
+        return (total + self.k - 1) // self.k
+
+    def encode(self, payload: np.ndarray, hdr: bytes = b"") -> Tuple[np.ndarray, FecDesc]:
+        payload = np.asarray(payload, dtype=np.uint8).reshape(-1)
+        total = 4 + len(hdr) + payload.size
+        ss = (total + self.k - 1) // self.k
+        # reference aligns ss to 2 (word alignment, rs.cpp)
+        ss = (ss + 1) & ~1
+        data = np.zeros(self.k * ss, dtype=np.uint8)
+        ln = np.uint32(len(hdr) + payload.size)
+        data[:4] = np.frombuffer(ln.tobytes(), np.uint8)
+        data[4 : 4 + len(hdr)] = np.frombuffer(hdr, np.uint8)
+        data[4 + len(hdr) : 4 + len(hdr) + payload.size] = payload
+        symbols = jnp.asarray(data.reshape(self.k, ss))
+        parity = np.asarray(gf256_matmul(self._bitmat, symbols))
+        buf = np.concatenate([data, parity.reshape(-1)])
+        return buf, FecDesc("rs", self.k, self.n - self.k, 0, 0, ss)
+
+    def encode_device(self, data_symbols: jnp.ndarray) -> jnp.ndarray:
+        """[k, ss] uint8 -> [(n-k), ss] parity on device."""
+        return gf256_matmul(self._bitmat, data_symbols)
+
+    def decode(self, symbols: np.ndarray, present: np.ndarray) -> Optional[np.ndarray]:
+        """Recover data symbols from any k of n (host Gaussian elimination)."""
+        k, n = self.k, self.n
+        if present[:k].all():
+            data = symbols[:k].reshape(-1)
+        else:
+            idx = [i for i in range(n) if present[i]][:k]
+            if len(idx) < k:
+                return None
+            enc = rs_encode_matrix(k, n)
+            sub = enc[idx]  # [k, k]
+            dec = _gf_mat_inv(sub)
+            exp, log = _gf_tables()
+            recv = symbols[idx].astype(np.int32)  # [k, ss]
+            out = np.zeros((k, symbols.shape[1]), dtype=np.uint8)
+            # GF multiply-accumulate rows (vectorized over the symbol axis)
+            logs = log[np.maximum(recv, 1)]
+            for i in range(k):
+                acc = np.zeros(symbols.shape[1], dtype=np.uint8)
+                for t in range(k):
+                    c = int(dec[i, t])
+                    if c == 0:
+                        continue
+                    row = recv[t]
+                    prod = np.where(row == 0, 0, exp[log[np.maximum(row, 1)] + log[c]])
+                    acc ^= prod.astype(np.uint8)
+                out[i] = acc
+            data = out.reshape(-1)
+        ln = int(np.frombuffer(data[:4].tobytes(), np.uint32)[0])
+        if ln > data.size - 4:
+            return None
+        return data[4 : 4 + ln]
+
+
+# ---------------------------------------------------------------------------
+# Module-level factory matching the reference's -f grammar
+# ---------------------------------------------------------------------------
+
+
+def fec_from_spec(spec: str, frame_size: int = 0, mtu: int = 1500):
+    """Parse ``none | mult:N | ldgm:k:m:c | ldgm:P% | rs:k:n``
+    (ref: -f grammar, src/main.cpp:254-256)."""
+    if spec in ("", "none"):
+        return None
+    name, _, rest = spec.partition(":")
+    if name == "ldgm":
+        if rest.endswith("%"):
+            k, m, c = ldgm_suggest_params(frame_size or 144000, float(rest[:-1]), mtu)
+        elif rest:
+            parts = rest.split(":")
+            k, m, c = int(parts[0]), int(parts[1]), int(parts[2]) if len(parts) > 2 else 5
+        else:
+            k, m, c = 512, 384, 5
+        return LdgmSession(k, m, c)
+    if name == "rs":
+        if rest:
+            parts = rest.split(":")
+            k = int(parts[0])
+            n = int(parts[1]) if len(parts) > 1 else 240
+        else:
+            k, n = 200, 240
+        return RsSession(k, n)
+    if name == "mult":
+        return ("mult", int(rest or 2))
+    raise ValueError(f"unknown FEC {spec!r}")
