@@ -1,0 +1,141 @@
+"""Transport tests on localhost UDP (the reference's strategy:
+test/test_net_udp.c + loopback end-to-end runs, no multi-node CI)."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from ultragrid_tpu.net import rtp_types as rt
+from ultragrid_tpu.net.rtp import RtpSession
+from ultragrid_tpu.net.transmit import Tx, get_packet_sizes
+from ultragrid_tpu.pipeline.receiver import VideoReceiver
+from ultragrid_tpu.pipeline.sender import VideoSender
+from ultragrid_tpu.types import Codec, InterlacingType, VideoDesc, VideoFrame
+from ultragrid_tpu.utils.pattern import generate_pattern
+
+PORT = 23400
+
+
+def test_payload_header_roundtrip():
+    desc = VideoDesc(1920, 1080, Codec.UYVY, 29.97, InterlacingType.PROGRESSIVE)
+    hdr = rt.pack_video_header(desc, buffer_idx=5, offset=1400, frame_len=99999, substream=2)
+    assert len(hdr) == rt.VIDEO_PAYLOAD_HDR_LEN
+    sub, buf, off, flen, d2 = rt.parse_video_header(hdr)
+    assert (sub, buf, off, flen) == (2, 5, 1400, 99999)
+    assert d2.width == 1920 and d2.height == 1080 and d2.color_spec == Codec.UYVY
+    assert abs(d2.fps - 29.97) < 0.01
+
+
+def test_fec_header_roundtrip():
+    hdr = rt.pack_fec_header(7, 2800, 123456, k=1500, m=450, c=6, seed=1)
+    sub, buf, off, flen, k, m, c, seed = rt.parse_fec_header(hdr)
+    assert (buf, off, flen, k, m, c, seed) == (7, 2800, 123456, 1500, 450, 6, 1)
+
+
+def test_packet_sizes_line_aligned():
+    """Uncompressed video splits lines across MTUs; each line restarts a
+    packet (transmit.c:573-623)."""
+    sizes = get_packet_sizes(3840 * 8, Codec.UYVY, 1920, None, 1400)
+    assert sum(sizes) == 3840 * 8
+    # UYVY block lcm: 24 px / 2 px-per-block * 4 B = 48 B; mtu -> 1392;
+    # line of 3840 B -> packets 1392, 1392, 1056, then repeat
+    assert sizes[:6] == [1392, 1392, 1056, 1392, 1392, 1056]
+
+
+def test_packet_sizes_fec_symbols():
+    from ultragrid_tpu.ops.fec import FecDesc
+
+    fec = FecDesc("ldgm", 128, 128, 5, 1, symbol_size=1000)
+    sizes = get_packet_sizes(256 * 1000, Codec.JPEG, 1920, fec, 1400)
+    assert sum(sizes) == 256 * 1000
+    assert all(s == 1000 for s in sizes[:-1])  # whole symbols per packet
+
+
+def test_rtp_send_recv_localhost():
+    rx = RtpSession(addr=None, rx_port=PORT, tx_port=0)
+    tx = RtpSession(addr="127.0.0.1", rx_port=0, tx_port=PORT)
+    tx.send_data_hdr(ts=12345, pt=rt.PT_VIDEO, m=True, payload_hdr=b"HDR!", data=b"payload")
+    pkt = None
+    for _ in range(100):
+        pkt = rx.recv(timeout=0.05)
+        if pkt:
+            break
+    assert pkt is not None
+    assert pkt.pt == rt.PT_VIDEO and pkt.m and pkt.ts == 12345
+    assert pkt.payload == b"HDR!payload"
+    tx.close()
+    rx.close()
+
+
+def _loopback_roundtrip(compress, fec, codec=Codec.UYVY, port_off=1, frames=3, timeout=30.0):
+    """Send testcard frames over localhost, receive into a capturing display."""
+    port = PORT + port_off
+
+    received = []
+
+    recv = VideoReceiver("dummy", rx_port=port, frame_limit=frames, timeout=timeout)
+    orig_put = recv.display.put_frame
+
+    def capture_put(frame, blocking=True):
+        if frame is not None:
+            received.append(frame)
+        orig_put(frame, blocking)
+
+    recv.display.put_frame = capture_put
+
+    rt_thread = threading.Thread(target=recv.run, daemon=True)
+    rt_thread.start()
+    time.sleep(0.2)
+
+    sender = VideoSender(
+        f"testcard:s=192x128:f=60:c={codec.name}:still=1",
+        "127.0.0.1",
+        compress_spec=compress,
+        fec_spec=fec,
+        tx_port=port,
+        rx_port=0,
+        frame_limit=frames + 2,
+    )
+    sender.run()
+    rt_thread.join(timeout=15)
+    return received
+
+
+def test_end_to_end_uncompressed():
+    received = _loopback_roundtrip("none", "none", port_off=1)
+    assert len(received) >= 1
+    frame = received[0]
+    assert frame.desc.width == 192 and frame.desc.height == 128
+    # pixel-exact: compare against the generated pattern
+    expected = generate_pattern(192, 128, Codec.UYVY, "bars")
+    np.testing.assert_array_equal(np.asarray(frame.data), expected)
+
+
+def test_end_to_end_ldgm():
+    received = _loopback_roundtrip("none", "ldgm:64:64:5", port_off=2)
+    assert len(received) >= 1
+    expected = generate_pattern(192, 128, Codec.UYVY, "bars")
+    np.testing.assert_array_equal(np.asarray(received[0].data), expected)
+
+
+def test_end_to_end_rs():
+    received = _loopback_roundtrip("none", "rs:20:24", port_off=3)
+    assert len(received) >= 1
+    expected = generate_pattern(192, 128, Codec.UYVY, "bars")
+    np.testing.assert_array_equal(np.asarray(received[0].data), expected)
+
+
+def test_end_to_end_jpeg():
+    # generous timeout: first JPEG frame includes XLA compilation
+    received = _loopback_roundtrip("jpeg:90", "none", port_off=4, timeout=120.0)
+    assert len(received) >= 1
+    frame = received[0]
+    # display got a decompressed frame
+    assert frame.desc.color_spec in (Codec.UYVY, Codec.RGB)
+    expected = generate_pattern(192, 128, Codec.UYVY, "bars")
+    got = np.asarray(received[0].data)
+    if frame.desc.color_spec == Codec.UYVY:
+        diff = np.abs(got.astype(int) - expected.astype(int))
+        assert diff.mean() < 4.0

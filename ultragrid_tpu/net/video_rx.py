@@ -1,0 +1,128 @@
+"""Receiver-side frame reassembly + FEC recovery.
+
+Analogue of the reference's decode_video_frame (src/rtp/video_decoders.cpp:
+1528-1843): reassemble packets into the frame buffer by payload-header
+offsets, zero-fill holes, run LDGM/RS recovery for FEC payload types.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ultragrid_tpu.net import rtp_types as rt
+from ultragrid_tpu.net.pbuf import PbufNode
+from ultragrid_tpu.ops.fec import LdgmSession, RsSession
+from ultragrid_tpu.types import VideoDesc, VideoFrame
+from ultragrid_tpu.utils.log import Logger
+
+log = Logger("video_rx")
+
+
+class VideoRxState:
+    def __init__(self) -> None:
+        self._fec_cache: Dict[Tuple, object] = {}
+        self.frames_ok = 0
+        self.frames_missing_data = 0
+
+    def _get_fec(self, kind: str, k: int, m: int, c: int, seed: int):
+        key = (kind, k, m, c, seed)
+        sess = self._fec_cache.get(key)
+        if sess is None:
+            if kind == "ldgm":
+                sess = LdgmSession(k, m, c, seed)
+            else:
+                sess = RsSession(k, k + m)
+            self._fec_cache[key] = sess
+        return sess
+
+    def decode_frame(self, node: PbufNode) -> Optional[VideoFrame]:
+        """Reassemble one pbuf node into a VideoFrame (compressed or raw)."""
+        if not node.packets:
+            return None
+        pt = node.packets[0].pt
+        if pt in (rt.PT_VIDEO, rt.PT_JPEG):
+            return self._decode_plain(node)
+        if pt in (rt.PT_VIDEO_LDGM, rt.PT_VIDEO_RS):
+            return self._decode_fec(node, "ldgm" if pt == rt.PT_VIDEO_LDGM else "rs")
+        log.warning(f"unsupported payload type {pt}")
+        return None
+
+    def _decode_plain(self, node: PbufNode) -> Optional[VideoFrame]:
+        desc = None
+        frame_len = 0
+        buf = None
+        received = 0
+        for pkt in node.packets:
+            if len(pkt.payload) < rt.VIDEO_PAYLOAD_HDR_LEN:
+                continue
+            substream, buffer_idx, offset, frame_len, desc = rt.parse_video_header(
+                pkt.payload
+            )
+            data = pkt.payload[rt.VIDEO_PAYLOAD_HDR_LEN :]
+            if buf is None:
+                buf = np.zeros(frame_len, dtype=np.uint8)
+            end = min(offset + len(data), frame_len)
+            buf[offset:end] = np.frombuffer(data[: end - offset], np.uint8)
+            received += end - offset
+        if buf is None or desc is None:
+            return None
+        if received < frame_len:
+            self.frames_missing_data += 1
+            # the reference zero-fills and passes incomplete frames on
+            # (video_decoders.cpp:1828-1843); we do the same
+        self.frames_ok += 1
+        return self._wrap(buf, desc)
+
+    def _decode_fec(self, node: PbufNode, kind: str) -> Optional[VideoFrame]:
+        frame_len = 0
+        params = None
+        buf = None
+        got = None
+        for pkt in node.packets:
+            if len(pkt.payload) < rt.FEC_PAYLOAD_HDR_LEN:
+                continue
+            substream, buffer_idx, offset, frame_len, k, m, c, seed = rt.parse_fec_header(
+                pkt.payload
+            )
+            params = (k, m, c, seed)
+            data = pkt.payload[rt.FEC_PAYLOAD_HDR_LEN :]
+            if buf is None:
+                buf = np.zeros(frame_len, dtype=np.uint8)
+                got = np.zeros(frame_len, dtype=bool)
+            end = min(offset + len(data), frame_len)
+            buf[offset:end] = np.frombuffer(data[: end - offset], np.uint8)
+            got[offset:end] = True
+        if buf is None or params is None:
+            return None
+        k, m, c, seed = params
+        sess = self._get_fec(kind, k, m, c, seed)
+        ss = frame_len // (k + m)
+        symbols = buf[: (k + m) * ss].reshape(k + m, ss)
+        present = got[: (k + m) * ss].reshape(k + m, ss).all(axis=1)
+        payload = sess.decode(symbols, present)
+        if payload is None:
+            self.frames_missing_data += 1
+            return None
+        # payload = [24B video payload header][frame data]
+        if payload.size < rt.VIDEO_PAYLOAD_HDR_LEN:
+            return None
+        _, _, _, inner_len, desc = rt.parse_video_header(payload[: rt.VIDEO_PAYLOAD_HDR_LEN].tobytes())
+        frame_data = payload[rt.VIDEO_PAYLOAD_HDR_LEN : rt.VIDEO_PAYLOAD_HDR_LEN + inner_len]
+        self.frames_ok += 1
+        return self._wrap(frame_data, desc)
+
+    @staticmethod
+    def _wrap(buf: np.ndarray, desc: VideoDesc) -> VideoFrame:
+        from ultragrid_tpu.types import codec_is_planar, is_codec_opaque
+
+        if is_codec_opaque(desc.color_spec) or codec_is_planar(desc.color_spec):
+            frame = VideoFrame(desc, [buf])
+        else:
+            ls = desc.linesize()
+            h = desc.height
+            if buf.size < h * ls:
+                buf = np.pad(buf, (0, h * ls - buf.size))
+            frame = VideoFrame(desc, [buf[: h * ls].reshape(h, ls)])
+        return frame

@@ -1,0 +1,119 @@
+"""Receiver pipeline: RTP/UDP -> playout buffer -> FEC -> decompress -> display.
+
+Mirror of the reference's receiver thread + 3-stage decode pipeline
+(ref: src/rxtx/ultragrid_rtp.c:382-500, src/rtp/video_decoders.cpp:46-93).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Optional
+
+from ultragrid_tpu.modules.video_decompress import decompress_init
+from ultragrid_tpu.modules.video_display import initialize_video_display
+from ultragrid_tpu.net.pbuf import PlayoutBuffer
+from ultragrid_tpu.net.rtp import RtpSession
+from ultragrid_tpu.net.video_rx import VideoRxState
+from ultragrid_tpu.ops import pixfmt
+from ultragrid_tpu.types import Codec, VideoFrame, is_codec_opaque
+from ultragrid_tpu.utils.log import Logger
+
+log = Logger("receiver")
+
+
+class VideoReceiver:
+    def __init__(
+        self,
+        display_spec: str,
+        rx_port: int = 5004,
+        frame_limit: Optional[int] = None,
+        timeout: Optional[float] = None,
+        playout_delay: float = 0.032,
+    ):
+        self.display = initialize_video_display(display_spec)
+        self.session = RtpSession(addr=None, rx_port=rx_port, tx_port=0)
+        self.pbuf = PlayoutBuffer(playout_delay)
+        self.rx_state = VideoRxState()
+        self.frame_limit = frame_limit
+        self.timeout = timeout
+        self.frames_displayed = 0
+        self._decompress = None
+        self._decomp_out: Optional[Codec] = None
+        self._decoder = None
+        self._decoder_out: Optional[Codec] = None
+        self._display_desc = None
+
+    def _handle_frame(self, node) -> bool:
+        frame = self.rx_state.decode_frame(node)
+        if frame is None:
+            return False
+        # decompress if the codec is opaque (JPEG/DXT...)
+        if is_codec_opaque(frame.desc.color_spec):
+            if self._decompress is None or frame.desc.color_spec != getattr(self, "_comp_codec", None):
+                codecs = self.display.get_property_codecs()
+                self._decompress, self._decomp_out = decompress_init(
+                    frame.desc.color_spec, codecs
+                )
+                self._comp_codec = frame.desc.color_spec
+                if self._decompress is None:
+                    log.error(f"no decompressor for {frame.desc.color_spec.name}")
+                    return False
+            frame = self._decompress.decompress(frame, self._decomp_out)
+            if frame is None:
+                return False
+        # pixel format conversion to display codec if needed
+        codecs = self.display.get_property_codecs()
+        if frame.desc.color_spec not in codecs:
+            if self._decoder is None or frame.desc.color_spec != getattr(self, "_conv_in", None):
+                self._decoder, self._decoder_out = pixfmt.get_best_decoder_from(
+                    frame.desc.color_spec, codecs
+                )
+                self._conv_in = frame.desc.color_spec
+            if self._decoder is None:
+                log.error(f"cannot convert {frame.desc.color_spec.name} for display")
+                return False
+            data = pixfmt.convert_frame(
+                frame.data, frame.desc.width, frame.desc.color_spec, self._decoder_out
+            )
+            frame = VideoFrame(frame.desc.with_(color_spec=self._decoder_out), [data])
+        if self._display_desc != frame.desc:
+            self.display.reconfigure(frame.desc)
+            self._display_desc = frame.desc
+        self.display.put_frame(frame)
+        self.frames_displayed += 1
+        return True
+
+    def run(self) -> int:
+        """Receiver loop (ref: ultragrid_rtp.c:403-500)."""
+        start = time.monotonic()
+        idle_since = time.monotonic()
+        while True:
+            if self.frame_limit is not None and self.frames_displayed >= self.frame_limit:
+                break
+            if self.timeout is not None and time.monotonic() - start > self.timeout:
+                break
+            pkt = self.session.recv(timeout=0.0001)
+            now = time.monotonic()
+            if pkt is not None:
+                self.pbuf.insert(pkt)
+                idle_since = now
+            self.pbuf.decode(now, self._handle_frame)
+            self.pbuf.remove_old(now)
+            if pkt is None and now - idle_since > 0.002:
+                time.sleep(0.001)  # avoid busy-spin when idle
+        self.session.close()
+        self.display.put_frame(None)
+        return self.frames_displayed
+
+
+def run_receiver(args) -> int:
+    receiver = VideoReceiver(
+        display_spec=args.display,
+        rx_port=int(str(args.ports).split(":")[0]),
+        frame_limit=args.frames,
+    )
+    n = receiver.run()
+    log.notice(f"displayed {n} frames")
+    return 0

@@ -1,0 +1,84 @@
+"""Sender pipeline: capture -> compress -> FEC -> RTP/UDP.
+
+Thread-per-stage like the reference (capture thread src/main.cpp:347-397 ->
+compress worker src/video_compress.cpp -> sender loop src/rxtx.cpp:259-287).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Optional
+
+from ultragrid_tpu.modules.messaging import Module
+from ultragrid_tpu.modules.video_capture import initialize_video_capture
+from ultragrid_tpu.modules.video_compress import CompressDriver
+from ultragrid_tpu.net.rtp import RtpSession
+from ultragrid_tpu.net.transmit import RATE_AUTO, Tx
+from ultragrid_tpu.utils.log import Logger
+
+log = Logger("sender")
+
+
+class VideoSender:
+    def __init__(
+        self,
+        capture_spec: str,
+        host: str,
+        compress_spec: str = "none",
+        fec_spec: str = "none",
+        tx_port: int = 5004,
+        rx_port: int = 0,
+        mtu: int = 1500,
+        frame_limit: Optional[int] = None,
+    ):
+        self.capture = initialize_video_capture(capture_spec)
+        self.root = Module("root")
+        self.compress = CompressDriver(compress_spec, self.root)
+        self.session = RtpSession(addr=host, rx_port=rx_port, tx_port=tx_port, mtu=mtu)
+        self.tx = Tx(mtu=mtu, fec_spec=fec_spec, bitrate=RATE_AUTO)
+        self.frame_limit = frame_limit
+        self.should_exit = threading.Event()
+        self.frames_sent = 0
+
+    def _capture_thread(self) -> None:
+        count = 0
+        try:
+            while not self.should_exit.is_set():
+                if self.frame_limit is not None and count >= self.frame_limit:
+                    break
+                frame, _audio = self.capture.grab()
+                if frame is None:
+                    continue
+                count += 1
+                self.compress.enqueue(frame)
+        finally:
+            self.compress.enqueue(None)
+
+    def run(self) -> int:
+        t = threading.Thread(target=self._capture_thread, name="capture", daemon=True)
+        t.start()
+        while True:
+            frame = self.compress.pop()
+            if frame is None:
+                break
+            self.tx.send_video(self.session, frame)
+            self.frames_sent += 1
+        self.session.close()
+        t.join(timeout=5)
+        return self.frames_sent
+
+
+def run_sender(args) -> int:
+    sender = VideoSender(
+        capture_spec=args.capture,
+        host=args.host,
+        compress_spec=args.compress,
+        fec_spec=args.fec,
+        tx_port=int(str(args.ports).split(":")[0]),
+        mtu=args.mtu,
+        frame_limit=args.frames,
+    )
+    n = sender.run()
+    log.notice(f"sent {n} frames")
+    return 0
