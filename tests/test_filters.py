@@ -1,0 +1,130 @@
+"""Postprocess / capture-filter tests."""
+
+import numpy as np
+import pytest
+
+from ultragrid_tpu.modules.filters import FilterChain
+from ultragrid_tpu.ops import postprocess as pp
+from ultragrid_tpu.types import Codec, InterlacingType, VideoDesc, VideoFrame
+from ultragrid_tpu.utils.pattern import generate_pattern
+
+W, H = 192, 128
+
+
+def _frame(codec=Codec.UYVY, pattern="bars"):
+    data = generate_pattern(W, H, codec, pattern)
+    return VideoFrame(VideoDesc(W, H, codec, 30.0), [data])
+
+
+def test_scale_nearest():
+    f = _frame()
+    out = pp.scale_nearest(f.data, W, Codec.UYVY, 96, 64)
+    assert np.asarray(out).shape == (64, 192)
+    # solid color region should stay exact under nearest scaling
+    orig = np.asarray(f.data)
+    scaled = np.asarray(out)
+    assert scaled[0, 1] == orig[0, 1]  # Y of first bar
+
+
+def test_deinterlace_blend_exact():
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 256, (8, 16), dtype=np.int32).astype(np.uint8)
+    out = np.asarray(pp.deinterlace_blend(src, Codec.UYVY))
+    expected = ((src[:-1].astype(int) + src[1:].astype(int) + 1) >> 1).astype(np.uint8)
+    np.testing.assert_array_equal(out[:-1], expected)
+    np.testing.assert_array_equal(out[-1], src[-1])
+
+
+def test_deinterlace_blend_v210_fields():
+    rng = np.random.default_rng(1)
+    src = rng.integers(0, 256, (4, 16), dtype=np.int32).astype(np.uint8)
+    out = np.asarray(pp.deinterlace_blend(src, Codec.v210))
+    w0 = src.view("<u4")
+    wo = out.reshape(4, -1).view("<u4")
+    for sh in (0, 10, 20):
+        a = (w0[0] >> sh) & 0x3FF
+        b = (w0[1] >> sh) & 0x3FF
+        exp = (a.astype(int) + b.astype(int) + 1) >> 1
+        got = (wo[0] >> sh) & 0x3FF
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_mirror_roundtrip():
+    f = _frame()
+    m = pp.mirror(f.data, W, Codec.UYVY)
+    mm = np.asarray(pp.mirror(m, W, Codec.UYVY))
+    np.testing.assert_array_equal(mm, np.asarray(f.data))
+
+
+def test_flip_roundtrip():
+    f = _frame()
+    np.testing.assert_array_equal(np.asarray(pp.flip(pp.flip(f.data))), np.asarray(f.data))
+
+
+def test_grayscale_uyvy():
+    f = _frame()
+    out = np.asarray(pp.grayscale(f.data, W, Codec.UYVY))
+    assert (out[:, 0::4] == 128).all() and (out[:, 2::4] == 128).all()
+    np.testing.assert_array_equal(out[:, 1::2], np.asarray(f.data)[:, 1::2])
+
+
+def test_gamma_identity():
+    f = _frame(Codec.RGB)
+    out = np.asarray(pp.gamma_correct(f.data, 1.0))
+    np.testing.assert_array_equal(out, np.asarray(f.data))
+
+
+def test_color_matrix_identity():
+    f = _frame(Codec.RGB)
+    out = np.asarray(pp.color_matrix(f.data, W, Codec.RGB, np.eye(3)))
+    np.testing.assert_array_equal(out, np.asarray(f.data))
+
+
+def test_crop():
+    f = _frame(Codec.RGB)
+    out = np.asarray(pp.crop(f.data, W, Codec.RGB, 16, 8, 64, 32))
+    assert out.shape == (32, 64 * 3)
+    np.testing.assert_array_equal(out, np.asarray(f.data)[8:40, 48 : 48 + 192])
+
+
+def test_interlace_weave():
+    f = _frame()
+    out = np.asarray(pp.interlace(f.data))
+    src = np.asarray(f.data)
+    np.testing.assert_array_equal(out[: H // 2], src[0::2])
+    np.testing.assert_array_equal(out[H // 2 :], src[1::2])
+
+
+def test_filter_chain():
+    chain = FilterChain("scale:96x64,grayscale,flip")
+    f = _frame()
+    out = chain.apply(f)
+    assert out.desc.width == 96 and out.desc.height == 64
+    data = np.asarray(out.data)
+    assert (data[:, 0::4] == 128).all()
+
+
+def test_every_filter():
+    chain = FilterChain("every:3")
+    results = [chain.apply(_frame()) for _ in range(9)]
+    kept = [r for r in results if r is not None]
+    assert len(kept) == 3
+    assert abs(kept[0].desc.fps - 10.0) < 1e-9
+
+
+def test_chain_unknown_filter():
+    with pytest.raises(ValueError):
+        FilterChain("definitely_not_a_filter")
+
+
+def test_pipeline_with_filters():
+    from ultragrid_tpu.pipeline.loop import run_local_pipeline
+
+    n = run_local_pipeline(
+        "testcard:s=192x128:f=500:c=UYVY",
+        "dummy",
+        frame_limit=4,
+        capture_filter="mirror",
+        postprocess="scale:96x64",
+    )
+    assert n == 4

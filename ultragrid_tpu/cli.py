@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-m", "--mtu", type=int, default=1500)
     p.add_argument("-V", "--verbose", action="count", default=0)
     p.add_argument("--param", action="append", default=[], help="key=value tuning params")
+    p.add_argument("--capture-filter", default="", help="comma-separated capture filter chain")
+    p.add_argument("-p", "--postprocess", default="", help="display postprocess chain")
     p.add_argument("--frames", type=int, default=None, help="stop after N frames")
     p.add_argument("--list-modules", action="store_true")
     p.add_argument("host", nargs="?", default=None, help="receiver address (sender mode)")
@@ -70,7 +72,9 @@ def main(argv=None) -> int:
     if args.capture and args.display:
         from ultragrid_tpu.pipeline.loop import run_local_pipeline
 
-        n = run_local_pipeline(args.capture, args.display, args.frames)
+        n = run_local_pipeline(args.capture, args.display, args.frames,
+                               capture_filter=args.capture_filter,
+                               postprocess=args.postprocess)
         print(f"{n} frames processed")
         return 0
 

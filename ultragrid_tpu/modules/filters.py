@@ -1,0 +1,278 @@
+"""Capture filters & display postprocess modules.
+
+One implementation serves both roles where meaningful, mirroring the
+reference's capture_filter_wrapper.h (ref: src/capture_filter/ ABI 4,
+src/vo_postprocess/ ABI 8).  A filter transforms a VideoFrame; chains are
+comma-separated specs like the reference's --capture-filter grammar.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from ultragrid_tpu.modules.registry import LibraryClass, load_library, register_module
+from ultragrid_tpu.ops import postprocess as pp
+from ultragrid_tpu.types import Codec, InterlacingType, VideoDesc, VideoFrame
+from ultragrid_tpu.utils.log import Logger
+
+log = Logger("filter")
+
+
+class Filter:
+    def __init__(self, cfg: str):
+        self.cfg = cfg
+
+    def apply(self, frame: VideoFrame) -> Optional[VideoFrame]:
+        raise NotImplementedError
+
+    def _wrap(self, frame: VideoFrame, data, desc: Optional[VideoDesc] = None) -> VideoFrame:
+        out = VideoFrame(desc or frame.desc, [data])
+        out.timestamp = frame.timestamp
+        return out
+
+
+class ScaleFilter(Filter):
+    """scale:WxH | scale:W:H (ref: vo_postprocess/scale.c)."""
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        if "x" in cfg:
+            w, _, h = cfg.partition("x")
+        else:
+            w, _, h = cfg.partition(":")
+        self.w, self.h = int(w), int(h)
+
+    def apply(self, frame):
+        d = frame.desc
+        data = pp.scale_nearest(frame.data, d.width, d.color_spec, self.w, self.h)
+        return self._wrap(frame, data, d.with_(width=self.w, height=self.h))
+
+
+class DeinterlaceFilter(Filter):
+    """deinterlace[:blend|linear|bob] (ref: vo_postprocess/deinterlace.c)."""
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        self.mode = cfg or "blend"
+
+    def apply(self, frame):
+        d = frame.desc
+        if self.mode == "blend":
+            data = pp.deinterlace_blend(frame.data, d.color_spec)
+        elif self.mode == "linear":
+            data = pp.deinterlace_linear(frame.data, d.color_spec)
+        elif self.mode == "bob":
+            data = pp.deinterlace_bob_even(frame.data)
+        else:
+            raise ValueError(f"deinterlace: unknown mode {self.mode}")
+        return self._wrap(frame, data, d.with_(interlacing=InterlacingType.PROGRESSIVE))
+
+
+class InterlaceFilter(Filter):
+    def apply(self, frame):
+        data = pp.interlace(frame.data)
+        return self._wrap(frame, data, frame.desc.with_(interlacing=InterlacingType.INTERLACED_MERGED))
+
+
+class CropFilter(Filter):
+    """crop:W:H[:x:y] (ref: vo_postprocess crop)."""
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        parts = [int(p) for p in cfg.split(":") if p]
+        self.w, self.h = parts[0], parts[1]
+        self.x = parts[2] if len(parts) > 2 else 0
+        self.y = parts[3] if len(parts) > 3 else 0
+
+    def apply(self, frame):
+        d = frame.desc
+        data = pp.crop(frame.data, d.width, d.color_spec, self.x, self.y, self.w, self.h)
+        return self._wrap(frame, data, d.with_(width=self.w, height=self.h))
+
+
+class MirrorFilter(Filter):
+    def apply(self, frame):
+        return self._wrap(frame, pp.mirror(frame.data, frame.desc.width, frame.desc.color_spec))
+
+
+class FlipFilter(Filter):
+    def apply(self, frame):
+        return self._wrap(frame, pp.flip(frame.data))
+
+
+class GammaFilter(Filter):
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        self.gamma = float(cfg) if cfg else 2.2
+
+    def apply(self, frame):
+        return self._wrap(frame, pp.gamma_correct(frame.data, self.gamma))
+
+
+class GrayscaleFilter(Filter):
+    def apply(self, frame):
+        d = frame.desc
+        return self._wrap(frame, pp.grayscale(frame.data, d.width, d.color_spec))
+
+
+class MatrixFilter(Filter):
+    """matrix:a:b:c:d:e:f:g:h:i — 3x3 row-major (ref: capture_filter/matrix.cpp)."""
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        vals = [float(v) for v in cfg.split(":") if v]
+        assert len(vals) == 9, "matrix needs 9 coefficients"
+        self.matrix = np.array(vals).reshape(3, 3)
+
+    def apply(self, frame):
+        d = frame.desc
+        return self._wrap(frame, pp.color_matrix(frame.data, d.width, d.color_spec, self.matrix))
+
+
+class BlankFilter(Filter):
+    """blank[:x:y:w:h] (ref: capture_filter/blank.cpp)."""
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        parts = [int(p) for p in cfg.split(":") if p]
+        self.rect = parts if len(parts) == 4 else None
+
+    def apply(self, frame):
+        d = frame.desc
+        if self.rect:
+            x, y, w, h = self.rect
+        else:
+            x, y, w, h = 0, 0, d.width, d.height
+        return self._wrap(frame, pp.blank_region(frame.data, d.width, d.color_spec, x, y, w, h))
+
+
+class NoiseFilter(Filter):
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        self.amount = int(cfg) if cfg else 16
+        self._key = jax.random.PRNGKey(0)
+
+    def apply(self, frame):
+        self._key, sub = jax.random.split(self._key)
+        return self._wrap(frame, pp.add_noise(frame.data, sub, self.amount))
+
+
+class EveryFilter(Filter):
+    """every:N — keep 1 of N frames (ref: capture_filter/every.cpp)."""
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        parts = cfg.split(":")
+        self.num = int(parts[0]) if parts[0] else 2
+        self.count = 0
+
+    def apply(self, frame):
+        keep = self.count % self.num == 0
+        self.count += 1
+        if not keep:
+            return None
+        out = self._wrap(frame, frame.data, frame.desc.with_(fps=frame.desc.fps / self.num))
+        return out
+
+
+class RatelimitFilter(Filter):
+    """ratelimit:FPS (ref: capture_filter/ratelimit.c)."""
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        self.fps = float(cfg) if cfg else 30.0
+        self._last = 0.0
+
+    def apply(self, frame):
+        now = time.monotonic()
+        if now - self._last < 1.0 / self.fps:
+            return None
+        self._last = now
+        return frame
+
+
+class LogoFilter(Filter):
+    """logo:file.pam[:x:y] — blits an RGBA image (ref: capture_filter/logo.cpp).
+
+    Accepts .npy (H, W, 4 uint8) for simplicity; PAM support via numpy load.
+    """
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        parts = cfg.split(":")
+        self.logo = np.load(parts[0]) if parts and parts[0] else np.zeros((16, 16, 4), np.uint8)
+        self.x = int(parts[1]) if len(parts) > 1 else 0
+        self.y = int(parts[2]) if len(parts) > 2 else 0
+
+    def apply(self, frame):
+        d = frame.desc
+        return self._wrap(frame, pp.logo_blit(frame.data, d.width, d.color_spec, self.logo, self.x, self.y))
+
+
+class ChangePixfmtFilter(Filter):
+    """change_pixfmt:CODEC (ref: capture_filter/change_pixfmt.c)."""
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        from ultragrid_tpu.types import get_codec_from_name
+
+        self.to = get_codec_from_name(cfg)
+        assert self.to != Codec.NONE
+
+    def apply(self, frame):
+        from ultragrid_tpu.ops import pixfmt
+
+        d = frame.desc
+        data = pixfmt.convert_frame(frame.data, d.width, d.color_spec, self.to)
+        return self._wrap(frame, data, d.with_(color_spec=self.to))
+
+
+_FILTERS = {
+    "scale": ScaleFilter,
+    "resize": ScaleFilter,
+    "deinterlace": DeinterlaceFilter,
+    "deinterlace_blend": lambda cfg: DeinterlaceFilter("blend"),
+    "deinterlace_linear": lambda cfg: DeinterlaceFilter("linear"),
+    "deinterlace_bob": lambda cfg: DeinterlaceFilter("bob"),
+    "interlace": InterlaceFilter,
+    "crop": CropFilter,
+    "mirror": MirrorFilter,
+    "flip": FlipFilter,
+    "gamma": GammaFilter,
+    "grayscale": GrayscaleFilter,
+    "matrix": MatrixFilter,
+    "blank": BlankFilter,
+    "noise": NoiseFilter,
+    "every": EveryFilter,
+    "ratelimit": RatelimitFilter,
+    "logo": LogoFilter,
+    "change_pixfmt": ChangePixfmtFilter,
+}
+
+for _name, _cls in _FILTERS.items():
+    register_module(_name, LibraryClass.CAPTURE_FILTER, _cls)
+    register_module(_name, LibraryClass.VO_POSTPROCESS, _cls)
+
+
+class FilterChain:
+    """Comma-separated filter chain (ref: capture_filter.c chain init)."""
+
+    def __init__(self, spec: str):
+        self.filters: List[Filter] = []
+        for part in [p for p in (spec or "").split(",") if p]:
+            name, _, cfg = part.partition(":")
+            cls = _FILTERS.get(name)
+            if cls is None:
+                raise ValueError(f"unknown filter {name!r}")
+            self.filters.append(cls(cfg))
+
+    def apply(self, frame: Optional[VideoFrame]) -> Optional[VideoFrame]:
+        for f in self.filters:
+            if frame is None:
+                return None
+            frame = f.apply(frame)
+        return frame

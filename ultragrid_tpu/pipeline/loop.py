@@ -36,10 +36,16 @@ class CaptureToDisplayPipeline:
         capture: VideoCapture,
         display: VideoDisplay,
         frame_limit: Optional[int] = None,
+        capture_filter: str = "",
+        postprocess: str = "",
     ):
+        from ultragrid_tpu.modules.filters import FilterChain
+
         self.capture = capture
         self.display = display
         self.frame_limit = frame_limit
+        self.capture_chain = FilterChain(capture_filter)
+        self.postprocess_chain = FilterChain(postprocess)
         self.queue: "queue.Queue" = queue.Queue(maxsize=2)
         self.should_exit = threading.Event()
         self._decoder = None
@@ -67,6 +73,8 @@ class CaptureToDisplayPipeline:
                 if self.frame_limit is not None and self.frames_captured >= self.frame_limit:
                     break
                 frame, _audio = self.capture.grab()
+                if frame is not None:
+                    frame = self.capture_chain.apply(frame)
                 if frame is None:
                     continue
                 self.frames_captured += 1
@@ -80,6 +88,9 @@ class CaptureToDisplayPipeline:
             if item is _POISON:
                 break
             frame: VideoFrame = item
+            frame = self.postprocess_chain.apply(frame)
+            if frame is None:
+                continue
             if self._decoder is None:
                 if not self._setup_conversion(frame):
                     self.should_exit.set()
@@ -105,12 +116,16 @@ class CaptureToDisplayPipeline:
 
 
 def run_local_pipeline(
-    capture_spec: str, display_spec: str, frame_limit: Optional[int] = None
+    capture_spec: str,
+    display_spec: str,
+    frame_limit: Optional[int] = None,
+    capture_filter: str = "",
+    postprocess: str = "",
 ) -> int:
     cap = initialize_video_capture(capture_spec)
     disp = initialize_video_display(display_spec)
     try:
-        pipe = CaptureToDisplayPipeline(cap, disp, frame_limit)
+        pipe = CaptureToDisplayPipeline(cap, disp, frame_limit, capture_filter, postprocess)
         return pipe.run()
     finally:
         disp.done()

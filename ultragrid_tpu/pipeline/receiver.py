@@ -31,7 +31,11 @@ class VideoReceiver:
         frame_limit: Optional[int] = None,
         timeout: Optional[float] = None,
         playout_delay: float = 0.032,
+        postprocess: str = "",
     ):
+        from ultragrid_tpu.modules.filters import FilterChain
+
+        self.postprocess_chain = FilterChain(postprocess)
         self.display = initialize_video_display(display_spec)
         self.session = RtpSession(addr=None, rx_port=rx_port, tx_port=0)
         self.pbuf = PlayoutBuffer(playout_delay)
@@ -78,6 +82,9 @@ class VideoReceiver:
                 frame.data, frame.desc.width, frame.desc.color_spec, self._decoder_out
             )
             frame = VideoFrame(frame.desc.with_(color_spec=self._decoder_out), [data])
+        frame = self.postprocess_chain.apply(frame)
+        if frame is None:
+            return False
         if self._display_desc != frame.desc:
             self.display.reconfigure(frame.desc)
             self._display_desc = frame.desc
@@ -113,6 +120,7 @@ def run_receiver(args) -> int:
         display_spec=args.display,
         rx_port=int(str(args.ports).split(":")[0]),
         frame_limit=args.frames,
+        postprocess=getattr(args, "postprocess", ""),
     )
     n = receiver.run()
     log.notice(f"displayed {n} frames")

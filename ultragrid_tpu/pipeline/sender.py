@@ -31,7 +31,11 @@ class VideoSender:
         rx_port: int = 0,
         mtu: int = 1500,
         frame_limit: Optional[int] = None,
+        capture_filter: str = "",
     ):
+        from ultragrid_tpu.modules.filters import FilterChain
+
+        self.capture_chain = FilterChain(capture_filter)
         self.capture = initialize_video_capture(capture_spec)
         self.root = Module("root")
         self.compress = CompressDriver(compress_spec, self.root)
@@ -48,6 +52,8 @@ class VideoSender:
                 if self.frame_limit is not None and count >= self.frame_limit:
                     break
                 frame, _audio = self.capture.grab()
+                if frame is not None:
+                    frame = self.capture_chain.apply(frame)
                 if frame is None:
                     continue
                 count += 1
@@ -78,6 +84,7 @@ def run_sender(args) -> int:
         tx_port=int(str(args.ports).split(":")[0]),
         mtu=args.mtu,
         frame_limit=args.frames,
+        capture_filter=getattr(args, "capture_filter", ""),
     )
     n = sender.run()
     log.notice(f"sent {n} frames")
