@@ -1,0 +1,162 @@
+"""Audio subsystem tests: types, G.711 (validated vs stdlib audioop),
+resampler, filters, and an end-to-end audio send/receive loop."""
+
+import threading
+import time
+import warnings
+
+import numpy as np
+import pytest
+
+from ultragrid_tpu.audio.capture import TestcardAudioCapture, WavAudioCapture
+from ultragrid_tpu.audio.codecs import (
+    AlawCodec,
+    MulawCodec,
+    _alaw_to_linear,
+    _linear_to_alaw,
+    _linear_to_mulaw,
+    _mulaw_to_linear,
+    get_audio_codec,
+)
+from ultragrid_tpu.audio.filters import AudioMixer, ChannelRemap, DelayFilter, GainFilter
+from ultragrid_tpu.audio.playback import WavAudioPlayback
+from ultragrid_tpu.audio.resampler import Resampler
+from ultragrid_tpu.audio.types import AudioDesc, AudioFrame
+
+
+def test_interleave_roundtrip():
+    desc = AudioDesc(bps=2, sample_rate=48000, ch_count=2)
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, 2 * 2 * 100, dtype=np.int32).astype(np.uint8)
+    f = AudioFrame.from_interleaved(desc, data)
+    assert f.sample_count == 100
+    np.testing.assert_array_equal(f.to_interleaved(), data)
+
+
+def test_g711_exact_vs_audioop():
+    audioop = pytest.importorskip("audioop")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        pcm = np.arange(-32768, 32768, dtype="<i2")
+        assert (np.frombuffer(audioop.lin2alaw(pcm.tobytes(), 2), np.uint8) == _linear_to_alaw(pcm)).all()
+        assert (np.frombuffer(audioop.lin2ulaw(pcm.tobytes(), 2), np.uint8) == _linear_to_mulaw(pcm)).all()
+        codes = np.arange(256, dtype=np.uint8)
+        assert (np.frombuffer(audioop.alaw2lin(codes.tobytes(), 2), "<i2") == _alaw_to_linear(codes)).all()
+        assert (np.frombuffer(audioop.ulaw2lin(codes.tobytes(), 2), "<i2") == _mulaw_to_linear(codes)).all()
+
+
+def test_g711_codec_roundtrip_quality():
+    cap = TestcardAudioCapture()
+    frame = cap.read(4800)
+    for codec in (AlawCodec(), MulawCodec()):
+        enc = codec.compress(frame)
+        assert enc.desc.bps == 1
+        dec = codec.decompress(enc)
+        orig = frame.samples_float()
+        rec = dec.samples_float()
+        err = np.abs(orig - rec).max()
+        assert err < 0.02, err  # G.711 SNR on a 0.25 amplitude sine
+
+
+def test_resampler_sine_frequency_preserved():
+    cap = TestcardAudioCapture(frequency=1000)
+    frame = cap.read(48000)
+    rs = Resampler(44100)
+    out = rs.process(frame)
+    assert out.desc.sample_rate == 44100
+    assert abs(out.sample_count - 44100) <= 1
+    # dominant FFT bin should stay at 1 kHz
+    x = out.samples_float()[0]
+    spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+    peak_hz = np.argmax(spec) * 44100 / len(x)
+    assert abs(peak_hz - 1000) < 5
+
+
+def test_gain_and_mute():
+    cap = TestcardAudioCapture()
+    frame = cap.read(1000)
+    g = GainFilter(gain_db=-6.02)
+    out = g.apply(frame)
+    ratio = np.abs(out.samples_float()).max() / np.abs(frame.samples_float()).max()
+    assert abs(ratio - 0.5) < 0.01
+    g.muted = True
+    assert np.abs(g.apply(frame).samples_float()).max() == 0
+
+
+def test_channel_remap():
+    cap = TestcardAudioCapture()
+    frame = cap.read(100)
+    remap = ChannelRemap("0:1,1:0")
+    out = remap.apply(frame)
+    np.testing.assert_allclose(out.samples_float()[0], frame.samples_float()[1], atol=1e-4)
+
+
+def test_delay_filter():
+    cap = TestcardAudioCapture()
+    frame = cap.read(100)
+    d = DelayFilter(10)
+    out = d.apply(frame)
+    assert (out.samples_float()[:, :10] == 0).all()
+    np.testing.assert_allclose(out.samples_float()[:, 10:], frame.samples_float()[:, :90], atol=1e-4)
+
+
+def test_mixer():
+    desc = AudioDesc()
+    m = AudioMixer(desc)
+    c1 = TestcardAudioCapture(frequency=1000).read(100)
+    c2 = TestcardAudioCapture(frequency=2000).read(100)
+    m.add(1, c1)
+    m.add(2, c2)
+    out = m.mix()
+    expected = c1.samples_float() + c2.samples_float()
+    np.testing.assert_allclose(out.samples_float(), np.clip(expected, -1, 1), atol=1e-3)
+
+
+def test_wav_roundtrip(tmp_path):
+    path = str(tmp_path / "test.wav")
+    pb = WavAudioPlayback(path)
+    cap = TestcardAudioCapture()
+    frame = cap.read(4800)
+    pb.reconfigure(frame.desc)
+    pb.put_frame(frame)
+    pb.done()
+    rd = WavAudioCapture(path)
+    back = rd.read(4800)
+    np.testing.assert_array_equal(back.to_interleaved(), frame.to_interleaved())
+
+
+def test_audio_rtp_end_to_end():
+    from ultragrid_tpu.net.audio_rx import AudioRxState
+    from ultragrid_tpu.net.pbuf import PlayoutBuffer
+    from ultragrid_tpu.net.rtp import RtpSession
+    from ultragrid_tpu.net.transmit import Tx
+
+    port = 23900
+    rx = RtpSession(addr=None, rx_port=port, tx_port=0)
+    tx_sess = RtpSession(addr="127.0.0.1", rx_port=0, tx_port=port)
+    tx = Tx(mtu=1500)
+
+    cap = TestcardAudioCapture()
+    frame = cap.read(4800)
+    codec = get_audio_codec("alaw")
+    tx.send_audio(tx_sess, codec.compress(frame), "alaw")
+
+    pbuf = PlayoutBuffer()
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline:
+        pkt = rx.recv(timeout=0.05)
+        if pkt:
+            pbuf.insert(pkt)
+        if pbuf.frames and any(n.mbit_seen for n in pbuf.frames.values()):
+            node = list(pbuf.frames.values())[0]
+            if len(node.packets) >= 8:  # 2 ch x 4.8k alaw bytes / 1448
+                break
+    state = AudioRxState()
+    node = list(pbuf.frames.values())[0]
+    out = state.decode_frame(node)
+    assert out is not None
+    assert out.desc.sample_rate == 48000 and out.desc.ch_count == 2
+    err = np.abs(out.samples_float() - frame.samples_float()).max()
+    assert err < 0.02
+    tx_sess.close()
+    rx.close()

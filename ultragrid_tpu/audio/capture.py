@@ -1,0 +1,105 @@
+"""Audio capture modules: testcard (sine), wav file, silence.
+
+ref: src/audio/capture/testcard.c (1 kHz sine, 16-bit 48 kHz, NTSC-aware
+sample patterns), wav.c.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+import wave
+from typing import Optional
+
+import numpy as np
+
+from ultragrid_tpu.audio.types import AudioDesc, AudioFrame
+from ultragrid_tpu.modules.registry import LibraryClass, register_module
+
+# ref: alen_pattern_2997/5994, src/video_capture/testcard.c:108-110
+ALEN_PATTERNS = {
+    29.97: [1602, 1601, 1602, 1601, 1602],
+    59.94: [801, 801, 800, 801, 801],
+}
+
+
+class AudioCapture:
+    def __init__(self, cfg: str):
+        self.cfg = cfg
+        self.desc = AudioDesc()
+
+    def read(self, nsamples: int) -> Optional[AudioFrame]:
+        raise NotImplementedError
+
+    def done(self) -> None:
+        pass
+
+
+class TestcardAudioCapture(AudioCapture):
+    """1 kHz sine on all channels (ref: testcard audio, DEFAULT_AUIDIO_FREQUENCY)."""
+
+    def __init__(self, cfg: str = "", frequency: int = 1000, volume: float = 0.25):
+        super().__init__(cfg)
+        self.desc = AudioDesc(bps=2, sample_rate=48000, ch_count=2, codec="PCM")
+        self.frequency = frequency
+        self.volume = volume
+        self.pos = 0
+
+    def read(self, nsamples: int) -> AudioFrame:
+        t = (np.arange(nsamples) + self.pos) / self.desc.sample_rate
+        self.pos += nsamples
+        wavef = np.sin(2 * math.pi * self.frequency * t) * self.volume
+        samples = np.tile(wavef, (self.desc.ch_count, 1))
+        frame = AudioFrame.from_float(self.desc, samples)
+        frame.timestamp = time.monotonic()
+        return frame
+
+
+class WavAudioCapture(AudioCapture):
+    """Reads a WAV file as the audio source (ref: audio/capture/wav)."""
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        self._wav = wave.open(cfg, "rb")
+        self.desc = AudioDesc(
+            bps=self._wav.getsampwidth(),
+            sample_rate=self._wav.getframerate(),
+            ch_count=self._wav.getnchannels(),
+            codec="PCM",
+        )
+
+    def read(self, nsamples: int) -> Optional[AudioFrame]:
+        raw = self._wav.readframes(nsamples)
+        if not raw:
+            return None
+        frame = AudioFrame.from_interleaved(self.desc, np.frombuffer(raw, np.uint8))
+        frame.timestamp = time.monotonic()
+        return frame
+
+    def done(self) -> None:
+        self._wav.close()
+
+
+class SilenceAudioCapture(AudioCapture):
+    def __init__(self, cfg: str = ""):
+        super().__init__(cfg)
+        self.desc = AudioDesc()
+
+    def read(self, nsamples: int) -> AudioFrame:
+        chans = [np.zeros(nsamples * self.desc.bps, np.uint8) for _ in range(self.desc.ch_count)]
+        return AudioFrame(self.desc, chans)
+
+
+register_module("testcard", LibraryClass.AUDIO_CAPTURE, TestcardAudioCapture)
+register_module("wav", LibraryClass.AUDIO_CAPTURE, WavAudioCapture)
+register_module("none", LibraryClass.AUDIO_CAPTURE, SilenceAudioCapture)
+
+
+def initialize_audio_capture(spec: str) -> AudioCapture:
+    from ultragrid_tpu.modules.registry import load_library
+
+    name, _, cfg = spec.partition(":")
+    cls = load_library(name, LibraryClass.AUDIO_CAPTURE)
+    if cls is None:
+        raise ValueError(f"unknown audio capture {name!r}")
+    return cls(cfg)

@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-m", "--mtu", type=int, default=1500)
     p.add_argument("-V", "--verbose", action="count", default=0)
     p.add_argument("--param", action="append", default=[], help="key=value tuning params")
+    p.add_argument("-s", "--audio-capture", default=None, help="audio capture (testcard, wav:FILE, none)")
+    p.add_argument("-r", "--audio-playback", default=None, help="audio playback (dummy, wav:FILE)")
+    p.add_argument("--audio-codec", default="PCM", help="audio codec: PCM|alaw|ulaw")
     p.add_argument("--capture-filter", default="", help="comma-separated capture filter chain")
     p.add_argument("-p", "--postprocess", default="", help="display postprocess chain")
     p.add_argument("--frames", type=int, default=None, help="stop after N frames")

@@ -164,6 +164,37 @@ class Tx:
         self.buffer = (self.buffer + 1) & 0x3FFFFF
         return sent
 
+    def send_audio(self, session: RtpSession, frame, codec_name: str = "PCM") -> int:
+        """Per-channel audio packetization (ref: audio_tx_send_chan,
+        transmit.c:829+): each channel's data split into MTU chunks with the
+        5-word audio payload header; M bit on each channel's last packet."""
+        from ultragrid_tpu.audio.types import AUDIO_TAGS
+        from ultragrid_tpu.net.rtp import get_local_mediatime
+
+        ts = get_local_mediatime()
+        tag = AUDIO_TAGS.get(codec_name, 0x0001)
+        netto = self.mtu - (IPV4_HDR_LEN + UDP_HDR_LEN + rt.RTP_HDR_LEN + rt.AUDIO_PAYLOAD_HDR_LEN)
+        sent = 0
+        nch = len(frame.channels)
+        for ch, data in enumerate(frame.channels):
+            data = np.asarray(data, np.uint8)
+            pos = 0
+            n = data.size
+            while pos < n or (n == 0 and pos == 0):
+                chunk = data[pos : pos + netto]
+                hdr = rt.pack_audio_header(
+                    ch, self.buffer, pos, n,
+                    frame.desc.bps, frame.desc.sample_rate, tag,
+                )
+                # M only on the whole frame's (= last channel's) final packet,
+                # else the playout buffer decodes before all channels arrive
+                last = ch == nch - 1 and pos + chunk.size >= n
+                session.send_data_hdr(ts, rt.PT_AUDIO, last, hdr, chunk.tobytes())
+                pos += max(chunk.size, 1)
+                sent += 1
+        self.buffer = (self.buffer + 1) & 0x3FFFFF
+        return sent
+
     def _packet_rate(self, fps: float, packet_count: int, data_len: int) -> float:
         """Inter-packet interval in seconds (ref: get_packet_rate,
         transmit.c:653-689)."""

@@ -32,12 +32,23 @@ class VideoReceiver:
         timeout: Optional[float] = None,
         playout_delay: float = 0.032,
         postprocess: str = "",
+        audio_playback: Optional[str] = None,
     ):
         from ultragrid_tpu.modules.filters import FilterChain
 
         self.postprocess_chain = FilterChain(postprocess)
         self.display = initialize_video_display(display_spec)
         self.session = RtpSession(addr=None, rx_port=rx_port, tx_port=0)
+        self.audio_playback = None
+        if audio_playback and audio_playback != "none":
+            from ultragrid_tpu.audio.playback import initialize_audio_playback
+            from ultragrid_tpu.net.audio_rx import AudioRxState
+
+            self.audio_playback = initialize_audio_playback(audio_playback)
+            self.audio_session = RtpSession(addr=None, rx_port=rx_port + 2, tx_port=0)
+            self.audio_pbuf = PlayoutBuffer(playout_delay)
+            self.audio_rx = AudioRxState()
+            self._audio_desc = None
         self.pbuf = PlayoutBuffer(playout_delay)
         self.rx_state = VideoRxState()
         self.frame_limit = frame_limit
@@ -92,6 +103,16 @@ class VideoReceiver:
         self.frames_displayed += 1
         return True
 
+    def _handle_audio(self, node) -> bool:
+        frame = self.audio_rx.decode_frame(node)
+        if frame is None:
+            return False
+        if self._audio_desc != frame.desc:
+            self.audio_playback.reconfigure(frame.desc)
+            self._audio_desc = frame.desc
+        self.audio_playback.put_frame(frame)
+        return True
+
     def run(self) -> int:
         """Receiver loop (ref: ultragrid_rtp.c:403-500)."""
         start = time.monotonic()
@@ -108,9 +129,19 @@ class VideoReceiver:
                 idle_since = now
             self.pbuf.decode(now, self._handle_frame)
             self.pbuf.remove_old(now)
+            if self.audio_playback is not None:
+                apkt = self.audio_session.recv(timeout=0.0001)
+                if apkt is not None:
+                    self.audio_pbuf.insert(apkt)
+                    idle_since = now
+                self.audio_pbuf.decode(now, self._handle_audio)
+                self.audio_pbuf.remove_old(now)
             if pkt is None and now - idle_since > 0.002:
                 time.sleep(0.001)  # avoid busy-spin when idle
         self.session.close()
+        if self.audio_playback is not None:
+            self.audio_session.close()
+            self.audio_playback.done()
         self.display.put_frame(None)
         return self.frames_displayed
 
@@ -121,6 +152,7 @@ def run_receiver(args) -> int:
         rx_port=int(str(args.ports).split(":")[0]),
         frame_limit=args.frames,
         postprocess=getattr(args, "postprocess", ""),
+        audio_playback=getattr(args, "audio_playback", None),
     )
     n = receiver.run()
     log.notice(f"displayed {n} frames")

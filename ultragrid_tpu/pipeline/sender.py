@@ -32,11 +32,24 @@ class VideoSender:
         mtu: int = 1500,
         frame_limit: Optional[int] = None,
         capture_filter: str = "",
+        audio_capture: Optional[str] = None,
+        audio_codec: str = "PCM",
     ):
         from ultragrid_tpu.modules.filters import FilterChain
 
         self.capture_chain = FilterChain(capture_filter)
         self.capture = initialize_video_capture(capture_spec)
+        self.audio = None
+        self.audio_codec_name = audio_codec
+        if audio_capture and audio_capture != "none":
+            from ultragrid_tpu.audio.capture import initialize_audio_capture
+            from ultragrid_tpu.audio.codecs import get_audio_codec
+
+            self.audio = initialize_audio_capture(audio_capture)
+            self.audio_codec = get_audio_codec(audio_codec)
+            # audio ports = base + 2 (ref: src/main.cpp:592-628)
+            self.audio_session = RtpSession(addr=host, rx_port=0, tx_port=tx_port + 2, mtu=mtu)
+            self.audio_tx = Tx(mtu=mtu)
         self.root = Module("root")
         self.compress = CompressDriver(compress_spec, self.root)
         self.session = RtpSession(addr=host, rx_port=rx_port, tx_port=tx_port, mtu=mtu)
@@ -61,15 +74,33 @@ class VideoSender:
         finally:
             self.compress.enqueue(None)
 
+    def _audio_thread(self) -> None:
+        # ~1/25 s chunks like the reference's audio frame cadence
+        chunk = self.audio.desc.sample_rate // 25
+        while not self.should_exit.is_set():
+            frame = self.audio.read(chunk)
+            if frame is None:
+                break
+            comp = self.audio_codec.compress(frame)
+            self.audio_tx.send_audio(self.audio_session, comp, self.audio_codec_name)
+            time.sleep(1 / 25)
+
     def run(self) -> int:
         t = threading.Thread(target=self._capture_thread, name="capture", daemon=True)
         t.start()
+        at = None
+        if self.audio is not None:
+            at = threading.Thread(target=self._audio_thread, name="audio", daemon=True)
+            at.start()
         while True:
             frame = self.compress.pop()
             if frame is None:
                 break
             self.tx.send_video(self.session, frame)
             self.frames_sent += 1
+        self.should_exit.set()
+        if self.audio is not None:
+            self.audio_session.close()
         self.session.close()
         t.join(timeout=5)
         return self.frames_sent
@@ -85,6 +116,8 @@ def run_sender(args) -> int:
         mtu=args.mtu,
         frame_limit=args.frames,
         capture_filter=getattr(args, "capture_filter", ""),
+        audio_capture=getattr(args, "audio_capture", None),
+        audio_codec=getattr(args, "audio_codec", "PCM"),
     )
     n = sender.run()
     log.notice(f"sent {n} frames")
