@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-f", "--fec", default="none", help="FEC: none|mult:N|ldgm:k:m:c|rs:k:n")
     p.add_argument("-P", "--ports", default="5004", help="RTP base port[:tx]")
     p.add_argument("-m", "--mtu", type=int, default=1500)
+    p.add_argument("--encryption", default=None, help="AES passphrase[:cipher=gcm|cbc|ctr|cfb]")
+    p.add_argument("-E", "--record", nargs="?", const="", default=None,
+                   help="export the session to DIR (default auto-named)")
     p.add_argument("-V", "--verbose", action="count", default=0)
     p.add_argument("--param", action="append", default=[], help="key=value tuning params")
     p.add_argument("-s", "--audio-capture", default=None, help="audio capture (testcard, wav:FILE, none)")

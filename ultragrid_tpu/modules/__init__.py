@@ -16,3 +16,4 @@ from ultragrid_tpu.modules.registry import (  # noqa: F401
 import ultragrid_tpu.modules.video_capture  # noqa: E402,F401
 import ultragrid_tpu.modules.video_display  # noqa: E402,F401
 import ultragrid_tpu.modules.filters  # noqa: E402,F401
+import ultragrid_tpu.utils.export  # noqa: E402,F401  (registers the 'import' capture device)

@@ -27,7 +27,7 @@ RTP_MAX_PACKET_LEN = 9200
 
 
 class RtpPacket:
-    __slots__ = ("pt", "seq", "ts", "ssrc", "m", "payload", "arrival")
+    __slots__ = ("pt", "seq", "ts", "ssrc", "m", "payload", "arrival", "_decrypted")
 
     def __init__(self, pt, seq, ts, ssrc, m, payload, arrival):
         self.pt = pt

@@ -83,7 +83,9 @@ class Tx:
         fec_spec: str = "none",
         bitrate: int = RATE_AUTO,
         mult_count: int = 1,
+        encryption=None,
     ):
+        self.encryption = encryption
         self.mtu = mtu
         self.bitrate = bitrate
         self.mult_count = mult_count
@@ -129,12 +131,16 @@ class Tx:
                 data = buf
 
         netto = self.mtu - (IPV4_HDR_LEN + UDP_HDR_LEN + rt.RTP_HDR_LEN)
+        enc = self.encryption is not None
         if fec_desc is not None:
             netto -= rt.FEC_PAYLOAD_HDR_LEN
-            pt = rt.fec_pt(fec_desc.type)
+            pt = rt.fec_pt(fec_desc.type, enc)
         else:
             netto -= rt.VIDEO_PAYLOAD_HDR_LEN
-            pt = rt.PT_VIDEO
+            pt = rt.fec_pt("none", enc) if enc else rt.PT_VIDEO
+        if enc:
+            # crypto hdr word + fixed overhead (len+IV+tag/crc)
+            netto -= 4 + 36 + 15
 
         sizes = get_packet_sizes(data.size, desc.color_spec, desc.width, fec_desc, netto)
         npkt = len(sizes) * self.mult_count
@@ -153,7 +159,11 @@ class Tx:
                     )
                 else:
                     hdr = rt.pack_video_header(desc, self.buffer, pos, data.size)
-                session.send_data_hdr(ts, pt, last, hdr, data[pos : pos + size].tobytes())
+                payload = data[pos : pos + size].tobytes()
+                if enc:
+                    payload = self.encryption.encrypt(payload, hdr)
+                    hdr = hdr + self.encryption.crypto_header()
+                session.send_data_hdr(ts, pt, last, hdr, payload)
                 pos += size
                 sent += 1
                 if packet_rate > 0 and not last:

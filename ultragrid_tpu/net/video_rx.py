@@ -20,11 +20,46 @@ from ultragrid_tpu.utils.log import Logger
 log = Logger("video_rx")
 
 
+ENCRYPTED_PTS = {
+    rt.PT_ENCRYPT_VIDEO: rt.PT_VIDEO,
+    rt.PT_ENCRYPT_VIDEO_LDGM: rt.PT_VIDEO_LDGM,
+    rt.PT_ENCRYPT_VIDEO_RS: rt.PT_VIDEO_RS,
+}
+
+
 class VideoRxState:
-    def __init__(self) -> None:
+    def __init__(self, decryption=None) -> None:
         self._fec_cache: Dict[Tuple, object] = {}
+        self.decryption = decryption
         self.frames_ok = 0
         self.frames_missing_data = 0
+
+    def _maybe_decrypt(self, node: PbufNode) -> Optional[int]:
+        """Decrypt packet payloads in place; returns the effective (plain)
+        payload type or None on auth failure/missing key."""
+        pt = node.packets[0].pt
+        plain = ENCRYPTED_PTS.get(pt)
+        if plain is None:
+            return pt
+        if self.decryption is None:
+            log.warning("received encrypted stream but no decryption key set")
+            return None
+        hdr_len = (
+            rt.FEC_PAYLOAD_HDR_LEN
+            if plain in (rt.PT_VIDEO_LDGM, rt.PT_VIDEO_RS)
+            else rt.VIDEO_PAYLOAD_HDR_LEN
+        )
+        for pkt in node.packets:
+            if getattr(pkt, "_decrypted", False):
+                continue
+            hdr = pkt.payload[:hdr_len]
+            body = pkt.payload[hdr_len + 4 :]  # skip crypto hdr word
+            data = self.decryption.decrypt(body, hdr)
+            if data is None:
+                return None
+            pkt.payload = hdr + data
+            pkt._decrypted = True
+        return plain
 
     def _get_fec(self, kind: str, k: int, m: int, c: int, seed: int):
         key = (kind, k, m, c, seed)
@@ -41,7 +76,9 @@ class VideoRxState:
         """Reassemble one pbuf node into a VideoFrame (compressed or raw)."""
         if not node.packets:
             return None
-        pt = node.packets[0].pt
+        pt = self._maybe_decrypt(node)
+        if pt is None:
+            return None
         if pt in (rt.PT_VIDEO, rt.PT_JPEG):
             return self._decode_plain(node)
         if pt in (rt.PT_VIDEO_LDGM, rt.PT_VIDEO_RS):

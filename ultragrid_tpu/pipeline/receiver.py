@@ -33,6 +33,7 @@ class VideoReceiver:
         playout_delay: float = 0.032,
         postprocess: str = "",
         audio_playback: Optional[str] = None,
+        encryption: Optional[str] = None,
     ):
         from ultragrid_tpu.modules.filters import FilterChain
 
@@ -50,7 +51,12 @@ class VideoReceiver:
             self.audio_rx = AudioRxState()
             self._audio_desc = None
         self.pbuf = PlayoutBuffer(playout_delay)
-        self.rx_state = VideoRxState()
+        crypto = None
+        if encryption:
+            from ultragrid_tpu.utils.crypto import PacketCrypto
+
+            crypto = PacketCrypto(encryption)
+        self.rx_state = VideoRxState(decryption=crypto)
         self.frame_limit = frame_limit
         self.timeout = timeout
         self.frames_displayed = 0
@@ -153,6 +159,7 @@ def run_receiver(args) -> int:
         frame_limit=args.frames,
         postprocess=getattr(args, "postprocess", ""),
         audio_playback=getattr(args, "audio_playback", None),
+        encryption=getattr(args, "encryption", None),
     )
     n = receiver.run()
     log.notice(f"displayed {n} frames")

@@ -34,7 +34,14 @@ class VideoSender:
         capture_filter: str = "",
         audio_capture: Optional[str] = None,
         audio_codec: str = "PCM",
+        encryption: Optional[str] = None,
+        record: Optional[str] = None,
     ):
+        self.exporter = None
+        if record is not None:
+            from ultragrid_tpu.utils.export import Exporter
+
+            self.exporter = Exporter(record or None)
         from ultragrid_tpu.modules.filters import FilterChain
 
         self.capture_chain = FilterChain(capture_filter)
@@ -52,8 +59,13 @@ class VideoSender:
             self.audio_tx = Tx(mtu=mtu)
         self.root = Module("root")
         self.compress = CompressDriver(compress_spec, self.root)
+        crypto = None
+        if encryption:
+            from ultragrid_tpu.utils.crypto import PacketCrypto
+
+            crypto = PacketCrypto(encryption)
         self.session = RtpSession(addr=host, rx_port=rx_port, tx_port=tx_port, mtu=mtu)
-        self.tx = Tx(mtu=mtu, fec_spec=fec_spec, bitrate=RATE_AUTO)
+        self.tx = Tx(mtu=mtu, fec_spec=fec_spec, bitrate=RATE_AUTO, encryption=crypto)
         self.frame_limit = frame_limit
         self.should_exit = threading.Event()
         self.frames_sent = 0
@@ -96,12 +108,16 @@ class VideoSender:
             frame = self.compress.pop()
             if frame is None:
                 break
+            if self.exporter is not None:
+                self.exporter.export_video(frame)
             self.tx.send_video(self.session, frame)
             self.frames_sent += 1
         self.should_exit.set()
         if self.audio is not None:
             self.audio_session.close()
         self.session.close()
+        if self.exporter is not None:
+            self.exporter.finish()
         t.join(timeout=5)
         return self.frames_sent
 
@@ -118,6 +134,8 @@ def run_sender(args) -> int:
         capture_filter=getattr(args, "capture_filter", ""),
         audio_capture=getattr(args, "audio_capture", None),
         audio_codec=getattr(args, "audio_codec", "PCM"),
+        encryption=getattr(args, "encryption", None),
+        record=getattr(args, "record", None),
     )
     n = sender.run()
     log.notice(f"sent {n} frames")
