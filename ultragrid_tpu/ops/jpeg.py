@@ -290,7 +290,11 @@ def _pack_block_slots(hi, lo, ln, wwords: int):
     overflow flag).  65-step scan, everything dense — no XLA scatters.
     """
     nbt = hi.shape[0]
-    cum = jnp.cumsum(ln, axis=1)
+    # minor-axis cumsum as a lower-triangular matmul: one MXU pass instead of
+    # log2(65) strided shift passes over the whole array
+    nslots = ln.shape[1]
+    tri = jnp.asarray(np.tril(np.ones((nslots, nslots), np.float32)).T)
+    cum = jnp.dot(ln.astype(jnp.float32), tri, preferred_element_type=jnp.float32).astype(jnp.int32)
     off = cum - ln  # exclusive
     block_bits = cum[:, -1]
     overflow = jnp.max(block_bits) > wwords * 32
@@ -518,24 +522,33 @@ class JpegEncoder:
         return jax.jit(encode_fn)
 
     def _encode(self, frame):
-        """Device encode with automatic slot-width escalation."""
-        while True:
-            fn = self._encode_cache.get(self.wwords)
-            if fn is None:
-                fn = self._encode_cache[self.wwords] = self._make_encode(self.wwords)
-            out = fn(frame)
-            if not bool(out[-1]):
-                return out[:-1]
-            if self.wwords >= 64:
-                # 64 words = 256 B > the theoretical per-block maximum
-                return out[:-1]
+        """Device encode; returns (ys, ybits, us, ubits, vs, vbits, overflow).
+
+        The overflow flag stays ON DEVICE — checking it per frame would force
+        a host sync and serialize the async dispatch pipeline.  Callers check
+        it when they fetch results (see encode()) and call
+        :meth:`escalate_and_retry` on the rare overflow.
+        """
+        fn = self._encode_cache.get(self.wwords)
+        if fn is None:
+            fn = self._encode_cache[self.wwords] = self._make_encode(self.wwords)
+        return fn(frame)
+
+    def escalate_and_retry(self, frame):
+        """Double the slot width (recompiling once) and re-encode."""
+        if self.wwords < 64:
             self.wwords *= 2
+        return self._encode(frame)
 
     # -- public ---------------------------------------------------------
 
     def encode(self, frame) -> np.ndarray:
         """frame: uint8 [H, linesize] -> np.uint8[1-D] complete JPEG file."""
-        parts = self._encode(jnp.asarray(frame))
+        frame = jnp.asarray(frame)
+        out = self._encode(frame)
+        while bool(out[-1]) and self.wwords < 64:
+            out = self.escalate_and_retry(frame)
+        parts = out[:-1]
         body = self.assemble(*(np.asarray(p) for p in parts))
         return np.concatenate(
             [
@@ -590,7 +603,10 @@ class JpegEncoder:
         return _assemble_python(slots, bits, self.restart_interval * bpm)
 
     def encode_device(self, frame):
-        """On-device half: returns per-component (slots, bits) x 3."""
+        """On-device half: returns (slots, bits) x 3 + device overflow flag.
+
+        No host sync — callers should check the overflow flag when they
+        eventually fetch and re-encode via escalate_and_retry if set."""
         return self._encode(jnp.asarray(frame))
 
 
