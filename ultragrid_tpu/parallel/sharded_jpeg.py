@@ -1,0 +1,97 @@
+"""Spatially-sharded JPEG encode: one frame split across a device mesh.
+
+The TPU-native analogue of the reference's tiled-4K/8K multi-GPU mode
+(ref: src/utils/video.c:67-74 — tiles as independent substreams;
+src/host.h:98 — tiles round-robined over CUDA devices).  Here the frame's MCU
+rows shard over the mesh's 'spatial' axis via shard_map; restart intervals are
+chosen to divide the per-shard MCU count, so every shard's entropy stream is
+independent and the concatenated per-block slots are bit-identical to a
+single-device encode.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ultragrid_tpu.ops.jpeg import JpegEncoder
+from ultragrid_tpu.types import Codec
+
+
+class ShardedJpegEncoder:
+    """JPEG encode over the 'spatial' axis of a mesh (rows -> devices)."""
+
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        mesh: Mesh,
+        in_codec: Codec = Codec.UYVY,
+        quality: int = 80,
+    ):
+        self.mesh = mesh
+        nshards = mesh.shape["spatial"]
+        assert height % (8 * nshards) == 0, "height must split into MCU rows per shard"
+        local_h = height // nshards
+        # pick a restart interval that divides the per-shard MCU count so
+        # segments never span shard boundaries
+        probe = JpegEncoder(width, local_h, in_codec=in_codec, quality=quality)
+        nmcux = probe.nmcux
+        ri = probe.restart_interval
+        while nmcux % ri:
+            ri -= 1
+        self.local = JpegEncoder(
+            width, local_h, in_codec=in_codec, quality=quality, restart_interval=ri
+        )
+        # a full-frame encoder clone for header/assembly metadata
+        self.full = JpegEncoder(
+            width, height, in_codec=in_codec, quality=quality, restart_interval=ri
+        )
+        self.nshards = nshards
+        local_fn = self.local._encode_cache.setdefault(
+            self.local.wwords, self.local._make_encode(self.local.wwords)
+        )
+
+        def wrapped(frame):
+            out = local_fn(frame)
+            return out[:-1]  # drop per-shard overflow (checked via bits cap)
+
+        self._sharded = jax.jit(
+            shard_map(
+                wrapped,
+                mesh=mesh,
+                in_specs=P("spatial", None),
+                out_specs=(
+                    P("spatial", None), P("spatial"),
+                    P("spatial", None), P("spatial"),
+                    P("spatial", None), P("spatial"),
+                ),
+            )
+        )
+
+    def encode_device(self, frame):
+        """frame: uint8 [H, linesize] (sharded or replicated) -> parts."""
+        frame = jax.device_put(
+            frame, NamedSharding(self.mesh, P("spatial", None))
+        ) if not hasattr(frame, "sharding") else frame
+        return self._sharded(frame)
+
+    def encode(self, frame) -> np.ndarray:
+        parts = self.encode_device(jnp.asarray(frame))
+        body = self.full.assemble(*(np.asarray(p) for p in parts))
+        return np.concatenate(
+            [
+                np.frombuffer(self.full._header, dtype=np.uint8),
+                body,
+                np.frombuffer(b"\xff\xd9", dtype=np.uint8),
+            ]
+        )
