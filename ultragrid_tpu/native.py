@@ -56,3 +56,18 @@ def jpeg_assemble_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
     ]
     return lib
+
+
+@lru_cache(maxsize=None)
+def jpeg_scan_decode_lib() -> Optional[ctypes.CDLL]:
+    so = _build("jpeg_scan_decode", ["jpeg_scan_decode.c"])
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.jpeg_scan_decode.restype = ctypes.c_int64
+    lib.jpeg_scan_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+    ]
+    return lib

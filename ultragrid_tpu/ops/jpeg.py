@@ -853,10 +853,17 @@ def _decode_scan(data, pos, scan, qtabs, htabs, ri, h_img, w_img, collect_coeffs
 
 
 def decode_jpeg_to_frame(frame: VideoFrame, out_codec: Codec) -> Optional[VideoFrame]:
-    """Receiver-side JPEG decode to UYVY or RGB (host path for now)."""
+    """Receiver-side JPEG decode to UYVY or RGB.
+
+    Fast path: C entropy decode + device IDCT (mirrors the encoder split);
+    falls back to the pure-python decoder if the native lib is unavailable."""
     data = bytes(np.asarray(frame.data).reshape(-1))
-    planes, h, w, sampling = decode_jpeg(data)
-    y, cb, cr = (np.clip(np.round(p), 0, 255) for p in planes)
+    try:
+        planes, h, w, sampling = decode_jpeg_device(data)
+        y, cb, cr = (np.asarray(p).astype(np.float64) for p in planes)
+    except (RuntimeError, ValueError):
+        planes, h, w, sampling = decode_jpeg(data)
+        y, cb, cr = (np.clip(np.round(p), 0, 255) for p in planes)
     if sampling[0] == (2, 1):  # 4:2:2
         pass
     elif sampling[0] == (1, 1):  # 4:4:4 -> subsample for UYVY
@@ -895,3 +902,168 @@ def jpeg_encode_core(frame, width: int, in_codec: Codec, quality: int):
     h = frame.shape[0]
     enc = JpegEncoder(width, h, in_codec=in_codec, quality=quality)
     return enc.encode_device(frame)
+
+
+# ---------------------------------------------------------------------------
+# Split JPEG decoder: C entropy decode + device dequant/IDCT/pack
+# ---------------------------------------------------------------------------
+
+
+def _parse_headers(data: bytes):
+    """Parse markers up to SOS; returns dict + scan data offset."""
+    pos = 2
+    qtabs = {}
+    htabs_raw = {}
+    ri = 0
+    comps_info = []
+    h_img = w_img = 0
+    while pos < len(data):
+        assert data[pos] == 0xFF, hex(data[pos])
+        m = data[pos + 1]
+        pos += 2
+        if m == 0xD9:
+            break
+        ln = int.from_bytes(data[pos : pos + 2], "big")
+        payload = data[pos + 2 : pos + ln]
+        if m == 0xDB:
+            p = 0
+            while p < len(payload):
+                tid = payload[p] & 0xF
+                tab = np.zeros(64, np.int32)
+                tab[ZIGZAG] = np.frombuffer(payload[p + 1 : p + 65], np.uint8)
+                qtabs[tid] = tab
+                p += 65
+        elif m == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc = payload[p] >> 4
+                th = payload[p] & 0xF
+                bits = bytes(payload[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = bytes(payload[p + 17 : p + 17 + nv])
+                htabs_raw[(tc, th)] = (bits, vals)
+                p += 17 + nv
+        elif m == 0xC0:
+            h_img = int.from_bytes(payload[1:3], "big")
+            w_img = int.from_bytes(payload[3:5], "big")
+            nc = payload[5]
+            for c in range(nc):
+                comps_info.append(
+                    {
+                        "id": payload[6 + 3 * c],
+                        "h": payload[7 + 3 * c] >> 4,
+                        "v": payload[7 + 3 * c] & 0xF,
+                        "tq": payload[8 + 3 * c],
+                    }
+                )
+        elif m == 0xDD:
+            ri = int.from_bytes(payload[:2], "big")
+        elif m == 0xDA:
+            ns = payload[0]
+            scan = []
+            for c in range(ns):
+                cs = payload[1 + 2 * c]
+                tt = payload[2 + 2 * c]
+                info = next(ci for ci in comps_info if ci["id"] == cs)
+                scan.append({**info, "td": tt >> 4, "ta": tt & 0xF})
+            return {
+                "qtabs": qtabs, "htabs": htabs_raw, "ri": ri, "scan": scan,
+                "h": h_img, "w": w_img, "scan_start": pos + ln,
+            }
+        pos += ln
+    raise ValueError("no scan found")
+
+
+class JpegDecoder:
+    """JPEG -> pixels: C scan decode (native/jpeg_scan_decode.c) + device
+    dequant/IDCT/pack.  Geometry-specialized jit like the encoder."""
+
+    def __init__(self):
+        self._fns = {}
+
+    def decode(self, data: bytes):
+        """Returns (planes, h, w, sampling): Y/Cb/Cr uint8 arrays on device."""
+        from ultragrid_tpu.native import jpeg_scan_decode_lib
+
+        hdr = _parse_headers(data)
+        lib = jpeg_scan_decode_lib()
+        scan = hdr["scan"]
+        h_img, w_img, ri = hdr["h"], hdr["w"], hdr["ri"]
+        hmax = max(c["h"] for c in scan)
+        vmax = max(c["v"] for c in scan)
+        nmcux = (w_img + 8 * hmax - 1) // (8 * hmax)
+        nmcuy = (h_img + 8 * vmax - 1) // (8 * vmax)
+        nmcu = nmcux * nmcuy
+        if lib is None:
+            raise RuntimeError("C scan decoder unavailable")
+
+        # flatten huffman tables into 4 slots x (16 bits + 256 vals)
+        tables = np.zeros((4, 272), np.uint8)
+        for (tc, th), (bits, vals) in hdr["htabs"].items():
+            slot = th * 2 + tc
+            tables[slot, :16] = np.frombuffer(bits, np.uint8)
+            tables[slot, 16 : 16 + len(vals)] = np.frombuffer(vals, np.uint8)
+        comp_ntab = np.array([c["td"] for c in scan], np.int32)
+        comp_nblocks = np.array([c["h"] * c["v"] for c in scan], np.int32)
+        outs = [
+            np.zeros((nmcu * int(nb), 64), np.int16) for nb in comp_nblocks
+        ]
+        import ctypes
+
+        ptr_arr = (ctypes.POINTER(ctypes.c_int16) * len(outs))(
+            *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)) for o in outs]
+        )
+        body = data[hdr["scan_start"] :]
+        body_arr = np.frombuffer(body, np.uint8)
+        done = lib.jpeg_scan_decode(
+            body_arr.ctypes.data, body_arr.size, tables.ctypes.data,
+            len(scan), comp_ntab.ctypes.data, comp_nblocks.ctypes.data,
+            nmcu, ri, ctypes.cast(ptr_arr, ctypes.c_void_p),
+        )
+        if done != nmcu:
+            raise ValueError(f"scan decode stopped at MCU {done}/{nmcu}")
+
+        key = (h_img, w_img, tuple((c["h"], c["v"], c["tq"]) for c in scan))
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = self._fns[key] = self._make_device_fn(hdr, nmcux, nmcuy)
+        planes = fn(*[jnp.asarray(o) for o in outs])
+        return planes, h_img, w_img, [(c["h"], c["v"]) for c in scan]
+
+    def _make_device_fn(self, hdr, nmcux, nmcuy):
+        scan = hdr["scan"]
+        qtabs = {k: v.copy() for k, v in hdr["qtabs"].items()}
+        idct_m = np.linalg.inv(dct_matrix_64().astype(np.float64)).astype(np.float32)
+
+        def fn(*coeffs):
+            planes = []
+            for ci, comp in enumerate(scan):
+                q = jnp.asarray(qtabs[comp["tq"]][ZIGZAG]).astype(jnp.float32)
+                c = coeffs[ci].astype(jnp.float32) * q[None, :]
+                # un-zigzag: raster[j] = zz[position of j in ZIGZAG]
+                zz_inv = np.zeros(64, np.int32)
+                zz_inv[ZIGZAG] = np.arange(64)
+                raster = c[:, jnp.asarray(zz_inv)]
+                px = jnp.dot(raster, jnp.asarray(idct_m).T, preferred_element_type=jnp.float32)
+                px = jnp.clip(jnp.round(px + 128.0), 0, 255).astype(jnp.uint8)
+                # blocks -> plane
+                hq, vq = comp["h"], comp["v"]
+                nb = px.shape[0]
+                blocks = px.reshape(nmcuy, nmcux, vq, hq, 8, 8)
+                plane = blocks.transpose(0, 2, 4, 1, 3, 5).reshape(
+                    nmcuy * vq * 8, nmcux * hq * 8
+                )
+                planes.append(plane)
+            return tuple(planes)
+
+        return jax.jit(fn)
+
+
+_DEVICE_DECODER = None
+
+
+def decode_jpeg_device(data: bytes):
+    global _DEVICE_DECODER
+    if _DEVICE_DECODER is None:
+        _DEVICE_DECODER = JpegDecoder()
+    return _DEVICE_DECODER.decode(data)
