@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-f", "--fec", default="none", help="FEC: none|mult:N|ldgm:k:m:c|rs:k:n")
     p.add_argument("-P", "--ports", default="5004", help="RTP base port[:tx]")
     p.add_argument("-m", "--mtu", type=int, default=1500)
+    p.add_argument("-M", "--mode", default="normal",
+                   help="video mode: normal|dual-link|3D|tiled-2x2|3x1")
     p.add_argument("--encryption", default=None, help="AES passphrase[:cipher=gcm|cbc|ctr|cfb]")
     p.add_argument("-E", "--record", nargs="?", const="", default=None,
                    help="export the session to DIR (default auto-named)")

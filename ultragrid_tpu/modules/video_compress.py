@@ -218,7 +218,25 @@ class CompressDriver:
             frame.compress_start = time.monotonic()
             with self._lock:
                 impl = self._impl
-            out = impl.compress(frame)
+            if len(frame.tiles) > 1:
+                # per-tile fan-out (ref: sync tile API fanned out via
+                # task_run_async, src/video_compress.cpp:79-120)
+                outs = []
+                for t in frame.tiles:
+                    sub = VideoFrame(frame.desc.with_(tile_count=1), [t])
+                    sub.timestamp = frame.timestamp
+                    res = impl.compress(sub)
+                    if res is None:
+                        outs = None
+                        break
+                    outs.append(res)
+                if outs is None:
+                    continue
+                out = VideoFrame(outs[0].desc.with_(tile_count=len(outs)),
+                                 [o.data for o in outs])
+                out.timestamp = frame.timestamp
+            else:
+                out = impl.compress(frame)
             if out is not None:
                 out.compress_start = frame.compress_start
                 out.compress_end = time.monotonic()

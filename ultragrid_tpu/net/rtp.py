@@ -51,6 +51,7 @@ class RtpSession:
         recv_buf: int = 4 * 1024 * 1024,
         send_buf: int = 4 * 1024 * 1024,
         mtu: int = 1500,
+        rtcp: bool = False,
     ):
         self.addr = addr
         self.rx_port = rx_port
@@ -76,6 +77,16 @@ class RtpSession:
         self.bytes_received = 0
         self.packets_received = 0
         self._closed = False
+        self.rtcp = None
+        if rtcp:
+            from ultragrid_tpu.net.rtcp import RtcpSession
+
+            self.rtcp = RtcpSession(
+                self.ssrc,
+                addr=addr,
+                rx_port=rx_port + 1 if rx_port else 0,
+                tx_port=tx_port + 1 if addr else 0,
+            )
 
     def has_receiver(self) -> bool:
         return self._dest is not None
@@ -114,6 +125,8 @@ class RtpSession:
         pkt = hdr + payload_hdr + bytes(data)
         self.bytes_sent += len(pkt)
         self.packets_sent += 1
+        if self.rtcp is not None:
+            self.rtcp.on_rtp_sent(len(pkt), ts)
         if async_send:
             self._send_queue.put(pkt)
         else:
@@ -149,6 +162,8 @@ class RtpSession:
             payload_start += 4 + xlen * 4
         self.bytes_received += len(data)
         self.packets_received += 1
+        if self.rtcp is not None:
+            self.rtcp.on_rtp_received(ssrc, seq, ts, time.monotonic())
         return RtpPacket(
             pt=b1 & 0x7F,
             seq=seq,
@@ -163,6 +178,8 @@ class RtpSession:
         if self._closed:
             return
         self._closed = True
+        if self.rtcp is not None:
+            self.rtcp.close()
         self._send_queue.put(None)
         self._send_thread.join(timeout=2)
         self.sock.close()

@@ -108,19 +108,32 @@ class Tx:
     def send_video(self, session: RtpSession, frame: VideoFrame) -> int:
         """FEC-encode (optionally) + packetize + send one frame.
 
-        Returns number of packets sent (ref: tx_send, transmit.c:440-478 +
-        fec encode in rxtx/ultragrid_rtp.c:207-255).
+        Multi-tile frames send each tile as its own RTP substream with the
+        same timestamp; only the very last packet carries the M bit
+        (ref: tx_send, transmit.c:440-478).
         """
         ts = get_local_mediatime() if frame.timestamp < 0 else int(frame.timestamp * 90000) & 0xFFFFFFFF
+        sent = 0
+        ntiles = len(frame.tiles)
+        for ti in range(ntiles):
+            sent += self._send_tile(
+                session, frame, ts, substream=ti, send_m=(ti == ntiles - 1)
+            )
+        self.buffer = (self.buffer + 1) & 0x3FFFFF
+        return sent
+
+    def _send_tile(self, session: RtpSession, frame: VideoFrame, ts: int,
+                   substream: int, send_m: bool) -> int:
+        """ref: tx_send_base, transmit.c:698-827."""
         desc = frame.desc
-        data = np.asarray(frame.data, dtype=np.uint8).reshape(-1)
+        data = np.asarray(frame.tiles[substream], dtype=np.uint8).reshape(-1)
 
         fec = self._get_fec(data.size)
         fec_desc = None
         if fec is not None:
             # the reference prepends the video payload header to the protected
             # payload (encode_hdr_frame, ldgm.cpp:455-460)
-            video_hdr = rt.pack_video_header(desc, self.buffer, 0, data.size)
+            video_hdr = rt.pack_video_header(desc, self.buffer, 0, data.size, substream)
             if hasattr(fec, "encode"):
                 if fec.__class__.__name__ == "RsSession":
                     buf, fec_desc = fec.encode(data, hdr=video_hdr)
@@ -156,14 +169,15 @@ class Tx:
                     hdr = rt.pack_fec_header(
                         self.buffer, pos, data.size,
                         fec_desc.k, fec_desc.m, fec_desc.c, fec_desc.seed,
+                        substream,
                     )
                 else:
-                    hdr = rt.pack_video_header(desc, self.buffer, pos, data.size)
+                    hdr = rt.pack_video_header(desc, self.buffer, pos, data.size, substream)
                 payload = data[pos : pos + size].tobytes()
                 if enc:
                     payload = self.encryption.encrypt(payload, hdr)
                     hdr = hdr + self.encryption.crypto_header()
-                session.send_data_hdr(ts, pt, last, hdr, payload)
+                session.send_data_hdr(ts, pt, last and send_m, hdr, payload)
                 pos += size
                 sent += 1
                 if packet_rate > 0 and not last:
@@ -171,7 +185,6 @@ class Tx:
                     sleep = deadline - time.monotonic()
                     if sleep > 0:
                         time.sleep(sleep)
-        self.buffer = (self.buffer + 1) & 0x3FFFFF
         return sent
 
     def send_audio(self, session: RtpSession, frame, codec_name: str = "PCM") -> int:

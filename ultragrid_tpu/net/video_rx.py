@@ -87,10 +87,13 @@ class VideoRxState:
         return None
 
     def _decode_plain(self, node: PbufNode) -> Optional[VideoFrame]:
-        desc = None
-        frame_len = 0
-        buf = None
+        # per-substream reassembly (multi-tile frames arrive as several
+        # substreams with the same RTP TS; ref: tile_idx in the payload
+        # header word 0, transmit.c:490)
+        bufs: Dict[int, np.ndarray] = {}
+        descs: Dict[int, VideoDesc] = {}
         received = 0
+        total = 0
         for pkt in node.packets:
             if len(pkt.payload) < rt.VIDEO_PAYLOAD_HDR_LEN:
                 continue
@@ -98,19 +101,32 @@ class VideoRxState:
                 pkt.payload
             )
             data = pkt.payload[rt.VIDEO_PAYLOAD_HDR_LEN :]
-            if buf is None:
-                buf = np.zeros(frame_len, dtype=np.uint8)
+            if substream not in bufs:
+                bufs[substream] = np.zeros(frame_len, dtype=np.uint8)
+                descs[substream] = desc
+                total += frame_len
             end = min(offset + len(data), frame_len)
-            buf[offset:end] = np.frombuffer(data[: end - offset], np.uint8)
+            bufs[substream][offset:end] = np.frombuffer(data[: end - offset], np.uint8)
             received += end - offset
-        if buf is None or desc is None:
+        if not bufs:
             return None
-        if received < frame_len:
+        if received < total:
             self.frames_missing_data += 1
             # the reference zero-fills and passes incomplete frames on
             # (video_decoders.cpp:1828-1843); we do the same
         self.frames_ok += 1
-        return self._wrap(buf, desc)
+        if len(bufs) == 1:
+            (buf,) = bufs.values()
+            (desc,) = descs.values()
+            return self._wrap(buf, desc)
+        # multi-tile: wrap each substream as a tile
+        desc0 = descs[min(descs)]
+        frame = self._wrap(bufs[min(bufs)], desc0)
+        tiles = []
+        for idx in sorted(bufs):
+            tiles.append(self._wrap(bufs[idx], descs[idx]).data)
+        out = VideoFrame(desc0.with_(tile_count=len(tiles)), tiles)
+        return out
 
     def _decode_fec(self, node: PbufNode, kind: str) -> Optional[VideoFrame]:
         frame_len = 0

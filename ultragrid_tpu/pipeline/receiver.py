@@ -34,7 +34,11 @@ class VideoReceiver:
         postprocess: str = "",
         audio_playback: Optional[str] = None,
         encryption: Optional[str] = None,
+        mode: str = "normal",
     ):
+        from ultragrid_tpu.utils.tiling import VideoMode
+
+        self.mode = VideoMode.from_str(mode)
         from ultragrid_tpu.modules.filters import FilterChain
 
         self.postprocess_chain = FilterChain(postprocess)
@@ -70,6 +74,14 @@ class VideoReceiver:
         frame = self.rx_state.decode_frame(node)
         if frame is None:
             return False
+        if frame.desc.tile_count > 1:
+            from ultragrid_tpu.utils.tiling import vf_merge_tiles
+
+            if self.mode.x * self.mode.y == frame.desc.tile_count:
+                frame = vf_merge_tiles(frame, self.mode.x, self.mode.y)
+            else:
+                # mode unknown: merge as a horizontal strip
+                frame = vf_merge_tiles(frame, frame.desc.tile_count, 1)
         # decompress if the codec is opaque (JPEG/DXT...)
         if is_codec_opaque(frame.desc.color_spec):
             if self._decompress is None or frame.desc.color_spec != getattr(self, "_comp_codec", None):
@@ -160,6 +172,7 @@ def run_receiver(args) -> int:
         postprocess=getattr(args, "postprocess", ""),
         audio_playback=getattr(args, "audio_playback", None),
         encryption=getattr(args, "encryption", None),
+        mode=getattr(args, "mode", "normal"),
     )
     n = receiver.run()
     log.notice(f"displayed {n} frames")

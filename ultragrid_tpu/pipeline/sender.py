@@ -36,7 +36,11 @@ class VideoSender:
         audio_codec: str = "PCM",
         encryption: Optional[str] = None,
         record: Optional[str] = None,
+        mode: str = "normal",
     ):
+        from ultragrid_tpu.utils.tiling import VideoMode
+
+        self.mode = VideoMode.from_str(mode)
         self.exporter = None
         if record is not None:
             from ultragrid_tpu.utils.export import Exporter
@@ -81,6 +85,10 @@ class VideoSender:
                     frame = self.capture_chain.apply(frame)
                 if frame is None:
                     continue
+                if self.mode.x * self.mode.y > 1:
+                    from ultragrid_tpu.utils.tiling import vf_split
+
+                    frame = vf_split(frame, self.mode.x, self.mode.y)
                 count += 1
                 self.compress.enqueue(frame)
         finally:
@@ -136,6 +144,7 @@ def run_sender(args) -> int:
         audio_codec=getattr(args, "audio_codec", "PCM"),
         encryption=getattr(args, "encryption", None),
         record=getattr(args, "record", None),
+        mode=getattr(args, "mode", "normal"),
     )
     n = sender.run()
     log.notice(f"sent {n} frames")
