@@ -166,3 +166,45 @@ def test_hd_rum_reflector():
     rum.stop()
     for s in (rx1, rx2, tx):
         s.close()
+
+
+def test_keyboard_control_keys():
+    from ultragrid_tpu.modules.messaging import Module, MsgUniversal, RESPONSE_OK, Response
+    from ultragrid_tpu.utils.keyboard import KeyboardControl
+
+    root = Module("root")
+    audio = Module("audio", root)
+    got = []
+    audio.msg_callback = lambda m: (got.append(m), Response(RESPONSE_OK))[1]
+    kc = KeyboardControl(root)
+    assert kc.handle_key("m") is True
+    assert isinstance(got[0], MsgUniversal) and got[0].text == "mute"
+    kc.handle_key("+")
+    assert got[1].text == "volume +"
+    assert kc.handle_key("q") is False
+    assert kc.should_exit.is_set()
+
+
+def test_keyboard_keymap_file(tmp_path):
+    from ultragrid_tpu.modules.messaging import Module, RESPONSE_OK, Response
+    from ultragrid_tpu.utils.keyboard import KeyboardControl
+
+    path = tmp_path / "ug-key-map.txt"
+    path.write_text("x:volume +\n# comment\n")
+    root = Module("root")
+    audio = Module("audio", root)
+    got = []
+    audio.msg_callback = lambda m: (got.append(m), Response(RESPONSE_OK))[1]
+    kc = KeyboardControl(root, keymap_path=str(path))
+    kc.handle_key("x")
+    assert got and got[0].text == "volume +"
+
+
+def test_capabilities_json():
+    from ultragrid_tpu.utils.capabilities import get_capabilities
+
+    caps = get_capabilities()
+    assert "testcard" in caps["video_capture"]
+    assert "jpeg" in caps["video_compress"]
+    assert "UYVY" in caps["codecs"]
+    assert any("UYVY->RGB" == c for c in caps["conversions"])

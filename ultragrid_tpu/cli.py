@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-p", "--postprocess", default="", help="display postprocess chain")
     p.add_argument("--frames", type=int, default=None, help="stop after N frames")
     p.add_argument("--list-modules", action="store_true")
+    p.add_argument("--capabilities", action="store_true",
+                   help="print machine-readable capabilities JSON (GUI contract)")
     p.add_argument("host", nargs="?", default=None, help="receiver address (sender mode)")
     return p
 
@@ -55,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     _log.set_log_level(_log.LOG_LEVEL_INFO + args.verbose)
+
+    if args.capabilities:
+        from ultragrid_tpu.utils.capabilities import print_capabilities
+
+        print_capabilities()
+        return 0
 
     if args.list_modules:
         for cls in LibraryClass:

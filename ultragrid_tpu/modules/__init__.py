@@ -15,5 +15,7 @@ from ultragrid_tpu.modules.registry import (  # noqa: F401
 # REGISTER_MODULE, src/lib_common.h:124-143)
 import ultragrid_tpu.modules.video_capture  # noqa: E402,F401
 import ultragrid_tpu.modules.video_display  # noqa: E402,F401
+import ultragrid_tpu.modules.video_compress  # noqa: E402,F401
+import ultragrid_tpu.modules.video_decompress  # noqa: E402,F401
 import ultragrid_tpu.modules.filters  # noqa: E402,F401
 import ultragrid_tpu.utils.export  # noqa: E402,F401  (registers the 'import' capture device)

@@ -71,3 +71,17 @@ def jpeg_scan_decode_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
     ]
     return lib
+
+
+@lru_cache(maxsize=None)
+def ldgm_xor_lib() -> Optional[ctypes.CDLL]:
+    so = _build("ldgm_xor", ["ldgm_xor.c"])
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.ldgm_encode_xor.restype = None
+    lib.ldgm_encode_xor.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+    ]
+    return lib

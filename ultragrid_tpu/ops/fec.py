@@ -219,6 +219,13 @@ class LdgmSession:
         self.k, self.m, self.c, self.seed = k, m, c, seed
         self.matrix = build_ldgm_matrix(k, m, c, seed)
         self._mask = jnp.asarray(self.matrix.astype(np.float32))
+        # compact row-index form for the C XOR fast path (host encode)
+        row_len = int(self.matrix.sum(axis=1).max())
+        rows = np.full((m, row_len), -1, np.int32)
+        for i in range(m):
+            idx = np.nonzero(self.matrix[i])[0]
+            rows[i, : idx.size] = idx
+        self._rows = np.ascontiguousarray(rows)
 
     def encode_params(self, frame_size: int) -> Tuple[int, int]:
         """(packet/symbol size, total buffer size)."""
@@ -237,10 +244,28 @@ class LdgmSession:
         data = np.zeros(data_size, dtype=np.uint8)
         data[:4] = np.frombuffer(np.uint32(frame.size).tobytes(), np.uint8)
         data[4 : 4 + frame.size] = frame
-        symbols = jnp.asarray(data.reshape(self.k, ps))
-        parity = np.asarray(gf2_matmul(self._mask, symbols, True))
+        parity = self._encode_host(data, ps)
+        if parity is None:
+            symbols = jnp.asarray(data.reshape(self.k, ps))
+            parity = np.asarray(gf2_matmul(self._mask, symbols, True))
         buf = np.concatenate([data, parity.reshape(-1)])
         return buf, FecDesc("ldgm", self.k, self.m, self.c, self.seed, ps)
+
+    def _encode_host(self, data: np.ndarray, ps: int) -> Optional[np.ndarray]:
+        """C XOR fast path (the reference's SSE CPU path analogue)."""
+        from ultragrid_tpu.native import ldgm_xor_lib
+
+        lib = ldgm_xor_lib()
+        if lib is None:
+            return None
+        parity = np.empty((self.m, ps), np.uint8)
+        data = np.ascontiguousarray(data)
+        lib.ldgm_encode_xor(
+            data.ctypes.data, self.k, ps,
+            self._rows.ctypes.data, self.m, self._rows.shape[1],
+            parity.ctypes.data,
+        )
+        return parity
 
     def encode_device(self, data_symbols: jnp.ndarray) -> jnp.ndarray:
         """Device-side: [k, ps] uint8 (header+frame+pad) -> [m, ps] parity."""
