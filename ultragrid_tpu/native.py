@@ -85,3 +85,18 @@ def ldgm_xor_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
     ]
     return lib
+
+
+@lru_cache(maxsize=None)
+def udp_tx_lib() -> Optional[ctypes.CDLL]:
+    so = _build("udp_tx", ["udp_tx.c"])
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.udp_send_packets.restype = ctypes.c_int64
+    lib.udp_send_packets.argtypes = [
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_uint32,
+    ]
+    return lib

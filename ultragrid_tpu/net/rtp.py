@@ -132,6 +132,79 @@ class RtpSession:
         else:
             self.sock.sendto(pkt, self._dest)
 
+    def send_batch(self, ts: int, pt: int, payload_hdrs, payload: "bytes|object",
+                   offsets, sizes, m_last: bool, pace_ns: int = 0) -> int:
+        """Batch scatter-gather send through the C hot path
+        (native/udp_tx.c); falls back to per-packet sends.
+
+        payload_hdrs: [npkt, hdr_len] uint8 array (payload headers only);
+        offsets/sizes: per-packet slices of `payload` (a contiguous buffer).
+        """
+        import numpy as np
+
+        if self._dest is None:
+            return 0
+        npkt = len(sizes)
+        from ultragrid_tpu.native import udp_tx_lib
+
+        lib = udp_tx_lib()
+        hdr_len = payload_hdrs.shape[1] if npkt else 0
+        if lib is not None and npkt:
+            import socket as _socket
+            import struct as _struct
+
+            # prepend RTP headers (vectorized)
+            seqs = (self.seq + np.arange(npkt)) & 0xFFFF
+            self.seq = int((self.seq + npkt) & 0xFFFF)
+            rtp = np.zeros((npkt, 12), np.uint8)
+            rtp[:, 0] = RTP_VERSION << 6
+            rtp[:, 1] = pt & 0x7F
+            if m_last:
+                rtp[-1, 1] |= 0x80
+            rtp[:, 2] = (seqs >> 8) & 0xFF
+            rtp[:, 3] = seqs & 0xFF
+            rtp[:, 4:8] = np.frombuffer(_struct.pack("!I", ts & 0xFFFFFFFF), np.uint8)
+            rtp[:, 8:12] = np.frombuffer(_struct.pack("!I", self.ssrc), np.uint8)
+            headers = np.ascontiguousarray(
+                np.concatenate([rtp, payload_hdrs], axis=1)
+            )
+            payload_arr = np.ascontiguousarray(
+                np.frombuffer(payload, np.uint8)
+                if isinstance(payload, (bytes, bytearray, memoryview))
+                else payload
+            )
+            offs = np.ascontiguousarray(np.asarray(offsets, np.int64))
+            szs = np.ascontiguousarray(np.asarray(sizes, np.int32))
+            # resolve destination sockaddr
+            addr, port = self._dest
+            sa = _socket.inet_aton(_socket.gethostbyname(addr))
+            import ctypes as _ct
+
+            sockaddr = _struct.pack("!H", _socket.AF_INET)[::-1] + _struct.pack(
+                "!H", port
+            ) + sa + bytes(8)
+            n = lib.udp_send_packets(
+                self.sock.fileno(), headers.ctypes.data, headers.shape[1],
+                payload_arr.ctypes.data, offs.ctypes.data, szs.ctypes.data,
+                npkt, pace_ns, sockaddr, len(sockaddr),
+            )
+            if n >= 0:
+                self.packets_sent += int(n)
+                self.bytes_sent += int(headers.nbytes + szs.sum())
+                if self.rtcp is not None:
+                    self.rtcp.on_rtp_sent(int(headers.nbytes + szs.sum()), ts)
+                return int(n)
+        # fallback: per-packet python sends
+        sent = 0
+        for i in range(npkt):
+            self.send_data_hdr(
+                ts, pt, m_last and i == npkt - 1,
+                payload_hdrs[i].tobytes(),
+                payload[offsets[i] : offsets[i] + sizes[i]],
+            )
+            sent += 1
+        return sent
+
     def async_wait(self) -> None:
         """Wait for queued sends to drain (ref: rtp_async_wait)."""
         self._send_queue.join() if hasattr(self._send_queue, "join") else None

@@ -159,6 +159,32 @@ class Tx:
         npkt = len(sizes) * self.mult_count
         packet_rate = self._packet_rate(desc.fps, npkt, data.size)
 
+        if not enc:
+            # fast path: vectorized headers + C sendmmsg batch sender
+            # (native/udp_tx.c — the reference's native transmit loop role)
+            offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+            szs = np.asarray(sizes, np.int32)
+            if fec_desc is not None:
+                proto = rt.pack_fec_header(
+                    self.buffer, 0, data.size,
+                    fec_desc.k, fec_desc.m, fec_desc.c, fec_desc.seed, substream,
+                )
+            else:
+                proto = rt.pack_video_header(desc, self.buffer, 0, data.size, substream)
+            hdrs = np.tile(np.frombuffer(proto, np.uint8), (len(sizes), 1))
+            # word 1 (bytes 4..8) is the per-packet frame offset, big-endian
+            offs_be = offsets.astype(">u4").view(np.uint8).reshape(-1, 4)
+            hdrs[:, 4:8] = offs_be
+            total = 0
+            for m_iter in range(self.mult_count):
+                last_round = m_iter == self.mult_count - 1
+                total += session.send_batch(
+                    ts, pt, hdrs, data, offsets, szs,
+                    m_last=send_m and last_round,
+                    pace_ns=int(packet_rate * 1e9),
+                )
+            return total
+
         sent = 0
         deadline = time.monotonic()
         for m_iter in range(self.mult_count):

@@ -23,14 +23,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _force(r):
+    """Force completion: block_until_ready is unreliable on the axon tunnel,
+    so fetch one scalar of the final result."""
+    arr = r[0] if isinstance(r, (tuple, list)) else r
+    return float(jnp.ravel(arr)[0].astype(jnp.float32))
+
+
 def _time(f, n=20, warm=2):
     for _ in range(warm):
         r = f()
-    jax.block_until_ready(r)
+    _force(r)
     t0 = time.perf_counter()
     for _ in range(n):
         r = f()
-    jax.block_until_ready(r)
+    _force(r)
     return (time.perf_counter() - t0) / n
 
 
