@@ -100,3 +100,54 @@ def test_messaging_tree():
     assert r.ok and got[0].text == "quality 80"
     r = send_message(root, "video.nonexistent", MsgUniversal("x"))
     assert r.code == RESPONSE_NOT_FOUND
+
+
+def test_y4m_display_and_file_capture_roundtrip(tmp_path):
+    from ultragrid_tpu.pipeline.loop import run_local_pipeline
+    from ultragrid_tpu.modules.video_capture import initialize_video_capture
+
+    path = str(tmp_path / "out.y4m")
+    n = run_local_pipeline(
+        "testcard:s=192x128:f=1000:c=UYVY:still=1", f"y4m:{path}", frame_limit=3
+    )
+    assert n == 3
+    cap = initialize_video_capture(f"file:{path}")
+    assert cap.desc.color_spec == Codec.I420
+    assert (cap.desc.width, cap.desc.height) == (192, 128)
+    f, _ = cap.grab()
+    assert f is not None and np.asarray(f.data).size == 192 * 128 * 3 // 2
+    cap.done()
+
+
+def test_multiplier_display():
+    from ultragrid_tpu.modules.video_display import initialize_video_display
+    from ultragrid_tpu.types import VideoDesc
+
+    disp = initialize_video_display("multiplier:dummy#null")
+    assert len(disp.children) == 2
+    desc = VideoDesc(64, 48, Codec.UYVY, 30.0)
+    disp.reconfigure(desc)
+    frame = __import__("ultragrid_tpu.types", fromlist=["VideoFrame"]).VideoFrame.alloc(desc)
+    disp.put_frame(frame)
+    assert disp.children[0].frames_shown == 1
+
+
+def test_aggregate_and_switcher_capture():
+    from ultragrid_tpu.modules.video_capture import initialize_video_capture
+
+    agg = initialize_video_capture(
+        "aggregate:testcard:s=64x48:f=1000:c=UYVY#testcard:s=64x48:f=1000:c=UYVY"
+    )
+    frame, _ = agg.grab()
+    assert frame.desc.tile_count == 2 and len(frame.tiles) == 2
+    agg.done()
+
+    sw = initialize_video_capture(
+        "switcher:testcard:s=64x48:f=1000:c=UYVY#testcard:s=64x48:f=1000:c=RGB"
+    )
+    f, _ = sw.grab()
+    assert f.desc.color_spec == Codec.UYVY
+    assert sw.select(1)
+    f, _ = sw.grab()
+    assert f.desc.color_spec == Codec.RGB
+    sw.done()

@@ -17,5 +17,6 @@ import ultragrid_tpu.modules.video_capture  # noqa: E402,F401
 import ultragrid_tpu.modules.video_display  # noqa: E402,F401
 import ultragrid_tpu.modules.video_compress  # noqa: E402,F401
 import ultragrid_tpu.modules.video_decompress  # noqa: E402,F401
+import ultragrid_tpu.modules.file_io  # noqa: E402,F401
 import ultragrid_tpu.modules.filters  # noqa: E402,F401
 import ultragrid_tpu.utils.export  # noqa: E402,F401  (registers the 'import' capture device)
