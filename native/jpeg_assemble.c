@@ -143,3 +143,49 @@ int64_t jpeg_total_bits(const int32_t *bits, int64_t nblocks)
     for (int64_t b = 0; b < nblocks; b++) t += bits[b];
     return t;
 }
+
+/* Strided variant: slot word i of block b lives at slots[i*word_stride + b]
+ * (word-major [W][nb] layout, what the transposed TPU packer emits). */
+static inline void append_block_strided(writer_t *w, const uint32_t *slot_base,
+                                        int64_t word_stride, int remaining)
+{
+    int i = 0;
+    while (remaining >= 32) {
+        append_bits(w, slot_base[(int64_t)i * word_stride], 32);
+        i++;
+        remaining -= 32;
+    }
+    if (remaining > 0) {
+        append_bits(w, slot_base[(int64_t)i * word_stride], remaining);
+    }
+}
+
+int64_t jpeg_assemble_3c_strided(
+    const uint32_t *ys, const int32_t *yb, int64_t y_stride,
+    const uint32_t *us, const int32_t *ub, int64_t u_stride,
+    const uint32_t *vs, const int32_t *vb, int64_t v_stride,
+    int64_t nmcu, int32_t ky, int32_t wwords,
+    int64_t mcus_per_seg, uint8_t *out, int64_t out_cap)
+{
+    (void)wwords;
+    writer_t w = {0, 0, out, 0, out_cap};
+    int rst = 0;
+    for (int64_t m = 0; m < nmcu; m++) {
+        if (m > 0 && mcus_per_seg > 0 && m % mcus_per_seg == 0) {
+            align_segment(&w);
+            if (w.pos < w.cap) out[w.pos] = 0xFF;
+            w.pos++;
+            if (w.pos < w.cap) out[w.pos] = (uint8_t)(0xD0 + (rst & 7));
+            w.pos++;
+            rst++;
+        }
+        for (int32_t k = 0; k < ky; k++) {
+            int64_t b = m * ky + k;
+            append_block_strided(&w, ys + b, y_stride, yb[b]);
+        }
+        append_block_strided(&w, us + m, u_stride, ub[m]);
+        append_block_strided(&w, vs + m, v_stride, vb[m]);
+    }
+    align_segment(&w);
+    return w.pos;
+}

@@ -96,10 +96,13 @@ def test_jpeg_entropy_noise_coefficient_roundtrip():
 
     yp, up, vp = enc._planes_from_input(jnp.asarray(noise))
     yb = yp.reshape(enc.nmcuy, 8, enc.nmcux, 2, 8).transpose(0, 2, 3, 1, 4).reshape(enc.nmcu * 2, 64)
+    # same fused DCT+zigzag+quant matrix the encoder uses (identical rounding)
     qy = jnp.asarray(enc.qtab_luma[ZIGZAG]).astype(jnp.float32)
     m = jnp.asarray(dct_matrix_64())
-    zzi = jnp.asarray(ZIGZAG)
-    exp_y = np.asarray(_dct_quant_zigzag(yb, qy, m, zzi))
+    my = m[jnp.asarray(ZIGZAG), :] / qy[:, None]
+    exp_y = np.asarray(
+        jnp.round(jnp.dot(my, yb.T, preferred_element_type=jnp.float32)).astype(jnp.int32)
+    ).T
     got_y = coeffs[0]
     mismatches = int((got_y != exp_y).sum())
     assert mismatches <= max(2, got_y.size // 10000), mismatches

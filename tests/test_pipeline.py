@@ -151,3 +151,20 @@ def test_aggregate_and_switcher_capture():
     f, _ = sw.grab()
     assert f.desc.color_spec == Codec.RGB
     sw.done()
+
+
+def test_conference_display_grid():
+    from ultragrid_tpu.modules.video_display import initialize_video_display
+    from ultragrid_tpu.types import VideoDesc, VideoFrame
+    from ultragrid_tpu.utils.pattern import generate_pattern
+
+    disp = initialize_video_display("conference:192x128")
+    desc = VideoDesc(96, 64, Codec.UYVY, 30.0)
+    for ssrc in (111, 222):
+        data = generate_pattern(96, 64, Codec.UYVY, "bars")
+        f = VideoFrame(desc, [data])
+        f.callbacks["ssrc"] = ssrc
+        disp.put_frame(f)
+    assert len(disp.participants) == 2
+    comp = np.asarray(disp.composite)
+    assert comp.shape == (128, 384)

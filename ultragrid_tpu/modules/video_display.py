@@ -139,3 +139,55 @@ def initialize_video_display(spec: str) -> VideoDisplay:
     if cls is None:
         raise ValueError(f"unknown display {name!r}")
     return cls(cfg)
+
+
+class ConferenceDisplay(VideoDisplay):
+    """Mix multiple senders into a tiled grid (ref: src/video_display/
+    conference.cpp).  Config: ``conference:WxH[:cols]``; each participant
+    (keyed by SSRC from frame.callbacks) is nearest-scaled into a grid cell
+    and the composite goes to a child dummy/file display... here the
+    composite frame is exposed via .composite and the usual stats path.
+    """
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        parts = [p for p in cfg.split(":") if p]
+        size = parts[0] if parts else "1920x1080"
+        w, _, h = size.partition("x")
+        self.out_w, self.out_h = int(w), int(h)
+        self.cols = int(parts[1]) if len(parts) > 1 else 0
+        self.participants: dict = {}
+        self.composite = None
+
+    def get_property_codecs(self) -> List[Codec]:
+        return [Codec.UYVY]
+
+    def put_frame(self, frame, blocking: bool = True) -> None:
+        if frame is None:
+            return
+        super().put_frame(frame, blocking)
+        import math
+
+        import jax.numpy as jnp
+
+        from ultragrid_tpu.ops.postprocess import scale_nearest
+
+        ssrc = frame.callbacks.get("ssrc", 0)
+        self.participants[ssrc] = frame
+        n = len(self.participants)
+        cols = self.cols or max(1, math.ceil(math.sqrt(n)))
+        rows = math.ceil(n / cols)
+        cw = self.out_w // cols // 2 * 2
+        ch = self.out_h // rows // 2 * 2
+        # UYVY black background (u=128 y=16 v=128 y=16 byte pattern)
+        bg = np.tile(np.array([128, 16, 128, 16], np.uint8), self.out_w // 2)
+        comp = jnp.tile(jnp.asarray(bg)[None, :], (self.out_h, 1))
+        for i, (ss, f) in enumerate(sorted(self.participants.items())):
+            cell = scale_nearest(f.data, f.desc.width, Codec.UYVY, cw, ch)
+            y0 = (i // cols) * ch
+            x0 = (i % cols) * cw * 2
+            comp = comp.at[y0 : y0 + ch, x0 : x0 + cw * 2].set(cell)
+        self.composite = comp
+
+
+register_module("conference", LibraryClass.VIDEO_DISPLAY, ConferenceDisplay)

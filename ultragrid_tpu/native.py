@@ -55,6 +55,14 @@ def jpeg_assemble_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.jpeg_assemble_3c_strided.restype = ctypes.c_int64
+    lib.jpeg_assemble_3c_strided.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+    ]
     return lib
 
 

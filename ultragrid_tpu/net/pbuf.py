@@ -34,20 +34,24 @@ class PbufNode:
 
 
 class PlayoutBuffer:
+    """Per-participant frame buffers keyed by (SSRC, RTP TS)
+    (ref: per-SSRC pbufs walked by the receiver, ultragrid_rtp.c:483)."""
+
     def __init__(self, playout_delay: float = DEFAULT_PLAYOUT_DELAY):
         self.playout_delay = playout_delay
-        self.frames: Dict[int, PbufNode] = {}  # keyed by RTP TS
-        self.order: List[int] = []
+        self.frames: Dict[tuple, PbufNode] = {}  # keyed by (ssrc, ts)
+        self.order: List[tuple] = []
         self.stats_received = 0
 
     def insert(self, pkt: RtpPacket) -> None:
         """ref: pbuf_insert, pbuf.c:438."""
         self.stats_received += 1
-        node = self.frames.get(pkt.ts)
+        key = (pkt.ssrc, pkt.ts)
+        node = self.frames.get(key)
         if node is None:
             node = PbufNode(pkt.ts, pkt.arrival, self.playout_delay)
-            self.frames[pkt.ts] = node
-            self.order.append(pkt.ts)
+            self.frames[key] = node
+            self.order.append(key)
         node.packets.append(pkt)
         if pkt.m:
             node.mbit_seen = True

@@ -80,11 +80,15 @@ class VideoRxState:
         if pt is None:
             return None
         if pt in (rt.PT_VIDEO, rt.PT_JPEG):
-            return self._decode_plain(node)
-        if pt in (rt.PT_VIDEO_LDGM, rt.PT_VIDEO_RS):
-            return self._decode_fec(node, "ldgm" if pt == rt.PT_VIDEO_LDGM else "rs")
-        log.warning(f"unsupported payload type {pt}")
-        return None
+            frame = self._decode_plain(node)
+        elif pt in (rt.PT_VIDEO_LDGM, rt.PT_VIDEO_RS):
+            frame = self._decode_fec(node, "ldgm" if pt == rt.PT_VIDEO_LDGM else "rs")
+        else:
+            log.warning(f"unsupported payload type {pt}")
+            return None
+        if frame is not None:
+            frame.callbacks["ssrc"] = node.packets[0].ssrc
+        return frame
 
     def _decode_plain(self, node: PbufNode) -> Optional[VideoFrame]:
         # per-substream reassembly (multi-tile frames arrive as several
