@@ -27,11 +27,17 @@ class AudioRxState:
         channels: Dict[int, np.ndarray] = {}
         desc = None
         codec_name = "PCM"
+        is_rs = False
+        fec_params = 0
         for pkt in node.packets:
-            if pkt.pt != rt.PT_AUDIO or len(pkt.payload) < rt.AUDIO_PAYLOAD_HDR_LEN:
+            if pkt.pt not in (rt.PT_AUDIO, rt.PT_AUDIO_RS) or len(pkt.payload) < rt.AUDIO_PAYLOAD_HDR_LEN:
                 continue
             ch, buf_idx, offset, data_len, bps, rate, tag = rt.parse_audio_header(pkt.payload)
-            codec_name = TAG_TO_CODEC.get(tag, "PCM")
+            if pkt.pt == rt.PT_AUDIO_RS:
+                is_rs = True
+                fec_params = tag
+            else:
+                codec_name = TAG_TO_CODEC.get(tag, "PCM")
             data = pkt.payload[rt.AUDIO_PAYLOAD_HDR_LEN :]
             if ch not in channels:
                 channels[ch] = np.zeros(data_len, np.uint8)
@@ -40,6 +46,28 @@ class AudioRxState:
             desc = AudioDesc(bps=bps, sample_rate=rate, ch_count=len(channels), codec=codec_name)
         if desc is None:
             return None
+        if is_rs:
+            # recover each channel: [4B tag][channel data] protected by RS
+            # (fec params from the tag word: k<<19|m<<6, audio_decoders.cpp:264)
+            import struct as _struct
+
+            from ultragrid_tpu.ops.fec import RsSession
+
+            k = fec_params >> 19
+            m = (fec_params >> 6) & 0x1FFF
+            rs = RsSession(k, k + m)
+            recovered: Dict[int, np.ndarray] = {}
+            for ch, buf in channels.items():
+                ss = buf.size // (k + m)
+                symbols = buf[: (k + m) * ss].reshape(k + m, ss)
+                payload = rs.decode(symbols, np.ones(k + m, bool))
+                if payload is None or payload.size < 4:
+                    return None
+                (tag,) = _struct.unpack("<I", payload[:4].tobytes())
+                codec_name = TAG_TO_CODEC.get(tag, "PCM")
+                recovered[ch] = payload[4:]
+            channels = recovered
+            desc = desc.with_(codec=codec_name)
         desc = desc.with_(ch_count=max(channels) + 1)
         chans = [channels.get(c, np.zeros(0, np.uint8)) for c in range(desc.ch_count)]
         frame = AudioFrame(desc, chans)

@@ -213,32 +213,56 @@ class Tx:
                         time.sleep(sleep)
         return sent
 
-    def send_audio(self, session: RtpSession, frame, codec_name: str = "PCM") -> int:
+    def send_audio(self, session: RtpSession, frame, codec_name: str = "PCM",
+                   fec_spec: str = "none") -> int:
         """Per-channel audio packetization (ref: audio_tx_send_chan,
         transmit.c:829+): each channel's data split into MTU chunks with the
-        5-word audio payload header; M bit on each channel's last packet."""
+        5-word audio payload header; M bit on the frame's last packet.
+
+        With ``fec_spec="rs:k:n"`` each channel is Reed-Solomon protected
+        (PT_AUDIO_RS; fec params ride in the header's codec-tag word, the tag
+        itself travels inside the protected payload — ref: audio_fec_decode,
+        audio_decoders.cpp:260-271)."""
+        import struct as _struct
+
         from ultragrid_tpu.audio.types import AUDIO_TAGS
         from ultragrid_tpu.net.rtp import get_local_mediatime
 
         ts = get_local_mediatime()
         tag = AUDIO_TAGS.get(codec_name, 0x0001)
+        pt = rt.PT_AUDIO
+        rs = None
+        if fec_spec.startswith("rs"):
+            from ultragrid_tpu.ops.fec import fec_from_spec
+
+            if self._fec is None or self.fec_spec != fec_spec:
+                self._fec = fec_from_spec(fec_spec)
+                self.fec_spec = fec_spec
+            rs = self._fec
+            pt = rt.PT_AUDIO_RS
         netto = self.mtu - (IPV4_HDR_LEN + UDP_HDR_LEN + rt.RTP_HDR_LEN + rt.AUDIO_PAYLOAD_HDR_LEN)
         sent = 0
         nch = len(frame.channels)
         for ch, data in enumerate(frame.channels):
             data = np.asarray(data, np.uint8)
+            if rs is not None:
+                buf, fdesc = rs.encode(data, hdr=_struct.pack("<I", tag))
+                data = buf
+                tag_word = (fdesc.k << 19) | (fdesc.m << 6)
+            else:
+                tag_word = tag
             pos = 0
             n = data.size
             while pos < n or (n == 0 and pos == 0):
                 chunk = data[pos : pos + netto]
                 hdr = rt.pack_audio_header(
                     ch, self.buffer, pos, n,
-                    frame.desc.bps, frame.desc.sample_rate, tag,
+                    frame.desc.bps, frame.desc.sample_rate, tag_word,
                 )
                 # M only on the whole frame's (= last channel's) final packet,
                 # else the playout buffer decodes before all channels arrive
                 last = ch == nch - 1 and pos + chunk.size >= n
-                session.send_data_hdr(ts, rt.PT_AUDIO, last, hdr, chunk.tobytes())
+                session.send_data_hdr(ts, pt, last, hdr, chunk.tobytes())
                 pos += max(chunk.size, 1)
                 sent += 1
         self.buffer = (self.buffer + 1) & 0x3FFFFF

@@ -160,7 +160,8 @@ def dct_matrix_64() -> np.ndarray:
 # Encoder
 # ---------------------------------------------------------------------------
 
-_SLOTS = 65  # 1 DC + 63 AC + 1 EOB per block
+_SLOTS = 64  # 1 DC + 63 AC slots; EOB rides in slot 63 (which is otherwise
+# unused exactly when an EOB is needed) so the lane dimension is a clean 64
 BYTES_PER_BLOCK_CAP = 256  # output budget per 8x8 block (worst realistic case)
 
 
@@ -269,16 +270,21 @@ def _encode_component_symbols(q, dc_codes, dc_lens, ac_tabs, eob_code, eob_len, 
     ac_lo = jnp.where(nz, l3, 0)
     ac_ln = jnp.where(nz, n3, 0)
 
-    # EOB when the last AC (position 63) region is zero-trailing
+    # EOB when the last AC (position 63) region is zero-trailing; slot 63 is
+    # len-0 exactly in that case, so the EOB rides there and the slot count
+    # stays a lane-friendly 64
     last_nz = jnp.max(nz_pos, axis=1)
     need_eob = last_nz < 63
-    eob_hi = jnp.zeros((nb,), jnp.uint32)
-    eob_lo = jnp.where(need_eob, jnp.broadcast_to(eob_code, (nb,)), 0)
-    eob_ln = jnp.where(need_eob, jnp.broadcast_to(eob_len, (nb,)), 0)
+    ac_lo = ac_lo.at[:, -1].set(
+        jnp.where(need_eob, jnp.broadcast_to(eob_code, (nb,)), ac_lo[:, -1])
+    )
+    ac_ln = ac_ln.at[:, -1].set(
+        jnp.where(need_eob, jnp.broadcast_to(eob_len, (nb,)), ac_ln[:, -1])
+    )
 
-    hi_all = jnp.concatenate([dc_hi[:, None], ac_hi, eob_hi[:, None]], axis=1)
-    lo_all = jnp.concatenate([dc_lo[:, None], ac_lo, eob_lo[:, None]], axis=1)
-    ln_all = jnp.concatenate([dc_ln[:, None], ac_ln, eob_ln[:, None]], axis=1)
+    hi_all = jnp.concatenate([dc_hi[:, None], ac_hi], axis=1)
+    lo_all = jnp.concatenate([dc_lo[:, None], ac_lo], axis=1)
+    ln_all = jnp.concatenate([dc_ln[:, None], ac_ln], axis=1)
     return hi_all, lo_all, ln_all
 
 
