@@ -189,8 +189,8 @@ class RtcpSession:
     # -- loop -------------------------------------------------------------
 
     def _loop(self) -> None:
-        self.sock.settimeout(0.25)
-        next_report = time.monotonic() + self.interval
+        self.sock.settimeout(0.1)
+        last_report = time.monotonic()
         while not self._stop.is_set():
             try:
                 data, src = self.sock.recvfrom(4096)
@@ -199,13 +199,14 @@ class RtcpSession:
                 pass
             except OSError:
                 return
-            if time.monotonic() >= next_report:
+            # interval is re-read each pass so runtime changes take effect
+            if time.monotonic() - last_report >= self.interval:
                 if self._dest is not None:
                     try:
                         self.sock.sendto(self._build_compound(), self._dest)
                     except OSError:
                         pass
-                next_report = time.monotonic() + self.interval
+                last_report = time.monotonic()
     def close(self) -> None:
         if self._dest is not None:
             # BYE
