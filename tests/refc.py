@@ -162,3 +162,22 @@ def to_planar(name: str, src: np.ndarray, width: int, height: int, out_sizes, ou
             d.out_linesize[i] = 0
     fn(d)
     return outs
+
+
+def deinterlace_ex(codec: int, src: np.ndarray, width: int) -> np.ndarray:
+    """Run the reference vc_deinterlace_ex (video_codec.c) on [H, linesize]."""
+    lib = _lib()
+    lib.vc_deinterlace_ex.restype = ctypes.c_bool
+    h, ls = src.shape
+    src = np.ascontiguousarray(src)
+    dst = np.zeros_like(src)
+    ok = lib.vc_deinterlace_ex(
+        int(codec),
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.c_size_t(ls),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.c_size_t(ls),
+        ctypes.c_size_t(h),
+    )
+    assert ok
+    return dst

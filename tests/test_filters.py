@@ -128,3 +128,25 @@ def test_pipeline_with_filters():
         postprocess="scale:96x64",
     )
     assert n == 4
+
+
+@pytest.mark.skipif(
+    not __import__("tests.refc", fromlist=["available"]).available(),
+    reason="reference tree not present",
+)
+@pytest.mark.parametrize("codec", [Codec.UYVY, Codec.RGB, Codec.v210, Codec.Y216])
+def test_deinterlace_blend_parity_with_reference(codec):
+    """Byte-exact vs vc_deinterlace_ex for 8-bit, 16-bit and v210 paths."""
+    from ultragrid_tpu.types import vc_get_linesize
+
+    from . import refc
+
+    rng = np.random.default_rng(int(codec))
+    w = 96
+    ls = vc_get_linesize(w, codec)
+    src = rng.integers(0, 256, (16, ls), dtype=np.int32).astype(np.uint8)
+    expected = refc.deinterlace_ex(int(codec), src, w)
+    got = np.asarray(pp.deinterlace_blend(src, codec))
+    # the reference writes lines 0..n-2 (last line left as-is in dst: zero);
+    # we keep the last line — compare the written region
+    np.testing.assert_array_equal(got[:-1], expected[:-1], err_msg=codec.name)

@@ -55,11 +55,12 @@ def _avg_lines(a: jnp.ndarray, b: jnp.ndarray, codec: Codec) -> jnp.ndarray:
         from ultragrid_tpu.ops._kutils import u32_to_bytes, words_u32
 
         wa, wb = words_u32(a), words_u32(b)
-        out = jnp.zeros_like(wa)
-        for sh in (0, 10, 20):
-            fa = (wa >> sh) & 0x3FF
-            fb = (wb >> sh) & 0x3FF
-            out = out | (((fa + fb + 1) >> 1) << sh)
+        # exact replica of the reference (video_codec.c v210 branch): the top
+        # field is averaged UNMASKED, so padding bits fold into bits 30-31
+        f0 = ((((wa & 0x3FF) + (wb & 0x3FF) + 1) >> 1)) & 0xFFFFFFFF
+        f1 = ((((wa >> 10) & 0x3FF) + ((wb >> 10) & 0x3FF) + 1) >> 1) << 10
+        f2 = (((wa >> 20) + (wb >> 20) + 1) >> 1) << 20
+        out = (f2 | f1 | f0).astype(jnp.uint32)
         return u32_to_bytes(out)
     if bpc > 8:
         a16 = a.astype(jnp.int32).reshape(a.shape[0], -1, 2)
