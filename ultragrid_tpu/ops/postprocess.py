@@ -57,7 +57,7 @@ def _avg_lines(a: jnp.ndarray, b: jnp.ndarray, codec: Codec) -> jnp.ndarray:
         wa, wb = words_u32(a), words_u32(b)
         # exact replica of the reference (video_codec.c v210 branch): the top
         # field is averaged UNMASKED, so padding bits fold into bits 30-31
-        f0 = ((((wa & 0x3FF) + (wb & 0x3FF) + 1) >> 1)) & 0xFFFFFFFF
+        f0 = ((wa & 0x3FF) + (wb & 0x3FF) + 1) >> 1
         f1 = ((((wa >> 10) & 0x3FF) + ((wb >> 10) & 0x3FF) + 1) >> 1) << 10
         f2 = (((wa >> 20) + (wb >> 20) + 1) >> 1) << 20
         out = (f2 | f1 | f0).astype(jnp.uint32)
