@@ -192,7 +192,7 @@ def _packed_lookup(tabs, sym):
     ln = ((lens_nib[sym >> 3] >> ((sym & 7).astype(jnp.uint32) * 4)) & 0xF) + 1
     lo = (code_lo[sym >> 2] >> ((sym & 3).astype(jnp.uint32) * 8)) & 0xFF
     hi = (code_hi[sym >> 2] >> ((sym & 3).astype(jnp.uint32) * 8)) & 0xFF
-    return ((hi << 8) | lo), ln.astype(jnp.int32)
+    return ((hi << 8) | lo), ln.astype(jnp.int16)
 
 
 def _cummax_minor(a):
@@ -208,9 +208,10 @@ def _cummax_minor(a):
 
 
 def _size_of(v):
-    """Bit category of an int32 value: 32 - clz(|v|)."""
+    """Bit category of an int32 value: 32 - clz(|v|), as int16 (lengths and
+    categories are tiny; int16 halves intermediate HBM traffic)."""
     a = jnp.abs(v)
-    return jnp.where(a == 0, 0, 32 - jax.lax.clz(a))
+    return jnp.where(a == 0, 0, 32 - jax.lax.clz(a)).astype(jnp.int16)
 
 
 def _append_code(hi, lo, ln, code, clen):
@@ -223,7 +224,7 @@ def _append_code(hi, lo, ln, code, clen):
         (hi << clen_u) | jnp.where(clen_u == 0, 0, lo >> (32 - clen_u)),
     )
     new_lo = jnp.where(clen_u == 0, lo, (lo << clen_u) | code)
-    return new_hi, new_lo, ln + clen
+    return new_hi, new_lo, (ln + clen).astype(jnp.int16)
 
 
 def _encode_component_symbols(q, dc_codes, dc_lens, ac_tabs, eob_code, eob_len, zrl_code, zrl_len, seg_start):
@@ -243,27 +244,27 @@ def _encode_component_symbols(q, dc_codes, dc_lens, ac_tabs, eob_code, eob_len, 
     )
     hi0 = jnp.zeros((nb,), jnp.uint32)
     lo0 = jnp.zeros((nb,), jnp.uint32)
-    ln0 = jnp.zeros((nb,), jnp.int32)
-    h, l, n = _append_code(hi0, lo0, ln0, dc_codes[s_dc], dc_lens[s_dc])
+    ln0 = jnp.zeros((nb,), jnp.int16)
+    s_dc_i = s_dc.astype(jnp.int32)
+    h, l, n = _append_code(hi0, lo0, ln0, dc_codes[s_dc_i], dc_lens[s_dc_i])
     dc_hi, dc_lo, dc_ln = _append_code(h, l, n, amp_dc, s_dc)
 
     # AC: positions 1..63
     ac = q[:, 1:]
-    pos = jnp.arange(1, 64, dtype=jnp.int32)
+    pos = jnp.arange(1, 64, dtype=jnp.int16)
     nz = ac != 0
-    nz_pos = jnp.where(nz, pos[None, :], 0)
+    nz_pos = jnp.where(nz, pos[None, :], jnp.int16(0))
     # exclusive prefix-max of nonzero positions = index of previous nonzero
     prev_nz = _cummax_minor(nz_pos)
     prev_nz = jnp.roll(prev_nz, 1, axis=1).at[:, 0].set(0)
-    run = pos[None, :] - prev_nz - 1
+    run = (pos[None, :] - prev_nz - 1).astype(jnp.int16)
     k_zrl = run >> 4
     rr = run & 0xF
     s_ac = _size_of(ac)
-    sym = (rr << 4) | s_ac
     amp = jnp.where(ac > 0, ac, ac - 1).astype(jnp.uint32) & (
         (jnp.uint32(1) << s_ac.astype(jnp.uint32)) - 1
     )
-    ac_code, ac_len = _packed_lookup(ac_tabs, sym)
+    ac_code, ac_len = _packed_lookup(ac_tabs, (rr.astype(jnp.int32) << 4) | s_ac.astype(jnp.int32))
     hi = jnp.zeros_like(amp)
     lo = jnp.zeros_like(amp)
     ln = jnp.zeros_like(run)
@@ -309,12 +310,12 @@ def _pack_block_slots(hi, lo, ln, wwords: int):
     """
     nbt = hi.shape[0]
     # minor-axis cumsum as a lower-triangular matmul: one MXU pass instead of
-    # log2(65) strided shift passes over the whole array
+    # log2(64) strided shift passes over the whole array
     nslots = ln.shape[1]
     tri = jnp.asarray(np.tril(np.ones((nslots, nslots), np.float32)).T)
-    cum = jnp.dot(ln.astype(jnp.float32), tri, preferred_element_type=jnp.float32).astype(jnp.int32)
-    off = cum - ln  # exclusive
-    block_bits = cum[:, -1]
+    cum = jnp.dot(ln.astype(jnp.float32), tri, preferred_element_type=jnp.float32).astype(jnp.int16)
+    off = (cum - ln).astype(jnp.int16)  # exclusive
+    block_bits = cum[:, -1].astype(jnp.int32)
     overflow = jnp.max(block_bits) > wwords * 32
 
     iota = jnp.arange(wwords, dtype=jnp.int32)[None, :]
@@ -327,7 +328,7 @@ def _pack_block_slots(hi, lo, ln, wwords: int):
         s_hi, s_lo = hi[:, si], lo[:, si]
         s_ln, s_off = ln[:, si], off[:, si]
         t = (s_off & 31).astype(jnp.uint32)
-        w0 = s_off >> 5
+        w0 = (s_off >> 5).astype(jnp.int32)
         r = jnp.uint32(96) - s_ln.astype(jnp.uint32) - t
         a = (r >> 5).astype(jnp.int32)
         s = r & 31
@@ -398,11 +399,10 @@ def _encode_component_symbols_T(q, dc_codes, dc_lens, ac_tabs, eob_code, eob_len
     k_zrl = run >> 4
     rr = run & 0xF
     s_ac = _size_of(ac)
-    sym = (rr << 4) | s_ac
     amp = jnp.where(ac > 0, ac, ac - 1).astype(jnp.uint32) & (
         (jnp.uint32(1) << s_ac.astype(jnp.uint32)) - 1
     )
-    ac_code, ac_len = _packed_lookup(ac_tabs, sym)
+    ac_code, ac_len = _packed_lookup(ac_tabs, (rr.astype(jnp.int32) << 4) | s_ac.astype(jnp.int32))
     hi = jnp.zeros_like(amp)
     lo = jnp.zeros_like(amp)
     ln = jnp.zeros_like(run)
@@ -448,7 +448,7 @@ def _pack_block_slots_T(hi, lo, ln, wwords: int):
         s_hi, s_lo = hi[si], lo[si]
         s_ln, s_off = ln[si], off[si]
         t = (s_off & 31).astype(jnp.uint32)
-        w0 = s_off >> 5
+        w0 = (s_off >> 5).astype(jnp.int32)
         r = jnp.uint32(96) - s_ln.astype(jnp.uint32) - t
         a = (r >> 5).astype(jnp.int32)
         sft = r & 31
@@ -598,10 +598,10 @@ class JpegEncoder:
             acl_codes, acl_lens = self._ac_l
             acc_codes, acc_lens = self._ac_c
             # EOB/ZRL codes are compile-time constants
-            eob_l = (jnp.uint32(int(acl_codes[0])), jnp.int32(int(acl_lens[0])))
-            zrl_l = (jnp.uint32(int(acl_codes[0xF0])), jnp.int32(int(acl_lens[0xF0])))
-            eob_c = (jnp.uint32(int(acc_codes[0])), jnp.int32(int(acc_lens[0])))
-            zrl_c = (jnp.uint32(int(acc_codes[0xF0])), jnp.int32(int(acc_lens[0xF0])))
+            eob_l = (jnp.uint32(int(acl_codes[0])), jnp.int16(int(acl_lens[0])))
+            zrl_l = (jnp.uint32(int(acl_codes[0xF0])), jnp.int16(int(acl_lens[0xF0])))
+            eob_c = (jnp.uint32(int(acc_codes[0])), jnp.int16(int(acc_lens[0])))
+            zrl_c = (jnp.uint32(int(acc_codes[0xF0])), jnp.int16(int(acc_lens[0xF0])))
 
             yp, up, vp = self._planes_from_input(frame)
 

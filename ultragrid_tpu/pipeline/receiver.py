@@ -93,7 +93,15 @@ class VideoReceiver:
                 if self._decompress is None:
                     log.error(f"no decompressor for {frame.desc.color_spec.name}")
                     return False
-            frame = self._decompress.decompress(frame, self._decomp_out)
+            try:
+                frame = self._decompress.decompress(frame, self._decomp_out)
+            except Exception as exc:  # corrupt bitstream from an incomplete frame
+                # the reference drops frames whose decompression fails rather
+                # than tearing the session down (video_decoders.cpp decompress
+                # error path); incomplete frames are passed on zero-filled and
+                # may be undecodable
+                log.warning(f"decompress failed, dropping frame: {exc}")
+                return False
             if frame is None:
                 return False
         # pixel format conversion to display codec if needed
