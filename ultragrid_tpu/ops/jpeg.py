@@ -208,9 +208,11 @@ def _cummax_minor(a):
 
 
 def _size_of(v):
-    """Bit category of an int32 value: 32 - clz(|v|), as int16 (lengths and
-    categories are tiny; int16 halves intermediate HBM traffic)."""
-    a = jnp.abs(v)
+    """Bit category of an integer value: 32 - clz(|v|), as int16 (lengths and
+    categories are tiny; int16 halves intermediate HBM traffic).  The input is
+    widened to int32 locally (fused, no extra traffic) so clz semantics do not
+    depend on the caller's dtype."""
+    a = jnp.abs(v).astype(jnp.int32)
     return jnp.where(a == 0, 0, 32 - jax.lax.clz(a)).astype(jnp.int16)
 
 
