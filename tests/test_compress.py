@@ -94,15 +94,21 @@ def test_jpeg_entropy_noise_coefficient_roundtrip():
 
     from ultragrid_tpu.ops.jpeg import ZIGZAG
 
-    yp, up, vp = enc._planes_from_input(jnp.asarray(noise))
+    (yp, up, vp), shifted = enc._planes_from_input(jnp.asarray(noise))
+    assert not shifted  # YUV inputs stay uint8; level shift folds into matmul
     yb = yp.reshape(enc.nmcuy, 8, enc.nmcux, 2, 8).transpose(0, 2, 3, 1, 4).reshape(enc.nmcu * 2, 64)
-    # same fused DCT+zigzag+quant matrix the encoder uses (identical rounding)
+    # same fused DCT+zigzag+quant matrix + level-shift constant the encoder
+    # uses (identical rounding)
     qy = jnp.asarray(enc.qtab_luma[ZIGZAG]).astype(jnp.float32)
     m = jnp.asarray(dct_matrix_64())
-    my = m[jnp.asarray(ZIGZAG), :] / qy[:, None]
+    my = (m[jnp.asarray(ZIGZAG), :] / qy[:, None]).T
+    cy = 128.0 * my.sum(axis=0)
     exp_y = np.asarray(
-        jnp.round(jnp.dot(my, yb.T, preferred_element_type=jnp.float32)).astype(jnp.int32)
-    ).T
+        jnp.round(
+            jnp.dot(yb.astype(jnp.float32), my, preferred_element_type=jnp.float32)
+            - cy[None, :]
+        ).astype(jnp.int32)
+    )
     got_y = coeffs[0]
     mismatches = int((got_y != exp_y).sum())
     assert mismatches <= max(2, got_y.size // 10000), mismatches

@@ -255,9 +255,11 @@ def _encode_component_symbols(q, dc_codes, dc_lens, ac_tabs, eob_code, eob_len, 
     ac = q[:, 1:]
     pos = jnp.arange(1, 64, dtype=jnp.int16)
     nz = ac != 0
-    nz_pos = jnp.where(nz, pos[None, :], jnp.int16(0))
-    # exclusive prefix-max of nonzero positions = index of previous nonzero
-    prev_nz = _cummax_minor(nz_pos)
+    # exclusive prefix-max of nonzero positions = index of previous nonzero.
+    # The scan runs in uint8 (positions are 0..63) — half the pass traffic of
+    # int16; widened back before the subtraction.
+    nz_pos = jnp.where(nz, pos[None, :].astype(jnp.uint8), jnp.uint8(0))
+    prev_nz = _cummax_minor(nz_pos).astype(jnp.int16)
     prev_nz = jnp.roll(prev_nz, 1, axis=1).at[:, 0].set(0)
     run = (pos[None, :] - prev_nz - 1).astype(jnp.int16)
     k_zrl = run >> 4
@@ -559,17 +561,27 @@ class JpegEncoder:
     # -- device graph ---------------------------------------------------
 
     def _planes_from_input(self, frame):
+        """Split the input frame into Y/U/V (or YCbCr) planes.
+
+        YUV 4:2:2 inputs stay uint8 end to end: the byte deinterleave and the
+        8x8 blockify transpose then move 1-byte elements instead of 4-byte
+        floats (4x less layout traffic), and the JPEG -128 level shift is
+        folded into a constant subtracted after the fused DCT/quant matmul
+        (DCT is linear; only the constant term changes).  RGB inputs need the
+        float color matrix, so they are returned as f32 already level-shifted
+        (flagged by the second return value).
+        """
         w, h = self.width, self.height
         if self.in_codec == Codec.UYVY:
-            g = frame[:, : 2 * w].reshape(h, w // 2, 4).astype(jnp.float32)
+            g = frame[:, : 2 * w].reshape(h, w // 2, 4)
             u, y0, v, y1 = g[..., 0], g[..., 1], g[..., 2], g[..., 3]
             y = jnp.stack([y0, y1], axis=-1).reshape(h, w)
-            return y - 128.0, u - 128.0, v - 128.0
+            return (y, u, v), False
         if self.in_codec == Codec.YUYV:
-            g = frame[:, : 2 * w].reshape(h, w // 2, 4).astype(jnp.float32)
+            g = frame[:, : 2 * w].reshape(h, w // 2, 4)
             y0, u, y1, v = g[..., 0], g[..., 1], g[..., 2], g[..., 3]
             y = jnp.stack([y0, y1], axis=-1).reshape(h, w)
-            return y - 128.0, u - 128.0, v - 128.0
+            return (y, u, v), False
         if self.in_codec in (Codec.RGB, Codec.RGBA):
             ncomp = 3 if self.in_codec == Codec.RGB else 4
             px = frame[:, : ncomp * w].reshape(h, w, ncomp).astype(jnp.float32)
@@ -578,7 +590,7 @@ class JpegEncoder:
             y = 0.299 * r + 0.587 * g + 0.114 * b
             cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
             cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
-            return y - 128.0, cb - 128.0, cr - 128.0
+            return (y - 128.0, cb - 128.0, cr - 128.0), True
         raise ValueError(f"JPEG encoder: unsupported input {self.in_codec.name}")
 
     def _make_encode(self, wwords: int):
@@ -604,7 +616,7 @@ class JpegEncoder:
             eob_c = (jnp.uint32(int(acc_codes[0])), jnp.int16(int(acc_lens[0])))
             zrl_c = (jnp.uint32(int(acc_codes[0xF0])), jnp.int16(int(acc_lens[0xF0])))
 
-            yp, up, vp = self._planes_from_input(frame)
+            (yp, up, vp), shifted = self._planes_from_input(frame)
 
             if self.subsampling == "422":
                 yb = yp.reshape(self.nmcuy, 8, self.nmcux, 2, 8).transpose(0, 2, 3, 1, 4)
@@ -622,15 +634,20 @@ class JpegEncoder:
             m_zz = dct_m[zz, :]
             my = (m_zz / qy[:, None]).T
             mc = (m_zz / qc[:, None]).T
-            qy_blocks = jnp.round(
-                jnp.dot(yb, my, preferred_element_type=jnp.float32)
-            ).astype(jnp.int32)
-            qu_blocks = jnp.round(
-                jnp.dot(ub, mc, preferred_element_type=jnp.float32)
-            ).astype(jnp.int32)
-            qv_blocks = jnp.round(
-                jnp.dot(vb, mc, preferred_element_type=jnp.float32)
-            ).astype(jnp.int32)
+            if shifted:
+                cy = cc = jnp.zeros((64,), jnp.float32)
+            else:
+                # level shift folded into the matmul: DCT(x-128) = DCT(x)-128*DCT(1)
+                cy = 128.0 * my.sum(axis=0)
+                cc = 128.0 * mc.sum(axis=0)
+
+            def mk(blocks, m, c):
+                f = jnp.dot(blocks.astype(jnp.float32), m, preferred_element_type=jnp.float32)
+                return jnp.round(f - c[None, :]).astype(jnp.int32)
+
+            qy_blocks = mk(yb, my, cy)
+            qu_blocks = mk(ub, mc, cc)
+            qv_blocks = mk(vb, mc, cc)
 
             mcu_idx = jnp.arange(nmcu, dtype=jnp.int32)
             seg_start_mcu = (mcu_idx % ri) == 0
