@@ -156,3 +156,52 @@ def test_deinterlace_blend_parity_with_reference(codec):
     # the reference writes lines 0..n-2 (last line left as-is in dst: zero);
     # we keep the last line — compare the written region
     np.testing.assert_array_equal(got[:-1], expected[:-1], err_msg=codec.name)
+
+
+def test_border_uyvy():
+    f = _frame()
+    chain = FilterChain("border:color=ff0000:width=8:height=6")
+    out = chain.apply(f)
+    data = np.asarray(out.data)
+    src = np.asarray(f.data)
+    # top/bottom rows replaced, middle intact outside the side borders
+    assert (data[0] == data[5]).all() and (data[0] == data[-1]).all()
+    np.testing.assert_array_equal(data[64, 32:-32], src[64, 32:-32])
+    # border color: red in UYVY = luma 81 (BT.601): Y bytes around 76-81
+    assert 60 < data[0, 1] < 100
+
+
+def test_split_grid():
+    f = _frame()
+    chain = FilterChain("split:2x2")
+    out = chain.apply(f)
+    assert out.desc.tile_count == 4
+    assert out.desc.width == W // 2 and out.desc.height == H // 2
+    from ultragrid_tpu.utils.tiling import vf_merge_tiles
+
+    merged = vf_merge_tiles(out, 2, 2)
+    np.testing.assert_array_equal(np.asarray(merged.data), np.asarray(f.data))
+
+
+def test_delay_frames():
+    chain = FilterChain("delay:frames=3")
+    outs = [chain.apply(_frame()) for _ in range(6)]
+    assert outs[:3] == [None, None, None]
+    assert all(o is not None for o in outs[3:])
+
+
+def test_double_framerate():
+    f = _frame()
+    f.desc = f.desc.with_(interlacing=InterlacingType.INTERLACED_MERGED)
+    chain = FilterChain("double_framerate")
+    out = chain.apply(f)
+    assert isinstance(out, list) and len(out) == 2
+    assert out[0].desc.fps == 60.0
+    assert out[0].desc.interlacing == InterlacingType.PROGRESSIVE
+    src = np.asarray(f.data)
+    np.testing.assert_array_equal(np.asarray(out[0].data)[0::2], src[0::2])
+    np.testing.assert_array_equal(np.asarray(out[1].data)[0::2], src[1::2])
+    # progressive input passes through untouched
+    chain2 = FilterChain("double_framerate")
+    out2 = chain2.apply(_frame())
+    assert not isinstance(out2, list)

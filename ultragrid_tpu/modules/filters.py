@@ -231,6 +231,128 @@ class ChangePixfmtFilter(Filter):
         return self._wrap(frame, data, d.with_(color_spec=self.to))
 
 
+class BorderFilter(Filter):
+    """border[:color=rrggbb][:width=<x>][:height=<y>]
+    (ref: vo_postprocess/border.c — default yellow, width 10).
+
+    The RGB color is converted into the frame's own codec by rendering one
+    full-width RGBA row through the conversion registry, so the border is
+    drawn natively in any packed format (UYVY, v210, R10k, ...).
+    """
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        self.color = (0xFF, 0xFF, 0x00)
+        self.bw = 10
+        self.bh = 10
+        for item in [p for p in cfg.split(":") if p]:
+            if item.startswith("color="):
+                c = item[6:].lstrip("#")
+                self.color = tuple(int(c[i : i + 2], 16) for i in (0, 2, 4))
+            elif item.startswith("width="):
+                self.bw = int(item[6:])
+            elif item.startswith("height="):
+                self.bh = int(item[7:])
+        self._row_cache = {}
+
+    def _pattern_row(self, width: int, codec: Codec) -> np.ndarray:
+        key = (width, codec)
+        row = self._row_cache.get(key)
+        if row is None:
+            from ultragrid_tpu.ops import pixfmt
+
+            rgba = np.zeros((1, width * 4), np.uint8)
+            rgba[0, 0::4], rgba[0, 1::4], rgba[0, 2::4] = self.color
+            rgba[0, 3::4] = 0xFF
+            if codec == Codec.RGBA:
+                row = rgba[0]
+            else:
+                row = np.asarray(pixfmt.convert_frame(rgba, width, Codec.RGBA, codec))[0]
+            self._row_cache[key] = row
+        return row
+
+    def apply(self, frame):
+        from ultragrid_tpu.types import vc_get_linesize
+
+        d = frame.desc
+        arr = np.array(np.asarray(frame.data))
+        row = self._pattern_row(d.width, d.color_spec)
+        bh = min(self.bh, d.height // 2)
+        if bh:
+            arr[:bh] = row
+            arr[-bh:] = row
+        lbytes = vc_get_linesize(min(self.bw, d.width // 2), d.color_spec)
+        if lbytes:
+            arr[:, :lbytes] = row[:lbytes]
+            arr[:, arr.shape[1] - lbytes :] = row[: lbytes]
+        return self._wrap(frame, arr)
+
+
+class SplitFilter(Filter):
+    """split:WxH — split the frame into a W x H tile grid
+    (ref: vo_postprocess/split.c; tile order row-major)."""
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        w, _, h = cfg.replace(":", "x").partition("x")
+        self.gw, self.gh = int(w), int(h)
+
+    def apply(self, frame):
+        from ultragrid_tpu.utils.tiling import vf_split
+
+        out = vf_split(frame, self.gw, self.gh)
+        out.timestamp = frame.timestamp
+        return out
+
+
+class DelayFilter(Filter):
+    """delay:[seconds=<s>|frames=<f>] (ref: vo_postprocess/delay.c)."""
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        self.seconds = 0.0
+        self.frames = 0
+        if cfg.startswith("seconds="):
+            self.seconds = float(cfg[8:])
+        elif cfg.startswith("frames="):
+            self.frames = int(cfg[7:])
+        else:
+            raise ValueError("delay takes seconds=<s> or frames=<f>")
+        self._queue: List[VideoFrame] = []
+        self._n: Optional[int] = None
+
+    def apply(self, frame):
+        if self._n is None:
+            self._n = self.frames or max(1, round(self.seconds * frame.desc.fps))
+        self._queue.append(frame)
+        if len(self._queue) <= self._n:
+            return None
+        return self._queue.pop(0)
+
+
+class DoubleFramerateFilter(Filter):
+    """temporal_deint/double_framerate: bob each field into its own output
+    frame at 2x fps (ref: vo_postprocess/temporal-deint.c double_framerate
+    path — input interlaced-merged, output progressive).  Returns a LIST of
+    two frames; chains and display loops fan them out in order.
+    """
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        self.force = cfg == "force"
+
+    def apply(self, frame):
+        d = frame.desc
+        if d.interlacing != InterlacingType.INTERLACED_MERGED and not self.force:
+            return frame
+        out_desc = d.with_(
+            fps=d.fps * 2, interlacing=InterlacingType.PROGRESSIVE
+        )
+        f0 = self._wrap(frame, pp.deinterlace_bob_even(frame.data), out_desc)
+        f1 = self._wrap(frame, pp.deinterlace_bob_odd(frame.data), out_desc)
+        return [f0, f1]
+
+
 _FILTERS = {
     "scale": ScaleFilter,
     "resize": ScaleFilter,
@@ -251,6 +373,11 @@ _FILTERS = {
     "ratelimit": RatelimitFilter,
     "logo": LogoFilter,
     "change_pixfmt": ChangePixfmtFilter,
+    "border": BorderFilter,
+    "split": SplitFilter,
+    "delay": DelayFilter,
+    "double_framerate": DoubleFramerateFilter,
+    "temporal_deint": DoubleFramerateFilter,
 }
 
 for _name, _cls in _FILTERS.items():
@@ -270,9 +397,19 @@ class FilterChain:
                 raise ValueError(f"unknown filter {name!r}")
             self.filters.append(cls(cfg))
 
-    def apply(self, frame: Optional[VideoFrame]) -> Optional[VideoFrame]:
+    def apply(self, frame: Optional[VideoFrame]):
+        """Run the chain.  Filters may return None (frame consumed), one
+        frame, or a list of frames (e.g. double_framerate); the chain fans
+        lists out through the remaining filters and flattens the result."""
+        frames = [frame] if frame is not None else []
         for f in self.filters:
-            if frame is None:
-                return None
-            frame = f.apply(frame)
-        return frame
+            nxt: List[VideoFrame] = []
+            for fr in frames:
+                r = f.apply(fr)
+                if r is None:
+                    continue
+                nxt.extend(r if isinstance(r, list) else [r])
+            frames = nxt
+        if not frames:
+            return None
+        return frames if len(frames) > 1 else frames[0]

@@ -87,23 +87,24 @@ class CaptureToDisplayPipeline:
             item = self.queue.get()
             if item is _POISON:
                 break
-            frame: VideoFrame = item
-            frame = self.postprocess_chain.apply(frame)
-            if frame is None:
+            result = self.postprocess_chain.apply(item)
+            if result is None:
                 continue
-            if self._decoder is None:
-                if not self._setup_conversion(frame):
-                    self.should_exit.set()
-                    break
-            if self._out_codec != frame.desc.color_spec:
-                converted = pixfmt.convert_frame(
-                    frame.data, frame.desc.width, frame.desc.color_spec, self._out_codec
-                )
-                out = VideoFrame(frame.desc.with_(color_spec=self._out_codec), [converted])
-                out.timestamp = frame.timestamp
-            else:
-                out = frame
-            self.display.put_frame(out)
+            # postprocess may fan one frame out into several (double_framerate)
+            for frame in result if isinstance(result, list) else [result]:
+                if self._decoder is None:
+                    if not self._setup_conversion(frame):
+                        self.should_exit.set()
+                        break
+                if self._out_codec != frame.desc.color_spec:
+                    converted = pixfmt.convert_frame(
+                        frame.data, frame.desc.width, frame.desc.color_spec, self._out_codec
+                    )
+                    out = VideoFrame(frame.desc.with_(color_spec=self._out_codec), [converted])
+                    out.timestamp = frame.timestamp
+                else:
+                    out = frame
+                self.display.put_frame(out)
         self.display.put_frame(None)
 
     def run(self) -> int:

@@ -119,14 +119,16 @@ class VideoReceiver:
                 frame.data, frame.desc.width, frame.desc.color_spec, self._decoder_out
             )
             frame = VideoFrame(frame.desc.with_(color_spec=self._decoder_out), [data])
-        frame = self.postprocess_chain.apply(frame)
-        if frame is None:
+        out = self.postprocess_chain.apply(frame)
+        if out is None:
             return False
-        if self._display_desc != frame.desc:
-            self.display.reconfigure(frame.desc)
-            self._display_desc = frame.desc
-        self.display.put_frame(frame)
-        self.frames_displayed += 1
+        # postprocess may fan one frame out into several (double_framerate)
+        for fr in out if isinstance(out, list) else [out]:
+            if self._display_desc != fr.desc:
+                self.display.reconfigure(fr.desc)
+                self._display_desc = fr.desc
+            self.display.put_frame(fr)
+            self.frames_displayed += 1
         return True
 
     def _handle_audio(self, node) -> bool:
