@@ -139,3 +139,116 @@ def test_end_to_end_jpeg():
     if frame.desc.color_spec == Codec.UYVY:
         diff = np.abs(got.astype(int) - expected.astype(int))
         assert diff.mean() < 4.0
+
+
+def test_rfc2435_roundtrip():
+    """Packetize our TPU JPEG per RFC 2435, reassemble, decode with PIL."""
+    import io
+
+    from ultragrid_tpu.net.rtpdec_jpeg import JpegDepacketizer, packetize
+    from ultragrid_tpu.ops.jpeg import JpegEncoder, decode_jpeg
+    from ultragrid_tpu.utils.pattern import generate_pattern
+
+    w, h = 320, 240
+    uy = generate_pattern(w, h, Codec.UYVY, "bars")
+    enc = JpegEncoder(w, h, quality=85)
+    jpeg = bytes(enc.encode(uy).tobytes())
+
+    payloads = packetize(jpeg, mtu_payload=500)
+    assert len(payloads) > 1
+    dep = JpegDepacketizer()
+    out = None
+    for i, p in enumerate(payloads):
+        out = dep.feed(p, marker=(i == len(payloads) - 1))
+        assert (out is None) == (i < len(payloads) - 1)
+    assert out is not None
+    # regenerated JPEG must decode identically to the original
+    comps1, h1, w1, samp1 = decode_jpeg(jpeg)
+    comps2, h2, w2, samp2 = decode_jpeg(out)
+    assert (h1, w1, samp1) == (h2, w2, samp2)
+    for c1, c2 in zip(comps1, comps2):
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    # and with an independent decoder when available
+    try:
+        from PIL import Image
+    except ImportError:
+        return
+    im = Image.open(io.BytesIO(out))
+    im.load()
+    assert im.size == (w, h)
+
+
+def test_rfc2435_out_of_order_and_q_tables():
+    from ultragrid_tpu.net.rtpdec_jpeg import (
+        JpegDepacketizer,
+        make_jpeg_header,
+        make_tables,
+        packetize,
+    )
+    from ultragrid_tpu.ops.jpeg import JpegEncoder, _parse_headers
+    from ultragrid_tpu.utils.pattern import generate_pattern
+
+    w, h = 256, 192
+    uy = generate_pattern(w, h, Codec.UYVY, "gradient")
+    enc = JpegEncoder(w, h, quality=70)
+    jpeg = bytes(enc.encode(uy).tobytes())
+    payloads = packetize(jpeg, mtu_payload=400)
+    dep = JpegDepacketizer()
+    order = list(range(len(payloads)))
+    order.reverse()
+    out = None
+    for i in order:
+        r = dep.feed(payloads[i], marker=(i == len(payloads) - 1))
+        if r is not None:
+            out = r
+    assert out is not None
+    hdr = _parse_headers(out)
+    assert hdr["w"] == w and hdr["h"] == h
+    # Q<128 synthesized tables match the reference MakeTables formula
+    lq, cq = make_tables(50)
+    assert lq[0] == 16 and cq[0] == 17  # Annex K bases at Q=50 scale 100
+
+
+def test_rfc2435_rtp_loopback():
+    """JPEG over PT 26 (standards mode) through a real localhost RTP pair,
+    reassembled by VideoRxState without the UltraGrid payload header."""
+    from ultragrid_tpu.net.pbuf import PbufNode
+    from ultragrid_tpu.net.transmit import Tx
+    from ultragrid_tpu.net.video_rx import VideoRxState
+    from ultragrid_tpu.ops.jpeg import JpegEncoder
+    from ultragrid_tpu.utils.pattern import generate_pattern
+
+    w, h = 256, 192
+    uy = generate_pattern(w, h, Codec.UYVY, "bars")
+    enc = JpegEncoder(w, h, quality=85)
+    jpeg_arr = enc.encode(uy)
+
+    port = PORT + 7
+    rx = RtpSession(addr=None, rx_port=port, tx_port=0)
+    tx_sess = RtpSession(addr="127.0.0.1", rx_port=0, tx_port=port)
+    frame = VideoFrame(VideoDesc(w, h, Codec.JPEG, 30.0), [jpeg_arr])
+    tx = Tx(mtu=1000, rfc2435=True)
+    nsent = tx.send_video(tx_sess, frame)
+    assert nsent > 1
+
+    node = PbufNode(ts=0, arrival=time.time(), playout_delay=0.0)
+    deadline = time.time() + 10
+    while len(node.packets) < nsent and time.time() < deadline:
+        pkt = rx.recv(timeout=0.05)
+        if pkt and pkt.pt == rt.PT_JPEG:
+            node.packets.append(pkt)
+    assert len(node.packets) == nsent
+    state = VideoRxState()
+    out = state.decode_frame(node)
+    assert out is not None
+    assert out.desc.color_spec == Codec.JPEG
+    assert out.desc.width == w and out.desc.height == h
+    # the recovered stream decodes identically to the original
+    from ultragrid_tpu.ops.jpeg import decode_jpeg
+
+    comps1, *_ = decode_jpeg(bytes(jpeg_arr.tobytes()))
+    comps2, *_ = decode_jpeg(bytes(np.asarray(out.data).tobytes()))
+    for c1, c2 in zip(comps1, comps2):
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    tx_sess.close()
+    rx.close()

@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="export the session to DIR (default auto-named)")
     p.add_argument("-V", "--verbose", action="count", default=0)
     p.add_argument("--param", action="append", default=[], help="key=value tuning params")
+    p.add_argument(
+        "--rtp-standard",
+        action="store_true",
+        help="send JPEG as standards-compliant RFC 2435 / PT 26 (interop mode)",
+    )
     p.add_argument("-s", "--audio-capture", default=None, help="audio capture (testcard, wav:FILE, none)")
     p.add_argument("-r", "--audio-playback", default=None, help="audio playback (dummy, wav:FILE)")
     p.add_argument("--audio-codec", default="PCM", help="audio codec: PCM|alaw|ulaw")

@@ -84,6 +84,7 @@ class Tx:
         bitrate: int = RATE_AUTO,
         mult_count: int = 1,
         encryption=None,
+        rfc2435: bool = False,
     ):
         self.encryption = encryption
         self.mtu = mtu
@@ -95,6 +96,9 @@ class Tx:
             fec_spec = "none"
         self.fec_spec = fec_spec
         self._fec = None
+        # standards mode: JPEG frames go out as RFC 2435 / PT 26 instead of
+        # the UltraGrid payload header (interop with ffmpeg/GStreamer/RTSP)
+        self.rfc2435 = rfc2435
 
     def _get_fec(self, frame_size: int):
         from ultragrid_tpu.ops.fec import fec_from_spec
@@ -113,12 +117,30 @@ class Tx:
         (ref: tx_send, transmit.c:440-478).
         """
         ts = get_local_mediatime() if frame.timestamp < 0 else int(frame.timestamp * 90000) & 0xFFFFFFFF
+        from ultragrid_tpu.types import Codec
+
+        if self.rfc2435 and frame.desc.color_spec == Codec.JPEG:
+            return self._send_rfc2435(session, frame, ts)
         sent = 0
         ntiles = len(frame.tiles)
         for ti in range(ntiles):
             sent += self._send_tile(
                 session, frame, ts, substream=ti, send_m=(ti == ntiles - 1)
             )
+        self.buffer = (self.buffer + 1) & 0x3FFFFF
+        return sent
+
+    def _send_rfc2435(self, session: RtpSession, frame: VideoFrame, ts: int) -> int:
+        """Send one JPEG frame as RFC 2435 fragments (PT 26)."""
+        from ultragrid_tpu.net import rtp_types as rt
+        from ultragrid_tpu.net.rtpdec_jpeg import packetize
+
+        jpeg = bytes(np.asarray(frame.tiles[0], dtype=np.uint8).reshape(-1))
+        payloads = packetize(jpeg, mtu_payload=self.mtu - 40)
+        sent = 0
+        for i, p in enumerate(payloads):
+            session.send_data_hdr(ts, rt.PT_JPEG, i == len(payloads) - 1, b"", p)
+            sent += 1
         self.buffer = (self.buffer + 1) & 0x3FFFFF
         return sent
 

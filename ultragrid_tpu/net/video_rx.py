@@ -14,7 +14,7 @@ import numpy as np
 from ultragrid_tpu.net import rtp_types as rt
 from ultragrid_tpu.net.pbuf import PbufNode
 from ultragrid_tpu.ops.fec import LdgmSession, RsSession
-from ultragrid_tpu.types import VideoDesc, VideoFrame
+from ultragrid_tpu.types import Codec, VideoDesc, VideoFrame
 from ultragrid_tpu.utils.log import Logger
 
 log = Logger("video_rx")
@@ -79,8 +79,12 @@ class VideoRxState:
         pt = self._maybe_decrypt(node)
         if pt is None:
             return None
-        if pt in (rt.PT_VIDEO, rt.PT_JPEG):
+        if pt == rt.PT_VIDEO:
             frame = self._decode_plain(node)
+        elif pt == rt.PT_JPEG:
+            # standards-mode RFC 2435 JPEG (no UltraGrid payload header;
+            # ref: rtpdec_jpeg.c via the RTSP decode path)
+            frame = self._decode_rfc2435(node)
         elif pt in (rt.PT_VIDEO_LDGM, rt.PT_VIDEO_RS):
             frame = self._decode_fec(node, "ldgm" if pt == rt.PT_VIDEO_LDGM else "rs")
         else:
@@ -89,6 +93,30 @@ class VideoRxState:
         if frame is not None:
             frame.callbacks["ssrc"] = node.packets[0].ssrc
         return frame
+
+    def _decode_rfc2435(self, node: PbufNode) -> Optional[VideoFrame]:
+        """PT 26: reassemble RFC 2435 fragments into a JPEG frame whose data
+        is the full JFIF file (color_spec=JPEG); the decompress stage takes
+        it from there."""
+        from ultragrid_tpu.net.rtpdec_jpeg import JpegDepacketizer
+
+        dep = JpegDepacketizer()
+        jpeg = None
+        pkts = sorted(node.packets, key=lambda p: p.seq)
+        for i, pkt in enumerate(pkts):
+            jpeg = dep.feed(pkt.payload, marker=bool(pkt.m) or i == len(pkts) - 1)
+            if jpeg is not None:
+                break
+        if jpeg is None:
+            self.frames_missing_data += 1
+            return None
+        self.frames_ok += 1
+        from ultragrid_tpu.ops.jpeg import _parse_headers
+
+        hdr = _parse_headers(jpeg)
+        buf = np.frombuffer(jpeg, np.uint8)
+        desc = VideoDesc(hdr["w"], hdr["h"], Codec.JPEG, 0.0)
+        return self._wrap(buf, desc)
 
     def _decode_plain(self, node: PbufNode) -> Optional[VideoFrame]:
         # per-substream reassembly (multi-tile frames arrive as several

@@ -37,6 +37,7 @@ class VideoSender:
         encryption: Optional[str] = None,
         record: Optional[str] = None,
         mode: str = "normal",
+        rtp_standard: bool = False,
     ):
         from ultragrid_tpu.utils.tiling import VideoMode
 
@@ -69,7 +70,8 @@ class VideoSender:
 
             crypto = PacketCrypto(encryption)
         self.session = RtpSession(addr=host, rx_port=rx_port, tx_port=tx_port, mtu=mtu)
-        self.tx = Tx(mtu=mtu, fec_spec=fec_spec, bitrate=RATE_AUTO, encryption=crypto)
+        self.tx = Tx(mtu=mtu, fec_spec=fec_spec, bitrate=RATE_AUTO, encryption=crypto,
+                     rfc2435=rtp_standard)
         self.frame_limit = frame_limit
         self.should_exit = threading.Event()
         self.frames_sent = 0
@@ -145,6 +147,7 @@ def run_sender(args) -> int:
         encryption=getattr(args, "encryption", None),
         record=getattr(args, "record", None),
         mode=getattr(args, "mode", "normal"),
+        rtp_standard=getattr(args, "rtp_standard", False),
     )
     n = sender.run()
     log.notice(f"sent {n} frames")
