@@ -193,3 +193,38 @@ def test_audio_rs_fec_end_to_end():
     np.testing.assert_array_equal(out.channels[1], frame.channels[1])
     tx_sess.close()
     rx.close()
+
+
+def test_echo_cancellation_converges():
+    """Synthetic echo through a short room impulse response: the canceller
+    must attenuate the echo by >15 dB (ERLE) after adaptation."""
+    from ultragrid_tpu.audio.echo import EchoCanceller
+    from ultragrid_tpu.audio.types import AudioDesc, AudioFrame
+
+    rng = np.random.default_rng(7)
+    rate = 48000
+    n_total = 48000 * 2  # 2 s
+    far = (rng.normal(0, 3000, n_total)).astype(np.float64)
+    # room: direct + two reflections, all within one 512-sample partition
+    h = np.zeros(400)
+    h[10], h[150], h[320] = 0.8, -0.35, 0.15
+    echo = np.convolve(far, h)[:n_total]
+    near = echo  # no near-end speech: perfect cancellation possible
+
+    desc = AudioDesc(bps=2, sample_rate=rate, ch_count=1)
+    aec = EchoCanceller(filter_length=2048, mu=0.5)
+    out = []
+    blk = 512
+    for i in range(0, n_total, blk):
+        seg_far = np.clip(far[i : i + blk], -32768, 32767).astype("<i2")
+        seg_near = np.clip(near[i : i + blk], -32768, 32767).astype("<i2")
+        aec.play(AudioFrame(desc, [np.frombuffer(seg_far.tobytes(), np.uint8)]))
+        res = aec.cancel(AudioFrame(desc, [np.frombuffer(seg_near.tobytes(), np.uint8)]))
+        out.append(np.asarray(res.channels[0]).view("<i2").astype(np.float64))
+    cleaned = np.concatenate(out)
+    # measure last half-second
+    tail = slice(-24000, None)
+    erle = 10 * np.log10(
+        (near[tail] ** 2).mean() / max((cleaned[tail] ** 2).mean(), 1e-9)
+    )
+    assert erle > 15.0, f"ERLE {erle:.1f} dB"
