@@ -205,3 +205,16 @@ def test_double_framerate():
     chain2 = FilterChain("double_framerate")
     out2 = chain2.apply(_frame())
     assert not isinstance(out2, list)
+
+
+def test_text_filter():
+    pytest.importorskip("PIL")
+    f = _frame(Codec.RGBA)
+    chain = FilterChain("text:x=10:y=10:h=8:t=HELLO")
+    out = chain.apply(f)
+    a = np.asarray(out.data).reshape(H, W, 4)
+    b = np.asarray(f.data).reshape(H, W, 4)
+    changed = (a != b).any(axis=2)
+    assert changed.any() and changed[:40, :80].any()
+    # untouched outside the text band
+    assert not changed[60:].any()

@@ -353,6 +353,81 @@ class DoubleFramerateFilter(Filter):
         return [f0, f1]
 
 
+
+class TextFilter(Filter):
+    """text[:x=<x>:y=<y>:h=<text_height>]:t=<text>
+    (ref: vo_postprocess/text.c — draws a label onto the frame; the reference
+    rasterizes via ImageMagick/Wand, here PIL's bitmap font renders a mask
+    that is blitted in the frame's own codec as white-on-dim-box).
+    """
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        self.x, self.y, self.h = 20, 20, 16
+        self.text = ""
+        for item in [p for p in cfg.split(":") if p]:
+            if item.startswith("x="):
+                self.x = int(item[2:])
+            elif item.startswith("y="):
+                self.y = int(item[2:])
+            elif item.startswith("h="):
+                self.h = int(item[2:])
+            elif item.startswith("t="):
+                self.text = item[2:]
+            elif not self.text:
+                self.text = item
+        self._mask = None  # lazily rendered [mh, mw] bool
+
+    def _render_mask(self) -> np.ndarray:
+        if self._mask is not None:
+            return self._mask
+        try:
+            from PIL import Image, ImageDraw
+
+            probe = Image.new("L", (8, 8))
+            d = ImageDraw.Draw(probe)
+            bbox = d.textbbox((0, 0), self.text)
+            im = Image.new("L", (max(bbox[2] + 2, 1), max(bbox[3] + 2, 1)))
+            ImageDraw.Draw(im).text((1, 1), self.text, fill=255)
+            mask = np.asarray(im) > 127
+            # integer-upscale to requested height
+            scale = max(1, self.h // max(mask.shape[0], 1))
+            mask = np.repeat(np.repeat(mask, scale, axis=0), scale, axis=1)
+        except ImportError:  # no PIL: draw a solid placeholder box
+            mask = np.ones((self.h, self.h * max(len(self.text), 1) // 2), bool)
+        self._mask = mask
+        return mask
+
+    def apply(self, frame):
+        from ultragrid_tpu.types import vc_get_linesize
+
+        d = frame.desc
+        mask = self._render_mask()
+        mh, mw = mask.shape
+        mh = min(mh, d.height - self.y)
+        mw = min(mw, d.width - self.x)
+        if mh <= 0 or mw <= 0:
+            return frame
+        # draw in RGBA space, convert the touched band through the registry
+        from ultragrid_tpu.ops import pixfmt
+
+        arr = np.array(np.asarray(frame.data))
+        band_y0, band_y1 = self.y, self.y + mh
+        band = arr[band_y0:band_y1]
+        rgba = np.asarray(
+            pixfmt.convert_frame(band, d.width, d.color_spec, Codec.RGBA)
+        ).reshape(mh, d.width, 4).copy()
+        region = rgba[:, self.x : self.x + mw]
+        m = mask[:mh, :mw]
+        region[m] = (255, 255, 255, 255)
+        rgba[:, self.x : self.x + mw] = region
+        back = np.asarray(
+            pixfmt.convert_frame(rgba.reshape(mh, -1), d.width, Codec.RGBA, d.color_spec)
+        )
+        arr[band_y0:band_y1, : back.shape[1]] = back
+        return self._wrap(frame, arr)
+
+
 _FILTERS = {
     "scale": ScaleFilter,
     "resize": ScaleFilter,
@@ -378,6 +453,7 @@ _FILTERS = {
     "delay": DelayFilter,
     "double_framerate": DoubleFramerateFilter,
     "temporal_deint": DoubleFramerateFilter,
+    "text": TextFilter,
 }
 
 for _name, _cls in _FILTERS.items():
