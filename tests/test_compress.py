@@ -170,3 +170,32 @@ def test_dxt_decompress_module():
     assert out_codec == Codec.RGB
     out = dec.decompress(frame, out_codec)
     assert out.data.shape == (H, 3 * W)
+
+
+def test_jpeg_to_dxt_transcode():
+    """JPEG -> DXT1 on device (ref: gpujpeg_to_dxt.cpp role)."""
+    from ultragrid_tpu.modules.video_decompress import decompress_init
+    from ultragrid_tpu.ops.dxt import dxt1_decode_rgb
+    from ultragrid_tpu.types import VideoDesc, VideoFrame
+
+    uy = generate_pattern(W, H, Codec.UYVY, "bars")
+    enc = JpegEncoder(W, H, quality=90)
+    jpeg = enc.encode(uy)
+    frame = VideoFrame(VideoDesc(W, H, Codec.JPEG, 30.0), [jpeg])
+
+    dec, out_codec = decompress_init(Codec.JPEG, [Codec.DXT1])
+    assert dec is not None and out_codec == Codec.DXT1
+    out = dec.decompress(frame, out_codec)
+    assert out.desc.color_spec == Codec.DXT1
+    assert np.asarray(out.data).size == W * H // 2  # 8 bytes per 4x4 block
+
+    # decoded DXT should resemble the original bars (lossy x2 but flat colors)
+    rgb = np.asarray(dxt1_decode_rgb(out.data.reshape(-1), W, H)).reshape(H, W, 3)
+    from ultragrid_tpu.ops.pixfmt import convert_frame
+
+    ref = np.asarray(convert_frame(uy, W, Codec.UYVY, Codec.RGB)).reshape(H, W, 3)
+    # compare away from bar edges; tolerance covers the JFIF (BT.601
+    # full-range) vs registry (BT.709 limited) colorimetry conventions on
+    # top of two lossy codecs
+    err = np.abs(rgb[8:-8, 8:88].astype(int) - ref[8:-8, 8:88].astype(int))
+    assert err.mean() < 20, err.mean()

@@ -87,11 +87,38 @@ class JpegDecompress(VideoDecompress):
         return decode_jpeg_to_frame(frame, out_codec)
 
 
+class JpegToDxtDecompress(VideoDecompress):
+    """JPEG -> DXT transcode entirely on device (ref:
+    src/video_decompress/gpujpeg_to_dxt.cpp — decode and re-encode without
+    leaving the accelerator, used for tiled display walls).  Here the C scan
+    decode feeds the device IDCT whose output goes straight into the DXT
+    block encoder."""
+
+    SUPPORTS = [(Codec.JPEG, Codec.DXT1), (Codec.JPEG, Codec.DXT5)]
+
+    def decompress(self, frame: VideoFrame, out_codec: Codec) -> Optional[VideoFrame]:
+        from ultragrid_tpu.ops import dxt as dxt_ops
+        from ultragrid_tpu.ops.jpeg import decode_jpeg_to_frame
+
+        mid = decode_jpeg_to_frame(frame, Codec.RGB)
+        if mid is None:
+            return None
+        desc = mid.desc
+        if out_codec == Codec.DXT1:
+            data = dxt_ops.dxt1_encode_rgb(mid.data, desc.width)
+        else:
+            data = dxt_ops.dxt5_ycocg_encode_rgb(mid.data, desc.width)
+        out = VideoFrame(desc.with_(color_spec=out_codec), [data])
+        out.timestamp = frame.timestamp
+        return out
+
+
 register_module("dxt", LibraryClass.VIDEO_DECOMPRESS, DxtDecompress)
 register_module("i420", LibraryClass.VIDEO_DECOMPRESS, I420Decompress)
 register_module("jpeg", LibraryClass.VIDEO_DECOMPRESS, JpegDecompress)
+register_module("jpeg_to_dxt", LibraryClass.VIDEO_DECOMPRESS, JpegToDxtDecompress)
 
-_ALL = [DxtDecompress, I420Decompress, JpegDecompress]
+_ALL = [DxtDecompress, I420Decompress, JpegDecompress, JpegToDxtDecompress]
 
 
 def decompress_init(in_codec: Codec, out_candidates: List[Codec]):
