@@ -208,3 +208,25 @@ def test_capabilities_json():
     assert "jpeg" in caps["video_compress"]
     assert "UYVY" in caps["codecs"]
     assert any("UYVY->RGB" == c for c in caps["conversions"])
+
+
+def test_sdp_document_and_http():
+    import urllib.request
+
+    from ultragrid_tpu.utils.sdp import SdpHttpServer, make_sdp
+
+    sdp = make_sdp("224.0.0.1", [("video", 5004, 26, "JPEG", 90000),
+                                 ("audio", 5006, 0, "PCMU", 8000)])
+    assert sdp.startswith("v=0\r\n")
+    assert "m=video 5004 RTP/AVP 26\r\n" in sdp
+    assert "a=rtpmap:26 JPEG/90000\r\n" in sdp
+    assert "m=audio 5006 RTP/AVP 0\r\n" in sdp
+
+    srv = SdpHttpServer(sdp, port=0)  # ephemeral port
+    try:
+        got = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/ultragrid.sdp", timeout=5
+        ).read().decode()
+        assert got == sdp
+    finally:
+        srv.close()

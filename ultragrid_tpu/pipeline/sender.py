@@ -72,6 +72,16 @@ class VideoSender:
         self.session = RtpSession(addr=host, rx_port=rx_port, tx_port=tx_port, mtu=mtu)
         self.tx = Tx(mtu=mtu, fec_spec=fec_spec, bitrate=RATE_AUTO, encryption=crypto,
                      rfc2435=rtp_standard)
+        self.sdp_server = None
+        if rtp_standard:
+            # publish an SDP for the standards-mode stream (ref: utils/sdp.c)
+            from ultragrid_tpu.utils.sdp import SdpHttpServer, make_sdp
+
+            sdp = make_sdp(host, [("video", tx_port, 26, "JPEG", 90000)])
+            try:
+                self.sdp_server = SdpHttpServer(sdp)
+            except OSError as exc:
+                log.warning(f"SDP HTTP server unavailable: {exc}")
         self.frame_limit = frame_limit
         self.should_exit = threading.Event()
         self.frames_sent = 0
