@@ -252,3 +252,58 @@ def test_rfc2435_rtp_loopback():
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
     tx_sess.close()
     rx.close()
+
+
+def test_stun_binding_against_mock_server():
+    """RFC 5389 binding round-trip against an in-process STUN responder."""
+    import socket
+    import struct as _struct
+
+    from ultragrid_tpu.net import nat
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    srv.bind(("127.0.0.1", 0))
+    srv_port = srv.getsockname()[1]
+
+    def responder():
+        data, src = srv.recvfrom(2048)
+        mtype, _l, cookie = _struct.unpack("!HHI", data[:8])
+        assert mtype == nat.STUN_BINDING_REQUEST and cookie == nat.STUN_MAGIC_COOKIE
+        txid = data[8:20]
+        xport = src[1] ^ (nat.STUN_MAGIC_COOKIE >> 16)
+        xip = _struct.unpack("!I", socket.inet_aton(src[0]))[0] ^ nat.STUN_MAGIC_COOKIE
+        attr = _struct.pack("!HHBBH I", nat.ATTR_XOR_MAPPED_ADDRESS, 8, 0, 0x01, xport, xip)
+        resp = _struct.pack("!HHI", nat.STUN_BINDING_RESPONSE, len(attr), nat.STUN_MAGIC_COOKIE) + txid + attr
+        srv.sendto(resp, src)
+
+    t = threading.Thread(target=responder, daemon=True)
+    t.start()
+
+    cli = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    cli.bind(("127.0.0.1", 0))
+    mapped = nat.stun_discover(cli, "127.0.0.1", srv_port, retries=2, timeout=2.0)
+    assert mapped == ("127.0.0.1", cli.getsockname()[1])
+    cli.close()
+    srv.close()
+
+
+def test_udp_hole_punch_loopback():
+    import socket
+
+    from ultragrid_tpu.net.nat import punch
+
+    a = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    b = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    a.bind(("127.0.0.1", 0))
+    b.bind(("127.0.0.1", 0))
+    pa, pb = a.getsockname(), b.getsockname()
+    results = {}
+
+    def run(name, sock, peer):
+        results[name] = punch(sock, peer, duration=5.0)
+
+    ta = threading.Thread(target=run, args=("a", a, pb), daemon=True)
+    tb = threading.Thread(target=run, args=("b", b, pa), daemon=True)
+    ta.start(); tb.start(); ta.join(10); tb.join(10)
+    assert results.get("a") and results.get("b")
+    a.close(); b.close()
