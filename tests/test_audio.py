@@ -228,3 +228,57 @@ def test_echo_cancellation_converges():
         (near[tail] ** 2).mean() / max((cleaned[tail] ** 2).mean(), 1e-9)
     )
     assert erle > 15.0, f"ERLE {erle:.1f} dB"
+
+
+def test_volume_stats_format_and_parse():
+    from ultragrid_tpu.audio.types import AudioDesc, AudioFrame
+    from ultragrid_tpu.audio.volume import (
+        calculate_rms,
+        format_stats_line,
+        parse_stats_line,
+        to_dbfs,
+    )
+
+    # full-scale square wave: rms == peak == 1.0 -> 0 dBFS
+    desc = AudioDesc(bps=2, sample_rate=48000, ch_count=2)
+    sq = np.frombuffer((np.ones(480, "<i2") * 32767 * np.where(np.arange(480) % 2, 1, -1)).astype("<i2").tobytes(), np.uint8)
+    quiet = np.frombuffer((np.ones(480, "<i2") * 3277).astype("<i2").tobytes(), np.uint8)
+    frame = AudioFrame(desc, [sq, quiet])
+    rms0, peak0 = calculate_rms(frame, 0)
+    assert abs(to_dbfs(peak0)) < 0.01
+    rms1, peak1 = calculate_rms(frame, 1)
+    assert abs(to_dbfs(rms1) - (-20.0)) < 0.1  # 10% of full scale
+
+    line = format_stats_line("ARECV", frame)
+    assert line.startswith("stats ARECV volrms0 ")
+    parsed = parse_stats_line(line)
+    assert set(parsed) == {0, 1}
+    assert abs(parsed[1][0] - (-20.0)) < 0.1
+
+
+def test_astat_client_against_control_socket():
+    import io
+    import threading
+    import time
+
+    from ultragrid_tpu.modules.messaging import Module
+    from ultragrid_tpu.tools.astat import run as astat_run
+    from ultragrid_tpu.utils.control_socket import ControlServer
+
+    root = Module("root")
+    cs = ControlServer(root, port=0)
+    try:
+        def pump():
+            for _ in range(20):
+                cs.report_stats("stats ARECV volrms0 -18.0004 volpeak0 -14.9897")
+                time.sleep(0.05)
+
+        t = threading.Thread(target=pump, daemon=True)
+        t.start()
+        out = io.StringIO()
+        peaks = astat_run("127.0.0.1", cs.port, seconds=1.5, out=out)
+        assert 0 in peaks
+        assert abs(peaks[0][1] - (-14.9897)) < 1e-6
+        assert "ch0:" in out.getvalue()
+    finally:
+        cs.close()

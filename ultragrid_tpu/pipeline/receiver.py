@@ -35,9 +35,11 @@ class VideoReceiver:
         audio_playback: Optional[str] = None,
         encryption: Optional[str] = None,
         mode: str = "normal",
+        control=None,
     ):
         from ultragrid_tpu.utils.tiling import VideoMode
 
+        self.control = control
         self.mode = VideoMode.from_str(mode)
         from ultragrid_tpu.modules.filters import FilterChain
 
@@ -138,6 +140,11 @@ class VideoReceiver:
         if self._audio_desc != frame.desc:
             self.audio_playback.reconfigure(frame.desc)
             self._audio_desc = frame.desc
+        if self.control is not None:
+            # volume stats for astat clients (ref: astat.cpp stats line)
+            from ultragrid_tpu.audio.volume import format_stats_line
+
+            self.control.report_stats(format_stats_line("ARECV", frame))
         self.audio_playback.put_frame(frame)
         return True
 
