@@ -199,3 +199,17 @@ def test_jpeg_to_dxt_transcode():
     # top of two lossy codecs
     err = np.abs(rgb[8:-8, 8:88].astype(int) - ref[8:-8, 8:88].astype(int))
     assert err.mean() < 20, err.mean()
+
+
+def test_jpeg_warm_escalation_no_stall():
+    """warm() pre-compiles the escalation width so overflow never recompiles."""
+    uy = generate_pattern(W, H, Codec.UYVY, "bars")
+    enc = JpegEncoder(W, H, quality=80)
+    enc.warm()
+    assert set(enc._compiled_cache) == {16, 32}
+    data = enc.encode(uy)
+    assert bytes(data[:2].tobytes()) == b"\xff\xd8"
+    # escalated width runs through the precompiled executable
+    enc.wwords = 32
+    out = enc._encode(__import__("jax").numpy.asarray(uy))
+    assert not bool(out[-1])

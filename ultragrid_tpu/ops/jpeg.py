@@ -521,6 +521,7 @@ class JpegEncoder:
         # slot width in 32-bit words; bumped automatically on overflow
         self.wwords = 16 if quality <= 90 else 32
         self._encode_cache = {}
+        self._compiled_cache = {}
 
     # -- header ---------------------------------------------------------
 
@@ -681,6 +682,9 @@ class JpegEncoder:
         it when they fetch results (see encode()) and call
         :meth:`escalate_and_retry` on the rare overflow.
         """
+        compiled = self._compiled_cache.get(self.wwords)
+        if compiled is not None:
+            return compiled(frame)
         fn = self._encode_cache.get(self.wwords)
         if fn is None:
             fn = self._encode_cache[self.wwords] = self._make_encode(self.wwords)
@@ -691,6 +695,29 @@ class JpegEncoder:
         if self.wwords < 64:
             self.wwords *= 2
         return self._encode(frame)
+
+    def warm(self, widths=None) -> None:
+        """AOT-compile the encode graph for the given slot widths so a
+        mid-stream overflow escalation never stalls a live session on a
+        recompile (the escalation path is otherwise compiled lazily).
+
+        Call once at startup, e.g. ``enc.warm()`` for the default width and
+        its first escalation.
+        """
+        if widths is None:
+            widths = (self.wwords, min(self.wwords * 2, 64))
+        from ultragrid_tpu.types import vc_get_linesize
+
+        spec = jax.ShapeDtypeStruct(
+            (self.height, vc_get_linesize(self.width, self.in_codec)), jnp.uint8
+        )
+        for ww in widths:
+            if ww in self._compiled_cache:
+                continue
+            fn = self._encode_cache.get(ww)
+            if fn is None:
+                fn = self._encode_cache[ww] = self._make_encode(ww)
+            self._compiled_cache[ww] = fn.lower(spec).compile()
 
     # -- public ---------------------------------------------------------
 
