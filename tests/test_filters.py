@@ -218,3 +218,28 @@ def test_text_filter():
     assert changed.any() and changed[:40, :80].any()
     # untouched outside the text band
     assert not changed[60:].any()
+
+
+def test_interlaced_3d():
+    from ultragrid_tpu.utils.tiling import vf_split
+
+    f = _frame()
+    stereo = vf_split(f, 2, 1)  # fake L/R as two half-width tiles? need same-size tiles
+    # build a proper 2-tile frame: same frame twice
+    two = VideoFrame(f.desc.with_(tile_count=2), [np.asarray(f.data), np.asarray(f.data)])
+    chain = FilterChain("interlaced_3d")
+    out = chain.apply(two)
+    assert out.desc.height == H * 2 and out.desc.tile_count == 1
+    data = np.asarray(out.data)
+    np.testing.assert_array_equal(data[0::2], np.asarray(f.data))
+    np.testing.assert_array_equal(data[1::2], np.asarray(f.data))
+
+
+def test_add_frame_rate_conversion():
+    chain = FilterChain("add_frame:every=5")
+    outs = []
+    for _ in range(10):
+        r = chain.apply(_frame())
+        outs.extend(r if isinstance(r, list) else [r])
+    assert len(outs) == 12  # 10 in -> 12 out (two duplicates)
+    assert abs(outs[0].desc.fps - 36.0) < 1e-9  # 30 * 6/5

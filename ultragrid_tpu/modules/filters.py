@@ -428,6 +428,53 @@ class TextFilter(Filter):
         return self._wrap(frame, arr)
 
 
+
+class Interlaced3dFilter(Filter):
+    """interlaced_3d: merge a 2-tile (left/right eye) 3D frame into one
+    line-interleaved frame for passive-3D displays
+    (ref: vo_postprocess/3d-interlaced.c — even rows = left eye, odd =
+    right, output height doubled at half vertical resolution per eye)."""
+
+    def apply(self, frame):
+        if frame.desc.tile_count != 2 or len(frame.tiles) != 2:
+            log.warning("interlaced_3d needs a 2-tile 3D frame; passing through")
+            return frame
+        left = np.asarray(frame.tiles[0])
+        right = np.asarray(frame.tiles[1])
+        out = np.empty((left.shape[0] * 2, left.shape[1]), left.dtype)
+        out[0::2] = left
+        out[1::2] = right
+        desc = frame.desc.with_(height=frame.desc.height * 2, tile_count=1)
+        out_frame = VideoFrame(desc, [out])
+        out_frame.timestamp = frame.timestamp
+        return out_frame
+
+
+class AddFrameFilter(Filter):
+    """add_frame:every=<num> — repeat every <num>-th frame to raise the frame
+    rate, e.g. every=5 converts 50p to 60p (ref: vo_postprocess/add_frame.c).
+    """
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        self.every = 5
+        for item in [p for p in cfg.split(":") if p]:
+            if item.startswith(("every=", "e=")):
+                self.every = int(item.split("=", 1)[1])
+            elif item == "nodelay":
+                pass  # buffering knob; this implementation has no extra delay
+        self._count = 0
+
+    def apply(self, frame):
+        self._count += 1
+        new_fps = frame.desc.fps * (self.every + 1) / self.every
+        out = self._wrap(frame, frame.data, frame.desc.with_(fps=new_fps))
+        if self._count % self.every == 0:
+            dup = self._wrap(frame, frame.data, out.desc)
+            return [out, dup]
+        return out
+
+
 _FILTERS = {
     "scale": ScaleFilter,
     "resize": ScaleFilter,
@@ -454,6 +501,9 @@ _FILTERS = {
     "double_framerate": DoubleFramerateFilter,
     "temporal_deint": DoubleFramerateFilter,
     "text": TextFilter,
+    "interlaced_3d": Interlaced3dFilter,
+    "3d-interlaced": Interlaced3dFilter,
+    "add_frame": AddFrameFilter,
 }
 
 for _name, _cls in _FILTERS.items():
