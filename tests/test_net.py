@@ -307,3 +307,47 @@ def test_udp_hole_punch_loopback():
     ta.start(); tb.start(); ta.join(10); tb.join(10)
     assert results.get("a") and results.get("b")
     a.close(); b.close()
+
+
+def test_rfc6184_h264_roundtrip():
+    """Annex-B -> RFC 6184 payloads (single NAL + FU-A) -> depacketize."""
+    from ultragrid_tpu.net.rtpdec_h264 import (
+        FRAME_INTRA,
+        H264Depacketizer,
+        packetize,
+    )
+
+    rng = np.random.default_rng(3)
+    sps = bytes([0x67]) + bytes(rng.integers(0, 255, 10, dtype=np.uint8).tolist())
+    pps = bytes([0x68]) + bytes(rng.integers(0, 255, 4, dtype=np.uint8).tolist())
+    # big IDR NAL forces FU-A fragmentation
+    idr = bytes([0x65]) + bytes(rng.integers(0, 255, 5000, dtype=np.uint8).tolist())
+    annexb = b"\x00\x00\x00\x01" + sps + b"\x00\x00\x00\x01" + pps + b"\x00\x00\x00\x01" + idr
+
+    payloads = packetize(annexb, mtu_payload=1200)
+    assert len(payloads) > 3  # sps, pps, and several FU-A fragments
+    dep = H264Depacketizer()
+    out = None
+    for i, p in enumerate(payloads):
+        out = dep.feed(p, marker=(i == len(payloads) - 1))
+    assert out == annexb
+    assert dep.sps == sps and dep.pps == pps
+
+
+def test_rfc6184_stap_a_and_ps_reinjection():
+    from ultragrid_tpu.net.rtpdec_h264 import H264Depacketizer, packetize
+
+    sps = bytes([0x67, 1, 2, 3])
+    pps = bytes([0x68, 9])
+    idr = bytes([0x65]) + bytes(range(48))
+    # STAP-A aggregating sps+pps
+    stap = bytes([24]) + len(sps).to_bytes(2, "big") + sps + len(pps).to_bytes(2, "big") + pps
+    dep = H264Depacketizer()
+    assert dep.feed(stap, marker=False) is None
+    out1 = dep.feed(idr, marker=True)
+    assert out1.count(b"\x00\x00\x00\x01") == 3
+
+    # next GOP: IDR without parameter sets -> SPS/PPS re-prepended
+    out2 = dep.feed(idr, marker=True)
+    assert out2.startswith(b"\x00\x00\x00\x01" + sps)
+    assert b"\x00\x00\x00\x01" + pps in out2
