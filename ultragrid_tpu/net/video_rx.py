@@ -33,6 +33,7 @@ class VideoRxState:
         self.decryption = decryption
         self.frames_ok = 0
         self.frames_missing_data = 0
+        self._h264_dep = None
 
     def _maybe_decrypt(self, node: PbufNode) -> Optional[int]:
         """Decrypt packet payloads in place; returns the effective (plain)
@@ -85,6 +86,9 @@ class VideoRxState:
             # standards-mode RFC 2435 JPEG (no UltraGrid payload header;
             # ref: rtpdec_jpeg.c via the RTSP decode path)
             frame = self._decode_rfc2435(node)
+        elif pt == rt.PT_H264:
+            # standards-mode RFC 6184 (dynamic PT 96; ref: rtpdec_h264.c)
+            frame = self._decode_rfc6184(node)
         elif pt in (rt.PT_VIDEO_LDGM, rt.PT_VIDEO_RS):
             frame = self._decode_fec(node, "ldgm" if pt == rt.PT_VIDEO_LDGM else "rs")
         else:
@@ -117,6 +121,32 @@ class VideoRxState:
         buf = np.frombuffer(jpeg, np.uint8)
         desc = VideoDesc(hdr["w"], hdr["h"], Codec.JPEG, 0.0)
         return self._wrap(buf, desc)
+
+    def _decode_rfc6184(self, node: PbufNode) -> Optional[VideoFrame]:
+        """PT 96: reassemble an H.264 access unit (Annex-B) per RFC 6184.
+
+        Without an H.264 decoder in this environment the frame carries the
+        raw Annex-B bytes (color_spec=H264) — file/dump displays record it
+        (the reference's RTSP-camera capture path does the same before
+        handing to lavc)."""
+        from ultragrid_tpu.net.rtpdec_h264 import H264Depacketizer
+
+        dep = self._h264_dep
+        if dep is None:
+            dep = self._h264_dep = H264Depacketizer()
+        au = None
+        pkts = sorted(node.packets, key=lambda p: p.seq)
+        for i, pkt in enumerate(pkts):
+            au = dep.feed(pkt.payload, marker=bool(pkt.m) or i == len(pkts) - 1)
+        if au is None:
+            self.frames_missing_data += 1
+            return None
+        self.frames_ok += 1
+        buf = np.frombuffer(au, np.uint8)
+        desc = VideoDesc(dep.width or 1920, dep.height or 1080, Codec.H264, 0.0)
+        frame = self._wrap(buf, desc)
+        frame.callbacks["frame_type"] = dep.frame_type
+        return frame
 
     def _decode_plain(self, node: PbufNode) -> Optional[VideoFrame]:
         # per-substream reassembly (multi-tile frames arrive as several
