@@ -8,7 +8,9 @@
  * Supports: baseline DCT, interleaved scan, 1-4 components, restart markers.
  */
 
+#include <pthread.h>
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 
 typedef struct {
@@ -95,6 +97,61 @@ static int receive_extend(reader_t *r, int s)
  * comp_nblocks[c]: blocks per MCU for component c
  * out[c]: int16 buffer [total_blocks_c * 64], zigzag order
  * Returns number of MCUs decoded (== nmcu on success). */
+/* Decode MCUs [m0, m1) from one restart segment's entropy data.  Block
+ * output offsets derive from the MCU index; DC predictors start at 0 (a
+ * segment boundary resets them).  Returns MCUs decoded. */
+static int64_t decode_mcu_range(
+    const uint8_t *data, int64_t size, const htab_t ht[4],
+    int ncomp, const int32_t *comp_ntab, const int32_t *comp_nblocks,
+    int64_t m0, int64_t m1, int32_t restart_interval, int16_t **out)
+{
+    reader_t r = {data, 0, size, 0, 0, 0};
+    int32_t pred[4] = {0, 0, 0, 0};
+
+    for (int64_t m = m0; m < m1; m++) {
+        if (restart_interval && m != m0 && m % restart_interval == 0) {
+            /* skip to RST marker */
+            r.bitcnt = 0;
+            r.marker_hit = 0;
+            while (r.pos + 1 < r.size &&
+                   !(r.data[r.pos] == 0xFF && r.data[r.pos + 1] >= 0xD0 &&
+                     r.data[r.pos + 1] <= 0xD7)) {
+                r.pos++;
+            }
+            if (r.pos + 1 >= r.size) return m - m0;
+            r.pos += 2;
+            pred[0] = pred[1] = pred[2] = pred[3] = 0;
+        }
+        for (int c = 0; c < ncomp; c++) {
+            const htab_t *dc = &ht[comp_ntab[c] * 2];
+            const htab_t *ac = &ht[comp_ntab[c] * 2 + 1];
+            for (int b = 0; b < comp_nblocks[c]; b++) {
+                int16_t *coef = out[c] + (m * comp_nblocks[c] + b) * 64;
+                memset(coef, 0, 64 * sizeof(int16_t));
+                int s = huff_decode(&r, dc);
+                if (s < 0 || r.marker_hit) return m - m0;
+                pred[c] += receive_extend(&r, s);
+                coef[0] = (int16_t)pred[c];
+                int k = 1;
+                while (k < 64) {
+                    int rs = huff_decode(&r, ac);
+                    if (rs < 0 || r.marker_hit) return m - m0;
+                    int rr = rs >> 4, ss = rs & 0xF;
+                    if (ss == 0) {
+                        if (rr == 15) { k += 16; continue; }
+                        break; /* EOB */
+                    }
+                    k += rr;
+                    if (k > 63) return m - m0;
+                    coef[k] = (int16_t)receive_extend(&r, ss);
+                    k++;
+                }
+            }
+        }
+    }
+    return m1 - m0;
+}
+
 int64_t jpeg_scan_decode(
     const uint8_t *data, int64_t size,
     const uint8_t *tables,
@@ -106,51 +163,100 @@ int64_t jpeg_scan_decode(
     for (int i = 0; i < 4; i++) {
         build_htab(&ht[i], tables + i * 272, tables + i * 272 + 16, 256);
     }
-    reader_t r = {data, 0, size, 0, 0, 0};
-    int32_t pred[4] = {0, 0, 0, 0};
-    int64_t blk_idx[4] = {0, 0, 0, 0};
+    return decode_mcu_range(data, size, ht, ncomp, comp_ntab, comp_nblocks,
+                            0, nmcu, restart_interval, out);
+}
 
-    for (int64_t m = 0; m < nmcu; m++) {
-        if (restart_interval && m && m % restart_interval == 0) {
-            /* skip to RST marker */
-            r.bitcnt = 0;
-            r.marker_hit = 0;
-            while (r.pos + 1 < r.size &&
-                   !(r.data[r.pos] == 0xFF && r.data[r.pos + 1] >= 0xD0 &&
-                     r.data[r.pos + 1] <= 0xD7)) {
-                r.pos++;
-            }
-            if (r.pos + 1 >= r.size) return m;
-            r.pos += 2;
-            pred[0] = pred[1] = pred[2] = pred[3] = 0;
-        }
-        for (int c = 0; c < ncomp; c++) {
-            const htab_t *dc = &ht[comp_ntab[c] * 2];
-            const htab_t *ac = &ht[comp_ntab[c] * 2 + 1];
-            for (int b = 0; b < comp_nblocks[c]; b++) {
-                int16_t *coef = out[c] + blk_idx[c] * 64;
-                blk_idx[c]++;
-                memset(coef, 0, 64 * sizeof(int16_t));
-                int s = huff_decode(&r, dc);
-                if (s < 0 || r.marker_hit) return m;
-                pred[c] += receive_extend(&r, s);
-                coef[0] = (int16_t)pred[c];
-                int k = 1;
-                while (k < 64) {
-                    int rs = huff_decode(&r, ac);
-                    if (rs < 0 || r.marker_hit) return m;
-                    int rr = rs >> 4, ss = rs & 0xF;
-                    if (ss == 0) {
-                        if (rr == 15) { k += 16; continue; }
-                        break; /* EOB */
-                    }
-                    k += rr;
-                    if (k > 63) return m;
-                    coef[k] = (int16_t)receive_extend(&r, ss);
-                    k++;
-                }
-            }
+/* ------------------------------------------------------------------ */
+/* Multi-threaded variant: restart segments are independent, so split  */
+/* the scan at RST markers and decode ranges of segments in parallel   */
+/* (the same trick the encoder exploits; GPUJPEG's CUDA decoder does   */
+/* the equivalent with one thread block per segment).                  */
+
+typedef struct {
+    const uint8_t *data;
+    int64_t size;
+    const htab_t *ht;
+    int ncomp;
+    const int32_t *comp_ntab;
+    const int32_t *comp_nblocks;
+    int64_t m0, m1;
+    int32_t restart_interval;
+    int16_t **out;
+    int64_t done;
+} mt_job_t;
+
+static void *mt_worker(void *arg)
+{
+    mt_job_t *j = (mt_job_t *)arg;
+    j->done = decode_mcu_range(j->data, j->size, j->ht, j->ncomp,
+                               j->comp_ntab, j->comp_nblocks, j->m0, j->m1,
+                               j->restart_interval, j->out);
+    return 0;
+}
+
+int64_t jpeg_scan_decode_mt(
+    const uint8_t *data, int64_t size,
+    const uint8_t *tables,
+    int ncomp, const int32_t *comp_ntab, const int32_t *comp_nblocks,
+    int64_t nmcu, int32_t restart_interval,
+    int16_t **out, int nthreads)
+{
+    if (restart_interval <= 0 || nthreads <= 1) {
+        return jpeg_scan_decode(data, size, tables, ncomp, comp_ntab,
+                                comp_nblocks, nmcu, restart_interval, out);
+    }
+    htab_t ht[4];
+    for (int i = 0; i < 4; i++) {
+        build_htab(&ht[i], tables + i * 272, tables + i * 272 + 16, 256);
+    }
+    int64_t nseg = (nmcu + restart_interval - 1) / restart_interval;
+    /* segment start offsets: seg 0 at 0, then after each RST marker
+     * (0xFF 0xD0-0xD7 cannot appear inside stuffed entropy data) */
+    int64_t *seg_off = (int64_t *)malloc((size_t)nseg * sizeof(int64_t));
+    if (!seg_off) return 0;
+    seg_off[0] = 0;
+    int64_t seg = 1, pos = 0;
+    while (seg < nseg && pos + 1 < size) {
+        if (data[pos] == 0xFF && data[pos + 1] >= 0xD0 && data[pos + 1] <= 0xD7) {
+            seg_off[seg++] = pos + 2;
+            pos += 2;
+        } else {
+            pos++;
         }
     }
-    return nmcu;
+    if (seg < nseg) { /* truncated stream: fall back to serial */
+        free(seg_off);
+        return jpeg_scan_decode(data, size, tables, ncomp, comp_ntab,
+                                comp_nblocks, nmcu, restart_interval, out);
+    }
+    if (nthreads > 64) nthreads = 64;
+    if ((int64_t)nthreads > nseg) nthreads = (int)nseg;
+    pthread_t tid[64];
+    mt_job_t jobs[64];
+    int64_t per = (nseg + nthreads - 1) / nthreads;
+    int nt = 0;
+    for (int t = 0; t < nthreads; t++) {
+        int64_t s0 = t * per, s1 = s0 + per;
+        if (s0 >= nseg) break;
+        if (s1 > nseg) s1 = nseg;
+        int64_t m0 = s0 * restart_interval;
+        int64_t m1 = s1 * restart_interval;
+        if (m1 > nmcu) m1 = nmcu;
+        int64_t off = seg_off[s0];
+        /* MCU indices stay absolute (they address the output); the reader
+         * starts at its segment head and resynchronizes at each further
+         * RST boundary within the range */
+        jobs[t] = (mt_job_t){data + off, size - off, ht, ncomp, comp_ntab,
+                             comp_nblocks, m0, m1, restart_interval, out, 0};
+        pthread_create(&tid[t], 0, mt_worker, &jobs[t]);
+        nt++;
+    }
+    int64_t total = 0;
+    for (int t = 0; t < nt; t++) {
+        pthread_join(tid[t], 0);
+        total += jobs[t].done;
+    }
+    free(seg_off);
+    return total;
 }

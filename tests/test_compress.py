@@ -213,3 +213,45 @@ def test_jpeg_warm_escalation_no_stall():
     enc.wwords = 32
     out = enc._encode(__import__("jax").numpy.asarray(uy))
     assert not bool(out[-1])
+
+
+def test_scan_decode_mt_matches_serial():
+    """Threaded restart-segment decode is bit-identical to the serial path."""
+    import ctypes
+
+    from ultragrid_tpu.native import jpeg_scan_decode_lib
+    from ultragrid_tpu.ops.jpeg import _parse_headers
+
+    lib = jpeg_scan_decode_lib()
+    if lib is None:
+        pytest.skip("native helper unavailable")
+    uy = generate_pattern(W, H, Codec.UYVY, "gradient")
+    enc = JpegEncoder(W, H, quality=85, restart_interval=4)
+    jpeg = bytes(enc.encode(uy).tobytes())
+    hdr = _parse_headers(jpeg)
+    scan = hdr["scan"]
+    nmcu = ((W + 15) // 16) * ((H + 7) // 8)
+    tables = np.zeros((4, 272), np.uint8)
+    for (tc, th), (bits, vals) in hdr["htabs"].items():
+        slot = th * 2 + tc
+        tables[slot, :16] = np.frombuffer(bits, np.uint8)
+        tables[slot, 16 : 16 + len(vals)] = np.frombuffer(vals, np.uint8)
+    comp_ntab = np.array([c["td"] for c in scan], np.int32)
+    comp_nblocks = np.array([c["h"] * c["v"] for c in scan], np.int32)
+    body = np.frombuffer(jpeg[hdr["scan_start"] :], np.uint8)
+
+    results = []
+    for nt in (1, 8):
+        outs = [np.zeros((nmcu * int(nb), 64), np.int16) for nb in comp_nblocks]
+        ptrs = (ctypes.POINTER(ctypes.c_int16) * len(outs))(
+            *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)) for o in outs]
+        )
+        done = lib.jpeg_scan_decode_mt(
+            body.ctypes.data, body.size, tables.ctypes.data,
+            len(scan), comp_ntab.ctypes.data, comp_nblocks.ctypes.data,
+            nmcu, hdr["ri"], ctypes.cast(ptrs, ctypes.c_void_p), nt,
+        )
+        assert done == nmcu
+        results.append(outs)
+    for o1, o8 in zip(*results):
+        np.testing.assert_array_equal(o1, o8)

@@ -68,7 +68,7 @@ def jpeg_assemble_lib() -> Optional[ctypes.CDLL]:
 
 @lru_cache(maxsize=None)
 def jpeg_scan_decode_lib() -> Optional[ctypes.CDLL]:
-    so = _build("jpeg_scan_decode", ["jpeg_scan_decode.c"])
+    so = _build("jpeg_scan_decode", ["jpeg_scan_decode.c"], ["-lpthread"])
     if so is None:
         return None
     lib = ctypes.CDLL(so)
@@ -77,6 +77,12 @@ def jpeg_scan_decode_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+    ]
+    lib.jpeg_scan_decode_mt.restype = ctypes.c_int64
+    lib.jpeg_scan_decode_mt.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int,
     ]
     return lib
 

@@ -1205,10 +1205,16 @@ class JpegDecoder:
         )
         body = data[hdr["scan_start"] :]
         body_arr = np.frombuffer(body, np.uint8)
-        done = lib.jpeg_scan_decode(
+        # restart segments are independent: decode them across host cores
+        # (native/jpeg_scan_decode.c jpeg_scan_decode_mt; falls back to the
+        # serial path when the stream has no restart markers)
+        import os as _os
+
+        done = lib.jpeg_scan_decode_mt(
             body_arr.ctypes.data, body_arr.size, tables.ctypes.data,
             len(scan), comp_ntab.ctypes.data, comp_nblocks.ctypes.data,
             nmcu, ri, ctypes.cast(ptr_arr, ctypes.c_void_p),
+            min(_os.cpu_count() or 1, 16),
         )
         if done != nmcu:
             raise ValueError(f"scan decode stopped at MCU {done}/{nmcu}")
