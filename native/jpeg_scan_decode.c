@@ -14,18 +14,22 @@
 #include <string.h>
 
 typedef struct {
-    /* canonical Huffman decode tables (libjpeg style) */
+    /* canonical Huffman decode tables (libjpeg style) + 8-bit lookahead:
+     * lut[look8] = (symbol << 8) | code_len for codes of <= 8 bits */
     int32_t mincode[17];
     int32_t maxcode[18]; /* maxcode[17] sentinel */
     int32_t valptr[17];
     uint8_t huffval[256];
+    uint16_t lut[256];
 } htab_t;
 
 typedef struct {
+    /* buffered bit reader: refills a 64-bit window a byte at a time,
+     * unstuffing FF00 and stopping (never consuming) at markers */
     const uint8_t *data;
     int64_t pos;
     int64_t size;
-    uint32_t bitbuf;
+    uint64_t bitbuf;
     int bitcnt;
     int marker_hit;
 } reader_t;
@@ -33,10 +37,19 @@ typedef struct {
 static void build_htab(htab_t *t, const uint8_t bits[16], const uint8_t *vals, int nvals)
 {
     memcpy(t->huffval, vals, (size_t)nvals);
+    memset(t->lut, 0, sizeof t->lut);
     int code = 0, k = 0;
     for (int l = 1; l <= 16; l++) {
         t->valptr[l] = k;
         t->mincode[l] = code;
+        for (int i = 0; i < bits[l - 1]; i++) {
+            if (l <= 8) {
+                int base = (code + i) << (8 - l);
+                for (int f = 0; f < (1 << (8 - l)); f++) {
+                    t->lut[base + f] = (uint16_t)((vals[k + i] << 8) | l);
+                }
+            }
+        }
         code += bits[l - 1];
         k += bits[l - 1];
         t->maxcode[l] = code - 1;
@@ -46,45 +59,62 @@ static void build_htab(htab_t *t, const uint8_t bits[16], const uint8_t *vals, i
     t->maxcode[17] = 0x7FFFFFFF;
 }
 
-static int read_bit(reader_t *r)
+static void refill(reader_t *r)
 {
-    if (r->bitcnt == 0) {
-        if (r->pos >= r->size) { r->marker_hit = 1; return 0; }
-        uint8_t b = r->data[r->pos++];
+    while (r->bitcnt <= 56) {
+        if (r->pos >= r->size) return;
+        uint8_t b = r->data[r->pos];
         if (b == 0xFF) {
-            if (r->pos < r->size && r->data[r->pos] == 0x00) {
-                r->pos++;
+            if (r->pos + 1 < r->size && r->data[r->pos + 1] == 0x00) {
+                r->pos += 2; /* stuffed FF */
             } else {
-                /* marker: back off and report */
-                r->pos--;
-                r->marker_hit = 1;
-                return 0;
+                return; /* marker: leave it for the segment-skip logic */
             }
+        } else {
+            r->pos++;
         }
-        r->bitbuf = b;
-        r->bitcnt = 8;
+        r->bitbuf = (r->bitbuf << 8) | b;
+        r->bitcnt += 8;
     }
-    r->bitcnt--;
-    return (r->bitbuf >> r->bitcnt) & 1;
 }
 
 static int huff_decode(reader_t *r, const htab_t *t)
 {
-    int code = read_bit(r);
-    int l = 1;
-    while (code > t->maxcode[l]) {
-        code = (code << 1) | read_bit(r);
-        l++;
-        if (l > 16) return -1;
+    refill(r);
+    if (r->bitcnt >= 8) {
+        int look = (int)((r->bitbuf >> (r->bitcnt - 8)) & 0xFF);
+        uint16_t e = t->lut[look];
+        if (e) {
+            r->bitcnt -= e & 0xFF;
+            return e >> 8;
+        }
     }
-    return t->huffval[t->valptr[l] + code - t->mincode[l]];
+    /* long (or tail-of-segment) codes: canonical walk */
+    int code = 0, l = 0;
+    while (l < 16) {
+        if (r->bitcnt == 0) {
+            refill(r);
+            if (r->bitcnt == 0) { r->marker_hit = 1; return -1; }
+        }
+        r->bitcnt--;
+        code = (code << 1) | (int)((r->bitbuf >> r->bitcnt) & 1);
+        l++;
+        if (code <= t->maxcode[l]) {
+            return t->huffval[t->valptr[l] + code - t->mincode[l]];
+        }
+    }
+    return -1;
 }
 
 static int receive_extend(reader_t *r, int s)
 {
     if (s == 0) return 0;
-    int v = 0;
-    for (int i = 0; i < s; i++) v = (v << 1) | read_bit(r);
+    if (r->bitcnt < s) {
+        refill(r);
+        if (r->bitcnt < s) { r->marker_hit = 1; return 0; }
+    }
+    r->bitcnt -= s;
+    int v = (int)((r->bitbuf >> r->bitcnt) & ((1u << s) - 1));
     if (v < (1 << (s - 1))) v -= (1 << s) - 1;
     return v;
 }
