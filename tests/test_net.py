@@ -351,3 +351,63 @@ def test_rfc6184_stap_a_and_ps_reinjection():
     out2 = dep.feed(idr, marker=True)
     assert out2.startswith(b"\x00\x00\x00\x01" + sps)
     assert b"\x00\x00\x00\x01" + pps in out2
+
+
+def test_rtsp_server_session_lifecycle():
+    """OPTIONS/DESCRIBE/SETUP/PLAY/TEARDOWN against the RTSP server; PLAY
+    registers the client as an RTP destination via the callback."""
+    import socket as _socket
+
+    from ultragrid_tpu.net.rtsp import RtspServer
+
+    played = []
+    torn = []
+    srv = RtspServer(
+        [("video", 5004, 26, "JPEG", 90000)],
+        port=0,
+        on_play=lambda a, p: played.append((a, p)),
+        on_teardown=lambda a, p: torn.append((a, p)),
+    )
+    try:
+        sock = _socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        f = sock.makefile("rwb")
+
+        def req(lines):
+            f.write(("\r\n".join(lines) + "\r\n\r\n").encode())
+            f.flush()
+            status = f.readline().decode()
+            headers = {}
+            while True:
+                h = f.readline()
+                if h in (b"\r\n", b"\n", b""):
+                    break
+                k, _, v = h.decode().partition(":")
+                headers[k.strip().lower()] = v.strip()
+            body = f.read(int(headers.get("content-length", 0) or 0))
+            return status, headers, body
+
+        st, hd, _ = req(["OPTIONS rtsp://x/ RTSP/1.0", "CSeq: 1"])
+        assert "200" in st and "DESCRIBE" in hd["public"]
+
+        st, hd, body = req(["DESCRIBE rtsp://x/ RTSP/1.0", "CSeq: 2"])
+        assert "200" in st
+        assert b"m=video 5004 RTP/AVP 26" in body
+
+        st, hd, _ = req([
+            "SETUP rtsp://x/trackID=0 RTSP/1.0", "CSeq: 3",
+            "Transport: RTP/AVP;unicast;client_port=51700-51701",
+        ])
+        assert "200" in st
+        sid = hd["session"]
+        assert "server_port=5004-5005" in hd["transport"]
+
+        st, hd, _ = req(["PLAY rtsp://x/ RTSP/1.0", "CSeq: 4", f"Session: {sid}"])
+        assert "200" in st
+        assert played == [("127.0.0.1", 51700)]
+
+        st, hd, _ = req(["TEARDOWN rtsp://x/ RTSP/1.0", "CSeq: 5", f"Session: {sid}"])
+        assert "200" in st
+        assert torn == [("127.0.0.1", 51700)]
+        sock.close()
+    finally:
+        srv.close()
