@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-V", "--verbose", action="count", default=0)
     p.add_argument("--param", action="append", default=[], help="key=value tuning params")
     p.add_argument(
+        "--rtsp",
+        action="store_true",
+        help="serve the session over RTSP (implies --rtp-standard for JPEG)",
+    )
+    p.add_argument(
         "--rtp-standard",
         action="store_true",
         help="send JPEG as standards-compliant RFC 2435 / PT 26 (interop mode)",
@@ -82,7 +87,10 @@ def main(argv=None) -> int:
         key, _, val = kv.partition("=")
         set_commandline_param(key, val or None)
 
-    if args.capture and args.host:
+    if args.capture and (args.host or getattr(args, "rtsp", False)):
+        # --rtsp without a host: serve and wait for clients to PLAY
+        if getattr(args, "rtsp", False):
+            args.rtp_standard = True
         from ultragrid_tpu.pipeline.sender import run_sender
 
         return run_sender(args)

@@ -69,6 +69,7 @@ class RtpSession:
         if rx_port:
             self.sock.bind(("", rx_port))
         self._dest = (addr, tx_port) if addr else None
+        self._extra_dests: set = set()
         self._send_queue: "queue.Queue" = queue.Queue(maxsize=4096)
         self._send_thread = threading.Thread(target=self._send_worker, name="rtp-send", daemon=True)
         self._send_thread.start()
@@ -89,10 +90,25 @@ class RtpSession:
             )
 
     def has_receiver(self) -> bool:
-        return self._dest is not None
+        return self._dest is not None or bool(self._extra_dests)
 
     def set_receiver(self, addr: str, tx_port: Optional[int] = None) -> None:
         self._dest = (addr, tx_port or self.tx_port)
+
+    # extra unicast destinations (RTSP clients; ref: live555 per-client
+    # sessions in src/rtsp/BasicRTSPOnlyServer.cpp)
+    def add_destination(self, addr: str, port: int) -> None:
+        self._extra_dests.add((addr, port))
+
+    def remove_destination(self, addr: str, port: int) -> None:
+        self._extra_dests.discard((addr, port))
+
+    def _fanout(self, pkt: bytes) -> None:
+        for dest in list(self._extra_dests):
+            try:
+                self.sock.sendto(pkt, dest)
+            except OSError:
+                pass
 
     # -- send -----------------------------------------------------------
 
@@ -102,7 +118,9 @@ class RtpSession:
             if item is None:
                 return
             try:
-                self.sock.sendto(item, self._dest)
+                if self._dest is not None:
+                    self.sock.sendto(item, self._dest)
+                self._fanout(item)
             except OSError as e:
                 log.warning(f"send failed: {e}")
 
@@ -110,7 +128,7 @@ class RtpSession:
         self, ts: int, pt: int, m: bool, payload_hdr: bytes, data, async_send: bool = True
     ) -> None:
         """ref: rtp_send_data_hdr (rtp.c); payload = payload_hdr + data."""
-        if self._dest is None:
+        if self._dest is None and not self._extra_dests:
             return
         seq = self.seq
         self.seq = (self.seq + 1) & 0xFFFF
@@ -130,7 +148,9 @@ class RtpSession:
         if async_send:
             self._send_queue.put(pkt)
         else:
-            self.sock.sendto(pkt, self._dest)
+            if self._dest is not None:
+                self.sock.sendto(pkt, self._dest)
+            self._fanout(pkt)
 
     def send_batch(self, ts: int, pt: int, payload_hdrs, payload: "bytes|object",
                    offsets, sizes, m_last: bool, pace_ns: int = 0) -> int:
@@ -142,14 +162,14 @@ class RtpSession:
         """
         import numpy as np
 
-        if self._dest is None:
+        if self._dest is None and not self._extra_dests:
             return 0
         npkt = len(sizes)
         from ultragrid_tpu.native import udp_tx_lib
 
         lib = udp_tx_lib()
         hdr_len = payload_hdrs.shape[1] if npkt else 0
-        if lib is not None and npkt:
+        if lib is not None and npkt and self._dest is not None:
             import socket as _socket
             import struct as _struct
 
@@ -188,6 +208,14 @@ class RtpSession:
                 payload_arr.ctypes.data, offs.ctypes.data, szs.ctypes.data,
                 npkt, pace_ns, sockaddr, len(sockaddr),
             )
+            if self._extra_dests:
+                # per-client unicast fan-out (RTSP clients); slow path is
+                # fine — the primary destination rides the C batch sender
+                for i in range(npkt):
+                    pkt = headers[i].tobytes() + bytes(
+                        payload_arr[offs[i] : offs[i] + szs[i]]
+                    )
+                    self._fanout(pkt)
             if n >= 0:
                 self.packets_sent += int(n)
                 self.bytes_sent += int(headers.nbytes + szs.sum())

@@ -38,6 +38,7 @@ class VideoSender:
         record: Optional[str] = None,
         mode: str = "normal",
         rtp_standard: bool = False,
+        rtsp: bool = False,
     ):
         from ultragrid_tpu.utils.tiling import VideoMode
 
@@ -73,11 +74,25 @@ class VideoSender:
         self.tx = Tx(mtu=mtu, fec_spec=fec_spec, bitrate=RATE_AUTO, encryption=crypto,
                      rfc2435=rtp_standard)
         self.sdp_server = None
+        self.rtsp_server = None
+        if rtsp:
+            # serve the session over RTSP: PLAY adds the client as an RTP
+            # destination (ref: rtsp rxtx mode / BasicRTSPOnlyServer.cpp)
+            from ultragrid_tpu.net.rtsp import RtspServer
+
+            try:
+                self.rtsp_server = RtspServer(
+                    [("video", tx_port, 26, "JPEG", 90000)],
+                    on_play=self.session.add_destination,
+                    on_teardown=self.session.remove_destination,
+                )
+            except OSError as exc:
+                log.warning(f"RTSP server unavailable: {exc}")
         if rtp_standard:
             # publish an SDP for the standards-mode stream (ref: utils/sdp.c)
             from ultragrid_tpu.utils.sdp import SdpHttpServer, make_sdp
 
-            sdp = make_sdp(host, [("video", tx_port, 26, "JPEG", 90000)])
+            sdp = make_sdp(host or "0.0.0.0", [("video", tx_port, 26, "JPEG", 90000)])
             try:
                 self.sdp_server = SdpHttpServer(sdp)
             except OSError as exc:
@@ -158,6 +173,7 @@ def run_sender(args) -> int:
         record=getattr(args, "record", None),
         mode=getattr(args, "mode", "normal"),
         rtp_standard=getattr(args, "rtp_standard", False),
+        rtsp=getattr(args, "rtsp", False),
     )
     n = sender.run()
     log.notice(f"sent {n} frames")
