@@ -411,3 +411,44 @@ def test_rtsp_server_session_lifecycle():
         sock.close()
     finally:
         srv.close()
+
+
+def test_standards_mode_audio_pcmu():
+    """PT 0 PCMU packets decodable by any RFC 3551 receiver (audioop check)."""
+    import audioop
+
+    from ultragrid_tpu.audio.types import AudioDesc, AudioFrame
+    from ultragrid_tpu.net.transmit import Tx
+
+    rate = 8000
+    t = np.arange(rate // 5) / rate
+    pcm = (np.sin(2 * np.pi * 440 * t) * 20000).astype("<i2")
+    frame = AudioFrame(
+        AudioDesc(bps=2, sample_rate=rate, ch_count=1),
+        [np.frombuffer(pcm.tobytes(), np.uint8)],
+    )
+    frame.timestamp = 0.0
+
+    port = PORT + 9
+    rx = RtpSession(addr=None, rx_port=port, tx_port=0)
+    txs = RtpSession(addr="127.0.0.1", rx_port=0, tx_port=port)
+    tx = Tx()
+    nsent = tx.send_audio_standard(txs, frame)
+    assert nsent == 10  # 0.2 s / 20 ms
+
+    got = []
+    deadline = time.time() + 10
+    while len(got) < nsent and time.time() < deadline:
+        pkt = rx.recv(timeout=0.05)
+        if pkt and pkt.pt == 0:
+            got.append(pkt)
+    assert len(got) == nsent
+    ulaw = b"".join(bytes(p.payload) for p in sorted(got, key=lambda p: p.seq))
+    # decode with CPython's audioop (independent G.711 implementation)
+    dec = np.frombuffer(audioop.ulaw2lin(ulaw, 2), "<i2").astype(float)
+    # correlation with the original sine must be near-perfect
+    ref = pcm.astype(float)
+    corr = np.corrcoef(dec, ref)[0, 1]
+    assert corr > 0.99, corr
+    txs.close()
+    rx.close()

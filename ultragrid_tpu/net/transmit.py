@@ -235,6 +235,55 @@ class Tx:
                         time.sleep(sleep)
         return sent
 
+    def send_audio_standard(self, session: RtpSession, frame) -> int:
+        """Standards-mode G.711 audio: RFC 3551 static payloads PT 0 (PCMU)
+        or PT 8 (PCMA), 8 kHz mono/stereo interleaved, 20 ms per packet —
+        interoperable with any SIP/RTSP receiver (the UltraGrid-native path
+        uses the 5-word audio header instead)."""
+        from ultragrid_tpu.audio.codecs import get_audio_codec
+
+        desc = frame.desc
+        if desc.sample_rate != 8000:
+            # G.711 static payloads are defined at 8 kHz (RFC 3551 table 4)
+            from fractions import Fraction
+
+            from ultragrid_tpu.audio.resampler import resample_channel
+            from ultragrid_tpu.audio.types import AudioFrame
+
+            fr = Fraction(8000, desc.sample_rate)
+            chans = []
+            for ch in frame.channels:
+                x = np.asarray(ch, np.uint8).view("<i2").astype(np.float64)
+                y = resample_channel(x, fr.numerator, fr.denominator)
+                chans.append(
+                    np.frombuffer(
+                        np.clip(y, -32768, 32767).astype("<i2").tobytes(), np.uint8
+                    )
+                )
+            nf = AudioFrame(desc.with_(sample_rate=8000, bps=2), chans)
+            nf.timestamp = frame.timestamp
+            frame = nf
+            desc = frame.desc
+        codec = get_audio_codec("ulaw")
+        comp = codec.compress(frame)
+        pt = 0  # PCMU
+        data = np.asarray(comp.channels[0], np.uint8)
+        if desc.ch_count == 2:
+            # RFC 3551: stereo is sample-interleaved
+            r = np.asarray(comp.channels[1], np.uint8)
+            inter = np.empty(data.size + r.size, np.uint8)
+            inter[0::2] = data
+            inter[1::2] = r
+            data = inter
+        step = 160 * desc.ch_count  # 20 ms at 8 kHz
+        ts = int(frame.timestamp * 8000) & 0xFFFFFFFF if frame.timestamp >= 0 else 0
+        sent = 0
+        for off in range(0, data.size, step):
+            chunk = data[off : off + step].tobytes()
+            session.send_data_hdr(ts + off // desc.ch_count, pt, False, b"", chunk)
+            sent += 1
+        return sent
+
     def send_audio(self, session: RtpSession, frame, codec_name: str = "PCM",
                    fec_spec: str = "none") -> int:
         """Per-channel audio packetization (ref: audio_tx_send_chan,
