@@ -452,3 +452,35 @@ def test_standards_mode_audio_pcmu():
     assert corr > 0.99, corr
     txs.close()
     rx.close()
+
+
+def test_standards_mode_audio_receive():
+    from ultragrid_tpu.net.audio_rx import AudioRxState
+    from ultragrid_tpu.net.pbuf import PbufNode
+    from ultragrid_tpu.audio.types import AudioDesc, AudioFrame
+    from ultragrid_tpu.net.transmit import Tx
+
+    rate = 8000
+    t = np.arange(rate // 10) / rate
+    pcm = (np.sin(2 * np.pi * 300 * t) * 15000).astype("<i2")
+    frame = AudioFrame(
+        AudioDesc(bps=2, sample_rate=rate, ch_count=1),
+        [np.frombuffer(pcm.tobytes(), np.uint8)],
+    )
+    frame.timestamp = 0.0
+    port = PORT + 11
+    rx = RtpSession(addr=None, rx_port=port, tx_port=0)
+    txs = RtpSession(addr="127.0.0.1", rx_port=0, tx_port=port)
+    n = Tx().send_audio_standard(txs, frame)
+    node = PbufNode(ts=0, arrival=time.time(), playout_delay=0.0)
+    deadline = time.time() + 10
+    while len(node.packets) < n and time.time() < deadline:
+        pkt = rx.recv(timeout=0.05)
+        if pkt and pkt.pt == 0:
+            node.packets.append(pkt)
+    out = AudioRxState().decode_frame(node)
+    assert out is not None and out.desc.sample_rate == 8000
+    dec = np.asarray(out.channels[0]).view("<i2").astype(float)
+    corr = np.corrcoef(dec, pcm.astype(float))[0, 1]
+    assert corr > 0.99
+    txs.close(); rx.close()

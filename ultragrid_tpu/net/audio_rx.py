@@ -23,7 +23,23 @@ class AudioRxState:
     def __init__(self) -> None:
         self.frames_ok = 0
 
+    def _decode_g711_standard(self, node: PbufNode) -> Optional[AudioFrame]:
+        """RFC 3551 static payloads: PT 0 = PCMU, PT 8 = PCMA (8 kHz mono,
+        raw G.711 bytes, no UltraGrid audio header)."""
+        pkts = sorted(node.packets, key=lambda p: p.seq)
+        codec_name = "ulaw" if pkts[0].pt == 0 else "alaw"
+        raw = b"".join(bytes(p.payload) for p in pkts)
+        if not raw:
+            return None
+        desc = AudioDesc(bps=1, sample_rate=8000, ch_count=1, codec=codec_name)
+        frame = AudioFrame(desc, [np.frombuffer(raw, np.uint8)])
+        frame = get_audio_codec(codec_name).decompress(frame)
+        self.frames_ok += 1
+        return frame
+
     def decode_frame(self, node: PbufNode) -> Optional[AudioFrame]:
+        if node.packets and node.packets[0].pt in (0, 8):
+            return self._decode_g711_standard(node)
         channels: Dict[int, np.ndarray] = {}
         desc = None
         codec_name = "PCM"
