@@ -195,6 +195,43 @@ def test_audio_rs_fec_end_to_end():
     rx.close()
 
 
+def test_audio_rs_fec_recovers_lost_packet():
+    """Drop a data packet and assert RS still reconstructs the channel exactly
+    (ref: audio_fec_decode passes the received map so erasures are known)."""
+    from ultragrid_tpu.net.audio_rx import AudioRxState
+    from ultragrid_tpu.net.pbuf import PlayoutBuffer
+    from ultragrid_tpu.net.rtp import RtpSession
+    from ultragrid_tpu.net.transmit import Tx
+
+    port = 23915
+    rx = RtpSession(addr=None, rx_port=port, tx_port=0)
+    tx_sess = RtpSession(addr="127.0.0.1", rx_port=0, tx_port=port)
+    tx = Tx(mtu=500)  # small MTU -> several packets per channel
+    cap = TestcardAudioCapture()
+    frame = cap.read(2400)
+    tx.send_audio(tx_sess, frame, "PCM", fec_spec="rs:16:20")
+
+    pbuf = PlayoutBuffer()
+    deadline = time.monotonic() + 5
+    node = None
+    while time.monotonic() < deadline:
+        pkt = rx.recv(timeout=0.05)
+        if pkt:
+            pbuf.insert(pkt)
+            if pkt.m:
+                node = list(pbuf.frames.values())[0]
+                break
+    assert node is not None and len(node.packets) >= 4
+    # drop one mid-stream data packet (not the first: keep header parseable)
+    del node.packets[1]
+    out = AudioRxState().decode_frame(node)
+    assert out is not None
+    np.testing.assert_array_equal(out.channels[0], frame.channels[0])
+    np.testing.assert_array_equal(out.channels[1], frame.channels[1])
+    tx_sess.close()
+    rx.close()
+
+
 def test_echo_cancellation_converges():
     """Synthetic echo through a short room impulse response: the canceller
     must attenuate the echo by >15 dB (ERLE) after adaptation."""

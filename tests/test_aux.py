@@ -36,6 +36,17 @@ def test_crypto_tamper_detected():
     assert c.decrypt(enc2, b"other") is None
 
 
+def test_crypto_malformed_packet_returns_none():
+    """A truncated/crafted packet must yield None, not an exception that
+    would kill the receiver loop (remote DoS)."""
+    for mode in (MODE_CBC, MODE_CTR, MODE_GCM):
+        c = PacketCrypto("secret", mode)
+        ct = c.encrypt(b"hello world payload", b"aad")
+        assert c.decrypt(ct[:-3], b"aad") is None  # truncated body
+        assert c.decrypt(b"\x00" * 21, b"aad") is None  # not block-aligned
+        assert c.decrypt(b"", b"aad") is None
+
+
 def test_crypto_passphrase_cipher_suffix():
     c = PacketCrypto("mykey:cipher=cbc")
     assert c.mode == MODE_CBC

@@ -114,6 +114,33 @@ def test_jpeg_entropy_noise_coefficient_roundtrip():
     assert mismatches <= max(2, got_y.size // 10000), mismatches
 
 
+def test_jpeg_decode_420_subsampling():
+    """RFC 2435 type 1 (4:2:0) is what ffmpeg/GStreamer cameras send; the
+    receiver must upsample half-height chroma instead of crashing."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from ultragrid_tpu.ops.jpeg import decode_jpeg_to_frame
+    from ultragrid_tpu.types import VideoDesc, VideoFrame
+
+    rgb = generate_pattern(W, H, Codec.RGB, "gradient").reshape(H, W, 3)
+    buf = io.BytesIO()
+    Image.fromarray(rgb, "RGB").save(buf, "JPEG", quality=90, subsampling=2)  # 4:2:0
+    data = np.frombuffer(buf.getvalue(), np.uint8)
+    frame = VideoFrame(VideoDesc(W, H, Codec.JPEG, 30.0), [data])
+    for out_codec in (Codec.UYVY, Codec.RGB):
+        out = decode_jpeg_to_frame(frame, out_codec)
+        assert out is not None and out.desc.color_spec == out_codec
+        arr = np.asarray(out.data)
+        assert arr.shape[0] == H
+    # quality check on the RGB path
+    out = decode_jpeg_to_frame(frame, Codec.RGB)
+    dec = np.asarray(out.data).reshape(H, W, 3).astype(int)
+    ref = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB")).astype(int)
+    # same file, two decoders: only rounding/upsample-filter differences
+    assert np.abs(dec - ref).mean() < 8
+
+
 def test_jpeg_restart_marker_structure():
     uy = generate_pattern(W, H, Codec.UYVY, "bars")
     enc = JpegEncoder(W, H, in_codec=Codec.UYVY, quality=80, restart_interval=4)

@@ -8,6 +8,7 @@ products are cached next to the sources in ``native/build/``.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from functools import lru_cache
@@ -24,10 +25,17 @@ _BUILD_DIR = os.path.join(_NATIVE_DIR, "build")
 
 def _build(name: str, sources: list[str], extra_flags: Optional[list[str]] = None) -> Optional[str]:
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    so_path = os.path.join(_BUILD_DIR, f"{name}.so")
     srcs = [os.path.join(_NATIVE_DIR, s) for s in sources]
-    newest_src = max(os.path.getmtime(s) for s in srcs)
-    if os.path.exists(so_path) and os.path.getmtime(so_path) >= newest_src:
+    # Cache keyed on a content hash of the sources + flags (mtimes are not
+    # preserved by git, so an mtime check could serve a stale binary after a
+    # fresh clone).  Build products are gitignored, never committed.
+    h = hashlib.sha256()
+    for s in srcs:
+        with open(s, "rb") as f:
+            h.update(f.read())
+    h.update(" ".join(extra_flags or []).encode())
+    so_path = os.path.join(_BUILD_DIR, f"{name}-{h.hexdigest()[:12]}.so")
+    if os.path.exists(so_path):
         return so_path
     cmd = ["cc", "-O3", "-fPIC", "-shared", "-o", so_path, *srcs, *(extra_flags or [])]
     try:

@@ -18,6 +18,10 @@ from ultragrid_tpu.utils.log import Logger
 
 log = Logger("audio_rx")
 
+# upper bound on the untrusted data_len header field (a spoofed packet must
+# not force a huge allocation; 16 MiB ≫ any real audio buffer)
+MAX_AUDIO_FRAME_LEN = 1 << 24
+
 
 class AudioRxState:
     def __init__(self) -> None:
@@ -41,6 +45,7 @@ class AudioRxState:
         if node.packets and node.packets[0].pt in (0, 8):
             return self._decode_g711_standard(node)
         channels: Dict[int, np.ndarray] = {}
+        got: Dict[int, np.ndarray] = {}
         desc = None
         codec_name = "PCM"
         is_rs = False
@@ -49,6 +54,9 @@ class AudioRxState:
             if pkt.pt not in (rt.PT_AUDIO, rt.PT_AUDIO_RS) or len(pkt.payload) < rt.AUDIO_PAYLOAD_HDR_LEN:
                 continue
             ch, buf_idx, offset, data_len, bps, rate, tag = rt.parse_audio_header(pkt.payload)
+            if data_len > MAX_AUDIO_FRAME_LEN or data_len <= 0:
+                log.warning(f"bogus audio frame length {data_len}; dropping packet")
+                continue
             if pkt.pt == rt.PT_AUDIO_RS:
                 is_rs = True
                 fec_params = tag
@@ -57,8 +65,10 @@ class AudioRxState:
             data = pkt.payload[rt.AUDIO_PAYLOAD_HDR_LEN :]
             if ch not in channels:
                 channels[ch] = np.zeros(data_len, np.uint8)
+                got[ch] = np.zeros(data_len, bool)
             end = min(offset + len(data), data_len)
             channels[ch][offset:end] = np.frombuffer(data[: end - offset], np.uint8)
+            got[ch][offset:end] = True
             desc = AudioDesc(bps=bps, sample_rate=rate, ch_count=len(channels), codec=codec_name)
         if desc is None:
             return None
@@ -76,7 +86,11 @@ class AudioRxState:
             for ch, buf in channels.items():
                 ss = buf.size // (k + m)
                 symbols = buf[: (k + m) * ss].reshape(k + m, ss)
-                payload = rs.decode(symbols, np.ones(k + m, bool))
+                # erasure map: a symbol is present only if every byte of it
+                # arrived (ref: audio_decoders.cpp audio_fec_decode passes the
+                # received-offset map so RS knows which symbols are erased)
+                present = got[ch][: (k + m) * ss].reshape(k + m, ss).all(axis=1)
+                payload = rs.decode(symbols, present)
                 if payload is None or payload.size < 4:
                     return None
                 (tag,) = _struct.unpack("<I", payload[:4].tobytes())

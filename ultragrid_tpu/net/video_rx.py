@@ -19,6 +19,12 @@ from ultragrid_tpu.utils.log import Logger
 
 log = Logger("video_rx")
 
+# Upper bound on the untrusted frame_len payload-header field: a spoofed
+# packet must not drive a multi-GiB allocation.  256 MiB covers 8K RG48
+# (7680*4320*6 ≈ 199 MB), the largest raw frame any supported mode produces
+# (the reference likewise validates buffer lengths before allocating).
+MAX_FRAME_LEN = 1 << 28
+
 
 ENCRYPTED_PTS = {
     rt.PT_ENCRYPT_VIDEO: rt.PT_VIDEO,
@@ -162,6 +168,9 @@ class VideoRxState:
             substream, buffer_idx, offset, frame_len, desc = rt.parse_video_header(
                 pkt.payload
             )
+            if frame_len > MAX_FRAME_LEN or frame_len <= 0:
+                log.warning(f"bogus frame length {frame_len}; dropping packet")
+                continue
             data = pkt.payload[rt.VIDEO_PAYLOAD_HDR_LEN :]
             if substream not in bufs:
                 bufs[substream] = np.zeros(frame_len, dtype=np.uint8)
@@ -201,6 +210,9 @@ class VideoRxState:
             substream, buffer_idx, offset, frame_len, k, m, c, seed = rt.parse_fec_header(
                 pkt.payload
             )
+            if frame_len > MAX_FRAME_LEN or frame_len <= 0:
+                log.warning(f"bogus FEC frame length {frame_len}; dropping packet")
+                continue
             params = (k, m, c, seed)
             data = pkt.payload[rt.FEC_PAYLOAD_HDR_LEN :]
             if buf is None:

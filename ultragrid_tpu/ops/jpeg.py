@@ -1054,9 +1054,11 @@ def decode_jpeg_to_frame(frame: VideoFrame, out_codec: Codec) -> Optional[VideoF
     except (RuntimeError, ValueError):
         planes, h, w, sampling = decode_jpeg(data)
         y, cb, cr = (np.clip(np.round(p), 0, 255) for p in planes)
-    if sampling[0] == (2, 1):  # 4:2:2
-        pass
-    elif sampling[0] == (1, 1):  # 4:4:4 -> subsample for UYVY
+    hs, vs = sampling[0]
+    if vs == 2:  # 4:2:0 (RFC 2435 type 1) — chroma is half height; repeat rows
+        cb = np.repeat(cb, 2, axis=0)
+        cr = np.repeat(cr, 2, axis=0)
+    if hs == 1:  # 4:4:4 -> subsample horizontally for UYVY
         cb = cb[:, 0::2] if out_codec == Codec.UYVY else cb
         cr = cr[:, 0::2] if out_codec == Codec.UYVY else cr
     if out_codec == Codec.UYVY:
@@ -1069,7 +1071,7 @@ def decode_jpeg_to_frame(frame: VideoFrame, out_codec: Codec) -> Optional[VideoF
         vf.timestamp = frame.timestamp
         return vf
     if out_codec == Codec.RGB:
-        if sampling[0] == (2, 1):
+        if hs == 2:
             cb = np.repeat(cb, 2, axis=1)[:, :w]
             cr = np.repeat(cr, 2, axis=1)[:, :w]
         y = y[:h, :w]

@@ -95,8 +95,13 @@ class PacketCrypto:
             except Exception:  # noqa: BLE001 - auth failure
                 return None
             return pt[:data_len]
-        dec = self._cipher(iv).decryptor()
-        pt = dec.update(body) + dec.finalize()
+        if self.mode in (MODE_CBC, MODE_ECB) and (not body or len(body) % 16):
+            return None  # truncated/crafted packet: not a whole block count
+        try:
+            dec = self._cipher(iv).decryptor()
+            pt = dec.update(body) + dec.finalize()
+        except Exception:  # noqa: BLE001 - malformed ciphertext must not kill rx
+            return None
         if len(pt) < data_len + 4:
             return None
         plaintext = pt[:data_len]
