@@ -216,25 +216,22 @@ def _size_of(v):
     return jnp.where(a == 0, 0, 32 - jax.lax.clz(a)).astype(jnp.int16)
 
 
-def _append_code(hi, lo, ln, code, clen):
-    """Append `code` (clen bits, clen < 32) to the (hi, lo, ln) bit value."""
-    code = code.astype(jnp.uint32)
-    clen_u = clen.astype(jnp.uint32)
-    new_hi = jnp.where(
-        clen_u == 0,
-        hi,
-        (hi << clen_u) | jnp.where(clen_u == 0, 0, lo >> (32 - clen_u)),
-    )
-    new_lo = jnp.where(clen_u == 0, lo, (lo << clen_u) | code)
-    return new_hi, new_lo, (ln + clen).astype(jnp.int16)
-
-
 def _encode_component_symbols(q, dc_codes, dc_lens, ac_tabs, eob_code, eob_len, zrl_code, zrl_len, seg_start):
     """Per-block symbol lanes for one component.
 
     q: [nb, 64] int32 zigzagged quantized coeffs (block stream order)
     seg_start: [nb] bool, True where the DC predictor resets
-    returns (hi, lo, ln): each [nb, 65] uint32/int32
+    returns (lo, ln): each [nb, 64] uint32 / int16.
+
+    Every slot value fits 32 bits (in fact <= 26):
+      * DC  = (huffcode << s) | amplitude  (<= 11 + 11 = 22 bits)
+      * AC  = (huffcode << s) | amplitude  (<= 16 + 10 = 26 bits)
+      * ZRL prefixes do NOT ride with their AC symbol (that would need up to
+        3x16 + 26 = 59 bits): a run >= 16 guarantees >= 16 empty slots before
+        the coefficient, so up to two of those zero-length lanes carry the
+        ZRL codes instead (<= 2 codes = 22 bits per lane).  Dropping the
+        64-bit (hi:lo) representation halves the packer's word window and
+        removes a third of the symbol-stage traffic.
     """
     nb = q.shape[0]
     dc = q[:, 0]
@@ -244,14 +241,12 @@ def _encode_component_symbols(q, dc_codes, dc_lens, ac_tabs, eob_code, eob_len, 
     amp_dc = jnp.where(diff > 0, diff, diff - 1).astype(jnp.uint32) & (
         (jnp.uint32(1) << s_dc.astype(jnp.uint32)) - 1
     )
-    hi0 = jnp.zeros((nb,), jnp.uint32)
-    lo0 = jnp.zeros((nb,), jnp.uint32)
-    ln0 = jnp.zeros((nb,), jnp.int16)
     s_dc_i = s_dc.astype(jnp.int32)
-    h, l, n = _append_code(hi0, lo0, ln0, dc_codes[s_dc_i], dc_lens[s_dc_i])
-    dc_hi, dc_lo, dc_ln = _append_code(h, l, n, amp_dc, s_dc)
+    dc16 = dc_codes[:16], dc_lens[:16]  # only 12 entries used: fast gather
+    dc_lo = (dc16[0][s_dc_i] << s_dc.astype(jnp.uint32)) | amp_dc
+    dc_ln = (dc16[1][s_dc_i].astype(jnp.int16) + s_dc).astype(jnp.int16)
 
-    # AC: positions 1..63
+    # AC: positions 1..63 (lane j <-> zigzag position j+1)
     ac = q[:, 1:]
     pos = jnp.arange(1, 64, dtype=jnp.int16)
     nz = ac != 0
@@ -269,50 +264,59 @@ def _encode_component_symbols(q, dc_codes, dc_lens, ac_tabs, eob_code, eob_len, 
         (jnp.uint32(1) << s_ac.astype(jnp.uint32)) - 1
     )
     ac_code, ac_len = _packed_lookup(ac_tabs, (rr.astype(jnp.int32) << 4) | s_ac.astype(jnp.int32))
-    hi = jnp.zeros_like(amp)
-    lo = jnp.zeros_like(amp)
-    ln = jnp.zeros_like(run)
-    for i in range(3):  # up to 3 ZRLs (run <= 62)
-        emit = k_zrl > i
-        h2, l2, n2 = _append_code(
-            hi, lo, ln,
-            jnp.broadcast_to(zrl_code, hi.shape), jnp.broadcast_to(zrl_len, ln.shape),
-        )
-        hi = jnp.where(emit, h2, hi)
-        lo = jnp.where(emit, l2, lo)
-        ln = jnp.where(emit, n2, ln)
-    h2, l2, n2 = _append_code(hi, lo, ln, ac_code, ac_len)
-    h3, l3, n3 = _append_code(h2, l2, n2, amp, s_ac)
-    ac_hi = jnp.where(nz, h3, 0)
-    ac_lo = jnp.where(nz, l3, 0)
-    ac_ln = jnp.where(nz, n3, 0)
+    # (huffcode << s) | amplitude fits 26 bits: the whole AC symbol is ONE
+    # value, no append chain.
+    val = (ac_code << s_ac.astype(jnp.uint32)) | amp
+    vlen = (ac_len + s_ac).astype(jnp.int16)
 
-    # EOB when the last AC (position 63) region is zero-trailing; slot 63 is
-    # len-0 exactly in that case, so the EOB rides there and the slot count
+    # ZRL redistribution: a nonzero at lane j with k = k_zrl in 1..3 places
+    # min(k,2) ZRL codes at lane j-1 and (k==3) one more at lane j-2.  Those
+    # lanes are guaranteed empty (run >= 16) and the placements are mutually
+    # exclusive with each other and with nonzero lanes.
+    zc, zl = int(zrl_code), int(zrl_len)
+    zz2 = (zc << zl) | zc
+    kn = jnp.where(nz, k_zrl, 0).astype(jnp.int16)
+    pad = jnp.zeros((nb, 1), jnp.int16)
+    nxt1 = jnp.concatenate([kn[:, 1:], pad], axis=1)   # k of lane j+1
+    nxt2 = jnp.concatenate([kn[:, 2:], pad, pad], axis=1)  # k of lane j+2
+    pm_lo = jnp.where(
+        nxt1 == 1, jnp.uint32(zc),
+        jnp.where(nxt1 >= 2, jnp.uint32(zz2), jnp.where(nxt2 == 3, jnp.uint32(zc), jnp.uint32(0))),
+    )
+    pm_ln = jnp.where(
+        nxt1 == 1, jnp.int16(zl),
+        jnp.where(nxt1 >= 2, jnp.int16(2 * zl), jnp.where(nxt2 == 3, jnp.int16(zl), jnp.int16(0))),
+    )
+    ac_lo = jnp.where(nz, val, pm_lo)
+    ac_ln = jnp.where(nz, vlen, pm_ln)
+
+    # EOB when the last AC (position 63) region is zero-trailing; lane 62 is
+    # empty exactly in that case (and can never carry a ZRL prefix since
+    # there is no position 64), so the EOB rides there and the slot count
     # stays a lane-friendly 64
     last_nz = jnp.max(nz_pos, axis=1)
     need_eob = last_nz < 63
     ac_lo = ac_lo.at[:, -1].set(
-        jnp.where(need_eob, jnp.broadcast_to(eob_code, (nb,)), ac_lo[:, -1])
+        jnp.where(need_eob, jnp.uint32(eob_code), ac_lo[:, -1])
     )
     ac_ln = ac_ln.at[:, -1].set(
-        jnp.where(need_eob, jnp.broadcast_to(eob_len, (nb,)), ac_ln[:, -1])
+        jnp.where(need_eob, jnp.int16(eob_len), ac_ln[:, -1])
     )
 
-    hi_all = jnp.concatenate([dc_hi[:, None], ac_hi], axis=1)
     lo_all = jnp.concatenate([dc_lo[:, None], ac_lo], axis=1)
     ln_all = jnp.concatenate([dc_ln[:, None], ac_ln], axis=1)
-    return hi_all, lo_all, ln_all
+    return lo_all, ln_all
 
 
-def _pack_block_slots(hi, lo, ln, wwords: int):
+def _pack_block_slots(lo, ln, wwords: int):
     """Pack per-symbol bit values into per-block fixed slots.
 
-    hi/lo/ln: [nbt, 65] symbol values (<= 59 bits each as hi:lo) and lengths.
-    Returns (slots [nbt, wwords] uint32 MSB-first, block_bits [nbt] int32,
-    overflow flag).  65-step scan, everything dense — no XLA scatters.
+    lo/ln: [nbt, 64] symbol values (<= 26 bits each, see
+    _encode_component_symbols) and lengths.  Returns (slots [nbt, wwords]
+    uint32 MSB-first, block_bits [nbt] int32, overflow flag).  Dense — no XLA
+    scatters; each value touches at most TWO output words (64-bit window).
     """
-    nbt = hi.shape[0]
+    nbt = lo.shape[0]
     # minor-axis cumsum as a lower-triangular matmul: one MXU pass instead of
     # log2(64) strided shift passes over the whole array
     nslots = ln.shape[1]
@@ -322,35 +326,29 @@ def _pack_block_slots(hi, lo, ln, wwords: int):
     block_bits = cum[:, -1].astype(jnp.int32)
     overflow = jnp.max(block_bits) > wwords * 32
 
-    # Each symbol (hi:lo, ln bits) lands at bit offset `off` in the block's
-    # bitstream, touching at most 3 of the 32-bit output words (96-bit
-    # window).  Compute the three aligned pieces for every slot, then OR-
-    # reduce over the slot axis in ONE lax.reduce: XLA input-fuses the
-    # broadcasts so the [nbt, nslots, wwords] contribution tensor is never
-    # materialized.  (A statically unrolled per-slot `acc |= contrib` chain
-    # was measured 2.6x slower — the accumulator round-trips HBM per step.)
-    t = (off & 31).astype(jnp.uint32)
+    # Value of ln bits at bit offset t=off&31 within the 64-bit window
+    # starting at word w0: piece x0 in word w0, x1 in w0+1.  Then OR-reduce
+    # over the slot axis in ONE lax.reduce: XLA input-fuses the broadcasts so
+    # the [nbt, nslots, wwords] contribution tensor is never materialized.
+    # (A statically unrolled per-slot `acc |= contrib` chain was measured
+    # 2.6x slower — the accumulator round-trips HBM per step.)
+    t = (off & 31).astype(jnp.int32)
     w0 = (off >> 5).astype(jnp.int32)
-    r = jnp.uint32(96) - ln.astype(jnp.uint32) - t
-    a = (r >> 5).astype(jnp.int32)
-    s = r & 31
-    lo_ls = jnp.where(s == 0, lo, lo << s)
-    carry = jnp.where(s == 0, 0, lo >> (32 - jnp.maximum(s, 1)))
-    hi_ls = jnp.where(s == 0, hi, (hi << s) | carry)
-    top = jnp.where(s == 0, 0, hi >> (32 - jnp.maximum(s, 1)))
-    x0 = jnp.where(a == 0, top, jnp.where(a == 1, hi_ls, lo_ls))
-    x1 = jnp.where(a == 0, hi_ls, jnp.where(a == 1, lo_ls, 0))
-    x2 = jnp.where(a == 0, lo_ls, 0)
-    live = ln > 0
-    x0 = jnp.where(live, x0, 0)
-    x1 = jnp.where(live, x1, 0)
-    x2 = jnp.where(live, x2, 0)
+    d = t + ln.astype(jnp.int32)  # end bit within the window, 0..57
+    spans = d > 32
+    du = jnp.asarray(d, jnp.uint32)
+    # both where-branches evaluate: keep every shift amount in 0..31
+    x0 = jnp.where(
+        spans,
+        lo >> jnp.where(spans, du - 32, 0),
+        lo << ((jnp.uint32(32) - du) & 31),
+    )
+    # empty slots (lo = 0) contribute zero regardless of the shift path
+    x1 = jnp.where(spans, lo << jnp.where(spans, jnp.uint32(64) - du, 0), jnp.uint32(0))
     iota = jnp.arange(wwords, dtype=jnp.int32)[None, None, :]
     w0c = w0[:, :, None]
-    contrib = (
-        jnp.where(iota == w0c, x0[:, :, None], 0)
-        | jnp.where(iota == w0c + 1, x1[:, :, None], 0)
-        | jnp.where(iota == w0c + 2, x2[:, :, None], 0)
+    contrib = jnp.where(iota == w0c, x0[:, :, None], 0) | jnp.where(
+        iota == w0c + 1, x1[:, :, None], 0
     )
     acc = jax.lax.reduce(contrib, jnp.uint32(0), jax.lax.bitwise_or, (1,))
     return acc, block_bits, overflow
@@ -372,107 +370,8 @@ def _blockify_plane(plane, bh, bw):
     return b
 
 
-def _encode_component_symbols_T(q, dc_codes, dc_lens, ac_tabs, eob_code, eob_len, zrl_code, zrl_len, seg_start):
-    """Column-major variant: q [64, nb] zigzag quantized -> (hi, lo, ln)
-    each [65, nb].
-
-    All scans run along the MAJOR axis (contiguous lanes); measured ~5x
-    faster than the row-major formulation on TPU.
-    """
-    nb = q.shape[1]
-    dc = q[0]
-    prev = jnp.roll(dc, 1).at[0].set(0)
-    diff = dc - jnp.where(seg_start, 0, prev)
-    s_dc = _size_of(diff)
-    amp_dc = jnp.where(diff > 0, diff, diff - 1).astype(jnp.uint32) & (
-        (jnp.uint32(1) << s_dc.astype(jnp.uint32)) - 1
-    )
-    h, l, n = _append_code(
-        jnp.zeros((nb,), jnp.uint32), jnp.zeros((nb,), jnp.uint32),
-        jnp.zeros((nb,), jnp.int32), dc_codes[s_dc], dc_lens[s_dc])
-    dc_hi, dc_lo, dc_ln = _append_code(h, l, n, amp_dc, s_dc)
-
-    ac = q[1:]
-    pos = jnp.arange(1, 64, dtype=jnp.int32)[:, None]
-    nz = ac != 0
-    nz_pos = jnp.where(nz, pos, 0)
-    prev_nz = jax.lax.cummax(nz_pos, axis=0)
-    prev_nz = jnp.roll(prev_nz, 1, axis=0).at[0].set(0)
-    run = pos - prev_nz - 1
-    k_zrl = run >> 4
-    rr = run & 0xF
-    s_ac = _size_of(ac)
-    amp = jnp.where(ac > 0, ac, ac - 1).astype(jnp.uint32) & (
-        (jnp.uint32(1) << s_ac.astype(jnp.uint32)) - 1
-    )
-    ac_code, ac_len = _packed_lookup(ac_tabs, (rr.astype(jnp.int32) << 4) | s_ac.astype(jnp.int32))
-    hi = jnp.zeros_like(amp)
-    lo = jnp.zeros_like(amp)
-    ln = jnp.zeros_like(run)
-    for i in range(3):
-        emit = k_zrl > i
-        h2, l2, n2 = _append_code(
-            hi, lo, ln,
-            jnp.broadcast_to(zrl_code, hi.shape), jnp.broadcast_to(zrl_len, ln.shape))
-        hi = jnp.where(emit, h2, hi)
-        lo = jnp.where(emit, l2, lo)
-        ln = jnp.where(emit, n2, ln)
-    h2, l2, n2 = _append_code(hi, lo, ln, ac_code, ac_len)
-    h3, l3, n3 = _append_code(h2, l2, n2, amp, s_ac)
-    ac_hi = jnp.where(nz, h3, 0)
-    ac_lo = jnp.where(nz, l3, 0)
-    ac_ln = jnp.where(nz, n3, 0)
-
-    last_nz = jnp.max(nz_pos, axis=0)
-    need_eob = last_nz < 63
-    eob_hi = jnp.zeros((nb,), jnp.uint32)
-    eob_lo = jnp.where(need_eob, jnp.broadcast_to(eob_code, (nb,)), 0)
-    eob_ln = jnp.where(need_eob, jnp.broadcast_to(eob_len, (nb,)), 0)
-
-    hi_all = jnp.concatenate([dc_hi[None], ac_hi, eob_hi[None]], axis=0)
-    lo_all = jnp.concatenate([dc_lo[None], ac_lo, eob_lo[None]], axis=0)
-    ln_all = jnp.concatenate([dc_ln[None], ac_ln, eob_ln[None]], axis=0)
-    return hi_all, lo_all, ln_all
-
-
-def _pack_block_slots_T(hi, lo, ln, wwords: int):
-    """Column-major packer: hi/lo/ln [65, nb] -> (slots [W, nb] uint32,
-    block_bits [nb], overflow)."""
-    nslots, nb = hi.shape
-    tri = jnp.asarray(np.tril(np.ones((nslots, nslots), np.float32)))
-    cum = jnp.dot(tri, ln.astype(jnp.float32), preferred_element_type=jnp.float32).astype(jnp.int32)
-    off = cum - ln
-    block_bits = cum[-1]
-    overflow = jnp.max(block_bits) > wwords * 32
-
-    acc = jnp.zeros((wwords, nb), jnp.uint32)
-    iota = jnp.arange(wwords, dtype=jnp.int32)[:, None]
-    for si in range(nslots):
-        s_hi, s_lo = hi[si], lo[si]
-        s_ln, s_off = ln[si], off[si]
-        t = (s_off & 31).astype(jnp.uint32)
-        w0 = (s_off >> 5).astype(jnp.int32)
-        r = jnp.uint32(96) - s_ln.astype(jnp.uint32) - t
-        a = (r >> 5).astype(jnp.int32)
-        sft = r & 31
-        smax = jnp.where(sft == 0, jnp.uint32(1), sft)
-        lo_ls = jnp.where(sft == 0, s_lo, s_lo << sft)
-        carry = jnp.where(sft == 0, 0, s_lo >> (32 - smax))
-        hi_ls = jnp.where(sft == 0, s_hi, (s_hi << sft) | carry)
-        top = jnp.where(sft == 0, 0, s_hi >> (32 - smax))
-        x0 = jnp.where(a == 0, top, jnp.where(a == 1, hi_ls, lo_ls))
-        x1 = jnp.where(a == 0, hi_ls, jnp.where(a == 1, lo_ls, 0))
-        x2 = jnp.where(a == 0, lo_ls, 0)
-        live = s_ln > 0
-        x0 = jnp.where(live, x0, 0)
-        x1 = jnp.where(live, x1, 0)
-        x2 = jnp.where(live, x2, 0)
-        acc = acc | (
-            jnp.where(iota == w0[None, :], x0[None, :], 0)
-            | jnp.where(iota == w0[None, :] + 1, x1[None, :], 0)
-            | jnp.where(iota == w0[None, :] + 2, x2[None, :], 0)
-        )
-    return acc, block_bits, overflow
+# (A fully column-major symbols/pack pipeline was tried and abandoned —
+#  extra transposes made it 16x slower end to end; see PERF.md.)
 
 
 class JpegEncoder:
@@ -518,6 +417,7 @@ class JpegEncoder:
         self._ac_c_packed = pack_tables(*self._ac_c)
         self._header = self._build_header()
         self.nblocks = self.nmcu * self.blocks_per_mcu
+        self._mega = self._build_mega_matrix()
         # slot width in 32-bit words; bumped automatically on overflow
         self.wwords = 16 if quality <= 90 else 32
         self._encode_cache = {}
@@ -594,6 +494,70 @@ class JpegEncoder:
             return (y - 128.0, cb - 128.0, cr - 128.0), True
         raise ValueError(f"JPEG encoder: unsupported input {self.in_codec.name}")
 
+    def _build_mega_matrix(self):
+        """One-matmul front end (TPU-first): blockify the RAW interleaved MCU
+        bytes into [nmcu, B] (a single uint8 relayout that XLA fuses into the
+        matmul's operand load) and multiply by ONE [B, 64*blocks_per_mcu]
+        matrix that folds byte deinterleave + (for RGB) color conversion +
+        2-D DCT + zigzag + quantization.  K and N are MXU-friendly (192/256)
+        instead of 64, and the separate per-plane deinterleave/stack/blockify
+        relayouts disappear — measured 2x faster than the per-plane stage at
+        4K (bit-identical output).
+
+        Returns (W [B, ncols] f32, const [ncols] f32, bytes_per_mcu_row) or
+        None if this codec/subsampling combo has no mega formulation.
+        """
+        m_zz = dct_matrix_64()[ZIGZAG, :]
+        qy = self.qtab_luma[ZIGZAG].astype(np.float32)
+        qc = self.qtab_chroma[ZIGZAG].astype(np.float32)
+        my = (m_zz / qy[:, None]).T  # [rc, k]
+        mc = (m_zz / qc[:, None]).T
+        cy = 128.0 * my.sum(axis=0)
+        cc = 128.0 * mc.sum(axis=0)
+        if self.subsampling == "422" and self.in_codec in (Codec.UYVY, Codec.YUYV):
+            # 16x8 MCU = 32 bytes/row: 2 luma blocks + 1 Cb + 1 Cr
+            B = 256
+            W = np.zeros((B, 256), np.float32)
+            if self.in_codec == Codec.UYVY:
+                yoff, uoff, voff = 1, 0, 2
+            else:  # YUYV
+                yoff, uoff, voff = 0, 1, 3
+            for r in range(8):
+                for c in range(8):
+                    rc = r * 8 + c
+                    W[r * 32 + 2 * c + yoff, 0:64] = my[rc]        # Y left
+                    W[r * 32 + 16 + 2 * c + yoff, 64:128] = my[rc]  # Y right
+                    W[r * 32 + 4 * c + uoff, 128:192] = mc[rc]      # Cb
+                    W[r * 32 + 4 * c + voff, 192:256] = mc[rc]      # Cr
+            const = np.concatenate([cy, cy, cc, cc]).astype(np.float32)
+            return W, const, 32
+        if self.subsampling == "444" and self.in_codec in (Codec.RGB, Codec.RGBA):
+            # 8x8 MCU: Y + Cb + Cr blocks; JFIF full-range BT.601 color
+            # conversion folded into the matrix (it is linear; the Cb/Cr
+            # +128 bias cancels the JPEG -128 level shift exactly)
+            ncomp = 3 if self.in_codec == Codec.RGB else 4
+            B = 8 * 8 * ncomp
+            W = np.zeros((B, 192), np.float32)
+            color = (
+                (0.299, 0.587, 0.114),
+                (-0.168735892, -0.331264108, 0.5),
+                (0.5, -0.418687589, -0.081312411),
+            )
+            mats = (my, mc, mc)
+            for r in range(8):
+                for c in range(8):
+                    rc = r * 8 + c
+                    for comp in range(3):
+                        for ch in range(3):
+                            W[(r * 8 + c) * ncomp + ch, comp * 64 : comp * 64 + 64] += (
+                                color[comp][ch] * mats[comp][rc]
+                            )
+            const = np.concatenate(
+                [cy, np.zeros(64, np.float32), np.zeros(64, np.float32)]
+            ).astype(np.float32)
+            return W, const, 8 * ncomp
+        return None
+
     def _make_encode(self, wwords: int):
         """Build the jitted device graph for a given slot width."""
 
@@ -611,44 +575,63 @@ class JpegEncoder:
             acc_t = tuple(jnp.asarray(t) for t in self._ac_c_packed)
             acl_codes, acl_lens = self._ac_l
             acc_codes, acc_lens = self._ac_c
-            # EOB/ZRL codes are compile-time constants
-            eob_l = (jnp.uint32(int(acl_codes[0])), jnp.int16(int(acl_lens[0])))
-            zrl_l = (jnp.uint32(int(acl_codes[0xF0])), jnp.int16(int(acl_lens[0xF0])))
-            eob_c = (jnp.uint32(int(acc_codes[0])), jnp.int16(int(acc_lens[0])))
-            zrl_c = (jnp.uint32(int(acc_codes[0xF0])), jnp.int16(int(acc_lens[0xF0])))
+            # EOB/ZRL codes are compile-time constants (plain ints so the
+            # symbol stage can fold them into selected constants)
+            eob_l = (int(acl_codes[0]), int(acl_lens[0]))
+            zrl_l = (int(acl_codes[0xF0]), int(acl_lens[0xF0]))
+            eob_c = (int(acc_codes[0]), int(acc_lens[0]))
+            zrl_c = (int(acc_codes[0xF0]), int(acc_lens[0xF0]))
 
-            (yp, up, vp), shifted = self._planes_from_input(frame)
-
-            if self.subsampling == "422":
-                yb = yp.reshape(self.nmcuy, 8, self.nmcux, 2, 8).transpose(0, 2, 3, 1, 4)
-                yb = yb.reshape(nmcu * 2, 64)
-                ub = _blockify_plane(up, 8, 8)
-                vb = _blockify_plane(vp, 8, 8)
+            mega = self._mega
+            if mega is not None:
+                # one-matmul front end (see _build_mega_matrix)
+                Wm, constv, bpr = mega
+                Wj = jnp.asarray(Wm)
+                cj = jnp.asarray(constv)
+                mb = frame[:, : self.nmcux * bpr].reshape(
+                    self.nmcuy, 8, self.nmcux, bpr
+                ).transpose(0, 2, 1, 3).reshape(nmcu, 8 * bpr)
+                f = jnp.dot(mb.astype(jnp.float32), Wj, preferred_element_type=jnp.float32)
+                q = jnp.round(f - cj[None, :]).astype(jnp.int32)
+                if self.subsampling == "422":
+                    qy_blocks = q[:, 0:128].reshape(nmcu * 2, 64)
+                    qu_blocks = q[:, 128:192]
+                    qv_blocks = q[:, 192:256]
+                else:
+                    qy_blocks = q[:, 0:64]
+                    qu_blocks = q[:, 64:128]
+                    qv_blocks = q[:, 128:192]
             else:
-                yb = _blockify_plane(yp, 8, 8)
-                ub = _blockify_plane(up, 8, 8)
-                vb = _blockify_plane(vp, 8, 8)
+                (yp, up, vp), shifted = self._planes_from_input(frame)
 
-            # fused DCT + zigzag + quantization: one matmul per component
-            # (row-major [nb, 64] output; a column-major variant was tried and
-            # measured much slower end-to-end on this toolchain)
-            m_zz = dct_m[zz, :]
-            my = (m_zz / qy[:, None]).T
-            mc = (m_zz / qc[:, None]).T
-            if shifted:
-                cy = cc = jnp.zeros((64,), jnp.float32)
-            else:
-                # level shift folded into the matmul: DCT(x-128) = DCT(x)-128*DCT(1)
-                cy = 128.0 * my.sum(axis=0)
-                cc = 128.0 * mc.sum(axis=0)
+                if self.subsampling == "422":
+                    yb = yp.reshape(self.nmcuy, 8, self.nmcux, 2, 8).transpose(0, 2, 3, 1, 4)
+                    yb = yb.reshape(nmcu * 2, 64)
+                    ub = _blockify_plane(up, 8, 8)
+                    vb = _blockify_plane(vp, 8, 8)
+                else:
+                    yb = _blockify_plane(yp, 8, 8)
+                    ub = _blockify_plane(up, 8, 8)
+                    vb = _blockify_plane(vp, 8, 8)
 
-            def mk(blocks, m, c):
-                f = jnp.dot(blocks.astype(jnp.float32), m, preferred_element_type=jnp.float32)
-                return jnp.round(f - c[None, :]).astype(jnp.int32)
+                # fused DCT + zigzag + quantization: one matmul per component
+                m_zz = dct_m[zz, :]
+                my = (m_zz / qy[:, None]).T
+                mc = (m_zz / qc[:, None]).T
+                if shifted:
+                    cy = cc = jnp.zeros((64,), jnp.float32)
+                else:
+                    # level shift folded: DCT(x-128) = DCT(x)-128*DCT(1)
+                    cy = 128.0 * my.sum(axis=0)
+                    cc = 128.0 * mc.sum(axis=0)
 
-            qy_blocks = mk(yb, my, cy)
-            qu_blocks = mk(ub, mc, cc)
-            qv_blocks = mk(vb, mc, cc)
+                def mk(blocks, m, c):
+                    f = jnp.dot(blocks.astype(jnp.float32), m, preferred_element_type=jnp.float32)
+                    return jnp.round(f - c[None, :]).astype(jnp.int32)
+
+                qy_blocks = mk(yb, my, cy)
+                qu_blocks = mk(ub, mc, cc)
+                qv_blocks = mk(vb, mc, cc)
 
             mcu_idx = jnp.arange(nmcu, dtype=jnp.int32)
             seg_start_mcu = (mcu_idx % ri) == 0
