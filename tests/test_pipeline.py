@@ -168,3 +168,93 @@ def test_conference_display_grid():
     assert len(disp.participants) == 2
     comp = np.asarray(disp.composite)
     assert comp.shape == (128, 384)
+
+
+def test_encode_pipeline_fused_ldgm_fixed_size():
+    """DXT1 + LDGM in ONE jit graph; parity bit-exact vs the host wire path
+    (LdgmSession.encode, same [u32 len][data][pad][parity] container)."""
+    from ultragrid_tpu.models.encode import EncodeConfig, EncodePipeline
+    from ultragrid_tpu.ops.fec import LdgmSession
+    from ultragrid_tpu.types import VideoDesc, vc_get_linesize
+    from ultragrid_tpu.utils.pattern import generate_pattern
+
+    w, h = 128, 64
+    desc = VideoDesc(w, h, Codec.UYVY, 30.0)
+    pipe = EncodePipeline(
+        desc, EncodeConfig(in_codec=Codec.UYVY, compress="dxt1", fec="ldgm:32:8:5")
+    )
+    frame = generate_pattern(w, h, Codec.UYVY, "bars")
+    data, parity = pipe(frame)
+    data, parity = np.asarray(data), np.asarray(parity)
+    sess = LdgmSession(32, 8, 5)
+    buf, fdesc = sess.encode(data.reshape(-1))
+    assert fdesc.symbol_size == pipe.fec_desc[-1]
+    np.testing.assert_array_equal(parity.reshape(-1), buf[-parity.size:])
+
+
+def test_encode_pipeline_fused_rs_fixed_size():
+    from ultragrid_tpu.models.encode import EncodeConfig, EncodePipeline
+    from ultragrid_tpu.ops.fec import RsSession
+    from ultragrid_tpu.types import VideoDesc
+    from ultragrid_tpu.utils.pattern import generate_pattern
+
+    w, h = 128, 64
+    desc = VideoDesc(w, h, Codec.UYVY, 30.0)
+    pipe = EncodePipeline(
+        desc, EncodeConfig(in_codec=Codec.UYVY, compress="dxt1", fec="rs:16:20")
+    )
+    frame = generate_pattern(w, h, Codec.UYVY, "gradient")
+    data, parity = pipe(frame)
+    data, parity = np.asarray(data), np.asarray(parity)
+    sess = RsSession(16, 20)
+    buf, fdesc = sess.encode(data.reshape(-1))
+    assert fdesc.symbol_size == pipe.fec_desc[-1]
+    np.testing.assert_array_equal(parity.reshape(-1), buf[-parity.size:])
+
+
+def test_encode_pipeline_fused_jpeg_ldgm():
+    """JPEG + LDGM parity over the slot-aligned device container, one graph.
+    Parity must equal a host recomputation over the same container bytes."""
+    from ultragrid_tpu.models.encode import EncodeConfig, EncodePipeline
+    from ultragrid_tpu.ops.fec import build_ldgm_matrix
+    from ultragrid_tpu.types import VideoDesc
+    from ultragrid_tpu.utils.pattern import generate_pattern
+
+    w, h = 128, 64
+    desc = VideoDesc(w, h, Codec.UYVY, 30.0)
+    pipe = EncodePipeline(
+        desc, EncodeConfig(in_codec=Codec.UYVY, compress="jpeg", fec="ldgm:32:16:5")
+    )
+    frame = generate_pattern(w, h, Codec.UYVY, "bars")
+    ys, ybits, us, ubits, vs, vbits, parity, ovf = pipe(frame)
+    assert not bool(ovf)
+    kind, k, m, c, ps = pipe.fec_desc
+    parity = np.asarray(parity)
+    assert parity.shape == (m, ps)
+    # host recomputation: each part starts on a fresh symbol row (the
+    # device-native container layout), then plain numpy XOR over the matrix
+    parts = [
+        np.asarray(ys, np.uint32), np.asarray(ybits, np.int32).view(np.uint32),
+        np.asarray(us, np.uint32), np.asarray(ubits, np.int32).view(np.uint32),
+        np.asarray(vs, np.uint32), np.asarray(vbits, np.int32).view(np.uint32),
+    ]
+    rows = []
+    for p in parts:
+        nbytes = p.size * 4
+        nrows = -(-nbytes // ps)
+        buf = np.zeros(nrows * ps, np.uint8)
+        buf[:nbytes] = p.reshape(-1).view(np.uint8)
+        rows.append(buf.reshape(nrows, ps))
+    sym = np.concatenate(rows)
+    assert sym.shape[0] <= k
+    sym = np.concatenate([sym, np.zeros((k - sym.shape[0], ps), np.uint8)])
+    mat = build_ldgm_matrix(k, m, c, 1)
+    expect = np.zeros((m, ps), np.uint8)
+    for i in range(m):
+        acc = np.zeros(ps, np.uint8)
+        for j in np.nonzero(mat[i])[0]:
+            acc ^= sym[j]
+        if i:
+            acc ^= expect[i - 1]  # staircase
+        expect[i] = acc
+    np.testing.assert_array_equal(parity, expect)
