@@ -484,3 +484,90 @@ def test_standards_mode_audio_receive():
     corr = np.corrcoef(dec, pcm.astype(float))[0, 1]
     assert corr > 0.99
     txs.close(); rx.close()
+
+
+def test_pbuf_honors_playout_delay_for_stragglers():
+    """A packet arriving AFTER the M-bit (reordered) must still make the
+    frame: the playout delay is the reorder window (ref: pbuf.c:577-608 gates
+    on playout_time, not on the M bit)."""
+    from ultragrid_tpu.net.pbuf import PlayoutBuffer
+    from ultragrid_tpu.net.rtp import RtpPacket
+
+    pb = PlayoutBuffer(playout_delay=0.05)
+    t0 = time.monotonic()
+
+    def pkt(seq, m, arrival):
+        return RtpPacket(pt=20, seq=seq, ts=1000, ssrc=1, m=m,
+                         payload=b"x" * 4, arrival=arrival)
+
+    pb.insert(pkt(0, 0, t0))
+    pb.insert(pkt(2, 1, t0 + 0.001))   # M-bit arrives BEFORE seq 1
+    decoded = []
+    # immediately after the M bit: not yet playable (inside reorder window)
+    assert not pb.decode(t0 + 0.002, lambda n: decoded.append(n) or True)
+    pb.insert(pkt(1, 0, t0 + 0.010))   # straggler inside the window
+    assert not pb.decode(t0 + 0.030, lambda n: decoded.append(n) or True)
+    # past playout time: decodes with ALL THREE packets present
+    assert pb.decode(t0 + 0.051, lambda n: decoded.append(n) or True)
+    assert len(decoded) == 1 and len(decoded[0].packets) == 3
+
+
+def test_pbuf_completes_on_newer_frame_and_counts_losses():
+    from ultragrid_tpu.net.pbuf import PlayoutBuffer
+    from ultragrid_tpu.net.rtp import RtpPacket
+
+    pb = PlayoutBuffer(playout_delay=0.01)
+    t0 = time.monotonic()
+
+    def pkt(seq, ts, m=0):
+        return RtpPacket(pt=20, seq=seq, ts=ts, ssrc=7, m=m,
+                         payload=b"x", arrival=t0)
+
+    # frame 1 loses its M-bit packet (seq 2 dropped); frame 2 starts
+    pb.insert(pkt(0, 100))
+    pb.insert(pkt(1, 100))
+    pb.insert(pkt(3, 200))  # newer frame -> completes frame ts=100
+    node = pb.frames[(7, 100)]
+    assert node.is_complete and not node.mbit_seen
+    decoded = []
+    assert pb.decode(t0 + 0.02, lambda n: decoded.append(n.ts) or True)
+    assert decoded == [100]
+    # stats: seq 2 never arrived -> expected > received
+    received, expected = pb.received_stats(7)
+    assert received == 3 and expected == 4
+
+
+def test_recvmmsg_batch_and_recv_thread():
+    """C recvmmsg batch path delivers the same packets as recvfrom, and the
+    dedicated recv thread feeds recv() via the queue (ref: net_udp.c
+    udp_reader + recvmmsg batching)."""
+    from ultragrid_tpu.net.rtp import RtpSession
+
+    port = 24650
+    rx = RtpSession(addr=None, rx_port=port, tx_port=0)
+    tx = RtpSession(addr="127.0.0.1", rx_port=0, tx_port=port)
+    for i in range(40):
+        tx.send_data_hdr(1000, 20, i == 39, b"", bytes([i]) * 32, async_send=False)
+    time.sleep(0.1)
+    pkts = []
+    deadline = time.monotonic() + 3
+    while len(pkts) < 40 and time.monotonic() < deadline:
+        pkts.extend(rx.recv_batch(timeout=0.05))
+    assert len(pkts) == 40
+    assert [p.payload[0] for p in pkts] == list(range(40))
+    assert pkts[-1].m
+    rx.close()
+
+    rx2 = RtpSession(addr=None, rx_port=port + 2, tx_port=0)
+    rx2.start_recv_thread()
+    tx2 = RtpSession(addr="127.0.0.1", rx_port=0, tx_port=port + 2)
+    for i in range(10):
+        tx2.send_data_hdr(2000, 20, False, b"", bytes([i]) * 16, async_send=False)
+    got = []
+    deadline = time.monotonic() + 3
+    while len(got) < 10 and time.monotonic() < deadline:
+        p = rx2.recv(timeout=0.05)
+        if p:
+            got.append(p)
+    assert len(got) == 10
+    tx.close(); tx2.close(); rx2.close()

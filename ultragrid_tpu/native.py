@@ -110,6 +110,20 @@ def ldgm_xor_lib() -> Optional[ctypes.CDLL]:
 
 
 @lru_cache(maxsize=None)
+def udp_rx_lib() -> Optional[ctypes.CDLL]:
+    so = _build("udp_rx", ["udp_rx.c"])
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.udp_recv_batch.restype = ctypes.c_long
+    lib.udp_recv_batch.argtypes = [
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_long,
+    ]
+    return lib
+
+
+@lru_cache(maxsize=None)
 def udp_tx_lib() -> Optional[ctypes.CDLL]:
     so = _build("udp_tx", ["udp_tx.c"])
     if so is None:

@@ -78,6 +78,10 @@ class RtpSession:
         self.bytes_received = 0
         self.packets_received = 0
         self._closed = False
+        self._recv_thread = None
+        self._recv_queue: Optional["queue.Queue"] = None
+        self._rx_buf = None
+        self._rx_lens = None
         self.rtcp = None
         if rtcp:
             from ultragrid_tpu.net.rtcp import RtcpSession
@@ -239,15 +243,7 @@ class RtpSession:
 
     # -- receive --------------------------------------------------------
 
-    def recv(self, timeout: float = 0.0001) -> Optional[RtpPacket]:
-        """ref: rtp_recv_r with timeout (ultragrid_rtp.c:422)."""
-        self.sock.settimeout(timeout)
-        try:
-            data, _src = self.sock.recvfrom(RTP_MAX_PACKET_LEN)
-        except (socket.timeout, BlockingIOError):
-            return None
-        except OSError:
-            return None
+    def _parse(self, data: bytes, arrival: float) -> Optional[RtpPacket]:
         if len(data) < RTP_HDR_LEN:
             return None
         b0, b1, seq, ts, ssrc = struct.unpack("!BBHII", data[:RTP_HDR_LEN])
@@ -264,7 +260,7 @@ class RtpSession:
         self.bytes_received += len(data)
         self.packets_received += 1
         if self.rtcp is not None:
-            self.rtcp.on_rtp_received(ssrc, seq, ts, time.monotonic())
+            self.rtcp.on_rtp_received(ssrc, seq, ts, arrival)
         return RtpPacket(
             pt=b1 & 0x7F,
             seq=seq,
@@ -272,8 +268,112 @@ class RtpSession:
             ssrc=ssrc,
             m=bool(b1 & 0x80),
             payload=data[payload_start:],
-            arrival=time.monotonic(),
+            arrival=arrival,
         )
+
+    def recv(self, timeout: float = 0.0001) -> Optional[RtpPacket]:
+        """ref: rtp_recv_r with timeout (ultragrid_rtp.c:422)."""
+        if self._recv_thread is not None:
+            try:
+                return self._recv_queue.get(timeout=timeout)
+            except queue.Empty:
+                return None
+        self.sock.settimeout(timeout)
+        try:
+            data, _src = self.sock.recvfrom(RTP_MAX_PACKET_LEN)
+        except (socket.timeout, BlockingIOError):
+            return None
+        except OSError:
+            return None
+        return self._parse(data, time.monotonic())
+
+    def recv_batch(self, timeout: float = 0.0001, max_pkts: int = 128) -> List[RtpPacket]:
+        """Drain up to max_pkts datagrams in ONE recvmmsg syscall (C hot
+        path; role analogue of the reference's udp_reader thread +
+        net_udp.c:1129-1131 batching).  Falls back to looped recvfrom."""
+        from ultragrid_tpu.native import udp_rx_lib
+
+        lib = udp_rx_lib()
+        out: List[RtpPacket] = []
+        if lib is not None:
+            import numpy as np
+
+            buf = self._rx_buf
+            if buf is None or buf.shape[0] < max_pkts:
+                buf = self._rx_buf = np.empty(
+                    (max_pkts, RTP_MAX_PACKET_LEN), np.uint8
+                )
+                self._rx_lens = np.empty(max_pkts, np.int32)
+            n = int(lib.udp_recv_batch(
+                self.sock.fileno(), buf.ctypes.data, buf.shape[1], max_pkts,
+                self._rx_lens.ctypes.data, int(timeout * 1e6),
+            ))
+            if n <= 0:
+                return out
+            arrival = time.monotonic()
+            # vectorized header parse over the whole batch (per-packet
+            # python parsing caps a single core at ~0.4 Gbps)
+            lens = self._rx_lens[:n].tolist()
+            h = buf[:n, :RTP_HDR_LEN].astype(np.uint32)
+            seqs = ((h[:, 2] << 8) | h[:, 3]).tolist()
+            tss = ((h[:, 4] << 24) | (h[:, 5] << 16) | (h[:, 6] << 8) | h[:, 7]).tolist()
+            ssrcs = ((h[:, 8] << 24) | (h[:, 9] << 16) | (h[:, 10] << 8) | h[:, 11]).tolist()
+            b0s = h[:, 0].tolist()
+            b1s = h[:, 1].tolist()
+            rtcp = self.rtcp
+            nbytes = 0
+            for i in range(n):
+                ln = lens[i]
+                b0 = b0s[i]
+                if ln < RTP_HDR_LEN or (b0 >> 6) != RTP_VERSION:
+                    continue
+                if b0 & 0x1F:  # CSRCs or extension present: slow path
+                    pkt = self._parse(buf[i, :ln].tobytes(), arrival)
+                    if pkt is not None:
+                        out.append(pkt)
+                    continue
+                nbytes += ln
+                b1 = b1s[i]
+                if rtcp is not None:
+                    rtcp.on_rtp_received(ssrcs[i], seqs[i], tss[i], arrival)
+                out.append(RtpPacket(
+                    pt=b1 & 0x7F, seq=seqs[i], ts=tss[i],
+                    ssrc=ssrcs[i], m=bool(b1 & 0x80),
+                    payload=buf[i, RTP_HDR_LEN:ln].tobytes(), arrival=arrival,
+                ))
+            self.bytes_received += nbytes
+            self.packets_received += len(out)
+            return out
+        pkt = self.recv(timeout)
+        while pkt is not None and len(out) < max_pkts:
+            out.append(pkt)
+            pkt = self.recv(0.0)
+        if pkt is not None:
+            out.append(pkt)
+        return out
+
+    def start_recv_thread(self, queue_size: int = 8192) -> None:
+        """Dedicated receive thread feeding an internal queue (ref: the
+        reference's udp_reader thread, net_udp.c:163-187): recv() then pops
+        from the queue so the decode loop never blocks in the syscall."""
+        if self._recv_thread is not None:
+            return
+        self._recv_queue = queue.Queue(maxsize=queue_size)
+
+        def worker():
+            while not self._closed:
+                try:
+                    pkts = self.recv_batch(timeout=0.05)
+                except OSError:
+                    return
+                for p in pkts:
+                    try:
+                        self._recv_queue.put_nowait(p)
+                    except queue.Full:
+                        pass  # overrun: drop (the socket buffer smooths bursts)
+
+        self._recv_thread = threading.Thread(target=worker, name="rtp-recv", daemon=True)
+        self._recv_thread.start()
 
     def close(self) -> None:
         if self._closed:
@@ -283,6 +383,8 @@ class RtpSession:
             self.rtcp.close()
         self._send_queue.put(None)
         self._send_thread.join(timeout=2)
+        if self._recv_thread is not None:
+            self._recv_thread.join(timeout=2)
         self.sock.close()
 
 

@@ -149,9 +149,13 @@ class VideoReceiver:
         return True
 
     def run(self) -> int:
-        """Receiver loop (ref: ultragrid_rtp.c:403-500)."""
+        """Receiver loop (ref: ultragrid_rtp.c:403-500).  A dedicated recv
+        thread drains the socket with recvmmsg batches (ref: udp_reader
+        thread net_udp.c:163-187) so long decode calls never back up the
+        kernel socket buffer."""
         start = time.monotonic()
         idle_since = time.monotonic()
+        self.session.start_recv_thread()
         while True:
             if self.frame_limit is not None and self.frames_displayed >= self.frame_limit:
                 break
@@ -159,9 +163,14 @@ class VideoReceiver:
                 break
             pkt = self.session.recv(timeout=0.0001)
             now = time.monotonic()
-            if pkt is not None:
+            ndrained = 0
+            while pkt is not None:
                 self.pbuf.insert(pkt)
                 idle_since = now
+                ndrained += 1
+                if ndrained >= 512:
+                    break
+                pkt = self.session.recv(timeout=0.0)
             self.pbuf.decode(now, self._handle_frame)
             self.pbuf.remove_old(now)
             if self.audio_playback is not None:
