@@ -571,3 +571,52 @@ def test_recvmmsg_batch_and_recv_thread():
             got.append(p)
     assert len(got) == 10
     tx.close(); tx2.close(); rx2.close()
+
+
+def test_fec_recovers_dropped_packets_end_to_end():
+    """testcard -> JPEG -> LDGM over RTP with 10% of data packets dropped at
+    the receiver: LDGM must recover every displayed frame (ref: the
+    loss-recovery purpose of src/rtp/ldgm.cpp; drop injection plays the role
+    of the disrupt fixture)."""
+    import random as _random
+
+    port = PORT + 40
+    received = []
+    recv = VideoReceiver("dummy", rx_port=port, frame_limit=2, timeout=60.0)
+    orig_put = recv.display.put_frame
+
+    def capture_put(frame, blocking=True):
+        if frame is not None:
+            received.append(frame)
+        orig_put(frame, blocking)
+
+    recv.display.put_frame = capture_put
+    # drop ~10% of incoming packets deterministically before the pbuf
+    rng = _random.Random(1234)
+    orig_recv = recv.session.recv
+
+    def lossy_recv(timeout=0.0001):
+        pkt = orig_recv(timeout)
+        if pkt is not None and rng.random() < 0.10:
+            return None
+        return pkt
+
+    recv.session.recv = lossy_recv
+    t = threading.Thread(target=recv.run, daemon=True)
+    t.start()
+    time.sleep(0.2)
+    sender = VideoSender(
+        "testcard:s=192x128:f=30:c=UYVY:still=1",
+        "127.0.0.1",
+        compress_spec="none",
+        fec_spec="ldgm:64:64:5",
+        tx_port=port,
+        rx_port=0,
+        frame_limit=8,
+    )
+    sender.run()
+    t.join(timeout=45)
+    assert len(received) >= 1
+    expected = generate_pattern(192, 128, Codec.UYVY, "bars")
+    for frame in received:
+        np.testing.assert_array_equal(np.asarray(frame.data), expected)

@@ -5,6 +5,8 @@ Mirrors the reference's hardware-independent device tests
 and dummy through the real module API.
 """
 
+import time
+
 import numpy as np
 
 from ultragrid_tpu.modules.registry import LibraryClass, list_modules
@@ -258,3 +260,33 @@ def test_encode_pipeline_fused_jpeg_ldgm():
             acc ^= expect[i - 1]  # staircase
         expect[i] = acc
     np.testing.assert_array_equal(parity, expect)
+
+
+def test_loopback_rxtx_jpeg():
+    """--protocol loopback: capture -> compress -> decompress -> display in
+    one process (ref: src/rxtx/loopback.c, the single-process e2e fixture)."""
+    from ultragrid_tpu.pipeline.loopback import LoopbackRxTx
+
+    lb = LoopbackRxTx(
+        "testcard:s=192x128:f=1000:c=UYVY:still=1", "dummy",
+        compress_spec="jpeg", frame_limit=2,
+    )
+    n = lb.run()
+    assert n == 2
+    assert lb.display.frames_shown == 2
+
+
+def test_disrupt_filter_drops_and_jitters():
+    from ultragrid_tpu.modules.filters import DisruptFilter
+    from ultragrid_tpu.types import VideoDesc, VideoFrame
+
+    desc = VideoDesc(32, 16, Codec.UYVY, 30.0)
+    frame = VideoFrame.alloc(desc)
+    f = DisruptFilter("drop=50")
+    kept = sum(1 for _ in range(200) if f.apply(frame) is not None)
+    assert 60 < kept < 140  # ~50% +- slack
+    f2 = DisruptFilter("jitter=1")
+    t0 = time.time()
+    for _ in range(5):
+        assert f2.apply(frame) is not None
+    assert time.time() - t0 < 1.0

@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--capture-filter", default="", help="comma-separated capture filter chain")
     p.add_argument("-p", "--postprocess", default="", help="display postprocess chain")
     p.add_argument("--frames", type=int, default=None, help="stop after N frames")
+    p.add_argument("--protocol", default="ultragrid_rtp",
+                   help="rxtx protocol: ultragrid_rtp | loopback (ref: --protocol)")
     p.add_argument("--list-modules", action="store_true")
     p.add_argument("--capabilities", action="store_true",
                    help="print machine-readable capabilities JSON (GUI contract)")
@@ -87,6 +89,19 @@ def main(argv=None) -> int:
         key, _, val = kv.partition("=")
         set_commandline_param(key, val or None)
 
+    if args.protocol == "loopback" and args.capture:
+        # single-process fixture: compressed frames straight to the display
+        # (ref: src/rxtx/loopback.c)
+        from ultragrid_tpu.pipeline.loopback import LoopbackRxTx
+
+        lb = LoopbackRxTx(
+            args.capture, args.display or "dummy", compress_spec=args.compress,
+            frame_limit=args.frames, capture_filter=args.capture_filter,
+            postprocess=args.postprocess,
+        )
+        n = lb.run()
+        print(f"{n} frames processed (loopback)")
+        return 0
     if args.capture and (args.host or getattr(args, "rtsp", False)):
         # --rtsp without a host: serve and wait for clients to PLAY
         if getattr(args, "rtsp", False):

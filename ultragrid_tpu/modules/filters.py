@@ -179,6 +179,33 @@ class EveryFilter(Filter):
         return out
 
 
+class DisruptFilter(Filter):
+    """disrupt:jitter[=<ms>][:drop=<pct>] — fault injection for robustness
+    testing (ref: capture_filter/disrupt.c — jitter delays frame delivery by
+    a random amount up to <ms>; `drop` additionally discards a percentage of
+    frames, exercising the receive path's loss handling)."""
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        import random as _random
+
+        self.jitter_ms = 0.0
+        self.drop_pct = 0.0
+        self._rng = _random.Random(0x5EED)
+        for part in cfg.split(":"):
+            if part.startswith("jitter"):
+                self.jitter_ms = float(part.partition("=")[2] or 10)
+            elif part.startswith("drop"):
+                self.drop_pct = float(part.partition("=")[2] or 10)
+
+    def apply(self, frame):
+        if self.drop_pct and self._rng.random() * 100.0 < self.drop_pct:
+            return None
+        if self.jitter_ms:
+            time.sleep(self._rng.random() * self.jitter_ms / 1e3)
+        return frame
+
+
 class RatelimitFilter(Filter):
     """ratelimit:FPS (ref: capture_filter/ratelimit.c)."""
 
@@ -492,6 +519,7 @@ _FILTERS = {
     "blank": BlankFilter,
     "noise": NoiseFilter,
     "every": EveryFilter,
+    "disrupt": DisruptFilter,
     "ratelimit": RatelimitFilter,
     "logo": LogoFilter,
     "change_pixfmt": ChangePixfmtFilter,
