@@ -1031,6 +1031,22 @@ def decode_jpeg_to_frame(frame: VideoFrame, out_codec: Codec) -> Optional[VideoF
     Fast path: C entropy decode + device IDCT (mirrors the encoder split);
     falls back to the pure-python decoder if the native lib is unavailable."""
     data = bytes(np.asarray(frame.data).reshape(-1))
+    if out_codec == Codec.UYVY:
+        # fast path: ONE reverse mega-matmul to wire-layout UYVY on device
+        global _DEVICE_DECODER
+        if _DEVICE_DECODER is None:
+            _DEVICE_DECODER = JpegDecoder()
+        try:
+            res = _DEVICE_DECODER.decode_to_uyvy(data)
+        except (RuntimeError, ValueError):
+            res = None
+        if res is not None:
+            uyvy, h, w = res
+            out = np.asarray(uyvy)[:h, : 2 * w]
+            desc = frame.desc.with_(color_spec=Codec.UYVY)
+            vf = VideoFrame(desc, [out])
+            vf.timestamp = frame.timestamp
+            return vf
     try:
         planes, h, w, sampling = decode_jpeg_device(data)
         y, cb, cr = (np.asarray(p).astype(np.float64) for p in planes)
@@ -1210,6 +1226,94 @@ class JpegDecoder:
             fn = self._fns[key] = self._make_device_fn(hdr, nmcux, nmcuy)
         planes = fn(*[jnp.asarray(o) for o in outs])
         return planes, h_img, w_img, [(c["h"], c["v"]) for c in scan]
+
+    def decode_to_uyvy(self, data: bytes):
+        """4:2:2 3-component JPEG -> UYVY rows on device via ONE matmul
+        (the encode-side mega-matmul in reverse: dequant + de-zigzag + IDCT +
+        byte interleave folded into a [256, 256] matrix; the UYVY frame comes
+        back in wire layout with no host interleave pass).
+
+        Returns (uyvy [H, 2*Wpix] uint8 device array, h, w) or None if the
+        stream is not 4:2:2 3-component."""
+        from ultragrid_tpu.native import jpeg_scan_decode_lib
+
+        hdr = _parse_headers(data)
+        scan = hdr["scan"]
+        if len(scan) != 3 or [(c["h"], c["v"]) for c in scan] != [(2, 1), (1, 1), (1, 1)]:
+            return None
+        lib = jpeg_scan_decode_lib()
+        if lib is None:
+            return None
+        h_img, w_img, ri = hdr["h"], hdr["w"], hdr["ri"]
+        nmcux = (w_img + 15) // 16
+        nmcuy = (h_img + 7) // 8
+        nmcu = nmcux * nmcuy
+        tables = np.zeros((4, 272), np.uint8)
+        for (tc, th), (bits, vals) in hdr["htabs"].items():
+            slot = th * 2 + tc
+            tables[slot, :16] = np.frombuffer(bits, np.uint8)
+            tables[slot, 16 : 16 + len(vals)] = np.frombuffer(vals, np.uint8)
+        comp_ntab = np.array([c["td"] for c in scan], np.int32)
+        comp_nblocks = np.array([c["h"] * c["v"] for c in scan], np.int32)
+        outs = [np.zeros((nmcu * int(nb), 64), np.int16) for nb in comp_nblocks]
+        import ctypes
+        import os as _os
+
+        ptr_arr = (ctypes.POINTER(ctypes.c_int16) * len(outs))(
+            *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)) for o in outs]
+        )
+        body_arr = np.frombuffer(data[hdr["scan_start"] :], np.uint8)
+        done = lib.jpeg_scan_decode_mt(
+            body_arr.ctypes.data, body_arr.size, tables.ctypes.data,
+            len(scan), comp_ntab.ctypes.data, comp_nblocks.ctypes.data,
+            nmcu, ri, ctypes.cast(ptr_arr, ctypes.c_void_p),
+            min(_os.cpu_count() or 1, 16),
+        )
+        if done != nmcu:
+            raise ValueError(f"scan decode stopped at MCU {done}/{nmcu}")
+        key = ("uyvy", h_img, w_img, tuple(c["tq"] for c in scan))
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = self._fns[key] = self._make_mega_uyvy_fn(hdr, nmcux, nmcuy)
+        uyvy = fn(jnp.asarray(outs[0]), jnp.asarray(outs[1]), jnp.asarray(outs[2]))
+        return uyvy, h_img, w_img
+
+    def _make_mega_uyvy_fn(self, hdr, nmcux, nmcuy):
+        scan = hdr["scan"]
+        qy = hdr["qtabs"][scan[0]["tq"]][ZIGZAG].astype(np.float32)
+        qc = hdr["qtabs"][scan[1]["tq"]][ZIGZAG].astype(np.float32)
+        idct_m = np.linalg.inv(dct_matrix_64().astype(np.float64)).astype(np.float32)
+        nmcu = nmcux * nmcuy
+        # W[coeff lane, MCU byte]: lanes = [yL(64) | yR(64) | U(64) | V(64)]
+        # (zigzag order), bytes = 8 rows x 32 UYVY bytes per 16x8 MCU
+        W = np.zeros((256, 256), np.float32)
+        for k in range(64):
+            j = int(ZIGZAG[k])
+            for r in range(8):
+                for c in range(8):
+                    v = idct_m[r * 8 + c, j]
+                    W[k, r * 32 + 2 * c + 1] = qy[k] * v          # Y left
+                    W[64 + k, r * 32 + 16 + 2 * c + 1] = qy[k] * v  # Y right
+                    W[128 + k, r * 32 + 4 * c] = qc[k] * v          # U
+                    W[192 + k, r * 32 + 4 * c + 2] = qc[k] * v      # V
+        Wj = jnp.asarray(W)
+
+        def fn(cy, cu, cv):
+            q = jnp.concatenate(
+                [
+                    cy.reshape(nmcu, 128).astype(jnp.float32),
+                    cu.astype(jnp.float32),
+                    cv.astype(jnp.float32),
+                ],
+                axis=1,
+            )
+            px = jnp.dot(q, Wj, preferred_element_type=jnp.float32) + 128.0
+            out = jnp.clip(jnp.round(px), 0, 255).astype(jnp.uint8)
+            return out.reshape(nmcuy, nmcux, 8, 32).transpose(0, 2, 1, 3).reshape(
+                nmcuy * 8, nmcux * 32
+            )
+
+        return jax.jit(fn)
 
     def _make_device_fn(self, hdr, nmcux, nmcuy):
         scan = hdr["scan"]

@@ -150,3 +150,9 @@ def conversion_pairs() -> Sequence[Tuple[Codec, Codec]]:
 import ultragrid_tpu.ops.convs_yuv  # noqa: E402,F401
 import ultragrid_tpu.ops.convs_rgb  # noqa: E402,F401
 import ultragrid_tpu.ops.planar  # noqa: E402,F401
+
+# explicit identity rows present in the reference decoders[] table
+# (vc_copylineRGBA / vc_copylineRGB memcpy entries, pixfmt_conv.c); identity
+# for every other codec is implicit in get_decoder_from_to
+for _c in (Codec.RGBA, Codec.RGB):
+    _DECODERS.setdefault((_c, _c), _identity)
