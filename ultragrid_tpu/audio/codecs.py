@@ -133,10 +133,28 @@ _CODECS: Dict[str, Type[AudioCodec]] = {
 }
 
 
+_INSTANCES: Dict[str, AudioCodec] = {}
+
+
 def get_audio_codec(name: str) -> AudioCodec:
     cls = _CODECS.get(name)
     if cls is None:
         raise ValueError(
             f"audio codec {name!r} unavailable (supported: {sorted(_CODECS)})"
         )
-    return cls()
+    # one instance per name: packetized codecs (Opus...) keep encoder state
+    # across audio cycles (ref: the codec state in audio/codec.c sessions)
+    inst = _INSTANCES.get(name)
+    if inst is None:
+        inst = _INSTANCES[name] = cls()
+    return inst
+
+
+# register the libavcodec-backed codecs (Opus/G.722/MP3/AAC/FLAC) when the
+# system library is present
+try:
+    from ultragrid_tpu.audio.lavc_codecs import register_lavc_audio_codecs
+
+    register_lavc_audio_codecs()
+except Exception:  # noqa: BLE001 - strictly optional
+    pass

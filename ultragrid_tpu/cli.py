@@ -30,7 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("-t", "--capture", default=None, help="capture device spec")
     p.add_argument("-d", "--display", default=None, help="display spec")
-    p.add_argument("-c", "--compress", default="none", help="video compression")
+    p.add_argument("-c", "--compress", default="none",
+                   help="video compression: none|uyvy|dxt|jpeg|libavcodec:codec=H.264|...")
     p.add_argument("-f", "--fec", default="none", help="FEC: none|mult:N|ldgm:k:m:c|rs:k:n")
     p.add_argument("-P", "--ports", default="5004", help="RTP base port[:tx]")
     p.add_argument("-m", "--mtu", type=int, default=1500)
@@ -53,7 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("-s", "--audio-capture", default=None, help="audio capture (testcard, wav:FILE, none)")
     p.add_argument("-r", "--audio-playback", default=None, help="audio playback (dummy, wav:FILE)")
-    p.add_argument("--audio-codec", default="PCM", help="audio codec: PCM|alaw|ulaw")
+    p.add_argument("--audio-codec", default="PCM", help="audio codec: PCM|alaw|ulaw|Opus|G722|MP3|AAC|FLAC")
     p.add_argument("--capture-filter", default="", help="comma-separated capture filter chain")
     p.add_argument("-p", "--postprocess", default="", help="display postprocess chain")
     p.add_argument("--frames", type=int, default=None, help="stop after N frames")

@@ -19,4 +19,5 @@ import ultragrid_tpu.modules.video_compress  # noqa: E402,F401
 import ultragrid_tpu.modules.video_decompress  # noqa: E402,F401
 import ultragrid_tpu.modules.file_io  # noqa: E402,F401
 import ultragrid_tpu.modules.filters  # noqa: E402,F401
+import ultragrid_tpu.modules.lavc  # noqa: E402,F401
 import ultragrid_tpu.utils.export  # noqa: E402,F401  (registers the 'import' capture device)

@@ -123,9 +123,18 @@ _ALL = [DxtDecompress, I420Decompress, JpegDecompress, JpegToDxtDecompress]
 
 def decompress_init(in_codec: Codec, out_candidates: List[Codec]):
     """Pick a decompressor + output codec (ref: src/video_decompress.c
-    selection by priority)."""
+    selection by priority; libavcodec is the catch-all fallback like the
+    reference's probe order)."""
+    classes = list(_ALL)
+    try:
+        from ultragrid_tpu.modules.lavc import LavcDecompress, lavc_available
+
+        if lavc_available():
+            classes.append(LavcDecompress)
+    except Exception:  # noqa: BLE001 - lavc strictly optional
+        pass
     for out_codec in out_candidates:
-        for cls in _ALL:
+        for cls in classes:
             if (in_codec, out_codec) in cls.SUPPORTS:
                 return cls(), out_codec
     return None, None

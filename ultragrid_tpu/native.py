@@ -110,6 +110,65 @@ def ldgm_xor_lib() -> Optional[ctypes.CDLL]:
 
 
 @lru_cache(maxsize=None)
+def lavc_shim_lib() -> Optional[ctypes.CDLL]:
+    """libavcodec/libswscale shim (role analogue of the reference's
+    src/video_compress/libavcodec.cpp + src/video_decompress/libavcodec.c
+    wrappers around the same system library)."""
+    so = _build("lavc_shim", ["lavc_shim.c"], ["-lavcodec", "-lavutil", "-lswscale"])
+    if so is None:
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError as e:
+        log.warning(f"lavc shim load failed: {e}")
+        return None
+    lib.lavc_version.restype = ctypes.c_int
+    lib.lavc_have.restype = ctypes.c_int
+    lib.lavc_have.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.lavc_list.restype = ctypes.c_long
+    lib.lavc_list.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_long]
+    lib.lavc_enc_open.restype = ctypes.c_void_p
+    lib.lavc_enc_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_long, ctypes.c_char_p,
+    ]
+    lib.lavc_enc_frame.restype = ctypes.c_long
+    lib.lavc_enc_frame.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+    ]
+    lib.lavc_enc_close.argtypes = [ctypes.c_void_p]
+    lib.lavc_dec_open.restype = ctypes.c_void_p
+    lib.lavc_dec_open.argtypes = [ctypes.c_char_p]
+    lib.lavc_dec_open2.restype = ctypes.c_void_p
+    lib.lavc_dec_open2.argtypes = [ctypes.c_char_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int]
+    lib.lavc_enc_extradata.restype = ctypes.c_long
+    lib.lavc_enc_extradata.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]
+    lib.lavc_dec_packet.restype = ctypes.c_long
+    lib.lavc_dec_packet.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+    ]
+    lib.lavc_dec_close.argtypes = [ctypes.c_void_p]
+    lib.lavc_aenc_open.restype = ctypes.c_void_p
+    lib.lavc_aenc_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_char_p]
+    lib.lavc_aenc_frame_size.restype = ctypes.c_int
+    lib.lavc_aenc_frame_size.argtypes = [ctypes.c_void_p]
+    lib.lavc_aenc_encode.restype = ctypes.c_long
+    lib.lavc_aenc_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_long,
+    ]
+    lib.lavc_adec_open.restype = ctypes.c_void_p
+    lib.lavc_adec_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    lib.lavc_adec_decode.restype = ctypes.c_long
+    lib.lavc_adec_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+    ]
+    lib.lavc_acod_close.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+@lru_cache(maxsize=None)
 def udp_rx_lib() -> Optional[ctypes.CDLL]:
     so = _build("udp_rx", ["udp_rx.c"])
     if so is None:
