@@ -296,6 +296,15 @@ long lavc_dec_packet(void *vd, const unsigned char *data, long size,
         d->sws_w = w;
         d->sws_h = h;
         d->sws_src = d->frame->format;
+        /* preserve the stream's sample range: JPEG/full-range sources must
+         * not get squeezed to limited range on the way to UYVY (UltraGrid
+         * hands codec samples through unchanged) */
+        int src_range = d->frame->color_range == AVCOL_RANGE_JPEG ? 1 : 0;
+        int *inv_tbl, *tbl, sr, dr, br, co, sa;
+        if (sws_getColorspaceDetails(d->sws, &inv_tbl, &sr, &tbl, &dr, &br,
+                                     &co, &sa) >= 0)
+            sws_setColorspaceDetails(d->sws, inv_tbl, src_range, tbl,
+                                     src_range, br, co, sa);
     }
     uint8_t *dst[4] = {out, NULL, NULL, NULL};
     int dls[4] = {w * obpp, 0, 0, 0};

@@ -159,3 +159,32 @@ def test_lavc_audio_rtp_end_to_end(codec_name):
     assert float(np.abs(x).mean()) > 0.01
     tx_sess.close()
     rx.close()
+
+
+def test_tpu_jpeg_validates_against_lavc_decoder():
+    """Independent-decoder conformance: the TPU JPEG encoder's bitstream
+    (restart markers, split entropy coder, byte stuffing) must decode in
+    libavcodec's mjpeg decoder within the same quality gate used for PIL
+    (ref: test/gpujpeg_test.cpp acceptance)."""
+    from ultragrid_tpu.ops.jpeg import JpegEncoder
+
+    orig = generate_pattern(W, H, Codec.UYVY, "bars")
+    enc = JpegEncoder(W, H, in_codec=Codec.UYVY, quality=90, restart_interval=4)
+    data = enc.encode(orig)
+    vf = VideoFrame(VideoDesc(W, H, Codec.JPEG, 30.0), [np.asarray(data)])
+    dec = lavc.LavcDecompress()
+    back = dec.decompress(vf, Codec.UYVY)
+    assert back is not None, "lavc mjpeg decoder rejected our bitstream"
+    got = np.asarray(back.data).astype(int)
+    # cross-decoder agreement: libavcodec's decode of our stream must match
+    # OUR decode of the same stream (residual quantization loss is the
+    # encoder's, identical for both decoders; IDCTs differ by <=2)
+    from ultragrid_tpu.ops.jpeg import decode_jpeg_to_frame
+
+    ours = np.asarray(decode_jpeg_to_frame(vf, Codec.UYVY).data).astype(int)
+    y_diff = np.abs(got[:, 1::2] - ours[:, 1::2])
+    assert y_diff.max() <= 2, f"decoders disagree on luma by {y_diff.max()}"
+    # and the lossy roundtrip itself stays within the PIL-test class gate
+    y_err = np.abs(got[:, 1::2] - orig[:, 1::2].astype(int))
+    assert y_err.mean() < 0.5
+    dec.done()
