@@ -620,3 +620,88 @@ def test_fec_recovers_dropped_packets_end_to_end():
     expected = generate_pattern(192, 128, Codec.UYVY, "bars")
     for frame in received:
         np.testing.assert_array_equal(np.asarray(frame.data), expected)
+
+
+def test_nat_helper_room_pairing_and_candidates():
+    """Two clients join the same room through the coordination server and
+    receive each other's name, description, and candidates (ref: nat-helper/
+    README protocol; 5-byte length header framing)."""
+    from ultragrid_tpu.net.nat import NatHelperClient
+    from ultragrid_tpu.tools.nat_helper import NatHelperServer
+
+    srv = NatHelperServer(port=0, host="127.0.0.1")
+    srv.start()
+    try:
+        results = {}
+
+        def run(name, sdp):
+            c = NatHelperClient("127.0.0.1", srv.port)
+            peer, peer_sdp = c.join(name, "testroom", sdp)
+            c.send_candidate(f"{name}-cand-1")
+            cand = c.recv_candidate()
+            results[name] = (peer, peer_sdp, cand)
+            c.close()
+
+        t1 = threading.Thread(target=run, args=("alice", "sdp-a"))
+        t2 = threading.Thread(target=run, args=("bob", "sdp-b"))
+        t1.start(); t2.start()
+        t1.join(timeout=10); t2.join(timeout=10)
+        assert results["alice"] == ("bob", "sdp-b", "bob-cand-1")
+        assert results["bob"] == ("alice", "sdp-a", "alice-cand-1")
+    finally:
+        srv.close()
+
+
+def test_natpmp_and_pcp_against_mock_gateway():
+    """NAT-PMP (RFC 6886) and PCP (RFC 6887) clients against a scripted
+    gateway on localhost (the env has no real IGD; the reference links
+    libnatpmp/libpcp for the same exchanges)."""
+    import socket as _socket
+    import struct as _struct
+
+    from ultragrid_tpu.net import nat
+
+    gw = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    gw.bind(("127.0.0.1", 0))
+    gw_port = gw.getsockname()[1]
+    # patch the well-known port for the test
+    orig_port = nat.NATPMP_PORT
+    nat.NATPMP_PORT = gw_port
+
+    def gateway_thread():
+        for _ in range(3):
+            try:
+                data, addr = gw.recvfrom(128)
+            except OSError:
+                return
+            if data[0] == 0 and data[1] == 1:  # NAT-PMP UDP map
+                _, _, _, int_p, ext_p, life = _struct.unpack("!BBHHHI", data)
+                resp = _struct.pack("!BBHIHHI", 0, 0x81, 0, 1, int_p,
+                                    ext_p or int_p, life)
+                gw.sendto(resp, addr)
+            elif data[0] == 0 and data[1] == 0:  # public address
+                resp = _struct.pack("!BBHI", 0, 0x80, 0, 1) + _socket.inet_aton("203.0.113.7")
+                gw.sendto(resp, addr)
+            elif data[0] == 2 and data[1] == 1:  # PCP MAP
+                lifetime = _struct.unpack("!I", data[4:8])[0]
+                nonce = data[24:36]
+                proto, int_p, ext_p = _struct.unpack("!B3xHH", data[36:44])
+                resp = (_struct.pack("!BBBBI", 2, 0x81, 0, 0, lifetime)
+                        + _struct.pack("!I", 1) + b"\x00" * 12
+                        + nonce
+                        + _struct.pack("!B3xHH", proto, int_p, ext_p or int_p)
+                        + b"\x00" * 10 + b"\xff\xff" + _socket.inet_aton("203.0.113.7"))
+                gw.sendto(resp, addr)
+
+    t = threading.Thread(target=gateway_thread, daemon=True)
+    t.start()
+    try:
+        r = nat.natpmp_map(5004, 5004, gateway="127.0.0.1")
+        assert r == (5004, 3600)
+        addr = nat.natpmp_public_address(gateway="127.0.0.1")
+        assert addr == "203.0.113.7"
+        r2 = nat.pcp_map(5006, 5006, gateway="127.0.0.1", client_ip="127.0.0.1")
+        assert r2 is not None and r2[0] == 5006 and r2[1] == "203.0.113.7"
+    finally:
+        nat.NATPMP_PORT = orig_port
+        gw.close()

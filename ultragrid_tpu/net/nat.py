@@ -136,3 +136,220 @@ def punch(
     finally:
         sock.settimeout(old_timeout)
     return heard
+
+
+# ---------------------------------------------------------------------------
+# NAT-PMP (RFC 6886) + PCP (RFC 6887) port-mapping clients
+# (ref: src/utils/nat.c — UG_NAT_TRAVERSE_PCP / _NAT_PMP via libnatpmp/libpcp;
+#  implemented directly on the wire here)
+# ---------------------------------------------------------------------------
+
+NATPMP_PORT = 5351
+NATPMP_RESULT_OK = 0
+
+
+def default_gateway() -> Optional[str]:
+    """Default-route gateway from /proc/net/route (Linux)."""
+    try:
+        with open("/proc/net/route") as f:
+            for line in f.readlines()[1:]:
+                parts = line.split()
+                if len(parts) >= 3 and parts[1] == "00000000":
+                    return socket.inet_ntoa(struct.pack("<I", int(parts[2], 16)))
+    except OSError:
+        pass
+    return None
+
+
+def natpmp_map(
+    internal_port: int,
+    external_port: int = 0,
+    lifetime: int = 3600,
+    protocol: str = "udp",
+    gateway: Optional[str] = None,
+    timeout: float = 1.0,
+) -> Optional[Tuple[int, int]]:
+    """Request a NAT-PMP mapping; returns (external_port, lifetime) or None.
+
+    RFC 6886 §3.3: request [ver=0][op=1(UDP)/2(TCP)][res16][int16][ext16]
+    [lifetime32]; response opcode is request|0x80 with a result code.
+    """
+    gw = gateway or default_gateway()
+    if gw is None:
+        return None
+    op = 1 if protocol == "udp" else 2
+    req = struct.pack("!BBHHHI", 0, op, 0, internal_port, external_port, lifetime)
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.settimeout(timeout)
+    try:
+        sock.sendto(req, (gw, NATPMP_PORT))
+        data, _ = sock.recvfrom(64)
+    except OSError:
+        return None
+    finally:
+        sock.close()
+    if len(data) < 16:
+        return None
+    ver, rop, result, _epoch, _ip, ext, life = struct.unpack("!BBHIHHI", data[:16])
+    if ver != 0 or rop != (op | 0x80) or result != NATPMP_RESULT_OK:
+        log.warning(f"NAT-PMP mapping refused (result {result})")
+        return None
+    return ext, life
+
+
+def natpmp_public_address(gateway: Optional[str] = None, timeout: float = 1.0) -> Optional[str]:
+    """RFC 6886 §3.2 external-address request (opcode 0)."""
+    gw = gateway or default_gateway()
+    if gw is None:
+        return None
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.settimeout(timeout)
+    try:
+        sock.sendto(struct.pack("!BB", 0, 0), (gw, NATPMP_PORT))
+        data, _ = sock.recvfrom(32)
+    except OSError:
+        return None
+    finally:
+        sock.close()
+    if len(data) < 12:
+        return None
+    ver, rop, result, _epoch = struct.unpack("!BBHI", data[:8])
+    if ver != 0 or rop != 0x80 or result != 0:
+        return None
+    return socket.inet_ntoa(data[8:12])
+
+
+PCP_VERSION = 2
+PCP_OP_MAP = 1
+PCP_PROTO = {"udp": 17, "tcp": 6}
+
+
+def pcp_map(
+    internal_port: int,
+    external_port: int = 0,
+    lifetime: int = 3600,
+    protocol: str = "udp",
+    gateway: Optional[str] = None,
+    client_ip: Optional[str] = None,
+    timeout: float = 1.0,
+) -> Optional[Tuple[int, str, int]]:
+    """Request a PCP MAP; returns (external_port, external_ip, lifetime).
+
+    RFC 6887 §7.1: 24-byte common header [ver][R|op][res16][lifetime32]
+    [client IP as v4-mapped v6, 16 B] + 36-byte MAP payload [nonce 12]
+    [proto][res 3][int16][ext16][suggested external IP 16 B].
+    """
+    gw = gateway or default_gateway()
+    if gw is None:
+        return None
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.settimeout(timeout)
+    try:
+        sock.connect((gw, NATPMP_PORT))
+        my_ip = client_ip or sock.getsockname()[0]
+        v4mapped = b"\x00" * 10 + b"\xff\xff" + socket.inet_aton(my_ip)
+        nonce = os.urandom(12)
+        req = (
+            struct.pack("!BBHI", PCP_VERSION, PCP_OP_MAP, 0, lifetime)
+            + v4mapped
+            + nonce
+            + struct.pack("!B3xHH", PCP_PROTO[protocol], internal_port, external_port)
+            + b"\x00" * 10 + b"\xff\xff" + socket.inet_aton("0.0.0.0")
+        )
+        sock.send(req)
+        data = sock.recv(128)
+    except OSError:
+        return None
+    finally:
+        sock.close()
+    if len(data) < 60:
+        return None
+    ver, rop, _res, result = struct.unpack("!BBBB", data[:4])
+    (life,) = struct.unpack("!I", data[4:8])
+    if ver != PCP_VERSION or rop != (PCP_OP_MAP | 0x80) or result != 0:
+        log.warning(f"PCP MAP refused (result {result})")
+        return None
+    if data[24:36] != nonce:
+        return None
+    _proto, int_p, ext_p = struct.unpack("!B3xHH", data[36:44])
+    ext_ip = socket.inet_ntoa(data[56:60])  # low 4 bytes of v4-mapped address
+    if int_p != internal_port:
+        return None
+    return ext_p, ext_ip, life
+
+
+def setup_nat_traverse(
+    video_rx_port: int,
+    audio_rx_port: int = 0,
+    mode: str = "auto",
+    gateway: Optional[str] = None,
+) -> dict:
+    """Try PCP, then NAT-PMP (ref: nat.c traversal order: PCP first,
+    NAT-PMP next, UPnP last).  Returns a dict of achieved mappings."""
+    out: dict = {"mode": None, "mappings": {}}
+    ports = [p for p in (video_rx_port, audio_rx_port) if p]
+    if mode in ("auto", "pcp"):
+        ok = True
+        for p in ports:
+            r = pcp_map(p, p, gateway=gateway)
+            if r is None:
+                ok = False
+                break
+            out["mappings"][p] = r[0]
+        if ok and ports:
+            out["mode"] = "pcp"
+            return out
+    if mode in ("auto", "natpmp", "nat-pmp"):
+        ok = True
+        out["mappings"].clear()
+        for p in ports:
+            r = natpmp_map(p, p, gateway=gateway)
+            if r is None:
+                ok = False
+                break
+            out["mappings"][p] = r[0]
+        if ok and ports:
+            out["mode"] = "natpmp"
+            return out
+    out["mappings"].clear()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# nat-helper coordination client (ref: nat-helper/ + src/utils/udp_holepunch.cpp
+# — the reference's hole-punch client pairs through the same room protocol)
+# ---------------------------------------------------------------------------
+
+
+class NatHelperClient:
+    """Pairs two endpoints through a nat-helper room and exchanges
+    SDP-style descriptions + candidates."""
+
+    def __init__(self, host: str, port: int = 12558, timeout: float = 10.0):
+        from ultragrid_tpu.tools.nat_helper import recv_msg, send_msg
+
+        self._send_msg = send_msg
+        self._recv_msg = recv_msg
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+
+    def join(self, name: str, room: str, sdp: str) -> Tuple[str, str]:
+        """Send name/room/description; block until the peer's name and
+        description arrive (README steps 1-5)."""
+        self._send_msg(self.sock, name.encode())
+        self._send_msg(self.sock, room.encode())
+        self._send_msg(self.sock, sdp.encode())
+        peer_name = self._recv_msg(self.sock)
+        peer_sdp = self._recv_msg(self.sock)
+        if peer_name is None or peer_sdp is None:
+            raise ConnectionError("nat-helper closed during pairing")
+        return peer_name.decode(), peer_sdp.decode()
+
+    def send_candidate(self, cand: str) -> None:
+        self._send_msg(self.sock, cand.encode())
+
+    def recv_candidate(self) -> Optional[str]:
+        msg = self._recv_msg(self.sock)
+        return msg.decode() if msg is not None else None
+
+    def close(self) -> None:
+        self.sock.close()
