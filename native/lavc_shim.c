@@ -519,3 +519,138 @@ void lavc_acod_close(void *va)
     av_packet_free(&a->pkt);
     av_free(a);
 }
+
+/* ------------------------------------------------------------------ */
+/* libavformat demux + decode (file capture; ref: src/video_capture/file.c) */
+
+#include <libavformat/avformat.h>
+
+typedef struct {
+    AVFormatContext *fmt;
+    AVCodecContext *dec;
+    AVPacket *pkt;
+    AVFrame *frame;
+    struct SwsContext *sws;
+    int vstream;
+    int w, h;
+    double fps;
+    enum AVPixelFormat sws_src;
+    int sws_ofmt;
+} LavfIn;
+
+void *lavf_open(const char *path)
+{
+    LavfIn *f = av_mallocz(sizeof(LavfIn));
+    if (avformat_open_input(&f->fmt, path, NULL, NULL) < 0) {
+        av_free(f);
+        return NULL;
+    }
+    if (avformat_find_stream_info(f->fmt, NULL) < 0)
+        goto fail;
+    f->vstream = av_find_best_stream(f->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, NULL, 0);
+    if (f->vstream < 0)
+        goto fail;
+    AVStream *st = f->fmt->streams[f->vstream];
+    const AVCodec *codec = avcodec_find_decoder(st->codecpar->codec_id);
+    if (codec == NULL)
+        goto fail;
+    f->dec = avcodec_alloc_context3(codec);
+    avcodec_parameters_to_context(f->dec, st->codecpar);
+    if (avcodec_open2(f->dec, codec, NULL) < 0)
+        goto fail;
+    f->w = st->codecpar->width;
+    f->h = st->codecpar->height;
+    AVRational fr = av_guess_frame_rate(f->fmt, st, NULL);
+    f->fps = fr.den ? (double)fr.num / fr.den : 30.0;
+    f->pkt = av_packet_alloc();
+    f->frame = av_frame_alloc();
+    return f;
+fail:
+    if (f->dec)
+        avcodec_free_context(&f->dec);
+    avformat_close_input(&f->fmt);
+    av_free(f);
+    return NULL;
+}
+
+int lavf_info(void *vf, int *w, int *h, double *fps)
+{
+    LavfIn *f = vf;
+    *w = f->w;
+    *h = f->h;
+    *fps = f->fps;
+    return 0;
+}
+
+/* Read + decode the next video frame, converted to out_fmt (map_fmt).
+ * Returns bytes written, 0 at EOF, <0 on error. */
+long lavf_read_frame(void *vf, int out_fmt_i, unsigned char *out, long cap)
+{
+    LavfIn *f = vf;
+    enum AVPixelFormat ofmt = map_fmt(out_fmt_i);
+    int obpp = (ofmt == AV_PIX_FMT_RGB24) ? 3 : (ofmt == AV_PIX_FMT_RGBA) ? 4 : 2;
+    for (;;) {
+        int r = avcodec_receive_frame(f->dec, f->frame);
+        if (r == 0)
+            break;
+        if (r != AVERROR(EAGAIN) && r != AVERROR_EOF)
+            return -1;
+        r = av_read_frame(f->fmt, f->pkt);
+        if (r < 0) {
+            /* flush */
+            avcodec_send_packet(f->dec, NULL);
+            if (avcodec_receive_frame(f->dec, f->frame) == 0)
+                break;
+            return 0; /* EOF */
+        }
+        if (f->pkt->stream_index == f->vstream)
+            avcodec_send_packet(f->dec, f->pkt);
+        av_packet_unref(f->pkt);
+    }
+    int w = f->frame->width, h = f->frame->height;
+    long need = (long)w * h * obpp;
+    if (need > cap)
+        return -2;
+    if (f->sws == NULL || f->sws_src != f->frame->format || f->sws_ofmt != out_fmt_i) {
+        if (f->sws)
+            sws_freeContext(f->sws);
+        f->sws = sws_getContext(w, h, f->frame->format, w, h, ofmt,
+                                SWS_FAST_BILINEAR, NULL, NULL, NULL);
+        f->sws_src = f->frame->format;
+        f->sws_ofmt = out_fmt_i;
+        int src_range = f->frame->color_range == AVCOL_RANGE_JPEG ? 1 : 0;
+        int *inv_tbl, *tbl, sr, dr, br, co, sa;
+        if (sws_getColorspaceDetails(f->sws, &inv_tbl, &sr, &tbl, &dr, &br,
+                                     &co, &sa) >= 0)
+            sws_setColorspaceDetails(f->sws, inv_tbl, src_range, tbl,
+                                     src_range, br, co, sa);
+    }
+    uint8_t *dst[4] = {out, NULL, NULL, NULL};
+    int dls[4] = {w * obpp, 0, 0, 0};
+    sws_scale(f->sws, (const uint8_t *const *)f->frame->data,
+              f->frame->linesize, 0, h, dst, dls);
+    av_frame_unref(f->frame);
+    return need;
+}
+
+int lavf_seek_start(void *vf)
+{
+    LavfIn *f = vf;
+    int r = av_seek_frame(f->fmt, f->vstream, 0, AVSEEK_FLAG_BACKWARD);
+    avcodec_flush_buffers(f->dec);
+    return r;
+}
+
+void lavf_close(void *vf)
+{
+    LavfIn *f = vf;
+    if (!f)
+        return;
+    avcodec_free_context(&f->dec);
+    avformat_close_input(&f->fmt);
+    av_packet_free(&f->pkt);
+    av_frame_free(&f->frame);
+    if (f->sws)
+        sws_freeContext(f->sws);
+    av_free(f);
+}

@@ -188,3 +188,34 @@ def test_tpu_jpeg_validates_against_lavc_decoder():
     y_err = np.abs(got[:, 1::2] - orig[:, 1::2].astype(int))
     assert y_err.mean() < 0.5
     dec.done()
+
+
+def test_file_capture_any_container(tmp_path):
+    """The file capture device reads arbitrary containers/codecs through
+    libavformat (ref: src/video_capture/file.c), not just Y4M/raw."""
+    from ultragrid_tpu.modules.video_capture import initialize_video_capture
+
+    # produce a raw H.264 elementary stream (Annex-B demuxes via lavf)
+    enc = lavc.LavcCompress("codec=H.264:bitrate=2M")
+    path = tmp_path / "clip.h264"
+    with open(path, "wb") as f:
+        for i in range(5):
+            orig = generate_pattern(W, H, Codec.UYVY, "bars")
+            vf = VideoFrame(VideoDesc(W, H, Codec.UYVY, 30.0), [orig])
+            out = enc.compress(vf)
+            f.write(bytes(np.asarray(out.data)))
+    enc.done()
+
+    cap = initialize_video_capture(f"file:{path}")
+    assert (cap.desc.width, cap.desc.height) == (W, H)
+    frames = []
+    for _ in range(5):
+        fr, _a = cap.grab()
+        if fr is None:
+            break
+        frames.append(fr)
+    cap.done()
+    assert len(frames) >= 3
+    orig = generate_pattern(W, H, Codec.UYVY, "bars")
+    got = np.asarray(frames[-1].data)
+    assert np.abs(got.astype(int) - orig.astype(int)).mean() < 4.0

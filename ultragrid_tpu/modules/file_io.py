@@ -39,21 +39,47 @@ class RawFileCapture(VideoCapture):
         super().__init__(cfg)
         parts = cfg.split(":")
         self.path = parts[0]
+        self._lavf = None
         self._fh = open(self.path, "rb")
         magic = self._fh.read(9)
         self._fh.seek(0)
         if magic == b"YUV4MPEG2":
             self._init_y4m()
-        else:
-            assert len(parts) >= 4, "raw file needs file:PATH:WxH:FPS:CODEC"
+        elif len(parts) >= 4 and "x" in parts[1]:
             w, _, h = parts[1].partition("x")
             self.desc = VideoDesc(
                 int(w), int(h), get_codec_from_name(parts[3]), float(parts[2])
             )
             self._y4m = False
+        else:
+            # any container/codec via libavformat (ref: video_capture/file.c
+            # is libavformat-based for exactly this)
+            self._fh.close()
+            self._fh = None
+            self._init_lavf()
         self.count = 0
         self.start: Optional[float] = None
         self.loop = "loop" in parts
+
+    def _init_lavf(self) -> None:
+        import ctypes
+
+        from ultragrid_tpu.native import lavc_shim_lib
+
+        lib = lavc_shim_lib()
+        if lib is None:
+            raise ValueError(f"cannot read {self.path!r}: libavformat unavailable")
+        h = lib.lavf_open(self.path.encode())
+        if not h:
+            raise ValueError(f"libavformat cannot open {self.path!r}")
+        w = ctypes.c_int()
+        hh = ctypes.c_int()
+        fps = ctypes.c_double()
+        lib.lavf_info(h, ctypes.byref(w), ctypes.byref(hh), ctypes.byref(fps))
+        self._lavf = (lib, h)
+        self._y4m = False
+        self.desc = VideoDesc(w.value, hh.value, Codec.UYVY, fps.value or 30.0)
+        self._lavf_buf = np.empty(w.value * hh.value * 2, np.uint8)
 
     def _init_y4m(self) -> None:
         header = b""
@@ -80,6 +106,16 @@ class RawFileCapture(VideoCapture):
         deadline = self.start + self.count / self.desc.fps
         if now < deadline:
             time.sleep(deadline - now)
+        if self._lavf is not None:
+            lib, h = self._lavf
+            n = lib.lavf_read_frame(h, 0, self._lavf_buf.ctypes.data, self._lavf_buf.size)
+            if n <= 0:
+                return self._eof()
+            data = self._lavf_buf[:n].reshape(self.desc.height, self.desc.width * 2).copy()
+            self.count += 1
+            frame = VideoFrame(self.desc, [data])
+            frame.timestamp = now
+            return frame, None
         if self._y4m:
             line = b""
             while not line.endswith(b"\n"):
@@ -107,6 +143,10 @@ class RawFileCapture(VideoCapture):
 
     def _eof(self):
         if self.loop:
+            if self._lavf is not None:
+                lib, h = self._lavf
+                lib.lavf_seek_start(h)
+                return self.grab()
             self._fh.seek(0)
             if self._y4m:
                 self._init_y4m()
@@ -114,7 +154,12 @@ class RawFileCapture(VideoCapture):
         return None, None
 
     def done(self) -> None:
-        self._fh.close()
+        if self._fh is not None:
+            self._fh.close()
+        if self._lavf is not None:
+            lib, h = self._lavf
+            lib.lavf_close(h)
+            self._lavf = None
 
 
 class Y4mDisplay(VideoDisplay):

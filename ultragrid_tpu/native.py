@@ -114,7 +114,7 @@ def lavc_shim_lib() -> Optional[ctypes.CDLL]:
     """libavcodec/libswscale shim (role analogue of the reference's
     src/video_compress/libavcodec.cpp + src/video_decompress/libavcodec.c
     wrappers around the same system library)."""
-    so = _build("lavc_shim", ["lavc_shim.c"], ["-lavcodec", "-lavutil", "-lswscale"])
+    so = _build("lavc_shim", ["lavc_shim.c"], ["-lavcodec", "-lavformat", "-lavutil", "-lswscale"])
     if so is None:
         return None
     try:
@@ -165,6 +165,17 @@ def lavc_shim_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
     ]
     lib.lavc_acod_close.argtypes = [ctypes.c_void_p]
+    lib.lavf_open.restype = ctypes.c_void_p
+    lib.lavf_open.argtypes = [ctypes.c_char_p]
+    lib.lavf_info.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.lavf_read_frame.restype = ctypes.c_long
+    lib.lavf_read_frame.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_long,
+    ]
+    lib.lavf_seek_start.argtypes = [ctypes.c_void_p]
+    lib.lavf_close.argtypes = [ctypes.c_void_p]
     return lib
 
 
