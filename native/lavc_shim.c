@@ -654,3 +654,80 @@ void lavf_close(void *vf)
         sws_freeContext(f->sws);
     av_free(f);
 }
+
+/* ------------------------------------------------------------------ */
+/* MPEG-TS mux over UDP (ref: src/rxtx/mpegts.c — the reference also
+ * drives libavformat's mpegts muxer; pre-encoded packets are stream-copied) */
+
+typedef struct {
+    AVFormatContext *fmt;
+    AVStream *st;
+    AVPacket *pkt;
+    long pts;
+    int fps;
+} LavfOut;
+
+/* codec_id: 0=h264 1=hevc 2=mpeg2 */
+void *lavf_mux_open(const char *url, int codec_id, int w, int h, int fps,
+                    const unsigned char *extradata, long ed_size)
+{
+    LavfOut *o = av_mallocz(sizeof(LavfOut));
+    if (avformat_alloc_output_context2(&o->fmt, NULL, "mpegts", url) < 0) {
+        av_free(o);
+        return NULL;
+    }
+    o->st = avformat_new_stream(o->fmt, NULL);
+    o->st->codecpar->codec_type = AVMEDIA_TYPE_VIDEO;
+    o->st->codecpar->codec_id =
+        codec_id == 0 ? AV_CODEC_ID_H264
+                      : codec_id == 1 ? AV_CODEC_ID_HEVC : AV_CODEC_ID_MPEG2VIDEO;
+    o->st->codecpar->width = w;
+    o->st->codecpar->height = h;
+    o->st->time_base = (AVRational){1, 90000};
+    o->fps = fps > 0 ? fps : 30;
+    if (extradata && ed_size > 0) {
+        o->st->codecpar->extradata =
+            av_mallocz((size_t)ed_size + AV_INPUT_BUFFER_PADDING_SIZE);
+        memcpy(o->st->codecpar->extradata, extradata, (size_t)ed_size);
+        o->st->codecpar->extradata_size = (int)ed_size;
+    }
+    if (!(o->fmt->oformat->flags & AVFMT_NOFILE) &&
+        avio_open(&o->fmt->pb, url, AVIO_FLAG_WRITE) < 0)
+        goto fail;
+    if (avformat_write_header(o->fmt, NULL) < 0)
+        goto fail;
+    o->pkt = av_packet_alloc();
+    return o;
+fail:
+    avformat_free_context(o->fmt);
+    av_free(o);
+    return NULL;
+}
+
+int lavf_mux_write(void *vo, const unsigned char *data, long size, int key)
+{
+    LavfOut *o = vo;
+    av_new_packet(o->pkt, (int)size);
+    memcpy(o->pkt->data, data, (size_t)size);
+    o->pkt->pts = o->pkt->dts = o->pts;
+    o->pts += 90000 / o->fps;
+    o->pkt->stream_index = o->st->index;
+    if (key)
+        o->pkt->flags |= AV_PKT_FLAG_KEY;
+    int r = av_interleaved_write_frame(o->fmt, o->pkt);
+    av_packet_unref(o->pkt);
+    return r;
+}
+
+void lavf_mux_close(void *vo)
+{
+    LavfOut *o = vo;
+    if (!o)
+        return;
+    av_write_trailer(o->fmt);
+    if (o->fmt->pb && !(o->fmt->oformat->flags & AVFMT_NOFILE))
+        avio_closep(&o->fmt->pb);
+    avformat_free_context(o->fmt);
+    av_packet_free(&o->pkt);
+    av_free(o);
+}

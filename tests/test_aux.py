@@ -241,3 +241,31 @@ def test_sdp_document_and_http():
         assert got == sdp
     finally:
         srv.close()
+
+
+def test_crash_handler_and_watchdog():
+    """Crash handler dumps tracebacks on fatal signals; the exit watchdog
+    force-exits a wedged shutdown (ref: host.cpp crash_signal_handler +
+    main.cpp exit watchdog). Runs in a subprocess."""
+    import subprocess
+    import sys
+
+    code = (
+        "from ultragrid_tpu.utils.crash import install_crash_handler\n"
+        "import ctypes, sys\n"
+        "install_crash_handler()\n"
+        "ctypes.string_at(0)\n"  # SIGSEGV
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, timeout=60)
+    assert r.returncode != 0
+    assert b"Segmentation fault" in r.stderr or b"Fatal Python error" in r.stderr
+
+    code2 = (
+        "from ultragrid_tpu.utils.crash import arm_exit_watchdog\n"
+        "import time\n"
+        "arm_exit_watchdog(grace=0.5)\n"
+        "time.sleep(30)\n"  # wedged shutdown
+    )
+    r2 = subprocess.run([sys.executable, "-c", code2], capture_output=True, timeout=60)
+    assert r2.returncode == 2
+    assert b"exit watchdog" in r2.stderr

@@ -219,3 +219,35 @@ def test_file_capture_any_container(tmp_path):
     orig = generate_pattern(W, H, Codec.UYVY, "bars")
     got = np.asarray(frames[-1].data)
     assert np.abs(got.astype(int) - orig.astype(int)).mean() < 4.0
+
+
+def test_mpegts_rxtx_end_to_end():
+    """H.264-in-MPEG-TS over localhost UDP (ref: src/rxtx/mpegts.c):
+    sender muxes, receiver demuxes+decodes+displays."""
+    from ultragrid_tpu.pipeline.mpegts import MpegTsReceiver, MpegTsSender
+
+    port = 26300
+    received = []
+    recv = MpegTsReceiver("dummy", port=port, frame_limit=3, timeout=20.0)
+    orig_put = recv.display.put_frame
+
+    def capture_put(frame, blocking=True):
+        if frame is not None:
+            received.append(frame)
+        orig_put(frame, blocking)
+
+    recv.display.put_frame = capture_put
+    t = threading.Thread(target=recv.run, daemon=True)
+    t.start()
+    time.sleep(0.3)
+    sender = MpegTsSender(
+        "testcard:s=320x240:f=30:c=UYVY:still=1", "127.0.0.1", port,
+        bitrate="2M", frame_limit=15,
+    )
+    sender.run()
+    t.join(timeout=25)
+    assert len(received) >= 1, "no TS frames displayed"
+    orig = generate_pattern(W, H, Codec.UYVY, "bars")
+    got = np.asarray(received[-1].data)
+    assert got.shape == orig.shape
+    assert np.abs(got.astype(int) - orig.astype(int)).mean() < 4.0

@@ -71,6 +71,11 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     _log.set_log_level(_log.LOG_LEVEL_INFO + args.verbose)
 
+    # backtrace-on-crash like the reference (host.cpp crash_signal_handler)
+    from ultragrid_tpu.utils.crash import install_crash_handler
+
+    install_crash_handler()
+
     if args.capabilities:
         from ultragrid_tpu.utils.capabilities import print_capabilities
 
@@ -90,6 +95,22 @@ def main(argv=None) -> int:
         key, _, val = kv.partition("=")
         set_commandline_param(key, val or None)
 
+    if args.protocol == "mpegts":
+        # H.264-in-TS over UDP (ref: src/rxtx/mpegts.c); playable by any TS
+        # receiver (VLC/ffplay)
+        from ultragrid_tpu.pipeline.mpegts import MpegTsReceiver, MpegTsSender
+
+        port = int(str(args.ports).split(":")[0])
+        if args.capture and args.host:
+            s = MpegTsSender(args.capture, args.host, port,
+                             frame_limit=args.frames,
+                             capture_filter=args.capture_filter)
+            print(f"sent {s.run()} frames (mpegts)")
+            return 0
+        if args.display:
+            r = MpegTsReceiver(args.display, port, frame_limit=args.frames)
+            print(f"displayed {r.run()} frames (mpegts)")
+            return 0
     if args.protocol == "loopback" and args.capture:
         # single-process fixture: compressed frames straight to the display
         # (ref: src/rxtx/loopback.c)

@@ -176,6 +176,16 @@ def lavc_shim_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.lavf_seek_start.argtypes = [ctypes.c_void_p]
     lib.lavf_close.argtypes = [ctypes.c_void_p]
+    lib.lavf_mux_open.restype = ctypes.c_void_p
+    lib.lavf_mux_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_long,
+    ]
+    lib.lavf_mux_write.restype = ctypes.c_int
+    lib.lavf_mux_write.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
+    ]
+    lib.lavf_mux_close.argtypes = [ctypes.c_void_p]
     return lib
 
 

@@ -103,6 +103,8 @@ class VideoSender:
 
     def _capture_thread(self) -> None:
         count = 0
+        fps_t0 = time.monotonic()
+        fps_n = 0
         try:
             while not self.should_exit.is_set():
                 if self.frame_limit is not None and count >= self.frame_limit:
@@ -112,6 +114,13 @@ class VideoSender:
                     frame = self.capture_chain.apply(frame)
                 if frame is None:
                     continue
+                # periodic per-stage FPS line (ref: print_fps, main.cpp:307-332)
+                fps_n += 1
+                now = time.monotonic()
+                if now - fps_t0 >= 5.0:
+                    log.notice(f"[capture] {fps_n} frames in {now - fps_t0:.2f} s "
+                               f"({fps_n / (now - fps_t0):.2f} fps)")
+                    fps_t0, fps_n = now, 0
                 if self.mode.x * self.mode.y > 1:
                     from ultragrid_tpu.utils.tiling import vf_split
 
@@ -148,12 +157,18 @@ class VideoSender:
             self.tx.send_video(self.session, frame)
             self.frames_sent += 1
         self.should_exit.set()
+        # force-exit if a stuck device/capture thread wedges the shutdown
+        # (ref: main.cpp:1438 exit watchdog)
+        from ultragrid_tpu.utils.crash import arm_exit_watchdog
+
+        wd = arm_exit_watchdog()
         if self.audio is not None:
             self.audio_session.close()
         self.session.close()
         if self.exporter is not None:
             self.exporter.finish()
         t.join(timeout=5)
+        wd.cancel()
         return self.frames_sent
 
 
