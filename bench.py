@@ -24,7 +24,7 @@ import numpy as np  # noqa: E402
 BASELINE_4K_FPS = 240.0
 
 
-def bench_jpeg_4k(n_iters: int = 10, batches: int = 7) -> float:
+def bench_jpeg_4k(n_iters: int = 20, batches: int = 7) -> float:
     """Min-of-batches fps: tunnel/host interference only ever ADDS time, so
     the fastest batch is the closest estimate of device capability."""
     import jax.numpy as jnp

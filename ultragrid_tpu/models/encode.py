@@ -130,7 +130,7 @@ class EncodePipeline:
             )
             self.jpeg_encoder = encoder
             base = encoder._encode_cache.setdefault(
-                encoder.wwords, encoder._make_encode(encoder.wwords)
+                encoder.wwords, encoder._build_encode(encoder.wwords)
             )
             if fec is None:
                 return base
@@ -169,7 +169,7 @@ class EncodePipeline:
             self.fec_desc = ("ldgm", k, m, c, ps)
             ps_words = ps // 4
 
-            inner = encoder._make_encode(ww)
+            inner = encoder._build_encode(ww)
 
             def part_syms(arr_u32, rows):
                 flat = arr_u32.reshape(-1)

@@ -404,6 +404,13 @@ class JpegEncoder:
         if restart_interval is None:
             # keep >= 512 segments for TPU parallelism, but small overhead
             restart_interval = max(1, min(32, self.nmcu // 512))
+            # prefer a divisor of the MCU-row width: row-aligned segments
+            # keep the DC chain tile-local, which lets the fused Pallas
+            # kernel (ops/jpeg_pallas.py) process one MCU row per grid step
+            for ri_c in range(restart_interval, 0, -1):
+                if self.nmcux % ri_c == 0:
+                    restart_interval = ri_c
+                    break
         self.restart_interval = restart_interval
         self.nseg = (self.nmcu + restart_interval - 1) // restart_interval
 
@@ -422,6 +429,12 @@ class JpegEncoder:
         self.wwords = 16 if quality <= 90 else 32
         self._encode_cache = {}
         self._compiled_cache = {}
+        self._pallas_ok = None
+        # the fused Pallas kernel's pack loop scales with wwords, so start
+        # narrow there (escalate_and_retry covers the rare fat frame); the
+        # XLA pack measured SLOWER at 8 (fusion regime differs, see PERF.md)
+        if quality <= 85 and self._pallas_enabled():
+            self.wwords = 8
 
     # -- header ---------------------------------------------------------
 
@@ -657,6 +670,31 @@ class JpegEncoder:
 
         return jax.jit(encode_fn)
 
+    def _pallas_enabled(self) -> bool:
+        """Fused Pallas kernel availability for this geometry (TPU only)."""
+        if self._pallas_ok is None:
+            import os
+
+            from ultragrid_tpu.ops import jpeg_pallas
+
+            self._pallas_ok = (
+                os.environ.get("UGTPU_JPEG_PALLAS", "1") != "0"
+                and jpeg_pallas.on_tpu()
+                and jpeg_pallas.supports(self)
+            )
+        return self._pallas_ok
+
+    def _build_encode(self, wwords: int):
+        """Best available device graph: fused Pallas kernel on TPU when the
+        geometry allows, else the XLA graph (canonical, bit-identical)."""
+        if self._pallas_enabled():
+            from ultragrid_tpu.ops import jpeg_pallas
+
+            fn = jpeg_pallas.make_fused_encode(self, wwords)
+            if fn is not None:
+                return fn
+        return self._make_encode(wwords)
+
     def _encode(self, frame):
         """Device encode; returns (ys, ybits, us, ubits, vs, vbits, overflow).
 
@@ -670,7 +708,7 @@ class JpegEncoder:
             return compiled(frame)
         fn = self._encode_cache.get(self.wwords)
         if fn is None:
-            fn = self._encode_cache[self.wwords] = self._make_encode(self.wwords)
+            fn = self._encode_cache[self.wwords] = self._build_encode(self.wwords)
         return fn(frame)
 
     def escalate_and_retry(self, frame):
@@ -699,7 +737,7 @@ class JpegEncoder:
                 continue
             fn = self._encode_cache.get(ww)
             if fn is None:
-                fn = self._encode_cache[ww] = self._make_encode(ww)
+                fn = self._encode_cache[ww] = self._build_encode(ww)
             self._compiled_cache[ww] = fn.lower(spec).compile()
 
     # -- public ---------------------------------------------------------

@@ -58,7 +58,7 @@ class ShardedJpegEncoder:
         )
         self.nshards = nshards
         local_fn = self.local._encode_cache.setdefault(
-            self.local.wwords, self.local._make_encode(self.local.wwords)
+            self.local.wwords, self.local._build_encode(self.local.wwords)
         )
 
         def wrapped(frame):
