@@ -243,3 +243,59 @@ def test_add_frame_rate_conversion():
         outs.extend(r if isinstance(r, list) else [r])
     assert len(outs) == 12  # 10 in -> 12 out (two duplicates)
     assert abs(outs[0].desc.fps - 36.0) < 1e-9  # 30 * 6/5
+
+
+def test_matrix2_identity_and_y601_to_y709():
+    f = _frame()
+    out = FilterChain("matrix2:1:0:0:0:1:0:0:0:1").apply(f)
+    np.testing.assert_array_equal(np.asarray(out.data), np.asarray(f.data))
+    out2 = FilterChain("matrix2:y601_to_y709").apply(f)
+    a, b = np.asarray(out2.data, np.int16), np.asarray(f.data, np.int16)
+    assert a.shape == b.shape and np.any(a != b)
+    # luma with centered chroma is (nearly) unchanged: first row coeffs 1,~0,~0
+    g_in = b.reshape(H, W // 2, 4)
+    g_out = a.reshape(H, W // 2, 4)
+    gray = (g_in[..., 0] == 128) & (g_in[..., 2] == 128)
+    assert np.all(np.abs(g_out[..., 1][gray] - g_in[..., 1][gray]) <= 1)
+
+
+def test_override_prop():
+    f = _frame()
+    out = FilterChain("override_prop:fps=59.94:size=640x480").apply(f)
+    assert out.desc.fps == 59.94 and (out.desc.width, out.desc.height) == (640, 480)
+    np.testing.assert_array_equal(np.asarray(out.data), np.asarray(f.data))
+    out2 = FilterChain("override_prop:codec=YUYV").apply(f)
+    assert out2.desc.color_spec == Codec.YUYV
+
+
+def test_color_filter_passthrough(capsys):
+    f = _frame()
+    out = FilterChain("color").apply(f)
+    assert out is f or np.array_equal(np.asarray(out.data), np.asarray(f.data))
+
+
+def test_temporal_3d_pairs_frames():
+    chain = FilterChain("temporal_3d")
+    f1, f2 = _frame(), _frame(pattern="gradient")
+    assert chain.apply(f1) is None
+    out = chain.apply(f2)
+    assert out is not None and out.desc.tile_count == 2
+    assert abs(out.desc.fps - 15.0) < 1e-9
+    np.testing.assert_array_equal(np.asarray(out.tiles[0]), np.asarray(f1.data))
+    np.testing.assert_array_equal(np.asarray(out.tiles[1]), np.asarray(f2.data))
+
+
+def test_display_filter_tee():
+    chain = FilterChain("display:dummy")
+    f = _frame()
+    out = chain.apply(f)
+    assert out is f
+    disp = chain.filters[0].display
+    assert disp.frames_shown == 1
+
+
+def test_preview_filter_degrades_without_consumer():
+    chain = FilterChain("preview")
+    f = _frame()
+    out = chain.apply(f)  # no unix-socket consumer: passthrough
+    assert out is f

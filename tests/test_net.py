@@ -705,3 +705,71 @@ def test_natpmp_and_pcp_against_mock_gateway():
     finally:
         nat.NATPMP_PORT = orig_port
         gw.close()
+
+
+def test_rtsp_capture_client_e2e():
+    """-t rtsp: the RTSP *client* capture SETUPs/PLAYs against our RTSP
+    server, receives RFC 2435 JPEG RTP, and yields decoded UYVY frames
+    (ref: src/video_capture/rtsp.c)."""
+    from ultragrid_tpu.modules.rtsp_capture import RtspCapture
+    from ultragrid_tpu.net.rtsp import RtspServer
+    from ultragrid_tpu.net.transmit import Tx
+    from ultragrid_tpu.ops.jpeg import JpegEncoder
+
+    w, h = 256, 192
+    uy = generate_pattern(w, h, Codec.UYVY, "bars")
+    enc = JpegEncoder(w, h, quality=85)
+    jpeg_arr = enc.encode(uy)
+    frame = VideoFrame(VideoDesc(w, h, Codec.JPEG, 30.0), [jpeg_arr])
+
+    stop = threading.Event()
+    senders = []
+
+    def on_play(addr, port):
+        sess = RtpSession(addr=addr, rx_port=0, tx_port=port)
+        tx = Tx(mtu=1000, rfc2435=True)
+
+        def pump():
+            while not stop.is_set():
+                tx.send_video(sess, frame)
+                time.sleep(0.05)
+            sess.close()
+
+        t = threading.Thread(target=pump, daemon=True)
+        senders.append(t)
+        t.start()
+
+    srv = RtspServer([("video", 5004, 26, "JPEG", 90000)], port=0, on_play=on_play)
+    try:
+        cap = RtspCapture(f"rtsp://127.0.0.1:{srv.port}/ug")
+        got = None
+        deadline = time.time() + 15
+        while got is None and time.time() < deadline:
+            got, _ = cap.grab()
+        assert got is not None, "no frame from RTSP capture"
+        assert got.desc.color_spec == Codec.UYVY
+        assert got.desc.width == w and got.desc.height == h
+        ref = np.asarray(uy, np.int16)
+        out = np.asarray(got.data, np.int16)[: ref.shape[0], : ref.shape[1]]
+        assert np.mean(np.abs(ref - out)) < 4.0  # JPEG-lossy but close
+        cap.done()
+    finally:
+        stop.set()
+        srv.close()
+
+
+def test_rtsp_client_sdp_parsing():
+    from ultragrid_tpu.net.rtsp_client import parse_sdp
+
+    sdp = (
+        "v=0\r\no=- 0 0 IN IP4 10.0.0.1\r\ns=x\r\nt=0 0\r\n"
+        "m=video 5004 RTP/AVP 96\r\na=rtpmap:96 H264/90000\r\n"
+        "a=fmtp:96 packetization-mode=1;sprop-parameter-sets=Z0IAHpWoKA9k,aM48gA==\r\n"
+        "a=control:trackID=0\r\n"
+        "m=audio 5006 RTP/AVP 0\r\n"
+    )
+    medias = parse_sdp(sdp)
+    assert medias[0].kind == "video" and medias[0].encoding == "H264"
+    assert medias[0].fmtp["sprop-parameter-sets"].startswith("Z0IAHpWoKA9k")
+    assert medias[0].control == "trackID=0"
+    assert medias[1].encoding == "PCMU" and medias[1].clock == 8000

@@ -13,7 +13,7 @@ from ultragrid_tpu.modules.registry import LibraryClass, list_modules
 from ultragrid_tpu.modules.video_capture import initialize_video_capture
 from ultragrid_tpu.modules.video_display import initialize_video_display
 from ultragrid_tpu.pipeline.loop import CaptureToDisplayPipeline, run_local_pipeline
-from ultragrid_tpu.types import Codec
+from ultragrid_tpu.types import Codec, VideoDesc, VideoFrame
 
 
 def test_modules_registered():
@@ -290,3 +290,53 @@ def test_disrupt_filter_drops_and_jitters():
     for _ in range(5):
         assert f2.apply(frame) is not None
     assert time.time() - t0 < 1.0
+
+
+def test_unix_sock_and_preview_display():
+    """-d unix_socket / -d preview stream ipc_frame RGB over a unix socket
+    (ref: src/video_display/unix_sock.cpp + tools/ipc_frame.h layout)."""
+    import tempfile
+    import threading
+
+    from ultragrid_tpu.modules.ipc_display import (
+        IpcFrameReader, UnixSockDisplay, ipc_scale_factor,
+    )
+    from ultragrid_tpu.utils.pattern import generate_pattern
+
+    # scale-factor parity with ipc_frame_get_scale_factor
+    assert ipc_scale_factor(1920, 1080, -1, -1) == 0
+    assert ipc_scale_factor(1920, 1080, 960, 540) == 2
+    assert ipc_scale_factor(640, 480, 960, 540) == 1
+
+    path = tempfile.mktemp(prefix="ugtpu_ipc_")
+    reader = IpcFrameReader(path)
+    got = []
+
+    def consume():
+        reader.accept()
+        while True:
+            f = reader.read_frame()
+            if f is None:
+                return
+            got.append(f)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+
+    w, h = 128, 64
+    disp = UnixSockDisplay(f"path={path}")
+    desc = VideoDesc(w, h, Codec.RGB, 30.0)
+    disp.reconfigure(desc)
+    rgb = generate_pattern(w, h, Codec.RGB, "bars")
+    # first 5 frames are skipped per the reference; send 7, expect 2
+    for _ in range(7):
+        disp.put_frame(VideoFrame(desc, [rgb]))
+    disp.done()
+    t.join(timeout=10)
+    reader.close()
+    assert len(got) == 2
+    gw, gh, color, data = got[0]
+    assert (gw, gh) == (w, h) and color == Codec.RGB
+    np.testing.assert_array_equal(
+        np.frombuffer(data, np.uint8).reshape(h, 3 * w), np.asarray(rgb)[:, : 3 * w]
+    )

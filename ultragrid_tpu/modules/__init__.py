@@ -20,4 +20,6 @@ import ultragrid_tpu.modules.video_decompress  # noqa: E402,F401
 import ultragrid_tpu.modules.file_io  # noqa: E402,F401
 import ultragrid_tpu.modules.filters  # noqa: E402,F401
 import ultragrid_tpu.modules.lavc  # noqa: E402,F401
+import ultragrid_tpu.modules.rtsp_capture  # noqa: E402,F401
+import ultragrid_tpu.modules.ipc_display  # noqa: E402,F401
 import ultragrid_tpu.utils.export  # noqa: E402,F401  (registers the 'import' capture device)

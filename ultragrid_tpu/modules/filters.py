@@ -502,6 +502,170 @@ class AddFrameFilter(Filter):
         return out
 
 
+class Matrix2Filter(Filter):
+    """matrix2:a:..:i | matrix2:y601_to_y709 — 3x3 on unpacked YCbCr
+    (ref: capture_filter/matrix2.c)."""
+
+    Y601_TO_Y709 = [1, -0.11555, -0.207938, 0, 1.01864, 0.114618, 0, 0.075049, 1.025327]
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        if cfg.strip() == "y601_to_y709":
+            vals = self.Y601_TO_Y709
+        else:
+            vals = [float(v) for v in cfg.split(":") if v]
+        assert len(vals) == 9, "matrix2 needs 9 coefficients or y601_to_y709"
+        self.matrix = np.array(vals).reshape(3, 3)
+
+    def apply(self, frame):
+        d = frame.desc
+        if d.color_spec != Codec.UYVY:
+            log.warning("matrix2: only YCbCr (UYVY) inputs supported")
+            return frame
+        return self._wrap(frame, pp.matrix2_uyvy(frame.data, d.width, self.matrix))
+
+
+class OverridePropFilter(Filter):
+    """override_prop:fps=<n>|size=<X>x<Y>|codec=<c> — override video
+    properties without touching the content (ref:
+    capture_filter/override_prop.c; values are not validated, like the
+    reference warns)."""
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        self.fps = None
+        self.interlacing = None
+        self.size = None
+        self.codec = None
+        for tok in [t for t in cfg.split(":") if t]:
+            key, _, val = tok.partition("=")
+            if key == "fps":
+                if val.endswith("i"):
+                    self.interlacing = InterlacingType.INTERLACED_MERGED
+                    val = val[:-1]
+                self.fps = float(val)
+            elif key == "size":
+                w, _, h = val.partition("x")
+                self.size = (int(w), int(h))
+            elif key == "codec":
+                from ultragrid_tpu.types import get_codec_from_name
+
+                self.codec = get_codec_from_name(val)
+            else:
+                raise ValueError(f"override_prop: unknown option {tok}")
+
+    def apply(self, frame):
+        d = frame.desc
+        kw = {}
+        if self.fps is not None:
+            kw["fps"] = self.fps
+        if self.interlacing is not None:
+            kw["interlacing"] = self.interlacing
+        if self.size is not None:
+            kw["width"], kw["height"] = self.size
+        if self.codec is not None:
+            kw["color_spec"] = self.codec
+        return self._wrap(frame, frame.data, d.with_(**kw))
+
+
+class ColorFilter(Filter):
+    """color — log the center pixel's YCbCr, pass frames through
+    (ref: capture_filter/color.c: 'currently only center pixel is
+    printed')."""
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        self._last_log = 0.0
+
+    def apply(self, frame):
+        now = time.monotonic()
+        if now - self._last_log >= 1.0:  # once per second, not per frame
+            self._last_log = now
+            d = frame.desc
+            from ultragrid_tpu.ops import pixfmt as _pixfmt
+
+            try:
+                uyvy = np.asarray(
+                    _pixfmt.convert_frame(frame.data, d.width, d.color_spec, Codec.UYVY)
+                )
+                cy = d.height // 2
+                cx = (d.width // 2) // 2 * 4  # align to a UYVY group
+                u, y, v = int(uyvy[cy, cx]), int(uyvy[cy, cx + 1]), int(uyvy[cy, cx + 2])
+                log.info(f"[color] Center color is Y={y} U={u} V={v}")
+            except Exception:
+                pass
+        return frame
+
+
+class Temporal3dFilter(Filter):
+    """temporal_3d — pair consecutive frames into one 2-tile 3D frame at
+    half the rate (ref: capture_filter/temporal_3d.c)."""
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        self._pending = None
+
+    def apply(self, frame):
+        if self._pending is None:
+            self._pending = frame
+            return None
+        left = self._pending
+        self._pending = None
+        d = left.desc
+        out_desc = d.with_(tile_count=2, fps=d.fps / 2)
+        out = VideoFrame(out_desc, [left.data, frame.data])
+        out.timestamp = left.timestamp
+        return out
+
+
+class DisplayFilter(Filter):
+    """display:<display_cfg> — tee frames into a side display while passing
+    them through (ref: capture_filter/display.c)."""
+
+    display_spec = None  # subclass override (preview)
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        from ultragrid_tpu.modules.video_display import initialize_video_display
+
+        spec = self.display_spec or cfg
+        if not spec:
+            raise ValueError("usage: display:<display_cfg>")
+        self.display = initialize_video_display(spec)
+        self._configured = False
+
+    def apply(self, frame):
+        if self.display is not None:
+            if not self._configured or self.display.desc != frame.desc:
+                self.display.reconfigure(frame.desc)
+                self._configured = True
+            try:
+                self.display.put_frame(frame, blocking=False)
+            except Exception as exc:  # side display must never stall capture
+                log.warning(f"side display failed: {exc}")
+                self.display = None
+        return frame
+
+    def done(self):
+        if self.display is not None:
+            self.display.put_frame(None)
+            self.display.done()
+
+
+class PreviewFilter(DisplayFilter):
+    """preview — tee into the preview unix-socket display (ref:
+    capture_filter/preview.cpp).  Degrades to passthrough when no preview
+    consumer is listening."""
+
+    def __init__(self, cfg: str):
+        try:
+            super().__init__("preview" + (":" + cfg if cfg else ""))
+        except Exception as exc:
+            log.warning(f"preview unavailable ({exc}); passing through")
+            Filter.__init__(self, cfg)
+            self.display = None
+
+
 _FILTERS = {
     "scale": ScaleFilter,
     "resize": ScaleFilter,
@@ -532,6 +696,12 @@ _FILTERS = {
     "interlaced_3d": Interlaced3dFilter,
     "3d-interlaced": Interlaced3dFilter,
     "add_frame": AddFrameFilter,
+    "matrix2": Matrix2Filter,
+    "override_prop": OverridePropFilter,
+    "color": ColorFilter,
+    "temporal_3d": Temporal3dFilter,
+    "display": DisplayFilter,
+    "preview": PreviewFilter,
 }
 
 for _name, _cls in _FILTERS.items():

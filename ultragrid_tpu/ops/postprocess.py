@@ -244,3 +244,25 @@ def fields_to_frames(src: jnp.ndarray, codec: Codec) -> Tuple[jnp.ndarray, jnp.n
     """Split an interlaced-merged frame into two bob-doubled frames
     (ref: vo_postprocess double-framerate via putf timeout)."""
     return deinterlace_bob_even(src), deinterlace_bob_odd(src)
+
+
+def matrix2_uyvy(src: jnp.ndarray, width: int, matrix: np.ndarray) -> jnp.ndarray:
+    """3x3 matrix on unpacked YCbCr of a UYVY frame (ref:
+    capture_filter/matrix2.c apply_to_uyvy): offsets Y-16 / C-128, the
+    chroma rows use the two luma samples averaged, output truncated like the
+    C double->uchar assignment (clamped to byte range)."""
+    m = np.asarray(matrix, np.float64).reshape(9)
+    h = src.shape[0]
+    g = src[:, : 2 * width].reshape(h, width // 2, 4).astype(jnp.float64)
+    u = g[..., 0] - 128.0
+    y1 = g[..., 1] - 16.0
+    v = g[..., 2] - 128.0
+    y2 = g[..., 3] - 16.0
+    y = (y1 + y2) / 2.0
+    ou = 128.0 + m[3] * y + m[4] * u + m[5] * v
+    oy1 = 16.0 + m[0] * y1 + m[1] * u + m[2] * v
+    ov = 128.0 + m[6] * y + m[7] * u + m[8] * v
+    oy2 = 16.0 + m[0] * y2 + m[1] * u + m[2] * v
+    out = jnp.stack([ou, oy1, ov, oy2], axis=-1)
+    out = jnp.clip(jnp.trunc(out), 0, 255).astype(jnp.uint8)
+    return out.reshape(h, 2 * width)
