@@ -269,3 +269,28 @@ def test_crash_handler_and_watchdog():
     r2 = subprocess.run([sys.executable, "-c", code2], capture_output=True, timeout=60)
     assert r2.returncode == 2
     assert b"exit watchdog" in r2.stderr
+
+
+def test_config_file_aliases(tmp_path):
+    """~/.ug.rc alias grammar (ref: src/utils/config_file.cpp)."""
+    from ultragrid_tpu.utils.config_file import ConfigFile
+
+    rc = tmp_path / "ug.rc"
+    rc.write_text(
+        "alias capture camera testcard:s=1280x720:c=UYVY\n"
+        "alias display wall conference:1920:1080\n"
+        "capture-filter camera grayscale\n"
+    )
+    cf = ConfigFile(str(rc))
+    assert cf.get_alias("capture", "camera") == "testcard:s=1280x720:c=UYVY"
+    assert cf.get_alias("capture", "nope") is None
+    assert cf.get_capture_filter_for_alias("camera") == "grayscale"
+    assert cf.capture_aliases() == {"camera": "testcard:s=1280x720:c=UYVY"}
+    spec, filt = cf.resolve_device("capture", "camera")
+    assert spec == "testcard:s=1280x720:c=UYVY" and filt == "grayscale"
+    # extra config appends to the alias target
+    spec2, _ = cf.resolve_device("capture", "camera:f=60")
+    assert spec2 == "testcard:s=1280x720:c=UYVY:f=60"
+    assert cf.resolve_device("display", "dummy") == ("dummy", None)
+    # missing file: empty instance, no error (reference behavior)
+    assert ConfigFile(str(tmp_path / "missing")).get_alias("capture", "x") is None

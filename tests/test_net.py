@@ -773,3 +773,118 @@ def test_rtsp_client_sdp_parsing():
     assert medias[0].fmtp["sprop-parameter-sets"].startswith("Z0IAHpWoKA9k")
     assert medias[0].control == "trackID=0"
     assert medias[1].encoding == "PCMU" and medias[1].clock == 8000
+
+
+def test_upnp_igd_against_mock_gateway():
+    """SSDP discovery + WANIPConnection SOAP AddPortMapping/
+    GetExternalIPAddress/DeletePortMapping against a mock IGD."""
+    import http.server
+    import socket as _socket
+
+    from ultragrid_tpu.net.nat import upnp_discover, upnp_map, upnp_unmap
+
+    mapped = []
+    removed = []
+
+    class Igd(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            xml = (
+                '<?xml version="1.0"?><root><device><serviceList><service>'
+                "<serviceType>urn:schemas-upnp-org:service:WANIPConnection:1"
+                "</serviceType><controlURL>/ctl</controlURL>"
+                "</service></serviceList></device></root>"
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(xml)))
+            self.end_headers()
+            self.wfile.write(xml)
+
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0))).decode()
+            soap = self.headers.get("SOAPAction", "")
+            if "AddPortMapping" in soap:
+                assert "<NewExternalPort>5004</NewExternalPort>" in body
+                assert "<NewProtocol>UDP</NewProtocol>" in body
+                mapped.append(body)
+                resp = b"<s:Envelope><s:Body><u:AddPortMappingResponse/></s:Body></s:Envelope>"
+            elif "GetExternalIPAddress" in soap:
+                resp = (b"<s:Envelope><s:Body><u:GetExternalIPAddressResponse>"
+                        b"<NewExternalIPAddress>203.0.113.7</NewExternalIPAddress>"
+                        b"</u:GetExternalIPAddressResponse></s:Body></s:Envelope>")
+            else:
+                removed.append(body)
+                resp = b"<s:Envelope><s:Body><u:DeletePortMappingResponse/></s:Body></s:Envelope>"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+    httpd = http.server.HTTPServer(("127.0.0.1", 0), Igd)
+    http_port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    # SSDP responder on a localhost unicast socket (stands in for multicast)
+    ssdp = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    ssdp.bind(("127.0.0.1", 0))
+    ssdp_port = ssdp.getsockname()[1]
+
+    def ssdp_reply():
+        data, addr = ssdp.recvfrom(4096)
+        assert b"M-SEARCH" in data and b"InternetGatewayDevice" in data
+        ssdp.sendto(
+            (f"HTTP/1.1 200 OK\r\nLOCATION: http://127.0.0.1:{http_port}/desc.xml"
+             "\r\nST: urn:schemas-upnp-org:device:InternetGatewayDevice:1\r\n\r\n").encode(),
+            addr,
+        )
+
+    threading.Thread(target=ssdp_reply, daemon=True).start()
+
+    loc = upnp_discover(ssdp_addr=("127.0.0.1", ssdp_port))
+    assert loc == f"http://127.0.0.1:{http_port}/desc.xml"
+    got = upnp_map(5004, 5004, desc_url=loc, internal_client="192.0.2.10")
+    assert got == (5004, "203.0.113.7", 3600)
+    assert mapped and "<NewInternalClient>192.0.2.10</NewInternalClient>" in mapped[0]
+    assert upnp_unmap(5004, desc_url=loc)
+    assert removed
+    httpd.shutdown()
+    ssdp.close()
+
+
+def test_ihdtv_localhost_roundtrip():
+    """iHDTV dual-stream raw transport: 16-byte packed header, two UDP
+    halves, early flush on newer frame (ref: src/ihdtv/ihdtv.c)."""
+    from ultragrid_tpu.pipeline.ihdtv import (
+        BYTES_PER_FRAME, IhdtvConnection, _packets_per_half,
+    )
+
+    assert _packets_per_half(8192) == (338, 4096)  # 2764800 = 337*8192 + 4096
+
+    ports = (PORT + 61, PORT + 62)
+    rx = IhdtvConnection(mtu=8192, ports=ports)
+    rx.init_rx()
+    tx = IhdtvConnection(mtu=8192, ports=ports)
+    tx.init_tx("127.0.0.1")
+
+    rng = np.random.default_rng(5)
+    frame0 = rng.integers(0, 256, BYTES_PER_FRAME, dtype=np.uint8).tobytes()
+    frame1 = rng.integers(0, 256, BYTES_PER_FRAME, dtype=np.uint8).tobytes()
+
+    got = {}
+
+    def recv2():
+        got[0] = rx.receive(timeout=10)
+        got[1] = rx.receive(timeout=10)
+
+    t = threading.Thread(target=recv2, daemon=True)
+    t.start()
+    time.sleep(0.1)
+    tx.send(frame0)
+    tx.send(frame1)
+    t.join(timeout=15)
+    assert got.get(0) is not None and bytes(got[0]) == frame0
+    assert got.get(1) is not None and bytes(got[1]) == frame1
+    rx.close()
+    tx.close()

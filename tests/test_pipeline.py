@@ -340,3 +340,40 @@ def test_unix_sock_and_preview_display():
     np.testing.assert_array_equal(
         np.frombuffer(data, np.uint8).reshape(h, 3 * w), np.asarray(rgb)[:, : 3 * w]
     )
+
+
+def test_v4l2_module_probes_cleanly():
+    """v4l2 registers and probe-fails with a clear message when no
+    /dev/video* exists (matches the reference's no-device behavior)."""
+    import pytest as _pytest
+
+    from ultragrid_tpu.modules.registry import LibraryClass, load_library
+    from ultragrid_tpu.modules.v4l2_capture import (
+        PIXFMT_MAP, V4l2Capture, v4l2_buffer, v4l2_capability, v4l2_format,
+    )
+    import ctypes as _ct
+    import glob as _glob
+
+    # UAPI struct sizes (64-bit) — wrong sizes would corrupt every ioctl
+    assert _ct.sizeof(v4l2_capability) == 104
+    assert _ct.sizeof(v4l2_format) == 208
+    assert _ct.sizeof(v4l2_buffer) == 88
+    assert PIXFMT_MAP[Codec.UYVY] == 0x59565955  # 'UYVY' little-endian
+
+    assert load_library("v4l2", LibraryClass.VIDEO_CAPTURE) is V4l2Capture
+    if not _glob.glob("/dev/video*"):
+        with _pytest.raises(RuntimeError, match="no /dev/video"):
+            V4l2Capture("")
+
+
+def test_hw_stub_modules_report_probe_reason():
+    import pytest as _pytest
+
+    from ultragrid_tpu.modules.registry import LibraryClass, load_library
+
+    cls = load_library("decklink", LibraryClass.VIDEO_CAPTURE)
+    with _pytest.raises(RuntimeError, match="decklink"):
+        cls("")
+    cls = load_library("sdl", LibraryClass.VIDEO_DISPLAY)
+    with _pytest.raises(RuntimeError, match="sdl"):
+        cls("")

@@ -17,7 +17,20 @@ Run: ``python -m ultragrid_tpu -t testcard -d dummy``
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# persistent XLA compilation cache: first-compile of a new frame geometry is
+# tens of seconds on TPU; cached reruns start instantly
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ugtpu_jaxcache")
+
+# UGTPU_PLATFORM=cpu pins this process to a backend.  A TPU is exclusive to
+# one process, so localhost sender+receiver runs (every loopback/e2e drive)
+# must put at least one side on CPU or they deadlock on device acquisition.
+if os.environ.get("UGTPU_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["UGTPU_PLATFORM"])
 
 from ultragrid_tpu.modules.registry import LibraryClass, list_modules
 from ultragrid_tpu.utils import log as _log
@@ -95,6 +108,21 @@ def main(argv=None) -> int:
         key, _, val = kv.partition("=")
         set_commandline_param(key, val or None)
 
+    # ~/.ug.rc device aliases (ref: src/utils/config_file.cpp + the alias
+    # substitution in video_capture_params.c)
+    from ultragrid_tpu.utils.config_file import ConfigFile
+
+    cf = ConfigFile()
+    if args.capture:
+        args.capture, alias_filter = cf.resolve_device("capture", args.capture)
+        if alias_filter:
+            args.capture_filter = (
+                args.capture_filter + "," + alias_filter
+                if args.capture_filter else alias_filter
+            )
+    if args.display:
+        args.display, _ = cf.resolve_device("display", args.display)
+
     if args.protocol == "mpegts":
         # H.264-in-TS over UDP (ref: src/rxtx/mpegts.c); playable by any TS
         # receiver (VLC/ffplay)
@@ -111,6 +139,16 @@ def main(argv=None) -> int:
             r = MpegTsReceiver(args.display, port, frame_limit=args.frames)
             print(f"displayed {r.run()} frames (mpegts)")
             return 0
+    if args.protocol == "ihdtv":
+        # legacy dual-stream raw v210 transport (ref: src/rxtx/ihdtv.cpp)
+        from ultragrid_tpu.pipeline.ihdtv import run_ihdtv_receiver, run_ihdtv_sender
+
+        if args.capture and args.host:
+            return run_ihdtv_sender(args.capture, args.host, mtu=args.mtu,
+                                    frame_limit=args.frames)
+        if args.display:
+            return run_ihdtv_receiver(args.display, frame_limit=args.frames,
+                                      mtu=args.mtu)
     if args.protocol == "loopback" and args.capture:
         # single-process fixture: compressed frames straight to the display
         # (ref: src/rxtx/loopback.c)

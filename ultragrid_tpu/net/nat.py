@@ -311,6 +311,18 @@ def setup_nat_traverse(
         if ok and ports:
             out["mode"] = "natpmp"
             return out
+    if mode in ("auto", "upnp"):
+        ok = True
+        out["mappings"].clear()
+        for p in ports:
+            r = upnp_map(p, p)
+            if r is None:
+                ok = False
+                break
+            out["mappings"][p] = r[0]
+        if ok and ports:
+            out["mode"] = "upnp"
+            return out
     out["mappings"].clear()
     return out
 
@@ -353,3 +365,158 @@ class NatHelperClient:
 
     def close(self) -> None:
         self.sock.close()
+
+
+# ---------------------------------------------------------------------------
+# UPnP IGD (SSDP discovery + WANIPConnection SOAP) — the third traversal
+# option alongside PCP/NAT-PMP.  The reference links libnatpmp/libpcp for
+# those two; UPnP rounds out the common home-gateway trio.
+# ---------------------------------------------------------------------------
+
+SSDP_ADDR = ("239.255.255.250", 1900)
+_IGD_ST = "urn:schemas-upnp-org:device:InternetGatewayDevice:1"
+_WANIP = "urn:schemas-upnp-org:service:WANIPConnection:1"
+
+
+def upnp_discover(timeout: float = 2.0, ssdp_addr=None) -> Optional[str]:
+    """SSDP M-SEARCH for an IGD; returns the device-description URL."""
+    addr = ssdp_addr or SSDP_ADDR
+    msg = (
+        "M-SEARCH * HTTP/1.1\r\n"
+        f"HOST: {addr[0]}:{addr[1]}\r\n"
+        'MAN: "ssdp:discover"\r\n'
+        "MX: 2\r\n"
+        f"ST: {_IGD_ST}\r\n\r\n"
+    ).encode()
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.settimeout(timeout)
+    try:
+        sock.sendto(msg, addr)
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                data, _ = sock.recvfrom(4096)
+            except socket.timeout:
+                return None
+            for line in data.decode(errors="replace").split("\r\n"):
+                k, _, v = line.partition(":")
+                if k.strip().lower() == "location":
+                    return v.strip()
+        return None
+    except OSError:
+        return None
+    finally:
+        sock.close()
+
+
+def _upnp_control_url(desc_url: str, timeout: float = 3.0) -> Optional[str]:
+    """Fetch the IGD description XML and find WANIPConnection's controlURL."""
+    import re as _re
+    import urllib.request
+    from urllib.parse import urljoin
+
+    try:
+        with urllib.request.urlopen(desc_url, timeout=timeout) as resp:
+            xml = resp.read().decode(errors="replace")
+    except Exception:
+        return None
+    # find the service block for WANIPConnection
+    for m in _re.finditer(r"<service>(.*?)</service>", xml, _re.S):
+        block = m.group(1)
+        if _WANIP in block:
+            cm = _re.search(r"<controlURL>(.*?)</controlURL>", block, _re.S)
+            if cm:
+                return urljoin(desc_url, cm.group(1).strip())
+    return None
+
+
+def _upnp_soap(control_url: str, action: str, args: dict, timeout: float = 3.0) -> Optional[str]:
+    import urllib.request
+
+    body_args = "".join(f"<{k}>{v}</{k}>" for k, v in args.items())
+    body = (
+        '<?xml version="1.0"?>'
+        '<s:Envelope xmlns:s="http://schemas.xmlsoap.org/soap/envelope/" '
+        's:encodingStyle="http://schemas.xmlsoap.org/soap/encoding/">'
+        f'<s:Body><u:{action} xmlns:u="{_WANIP}">{body_args}</u:{action}>'
+        "</s:Body></s:Envelope>"
+    ).encode()
+    req = urllib.request.Request(
+        control_url,
+        data=body,
+        headers={
+            "Content-Type": 'text/xml; charset="utf-8"',
+            "SOAPAction": f'"{_WANIP}#{action}"',
+        },
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.read().decode(errors="replace")
+    except Exception:
+        return None
+
+
+def upnp_map(
+    internal_port: int,
+    external_port: int = 0,
+    lifetime: int = 3600,
+    protocol: str = "udp",
+    desc_url: Optional[str] = None,
+    ssdp_addr=None,
+    internal_client: Optional[str] = None,
+) -> Optional[Tuple[int, str, int]]:
+    """AddPortMapping on a UPnP IGD; returns (external_port, external_ip,
+    lifetime) like natpmp_map/pcp_map, or None."""
+    url = desc_url or upnp_discover(ssdp_addr=ssdp_addr)
+    if url is None:
+        return None
+    control = _upnp_control_url(url)
+    if control is None:
+        return None
+    ext = external_port or internal_port
+    if internal_client is None:
+        probe = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        try:
+            probe.connect(("8.8.8.8", 53))
+            internal_client = probe.getsockname()[0]
+        except OSError:
+            internal_client = "127.0.0.1"
+        finally:
+            probe.close()
+    resp = _upnp_soap(control, "AddPortMapping", {
+        "NewRemoteHost": "",
+        "NewExternalPort": ext,
+        "NewProtocol": protocol.upper(),
+        "NewInternalPort": internal_port,
+        "NewInternalClient": internal_client,
+        "NewEnabled": 1,
+        "NewPortMappingDescription": "UltraGrid-TPU",
+        "NewLeaseDuration": lifetime,
+    })
+    if resp is None or "AddPortMappingResponse" not in resp:
+        return None
+    ext_ip = ""
+    ip_resp = _upnp_soap(control, "GetExternalIPAddress", {})
+    if ip_resp:
+        import re as _re
+
+        m = _re.search(r"<NewExternalIPAddress>(.*?)</NewExternalIPAddress>", ip_resp)
+        if m:
+            ext_ip = m.group(1)
+    return ext, ext_ip, lifetime
+
+
+def upnp_unmap(external_port: int, protocol: str = "udp",
+               desc_url: Optional[str] = None, ssdp_addr=None) -> bool:
+    url = desc_url or upnp_discover(ssdp_addr=ssdp_addr)
+    if url is None:
+        return False
+    control = _upnp_control_url(url)
+    if control is None:
+        return False
+    resp = _upnp_soap(control, "DeletePortMapping", {
+        "NewRemoteHost": "",
+        "NewExternalPort": external_port,
+        "NewProtocol": protocol.upper(),
+    })
+    return resp is not None and "DeletePortMappingResponse" in resp
