@@ -294,3 +294,33 @@ def test_config_file_aliases(tmp_path):
     assert cf.resolve_device("display", "dummy") == ("dummy", None)
     # missing file: empty instance, no error (reference behavior)
     assert ConfigFile(str(tmp_path / "missing")).get_alias("capture", "x") is None
+
+
+def test_profiler_zones_chrome_trace(tmp_path):
+    """--param profile zone tracing writes a Chrome-trace JSON
+    (ref: PROFILE_FUNC/PROFILE_DETAIL Tracy zones, utils/profile_timer.hpp)."""
+    import json
+    import time as _time
+
+    from ultragrid_tpu.utils import profiler
+
+    # disabled: no events recorded
+    profiler._events.clear()
+    with profiler.zone("idle"):
+        pass
+    assert not profiler._events
+
+    profiler.enable(str(tmp_path / "trace.json"))
+    try:
+        with profiler.zone("work"):
+            _time.sleep(0.002)
+        profiler.instant("mark")
+        out = profiler.dump()
+        trace = json.load(open(out))
+        names = [e["name"] for e in trace["traceEvents"]]
+        assert "work" in names and "mark" in names
+        work = next(e for e in trace["traceEvents"] if e["name"] == "work")
+        assert work["ph"] == "X" and work["dur"] >= 1500  # >= 1.5 ms in us
+    finally:
+        profiler.enabled = False
+        profiler._events.clear()

@@ -108,6 +108,11 @@ def main(argv=None) -> int:
         key, _, val = kv.partition("=")
         set_commandline_param(key, val or None)
 
+    # --param profile[=path] turns on zone tracing (Chrome trace JSON)
+    from ultragrid_tpu.utils import profiler
+
+    profiler.maybe_enable_from_params()
+
     # ~/.ug.rc device aliases (ref: src/utils/config_file.cpp + the alias
     # substitution in video_capture_params.c)
     from ultragrid_tpu.utils.config_file import ConfigFile

@@ -216,6 +216,8 @@ class CompressDriver:
                 self.out_queue.put(None)
                 return
             frame.compress_start = time.monotonic()
+            from ultragrid_tpu.utils import profiler
+
             with self._lock:
                 impl = self._impl
             if len(frame.tiles) > 1:
@@ -236,7 +238,8 @@ class CompressDriver:
                                  [o.data for o in outs])
                 out.timestamp = frame.timestamp
             else:
-                out = impl.compress(frame)
+                with profiler.zone("compress"):
+                    out = impl.compress(frame)
             if out is not None:
                 out.compress_start = frame.compress_start
                 out.compress_end = time.monotonic()

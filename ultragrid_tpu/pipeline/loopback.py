@@ -18,6 +18,7 @@ from ultragrid_tpu.modules.messaging import Module
 from ultragrid_tpu.modules.video_capture import initialize_video_capture
 from ultragrid_tpu.modules.video_compress import CompressDriver
 from ultragrid_tpu.modules.video_display import initialize_video_display
+from ultragrid_tpu.utils import profiler
 from ultragrid_tpu.utils.log import Logger
 
 log = Logger("loopback")
@@ -58,7 +59,8 @@ class LoopbackRxTx:
         count = 0
         try:
             while self.frame_limit is None or count < self.frame_limit:
-                frame, _audio = self.capture.grab()
+                with profiler.zone("capture.grab"):
+                    frame, _audio = self.capture.grab()
                 if frame is not None:
                     frame = self.capture_chain.apply(frame)
                 if frame is None:
@@ -85,7 +87,8 @@ class LoopbackRxTx:
                 if self._decomp is None:
                     log.error(f"no decompressor for {frame.desc.color_spec.name}")
                     return None
-            frame = self._decomp.decompress(frame, self._decomp_out)
+            with profiler.zone("rx.decompress"):
+                frame = self._decomp.decompress(frame, self._decomp_out)
             if frame is None:
                 return None
         codecs = self.display.get_property_codecs()

@@ -18,6 +18,7 @@ from ultragrid_tpu.net.rtp import RtpSession
 from ultragrid_tpu.net.video_rx import VideoRxState
 from ultragrid_tpu.ops import pixfmt
 from ultragrid_tpu.types import Codec, VideoFrame, is_codec_opaque
+from ultragrid_tpu.utils import profiler
 from ultragrid_tpu.utils.log import Logger
 
 log = Logger("receiver")
@@ -73,7 +74,8 @@ class VideoReceiver:
         self._display_desc = None
 
     def _handle_frame(self, node) -> bool:
-        frame = self.rx_state.decode_frame(node)
+        with profiler.zone("rx.decode_frame"):
+            frame = self.rx_state.decode_frame(node)
         if frame is None:
             return False
         if frame.desc.tile_count > 1:
@@ -96,7 +98,8 @@ class VideoReceiver:
                     log.error(f"no decompressor for {frame.desc.color_spec.name}")
                     return False
             try:
-                frame = self._decompress.decompress(frame, self._decomp_out)
+                with profiler.zone("rx.decompress"):
+                    frame = self._decompress.decompress(frame, self._decomp_out)
             except Exception as exc:  # corrupt bitstream from an incomplete frame
                 # the reference drops frames whose decompression fails rather
                 # than tearing the session down (video_decoders.cpp decompress
@@ -121,7 +124,8 @@ class VideoReceiver:
                 frame.data, frame.desc.width, frame.desc.color_spec, self._decoder_out
             )
             frame = VideoFrame(frame.desc.with_(color_spec=self._decoder_out), [data])
-        out = self.postprocess_chain.apply(frame)
+        with profiler.zone("rx.postprocess"):
+            out = self.postprocess_chain.apply(frame)
         if out is None:
             return False
         # postprocess may fan one frame out into several (double_framerate)
@@ -129,7 +133,8 @@ class VideoReceiver:
             if self._display_desc != fr.desc:
                 self.display.reconfigure(fr.desc)
                 self._display_desc = fr.desc
-            self.display.put_frame(fr)
+            with profiler.zone("rx.display"):
+                self.display.put_frame(fr)
             self.frames_displayed += 1
         return True
 

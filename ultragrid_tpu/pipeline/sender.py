@@ -15,6 +15,7 @@ from ultragrid_tpu.modules.video_capture import initialize_video_capture
 from ultragrid_tpu.modules.video_compress import CompressDriver
 from ultragrid_tpu.net.rtp import RtpSession
 from ultragrid_tpu.net.transmit import RATE_AUTO, Tx
+from ultragrid_tpu.utils import profiler
 from ultragrid_tpu.utils.log import Logger
 
 log = Logger("sender")
@@ -109,9 +110,11 @@ class VideoSender:
             while not self.should_exit.is_set():
                 if self.frame_limit is not None and count >= self.frame_limit:
                     break
-                frame, _audio = self.capture.grab()
+                with profiler.zone("capture.grab"):
+                    frame, _audio = self.capture.grab()
                 if frame is not None:
-                    frame = self.capture_chain.apply(frame)
+                    with profiler.zone("capture.filter"):
+                        frame = self.capture_chain.apply(frame)
                 if frame is None:
                     continue
                 # periodic per-stage FPS line (ref: print_fps, main.cpp:307-332)
@@ -154,7 +157,8 @@ class VideoSender:
                 break
             if self.exporter is not None:
                 self.exporter.export_video(frame)
-            self.tx.send_video(self.session, frame)
+            with profiler.zone("fec+tx.send"):
+                self.tx.send_video(self.session, frame)
             self.frames_sent += 1
         self.should_exit.set()
         # force-exit if a stuck device/capture thread wedges the shutdown
