@@ -61,3 +61,42 @@ for _name in ("decklink", "ndi", "aja", "screen"):
     register_module(_name, LibraryClass.VIDEO_CAPTURE, _make_capture_stub(_name))
 for _name in ("decklink", "ndi", "sdl", "gl"):
     register_module(_name, LibraryClass.VIDEO_DISPLAY, _make_display_stub(_name))
+
+
+# audio devices (ref: src/audio/capture/{alsa,pipewire,jack,portaudio,
+# coreaudio,wasapi}.c* — each compiled in only with its SDK/daemon).
+# Plain classes (no audio.capture import: that module imports the registry,
+# and importing it back here would be circular).
+
+
+def _audio_probe_msg(name: str) -> str:
+    checks = {
+        "alsa": ("libasound + /dev/snd", ctypes.util.find_library("asound")
+                 if os.path.exists("/dev/snd") else None),
+        "pipewire": ("a PipeWire daemon (libpipewire-0.3)",
+                     ctypes.util.find_library("pipewire-0.3")),
+        "jack": ("a JACK server (libjack)", ctypes.util.find_library("jack")),
+        "portaudio": ("libportaudio", ctypes.util.find_library("portaudio")),
+        "pulse": ("a PulseAudio daemon (libpulse)", ctypes.util.find_library("pulse")),
+        "coreaudio": ("macOS CoreAudio", None),
+        "wasapi": ("Windows WASAPI", None),
+    }
+    what, found = checks.get(name, (name, None))
+    if found:
+        return f"{name}: {what} found but no audio device present in this environment"
+    return f"{name}: unavailable — needs {what}"
+
+
+def _make_audio_stub(name: str):
+    class _Stub:
+        def __init__(self, cfg: str = ""):
+            raise RuntimeError(_audio_probe_msg(name))
+
+    _Stub.__name__ = f"{name.capitalize()}AudioStub"
+    return _Stub
+
+
+for _name in ("alsa", "pipewire", "jack", "portaudio", "pulse", "coreaudio", "wasapi"):
+    _stub = _make_audio_stub(_name)
+    register_module(_name, LibraryClass.AUDIO_CAPTURE, _stub)
+    register_module(_name, LibraryClass.AUDIO_PLAYBACK, _stub)
