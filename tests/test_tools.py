@@ -89,3 +89,105 @@ def test_hd_rum_translator_transcodes():
     for s in (cli1, cli2, sender):
         s.close()
     t.join(timeout=5)
+
+
+def test_webui_preview_control_capabilities(tmp_path):
+    """Browser GUI contract: MJPEG preview from the ipc_frame socket,
+    control-socket bridge, capabilities JSON (Qt GUI replacement)."""
+    import http.client
+    import io
+    import json
+    import socket as _socket
+    import threading
+    import time
+
+    import numpy as np
+
+    from ultragrid_tpu.modules.ipc_display import UnixSockDisplay
+    from ultragrid_tpu.tools.webui import make_server
+    from ultragrid_tpu.types import Codec, VideoDesc, VideoFrame
+    from ultragrid_tpu.utils.pattern import generate_pattern
+
+    # mock control socket server
+    ctl = _socket.socket()
+    ctl.bind(("127.0.0.1", 0))
+    ctl.listen(2)
+    ctl_port = ctl.getsockname()[1]
+
+    def ctl_loop():
+        while True:
+            try:
+                conn, _ = ctl.accept()
+            except OSError:
+                return
+            line = conn.recv(256).decode()
+            if line.startswith("stats on"):
+                conn.sendall(b"stats ITEM 42\r\n")
+            else:
+                conn.sendall(b"200 OK\r\n")
+
+    threading.Thread(target=ctl_loop, daemon=True).start()
+
+    path = str(tmp_path / "prev.sock")
+    srv, hub, bridge = make_server(0, path, ctl_port)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    time.sleep(0.3)  # let the hub bind its unix socket
+
+    # feed frames through the preview display path
+    w, h = 96, 64
+    disp = UnixSockDisplay(f"path={path}")
+    desc = VideoDesc(w, h, Codec.RGB, 30.0)
+    disp.reconfigure(desc)
+    rgb = generate_pattern(w, h, Codec.RGB, "bars")
+    stop = threading.Event()
+
+    def pump():
+        while not stop.is_set():
+            disp.put_frame(VideoFrame(desc, [rgb]))
+            time.sleep(0.03)
+
+    threading.Thread(target=pump, daemon=True).start()
+
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/")
+        assert b"preview" in conn.getresponse().read()
+
+        conn.request("GET", "/capabilities")
+        caps = json.loads(conn.getresponse().read())
+        assert "video_capture" in caps and "testcard" in caps["video_capture"]
+
+        # one MJPEG part from the preview stream
+        conn.request("GET", "/preview")
+        resp = conn.getresponse()
+        assert resp.getheader("Content-Type").startswith("multipart/x-mixed-replace")
+        data = b""
+        deadline = time.time() + 15
+        while b"\xff\xd9" not in data and time.time() < deadline:
+            data += resp.read(4096)
+        i = data.index(b"\xff\xd8")
+        j = data.index(b"\xff\xd9") + 2
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(data[i:j]))
+        img.load()
+        assert img.size == (w, h)
+        conn.close()
+
+        # control + stats
+        c2 = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        c2.request("POST", "/control", body="compress jpeg:80")
+        assert b"200" in c2.getresponse().read()
+        deadline = time.time() + 10
+        stats = b""
+        while b"ITEM 42" not in stats and time.time() < deadline:
+            c2.request("GET", "/stats")
+            stats = c2.getresponse().read()
+            time.sleep(0.2)
+        assert b"ITEM 42" in stats
+    finally:
+        stop.set()
+        disp.done()
+        srv.shutdown()
+        ctl.close()
