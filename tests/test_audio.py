@@ -319,3 +319,51 @@ def test_astat_client_against_control_socket():
         assert "ch0:" in out.getvalue()
     finally:
         cs.close()
+
+
+def test_aes67_rtp_l24_receive():
+    """AES67 capture: RTP L24 over localhost, BE->per-channel deinterleave
+    (ref: src/audio/capture/aes67.cpp)."""
+    import socket
+    import struct
+    import time as _time
+
+    import ultragrid_tpu.audio.aes67 as a67
+    from ultragrid_tpu.audio.aes67 import Aes67Capture, parse_sap
+
+    port = 24890
+    cap = Aes67Capture(f"addr=127.0.0.1:port={port}:codec=L24:rate=48000:ch=2")
+    try:
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        # two RTP packets of 48 samples, L24 stereo, counter pattern
+        nsamp = 48
+        payloads = []
+        val = 0
+        for p in range(2):
+            body = bytearray()
+            for s in range(nsamp):
+                for ch in range(2):
+                    body += int(val % (1 << 24)).to_bytes(3, "big")
+                    val += 1
+            payloads.append(bytes(body))
+        for i, body in enumerate(payloads):
+            hdr = struct.pack("!BBHII", 0x80, 96 + (0x80 if i == 1 else 0), i, i * nsamp, 0xABCD)
+            tx.sendto(hdr + body, ("127.0.0.1", port))
+        _time.sleep(0.2)
+        frame = cap.read(96)
+        assert frame is not None and frame.desc.bps == 3 and frame.desc.ch_count == 2
+        ch0 = np.frombuffer(bytes(frame.channels[0]), np.uint8).reshape(-1, 3)
+        # first sample of channel 0 is value 0, second is 2 (LE bytes)
+        vals = ch0[:, 0].astype(int) | (ch0[:, 1].astype(int) << 8) | (ch0[:, 2].astype(int) << 16)
+        assert vals[0] == 0 and vals[1] == 2 and vals[2] == 4
+        tx.close()
+    finally:
+        cap.done()
+
+    # SAP announcement parsing (RFC 2974 + SDP)
+    sdp = (b"v=0\r\no=- 1 1 IN IP4 10.0.0.5\r\ns=PTP stream\r\n"
+           b"c=IN IP4 239.69.1.2/32\r\nt=0 0\r\n"
+           b"m=audio 5004 RTP/AVP 98\r\na=rtpmap:98 L24/48000/8\r\n")
+    pkt = bytes([0x20, 0, 0, 0]) + socket.inet_aton("10.0.0.5") + b"application/sdp\0" + sdp
+    out = parse_sap(pkt)
+    assert out is not None and "L24/48000/8" in out

@@ -377,3 +377,23 @@ def test_hw_stub_modules_report_probe_reason():
     cls = load_library("sdl", LibraryClass.VIDEO_DISPLAY)
     with _pytest.raises(RuntimeError, match="sdl"):
         cls("")
+
+
+def test_swmix_capture_grid():
+    """swmix software mixer: two testcards composited into a 2x1 grid
+    (ref: src/video_capture/swmix.c)."""
+    from ultragrid_tpu.modules.video_capture import initialize_video_capture
+
+    cap = initialize_video_capture(
+        "swmix:192:64:30:layout=2x1#testcard:s=96x64:c=RGB:pattern=gradient"
+        "#testcard:s=96x64:c=RGB:pattern=blank"
+    )
+    frame, _ = cap.grab()
+    assert frame is not None
+    assert frame.desc.width == 192 and frame.desc.height == 64
+    data = np.asarray(frame.data)
+    left = data[:, : 3 * 96]
+    right = data[:, 3 * 96 :]
+    assert left.std() > 5  # gradient content
+    assert right.max() <= 16  # blank
+    cap.done()

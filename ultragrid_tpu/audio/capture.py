@@ -98,6 +98,8 @@ register_module("none", LibraryClass.AUDIO_CAPTURE, SilenceAudioCapture)
 def initialize_audio_capture(spec: str) -> AudioCapture:
     from ultragrid_tpu.modules.registry import load_library
 
+    import ultragrid_tpu.audio.aes67  # noqa: F401 - self-registers
+
     name, _, cfg = spec.partition(":")
     cls = load_library(name, LibraryClass.AUDIO_CAPTURE)
     if cls is None:

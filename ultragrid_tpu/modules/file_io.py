@@ -306,3 +306,83 @@ register_module("y4m", LibraryClass.VIDEO_DISPLAY, Y4mDisplay)
 register_module("multiplier", LibraryClass.VIDEO_DISPLAY, MultiplierDisplay)
 register_module("aggregate", LibraryClass.VIDEO_CAPTURE, AggregateCapture)
 register_module("switcher", LibraryClass.VIDEO_CAPTURE, SwitcherCapture)
+
+
+class SwmixCapture(VideoCapture):
+    """Software video mixer: N sub-captures composited into one frame
+    (ref: src/video_capture/swmix.c).
+
+    Config: ``swmix:<W>:<H>:<fps>[:<codec>][:layout=<X>x<Y>]#dev1#dev2...``
+    — the reference grammar with our ``#`` sub-device separator (one ``-t``
+    flag carries the whole chain, like aggregate).  Inputs are converted to
+    RGB, bilinearly scaled into grid cells, and composited on device.
+    """
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        from ultragrid_tpu.modules.video_capture import initialize_video_capture
+        from ultragrid_tpu.types import get_codec_from_name
+
+        head, *devs = cfg.split("#")
+        parts = [p for p in head.split(":") if p]
+        if len(parts) < 3:
+            raise ValueError(
+                "usage: swmix:<W>:<H>:<fps>[:<codec>][:layout=XxY]#dev1#dev2..."
+            )
+        self.width, self.height = int(parts[0]), int(parts[1])
+        fps_s = parts[2]
+        self.fps = float(fps_s[:-1]) if fps_s.endswith("i") else float(fps_s)
+        self.out_codec = Codec.RGB
+        self.layout = None
+        for tok in parts[3:]:
+            if tok.startswith("layout="):
+                x, _, y = tok[7:].partition("x")
+                self.layout = (int(x), int(y))
+            elif tok.startswith("interpolation="):
+                pass  # bilinear device resample (bicubic is a GL shader path)
+            else:
+                self.out_codec = get_codec_from_name(tok)
+        if not devs:
+            raise ValueError("swmix: no input devices given")
+        self.children = [initialize_video_capture(s) for s in devs]
+        n = len(self.children)
+        if self.layout is None:
+            gx = int(np.ceil(np.sqrt(n)))
+            self.layout = (gx, int(np.ceil(n / gx)))
+        self.desc = VideoDesc(self.width, self.height, self.out_codec, self.fps)
+
+    def grab(self):
+        from ultragrid_tpu.ops import pixfmt
+        from ultragrid_tpu.ops.postprocess import scale_bilinear_rgb
+
+        gx, gy = self.layout
+        cw, ch = self.width // gx, self.height // gy
+        canvas = np.zeros((self.height, 3 * self.width), np.uint8)
+        audio = None
+        for i, child in enumerate(self.children):
+            f, a = child.grab()
+            audio = audio or a
+            if f is None:
+                continue
+            d = f.desc
+            rgb = f.data
+            if d.color_spec != Codec.RGB:
+                rgb = pixfmt.convert_frame(rgb, d.width, d.color_spec, Codec.RGB)
+            cell = np.asarray(scale_bilinear_rgb(rgb, d.width, Codec.RGB, cw, ch))
+            x, y = (i % gx) * cw, (i // gx) * ch
+            canvas[y : y + ch, 3 * x : 3 * (x + cw)] = cell
+        data = canvas
+        if self.out_codec != Codec.RGB:
+            data = np.asarray(
+                pixfmt.convert_frame(canvas, self.width, Codec.RGB, self.out_codec)
+            )
+        frame = VideoFrame(self.desc, [data])
+        frame.timestamp = time.monotonic()
+        return frame, audio
+
+    def done(self) -> None:
+        for c in self.children:
+            c.done()
+
+
+register_module("swmix", LibraryClass.VIDEO_CAPTURE, SwmixCapture)

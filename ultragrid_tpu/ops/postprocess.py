@@ -266,3 +266,26 @@ def matrix2_uyvy(src: jnp.ndarray, width: int, matrix: np.ndarray) -> jnp.ndarra
     out = jnp.stack([ou, oy1, ov, oy2], axis=-1)
     out = jnp.clip(jnp.trunc(out), 0, 255).astype(jnp.uint8)
     return out.reshape(h, 2 * width)
+
+
+def scale_bilinear_rgb(src: jnp.ndarray, width: int, codec: Codec, new_w: int, new_h: int) -> jnp.ndarray:
+    """Bilinear resample of an RGB(A) frame (ref: swmix interpolation,
+    src/video_capture/swmix.c:208 — bilinear mode; bicubic is a GL shader)."""
+    ncomp = 3 if codec == Codec.RGB else 4
+    h = src.shape[0]
+    px = src[:, : ncomp * width].reshape(h, width, ncomp).astype(jnp.float32)
+    ys = (jnp.arange(new_h) + 0.5) * (h / new_h) - 0.5
+    xs = (jnp.arange(new_w) + 0.5) * (width / new_w) - 0.5
+    y0 = jnp.clip(jnp.floor(ys), 0, h - 1).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xs), 0, width - 1).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, width - 1)
+    wy = jnp.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = jnp.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    a = px[y0][:, x0]
+    b = px[y0][:, x1]
+    c = px[y1][:, x0]
+    d = px[y1][:, x1]
+    out = (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+           + c * wy * (1 - wx) + d * wy * wx)
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8).reshape(new_h, ncomp * new_w)
