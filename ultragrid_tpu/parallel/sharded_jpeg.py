@@ -57,26 +57,38 @@ class ShardedJpegEncoder:
             width, height, in_codec=in_codec, quality=quality, restart_interval=ri
         )
         self.nshards = nshards
+        self._sharded_cache = {}
+        self._sharded = self._build_sharded(self.local.wwords)
+
+    def _build_sharded(self, wwords: int):
+        cached = self._sharded_cache.get(wwords)
+        if cached is not None:
+            return cached
         local_fn = self.local._encode_cache.setdefault(
-            self.local.wwords, self.local._build_encode(self.local.wwords)
+            wwords, self.local._build_encode(wwords)
         )
 
         def wrapped(frame):
             out = local_fn(frame)
             return out[:-1]  # drop per-shard overflow (checked via bits cap)
 
-        self._sharded = jax.jit(
+        fn = jax.jit(
             shard_map(
                 wrapped,
-                mesh=mesh,
+                mesh=self.mesh,
                 in_specs=P("spatial", None),
                 out_specs=(
                     P("spatial", None), P("spatial"),
                     P("spatial", None), P("spatial"),
                     P("spatial", None), P("spatial"),
                 ),
+                # the fused Pallas kernel's out_shape structs carry no vma
+                # annotation; outputs are plainly per-shard ("spatial")
+                check_vma=False,
             )
         )
+        self._sharded_cache[wwords] = fn
+        return fn
 
     def encode_device(self, frame):
         """frame: uint8 [H, linesize] (sharded or replicated) -> parts."""
@@ -85,8 +97,23 @@ class ShardedJpegEncoder:
         ) if not hasattr(frame, "sharding") else frame
         return self._sharded(frame)
 
+    def _escalate(self) -> None:
+        """Double the slot window on overflow (mirrors
+        JpegEncoder.escalate_and_retry; keeps local/full/assembly in step)."""
+        ww = min(self.local.wwords * 2, 64)
+        self.local.wwords = self.full.wwords = ww
+        self._sharded = self._build_sharded(ww)
+
     def encode(self, frame) -> np.ndarray:
-        parts = self.encode_device(jnp.asarray(frame))
+        frame = jnp.asarray(frame)
+        parts = self.encode_device(frame)
+        cap = self.local.wwords * 32
+        while self.local.wwords < 64 and max(
+            int(jnp.max(parts[i])) for i in (1, 3, 5)
+        ) > cap:
+            self._escalate()
+            parts = self.encode_device(frame)
+            cap = self.local.wwords * 32
         body = self.full.assemble(*(np.asarray(p) for p in parts))
         return np.concatenate(
             [
