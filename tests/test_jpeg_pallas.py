@@ -56,3 +56,27 @@ def test_supports_gating():
     assert not jpeg_pallas.supports(enc)
     enc2 = JpegEncoder(64, 16, in_codec=Codec.UYVY)  # auto ri divides nmcux
     assert enc2.nmcux % enc2.restart_interval == 0
+
+
+def test_batch_encoder_bit_identical_per_frame():
+    """JpegBatchEncoder (frames stacked row-wise, one dispatch) must produce
+    byte-identical JPEG files to per-frame encodes: frame boundaries land on
+    restart boundaries because restart_interval divides the MCU-row width."""
+    from ultragrid_tpu.ops.jpeg import JpegBatchEncoder, decode_jpeg
+
+    w, h, B = 64, 16, 3
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, (h, 2 * w), dtype=np.uint8) for _ in range(B)]
+    batch = JpegBatchEncoder(w, h, B, in_codec=Codec.UYVY, quality=80)
+    singles = []
+    enc = JpegEncoder(w, h, in_codec=Codec.UYVY, quality=80,
+                      restart_interval=batch.single.restart_interval)
+    enc.wwords = batch.wwords
+    for f in frames:
+        singles.append(bytes(enc.encode(f)))
+    got = batch.encode(np.stack(frames))
+    assert len(got) == B
+    for i in range(B):
+        assert bytes(got[i]) == singles[i], f"frame {i} differs"
+    # each file is a decodable standalone JPEG
+    decode_jpeg(bytes(got[0]))

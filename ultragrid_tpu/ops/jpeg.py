@@ -821,6 +821,81 @@ class JpegEncoder:
         return self._encode(jnp.asarray(frame))
 
 
+class JpegBatchEncoder:
+    """Throughput mode: encode B frames per device dispatch.
+
+    Frames are stacked row-wise into ONE taller fused-kernel invocation,
+    amortizing the per-dispatch launch/RPC cost across the batch (the
+    dominant overhead on tunneled runtimes — see PERF.md; a real PCIe host
+    pays ~50 us per launch, the axon tunnel ~1.8 ms).  Because the encoder
+    picks restart intervals that divide the MCU-row width, every MCU row —
+    and therefore every frame boundary — starts at a restart boundary, so
+    each frame's entropy stream is BIT-IDENTICAL to a single-frame encode
+    (tested in tests/test_compress.py).  The single-frame path remains the
+    sender default: batching trades latency for throughput, mirroring the
+    reference's per-tile async compress fan-out
+    (/root/reference/src/video_compress.cpp:79-120).
+    """
+
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        nframes: int,
+        in_codec: Codec = Codec.UYVY,
+        quality: int = 80,
+        restart_interval: Optional[int] = None,
+    ):
+        self.nframes = nframes
+        self.single = JpegEncoder(
+            width, height, in_codec=in_codec, quality=quality,
+            restart_interval=restart_interval,
+        )
+        self.tall = JpegEncoder(
+            width, height * nframes, in_codec=in_codec, quality=quality,
+            restart_interval=self.single.restart_interval,
+        )
+        # identical entropy geometry => per-frame bit-identity
+        assert self.tall.restart_interval == self.single.restart_interval
+        assert self.tall.nmcux == self.single.nmcux
+        self.tall.wwords = self.single.wwords
+
+    @property
+    def wwords(self) -> int:
+        return self.tall.wwords
+
+    def encode_device(self, frames):
+        """frames: uint8 [B, H, linesize] or [B*H, linesize] -> device parts."""
+        f = jnp.asarray(frames)
+        if f.ndim == 3:
+            f = f.reshape(self.tall.height, f.shape[-1])
+        return self.tall.encode_device(f)
+
+    def encode(self, frames) -> list:
+        """-> list of B complete JPEG files (np.uint8 arrays)."""
+        f = jnp.asarray(frames)
+        if f.ndim == 3:
+            f = f.reshape(self.tall.height, f.shape[-1])
+        out = self.tall.encode_device(f)
+        while bool(out[-1]) and self.tall.wwords < 64:
+            out = self.tall.escalate_and_retry(f)
+            self.single.wwords = self.tall.wwords
+        ys, ybits, us, ubits, vs, vbits = (np.asarray(p) for p in out[:-1])
+        ky = 2 if self.single.subsampling == "422" else 1
+        npm = self.single.nmcu  # MCUs per frame
+        hdr = np.frombuffer(self.single._header, dtype=np.uint8)
+        eoi = np.frombuffer(b"\xff\xd9", dtype=np.uint8)
+        files = []
+        for i in range(self.nframes):
+            sl = slice(i * npm * ky, (i + 1) * npm * ky)
+            sc = slice(i * npm, (i + 1) * npm)
+            body = self.single.assemble(
+                ys[sl], ybits[sl], us[sc], ubits[sc], vs[sc], vbits[sc]
+            )
+            files.append(np.concatenate([hdr, body, eoi]))
+        return files
+
+
 def _assemble_python(slots: np.ndarray, bits: np.ndarray, blocks_per_seg: int) -> np.ndarray:
     """Pure-python fallback for the C assembler (small frames/tests only)."""
     out = bytearray()

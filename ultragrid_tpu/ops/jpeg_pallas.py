@@ -198,7 +198,10 @@ def make_fused_encode(enc, wwords: int, interpret: bool = False):
         for g, lum in enumerate(luma_groups):
             dc_words_np[s, g] = (dc_l if lum else dc_c)[s]
 
-    # block-diagonal transposed-triangular matrix for per-block cumsum
+    # block-diagonal transposed-triangular matrix for per-block cumsum.
+    # bf16 operands are EXACT here: vlen <= 42 and 0/1 entries are exactly
+    # representable in bf16, and the f32 accumulator adds <= 256 small ints
+    # exactly -- so the bf16 MXU path (4x f32 rate) is bit-identical.
     tri64 = np.tril(np.ones((64, 64), np.float32)).T
     tri_np = np.zeros((nlanes, nlanes), np.float32)
     for g in range(bpm):
@@ -327,7 +330,9 @@ def make_fused_encode(enc, wwords: int, interpret: bool = False):
 
         # ---- pack: per-block bit offsets + disjoint-bit add reduction ----
         cum = jnp.dot(
-            vlen.astype(jnp.float32), tri_ref[:], preferred_element_type=jnp.float32
+            vlen.astype(jnp.bfloat16),
+            tri_ref[:].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
         ).astype(jnp.int32)
         off = cum - vlen
         t = (off & 31).astype(jnp.int32)
