@@ -124,7 +124,97 @@ class NoiseCapture(VideoCapture):
         return self.inner.grab()
 
 
+class Testcard2Capture(VideoCapture):
+    """Animated test source (ref: src/video_capture/testcard2.c): bars
+    background + two bouncing squares (300x300 cyan-ish and 96x96, stepping
+    6/12 px per frame like testcard2.c:568-600) + a timestamp/frame-number
+    banner.  Composition happens in RGBA on the host (tiny), then ONE device
+    conversion produces the requested codec — the TPU-native replacement for
+    the reference's per-block testcard_convert_buffer memcpys.
+
+    Grammar: same as testcard (``testcard2:1920:1080:30:UYVY`` or key=val).
+    """
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        # reuse testcard's option parsing (bars background)
+        tc = TestcardCapture(cfg if cfg else "")
+        self.desc = tc.desc
+        w, h = self.desc.width, self.desc.height
+        from ultragrid_tpu.utils.pattern import generate_pattern
+
+        self.bg = generate_pattern(w, h, Codec.RGBA, "bars").reshape(h, w, 4).copy()
+        rng = np.random.default_rng()
+        s1 = max(6, min(300, w // 3, h // 3))  # clamp for small frames
+        s2 = max(4, min(96, w // 6, h // 6))
+        self.sq = [  # [x, y, dx, dy, w, h, color]
+            [int(rng.integers(0, max(w - s1, 1))), int(rng.integers(0, max(h - s1, 1))),
+             6, 6, s1, s1, (0xAA, 0x00, 0xFF, 0xFF)],
+            [int(rng.integers(0, max(w - s2, 1))), int(rng.integers(0, max(h - s2, 1))),
+             12, 9, s2, s2, (0xFF, 0xFF, 0x00, 0xFF)],
+        ]
+        self.count = 0
+        self.start_time = None
+        log.notice(f"capturing {self.desc} (testcard2 animated)")
+
+    def _banner(self, img: np.ndarray) -> None:
+        elapsed = self.count / self.desc.fps
+        text = f"{int(elapsed // 60):02d}:{int(elapsed) % 60:02d}.{int(elapsed * 100) % 100:02d} {self.count}"
+        try:
+            from PIL import Image, ImageDraw
+
+            im = Image.new("L", (len(text) * 8 + 4, 14))
+            ImageDraw.Draw(im).text((2, 1), text, fill=255)
+            mask = np.asarray(im) > 127
+            mask = np.repeat(np.repeat(mask, 2, axis=0), 2, axis=1)
+        except ImportError:
+            return
+        mh, mw = mask.shape
+        y0 = img.shape[0] - mh - 8
+        x0 = 8
+        if y0 < 0 or x0 + mw > img.shape[1]:
+            return
+        region = img[y0 : y0 + mh, x0 : x0 + mw]
+        region[:] = region // 3  # dim box
+        region[mask] = (255, 255, 255, 255)
+
+    def grab(self):
+        now = time.monotonic()
+        if self.start_time is None:
+            self.start_time = now
+        next_deadline = self.start_time + self.count / self.desc.fps
+        if now < next_deadline:
+            time.sleep(next_deadline - now)
+        img = self.bg.copy()
+        h, w = img.shape[:2]
+        for s in self.sq:
+            s[0] += s[2]
+            s[1] += s[3]
+            if s[0] < 0:
+                s[0], s[2] = 0, abs(s[2])
+            if s[1] < 0:
+                s[1], s[3] = 0, abs(s[3])
+            if s[0] + s[4] > w:
+                s[0], s[2] = w - s[4], -abs(s[2])
+            if s[1] + s[5] > h:
+                s[1], s[3] = h - s[5], -abs(s[3])
+            img[s[1] : s[1] + s[5], s[0] : s[0] + s[4]] = s[6]
+        self._banner(img)
+        from ultragrid_tpu.ops.pixfmt import convert_frame
+
+        rgba = img.reshape(h, w * 4)
+        if self.desc.color_spec == Codec.RGBA:
+            data = rgba
+        else:
+            data = convert_frame(rgba, w, Codec.RGBA, self.desc.color_spec)
+        frame = VideoFrame(self.desc, [data])
+        frame.timestamp = time.monotonic()
+        self.count += 1
+        return frame, None
+
+
 register_module("testcard", LibraryClass.VIDEO_CAPTURE, TestcardCapture)
+register_module("testcard2", LibraryClass.VIDEO_CAPTURE, Testcard2Capture)
 register_module("noise", LibraryClass.VIDEO_CAPTURE, NoiseCapture)
 
 

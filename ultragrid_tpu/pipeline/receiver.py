@@ -66,6 +66,7 @@ class VideoReceiver:
         self.rx_state = VideoRxState(decryption=crypto)
         self.frame_limit = frame_limit
         self.timeout = timeout
+        self.should_exit = False  # external stop (ug_input, embedding)
         self.frames_displayed = 0
         self._decompress = None
         self._decomp_out: Optional[Codec] = None
@@ -162,6 +163,8 @@ class VideoReceiver:
         idle_since = time.monotonic()
         self.session.start_recv_thread()
         while True:
+            if self.should_exit:
+                break
             if self.frame_limit is not None and self.frames_displayed >= self.frame_limit:
                 break
             if self.timeout is not None and time.monotonic() - start > self.timeout:
