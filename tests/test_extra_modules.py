@@ -149,3 +149,116 @@ def test_thumbnailgen_writes_jpeg(tmp_path):
     data = out.read_bytes()
     assert data[:2] == b"\xff\xd8"
     decode_jpeg(data)  # parses + decodes
+
+
+def test_blend_display_crossfades():
+    from ultragrid_tpu.modules.extra_displays import BlendDisplay
+
+    d = BlendDisplay("dummy")
+    captured = []
+    d.child.put_frame = lambda fr, blocking=True: captured.append(
+        None if fr is None else np.asarray(fr.data).copy())
+    w, h = 32, 16
+    desc = VideoDesc(w, h, Codec.RGB, 30.0)
+    d.reconfigure(desc)
+    black = np.zeros((h, w * 3), np.uint8)
+    white = np.full((h, w * 3), 255, np.uint8)
+    f1 = VideoFrame(desc, [black]); f1.callbacks["ssrc"] = 1
+    d.put_frame(f1)
+    assert (captured[-1] == 0).all()
+    f2 = VideoFrame(desc, [white]); f2.callbacks["ssrc"] = 2
+    d.put_frame(f2)  # transition starts: mostly the OLD (black) frame
+    first = float(captured[-1].mean())
+    assert 0 < first < 128
+    means = [first]
+    for _ in range(BlendDisplay.TRANSITION_FRAMES):
+        nxt = VideoFrame(desc, [white]); nxt.callbacks["ssrc"] = 2
+        d.put_frame(nxt)
+        means.append(float(captured[-1].mean()))
+    assert means == sorted(means)  # monotonic fade toward the new source
+    assert (captured[-1] == 255).all()  # transition finished
+
+
+def test_fluidsynth_midi_synth():
+    from ultragrid_tpu.audio.capture import initialize_audio_capture
+
+    cap = initialize_audio_capture("fluidsynth:loop=1")
+    f = cap.read(48000)
+    assert f is not None
+    assert f.desc.sample_rate == 48000 and f.desc.ch_count == 2
+    pcm = f.samples_float()
+    assert pcm.shape[0] == 2
+    rms = float(np.sqrt((pcm ** 2).mean()))
+    assert rms > 0.01  # actually contains sound
+    # spectral check: the bundled song starts on C (bass C2 ~ 65.4 Hz,
+    # arp root C4 ~ 261.6 Hz) -- a strong component near 261.6 Hz
+    spec = np.abs(np.fft.rfft(pcm[0][:48000]))
+    freqs = np.fft.rfftfreq(48000, 1 / 48000)
+    c4 = spec[(freqs > 255) & (freqs < 268)].max()
+    assert c4 > spec.mean() * 20
+
+
+def test_smf_parser_roundtrip():
+    from ultragrid_tpu.audio.midi_synth import _bundled_song, parse_smf
+
+    events = parse_smf(_bundled_song())
+    assert len(events) > 20
+    ons = [e for e in events if e[3] > 0]
+    offs = [e for e in events if e[3] == 0]
+    assert len(ons) == len(offs)
+    assert events == sorted(events, key=lambda e: e[0])
+
+
+def test_mux_ivf(tmp_path):
+    import io
+    from ultragrid_tpu.tools.mux_ivf import mux
+
+    files = []
+    for i in range(3):
+        p = tmp_path / f"f{i}.vp8"
+        p.write_bytes(bytes([i]) * (10 + i))
+        files.append(str(p))
+    buf = io.BytesIO()
+    mux(64, 32, 30, files, buf)
+    data = buf.getvalue()
+    assert data[:4] == b"DKIF" and data[8:12] == b"VP80"
+    import struct
+    w, h, fps = struct.unpack("<HHI", data[12:20])
+    assert (w, h, fps) == (64, 32, 30)
+    sz, pts = struct.unpack("<IQ", data[32:44])
+    assert sz == 10 and pts == 0
+
+
+def test_mux_ivf_real_vp8_demuxes_with_lavf(tmp_path):
+    """Encode VP8 with the lavc shim, mux to IVF, read back via the
+    libavformat file capture -- full-container conformance."""
+    pytest.importorskip("ctypes")
+    from ultragrid_tpu.modules.registry import load_library as _ll
+    from ultragrid_tpu.tools.mux_ivf import mux
+
+    try:
+        comp = _ll("libavcodec", LibraryClass.VIDEO_COMPRESS)("codec=VP8")
+    except Exception as e:
+        pytest.skip(f"no libvpx: {e}")
+    from ultragrid_tpu.utils.pattern import generate_pattern
+
+    w, h = 64, 32
+    desc = VideoDesc(w, h, Codec.UYVY, 30.0)
+    files = []
+    for i in range(3):
+        f = VideoFrame(desc, [generate_pattern(w, h, Codec.UYVY, "bars")])
+        out = comp.compress(f)
+        if out is None:
+            continue
+        p = tmp_path / f"fr{i}.vp8"
+        p.write_bytes(np.asarray(out.data).tobytes())
+        files.append(str(p))
+    if not files:
+        pytest.skip("vp8 encoder produced no frames (lagged output)")
+    ivf = tmp_path / "out.ivf"
+    with open(ivf, "wb") as fh:
+        mux(w, h, 30, files, fh)
+    cap = _ll("file", LibraryClass.VIDEO_CAPTURE)(str(ivf))
+    frame, _ = cap.grab()
+    assert frame is not None and frame.desc.width == w
+    cap.done()

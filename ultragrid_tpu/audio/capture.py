@@ -99,6 +99,7 @@ def initialize_audio_capture(spec: str) -> AudioCapture:
     from ultragrid_tpu.modules.registry import load_library
 
     import ultragrid_tpu.audio.aes67  # noqa: F401 - self-registers
+    import ultragrid_tpu.audio.midi_synth  # noqa: F401 - self-registers
 
     name, _, cfg = spec.partition(":")
     cls = load_library(name, LibraryClass.AUDIO_CAPTURE)

@@ -327,7 +327,68 @@ class AggregateDisplay(VideoDisplay):
             c.done()
 
 
+class BlendDisplay(VideoDisplay):
+    """``blend:<real display spec>`` — crossfades between senders on stream
+    (SSRC) switch before forwarding to a real display (ref:
+    src/video_display/blend.cpp — hd-rum-translator's transition effect;
+    the reference also byte-lerps the raw frame data).  Frames carry their
+    source in ``frame.callbacks['ssrc']``; a switch starts a
+    TRANSITION_FRAMES-long linear crossfade from the last frame of the
+    previous source.
+    """
+
+    TRANSITION_FRAMES = 10
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        self.child = initialize_video_display(cfg.replace(";", ":") or "dummy")
+        self.cur_ssrc = None
+        self.last_frame: Optional[np.ndarray] = None
+        self.fade_from: Optional[np.ndarray] = None  # old source's final frame
+        self.transition = 0
+
+    def get_property_codecs(self) -> List[Codec]:
+        return self.child.get_property_codecs()
+
+    def reconfigure(self, desc: VideoDesc) -> bool:
+        super().reconfigure(desc)
+        return self.child.reconfigure(desc)
+
+    def put_frame(self, frame: Optional[VideoFrame], blocking: bool = True) -> None:
+        if frame is None:
+            self.child.put_frame(None)
+            return
+        super().put_frame(frame, blocking)
+        ssrc = frame.callbacks.get("ssrc", 0)
+        data = np.asarray(frame.data)
+        if self.cur_ssrc is None:
+            self.cur_ssrc = ssrc
+        elif ssrc != self.cur_ssrc and self.last_frame is not None:
+            self.cur_ssrc = ssrc
+            self.fade_from = self.last_frame  # hold the old source's frame
+            self.transition = self.TRANSITION_FRAMES
+        if self.transition > 0 and self.fade_from is not None \
+                and self.fade_from.shape == data.shape:
+            a = self.transition / (self.TRANSITION_FRAMES + 1)
+            mixed = (
+                self.fade_from.astype(np.float32) * a
+                + data.astype(np.float32) * (1 - a)
+            ).astype(np.uint8)
+            self.transition -= 1
+            out = VideoFrame(frame.desc, [mixed], timestamp=frame.timestamp)
+            self.child.put_frame(out, blocking)
+        else:
+            self.transition = 0
+            self.fade_from = None
+            self.child.put_frame(frame, blocking)
+        self.last_frame = data
+
+    def done(self) -> None:
+        self.child.done()
+
+
 register_module("caca", LibraryClass.VIDEO_DISPLAY, CacaDisplay)
+register_module("blend", LibraryClass.VIDEO_DISPLAY, BlendDisplay)
 register_module("pano", LibraryClass.VIDEO_DISPLAY, PanoDisplay)
 register_module("pipe", LibraryClass.VIDEO_DISPLAY, PipeDisplay)
 register_module("aggregate", LibraryClass.VIDEO_DISPLAY, AggregateDisplay)
