@@ -1278,6 +1278,11 @@ def _parse_headers(data: bytes):
     raise ValueError("no scan found")
 
 
+# range-packed coefficient upload: max exceptions (|coeff| > 127) per frame
+# before falling back to the int16 path
+_EXC_CAP = 4096
+
+
 class JpegDecoder:
     """JPEG -> pixels: C scan decode (native/jpeg_scan_decode.c) + device
     dequant/IDCT/pack.  Geometry-specialized jit like the encoder."""
@@ -1384,6 +1389,33 @@ class JpegDecoder:
         )
         if done != nmcu:
             raise ValueError(f"scan decode stopped at MCU {done}/{nmcu}")
+        # Range-pack the coefficient upload: post-quant AC values almost
+        # always fit int8 at streaming qualities (DCs do NOT — flat content
+        # has large DC — so DCs ship as a small separate int16 array), plus
+        # a bounded exception list for fat ACs ((index, delta) with delta a
+        # multiple of 256 — int8 truncation wraps mod 256, so adding the
+        # delta back is lossless).  Halves host->device traffic vs int16
+        # (ref issue: the reference's gpujpeg decoder keeps coefficients
+        # GPU-side entirely; src/video_decompress/gpujpeg.c).
+        flat = np.concatenate([o.reshape(-1) for o in outs])
+        lo = flat.astype(np.int8)
+        dc = np.concatenate([o[:, 0] for o in outs])  # int16 [nblocks]
+        delta32 = flat.astype(np.int32) - lo
+        delta32[::64] = 0  # DC column rides in `dc`, not the exception list
+        exc = np.nonzero(delta32)[0]
+        if exc.size <= _EXC_CAP:
+            idx = np.zeros(_EXC_CAP, np.int32)
+            dv = np.zeros(_EXC_CAP, np.int32)
+            idx[: exc.size] = exc
+            dv[: exc.size] = delta32[exc]
+            key = ("uyvy8", h_img, w_img, tuple(c["tq"] for c in scan))
+            fn = self._fns.get(key)
+            if fn is None:
+                fn = self._fns[key] = self._make_mega_uyvy_fn(
+                    hdr, nmcux, nmcuy, packed=True
+                )
+            uyvy = fn(jnp.asarray(lo), jnp.asarray(dc), jnp.asarray(idx), jnp.asarray(dv))
+            return uyvy, h_img, w_img
         key = ("uyvy", h_img, w_img, tuple(c["tq"] for c in scan))
         fn = self._fns.get(key)
         if fn is None:
@@ -1391,7 +1423,7 @@ class JpegDecoder:
         uyvy = fn(jnp.asarray(outs[0]), jnp.asarray(outs[1]), jnp.asarray(outs[2]))
         return uyvy, h_img, w_img
 
-    def _make_mega_uyvy_fn(self, hdr, nmcux, nmcuy):
+    def _make_mega_uyvy_fn(self, hdr, nmcux, nmcuy, packed: bool = False):
         scan = hdr["scan"]
         qy = hdr["qtabs"][scan[0]["tq"]][ZIGZAG].astype(np.float32)
         qc = hdr["qtabs"][scan[1]["tq"]][ZIGZAG].astype(np.float32)
@@ -1410,6 +1442,30 @@ class JpegDecoder:
                     W[128 + k, r * 32 + 4 * c] = qc[k] * v          # U
                     W[192 + k, r * 32 + 4 * c + 2] = qc[k] * v      # V
         Wj = jnp.asarray(W)
+
+        if packed:
+            ny = nmcu * 128
+
+            def fn8(lo, dc, idx, delta):
+                # int8 ACs + int16 DC column + exception deltas -> exact ints
+                c = lo.astype(jnp.int32).at[idx].add(delta)
+                c = c.reshape(-1, 64).at[:, 0].set(dc.astype(jnp.int32))
+                c = c.reshape(-1)
+                q = jnp.concatenate(
+                    [
+                        c[:ny].reshape(nmcu, 128).astype(jnp.float32),
+                        c[ny : ny + nmcu * 64].reshape(nmcu, 64).astype(jnp.float32),
+                        c[ny + nmcu * 64 :].reshape(nmcu, 64).astype(jnp.float32),
+                    ],
+                    axis=1,
+                )
+                px = jnp.dot(q, Wj, preferred_element_type=jnp.float32) + 128.0
+                out = jnp.clip(jnp.round(px), 0, 255).astype(jnp.uint8)
+                return out.reshape(nmcuy, nmcux, 8, 32).transpose(0, 2, 1, 3).reshape(
+                    nmcuy * 8, nmcux * 32
+                )
+
+            return jax.jit(fn8)
 
         def fn(cy, cu, cv):
             q = jnp.concatenate(
