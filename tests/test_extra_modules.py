@@ -262,3 +262,38 @@ def test_mux_ivf_real_vp8_demuxes_with_lavf(tmp_path):
     frame, _ = cap.grab()
     assert frame is not None and frame.desc.width == w
     cap.done()
+
+
+def test_stitch_capture_composites_cameras():
+    """Two cameras at yaw 0/180: panorama front sector comes from camera 0,
+    back sector from camera 1; overlap regions blend."""
+    from ultragrid_tpu.modules.video_capture import initialize_video_capture
+    from ultragrid_tpu.modules.registry import register_module as _reg
+    from ultragrid_tpu.modules.video_capture import VideoCapture as _VC
+
+    class Solid(_VC):
+        def __init__(self, cfg):
+            super().__init__(cfg)
+            r, g, b = (int(x) for x in cfg.split(","))
+            w, h = 64, 48
+            self.desc = VideoDesc(w, h, Codec.RGB, 30.0)
+            img = np.zeros((h, w, 3), np.uint8)
+            img[:] = (r, g, b)
+            self._f = img.reshape(h, w * 3)
+
+        def grab(self):
+            import time as _t
+            f = VideoFrame(self.desc, [self._f])
+            f.timestamp = _t.monotonic()
+            return f, None
+
+    _reg("solidtest", LibraryClass.VIDEO_CAPTURE, Solid)
+    cap = initialize_video_capture("stitch:solidtest:255,0,0#solidtest:0,255,0;size=128x64;fov=220")
+    frame, _ = cap.grab()
+    assert frame is not None and frame.desc.color_spec == Codec.RGB
+    out = np.asarray(frame.data).reshape(64, 128, 3)
+    front = out[32, 64]   # lon ~0 -> camera 0 (red)
+    back = out[32, 2]     # lon ~-pi -> camera 1 (green)
+    assert front[0] > 200 and front[1] < 50
+    assert back[1] > 200 and back[0] < 50
+    cap.done()

@@ -26,4 +26,5 @@ import ultragrid_tpu.modules.v4l2_capture  # noqa: E402,F401
 import ultragrid_tpu.modules.hw_stubs  # noqa: E402,F401
 import ultragrid_tpu.modules.extra_displays  # noqa: E402,F401
 import ultragrid_tpu.modules.ug_input  # noqa: E402,F401
+import ultragrid_tpu.modules.stitch  # noqa: E402,F401
 import ultragrid_tpu.utils.export  # noqa: E402,F401  (registers the 'import' capture device)
