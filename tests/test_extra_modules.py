@@ -297,3 +297,19 @@ def test_stitch_capture_composites_cameras():
     assert front[0] > 200 and front[1] < 50
     assert back[1] > 200 and back[0] < 50
     cap.done()
+
+
+def test_uyvy2yuv422p_tool():
+    from ultragrid_tpu.tools.uyvy2yuv422p import convert
+    from ultragrid_tpu.ops.planar import uyvy_to_i422 as _maybe  # noqa: F401
+
+    w, h = 8, 2
+    # UYVY: U0 Y0 V0 Y1 ...
+    uyvy = bytes(range(w * h * 2))
+    out = convert(w, h, uyvy)
+    y = out[: w * h]
+    u = out[w * h : w * h + w * h // 2]
+    v = out[w * h + w * h // 2 :]
+    assert y[0] == 1 and y[1] == 3  # odd bytes
+    assert u[0] == 0 and v[0] == 2
+    assert len(u) == len(v) == w * h // 2
