@@ -57,3 +57,41 @@ def test_exp_golomb_writer():
         assert got.startswith(bits), (v, got, bits)
     w.se(0); w.se(1); w.se(-1); w.se(2)
     w.rbsp_trailing()
+
+
+def test_cavlc_textbook_vector():
+    from ultragrid_tpu.ops.h264 import BitWriter, cavlc_block
+
+    w = BitWriter()
+    tc = cavlc_block(w, [0, 3, 0, 1, -1, -1, 0, 1] + [0] * 8, 0)
+    w.byte_align_zero()
+    bits = "".join(f"{b:08b}" for b in w.rbsp())
+    assert tc == 5
+    assert bits.startswith("000010001110010111101101")
+
+
+@pytest.mark.parametrize("qp", [10, 26, 40])
+def test_intra16_conformance_matrix(qp):
+    """Noise + gradient content through our Intra16 encoder must decode
+    cleanly in libavcodec with QP-appropriate PSNR (catches any CAVLC
+    desync, which corrupts everything after the first wrong bit)."""
+    import math
+
+    from ultragrid_tpu.ops.h264 import Intra16Encoder, uyvy_to_i420
+
+    w, h = 96, 64
+    rng = np.random.default_rng(7)
+    frames = [
+        rng.integers(0, 256, (h, 2 * w), dtype=np.uint8),
+        (np.mgrid[0:h, 0 : 2 * w][1] % 220 + 10).astype(np.uint8),
+    ]
+    floor = {10: 40.0, 26: 30.0, 40: 18.0}[qp]
+    for frame in frames:
+        bs = Intra16Encoder(w, h, qp=qp).encode_uyvy(frame)
+        got = _lavc_decode(bytes(bs), w, h)
+        y0, _, _ = uyvy_to_i420(frame, w, h)
+        gy = got[:, 1::2].astype(np.float64)
+        mse = ((gy - y0.astype(np.float64)) ** 2).mean()
+        psnr = 10 * math.log10(255 * 255 / max(mse, 1e-9))
+        assert psnr > floor, (qp, psnr)
+        assert len(bs) < frame.nbytes  # actually compresses

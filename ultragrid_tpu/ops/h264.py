@@ -246,3 +246,471 @@ class PcmEncoder:
     def encode_uyvy(self, frame: np.ndarray) -> bytes:
         y, cb, cr = uyvy_to_i420(frame, self.width, self.height)
         return self.encode_planes(y, cb, cr)
+
+
+# ---------------------------------------------------------------------------
+# CAVLC tables (ITU-T H.264 spec tables 9-5, 9-7, 9-8, 9-9, 9-10 — standard
+# constants, reproduced from the published specification)
+# ---------------------------------------------------------------------------
+
+
+def _tab(spec: str):
+    """'t1,tc:bits t1,tc:bits ...' -> {(t1,tc): (val,len)}"""
+    out = {}
+    for item in spec.split():
+        key, _, bits = item.partition(":")
+        a, _, b = key.partition(",")
+        out[(int(a), int(b))] = (int(bits, 2), len(bits))
+    return out
+
+
+# coeff_token, 0 <= nC < 2
+_CT0 = _tab("""
+0,0:1
+0,1:000101 1,1:01
+0,2:00000111 1,2:000100 2,2:001
+0,3:000000111 1,3:00000110 2,3:0000101 3,3:00011
+0,4:0000000111 1,4:000000110 2,4:00000101 3,4:000011
+0,5:00000000111 1,5:0000000110 2,5:000000101 3,5:0000100
+0,6:0000000001111 1,6:00000000110 2,6:0000000101 3,6:00000100
+0,7:0000000001011 1,7:0000000001110 2,7:00000000101 3,7:000000100
+0,8:0000000001000 1,8:0000000001010 2,8:0000000001101 3,8:0000000100
+0,9:00000000001111 1,9:00000000001110 2,9:0000000001001 3,9:00000000100
+0,10:00000000001011 1,10:00000000001010 2,10:00000000001101 3,10:0000000001100
+0,11:000000000001111 1,11:000000000001110 2,11:00000000001001 3,11:00000000001100
+0,12:000000000001011 1,12:000000000001010 2,12:000000000001101 3,12:00000000001000
+0,13:0000000000001111 1,13:000000000000001 2,13:000000000001001 3,13:000000000001100
+0,14:0000000000001011 1,14:0000000000001110 2,14:0000000000001101 3,14:000000000001000
+0,15:0000000000000111 1,15:0000000000001010 2,15:0000000000001001 3,15:0000000000001100
+0,16:0000000000000100 1,16:0000000000000110 2,16:0000000000000101 3,16:0000000000001000
+""")
+
+# coeff_token, 2 <= nC < 4
+_CT2 = _tab("""
+0,0:11
+0,1:001011 1,1:10
+0,2:000111 1,2:00111 2,2:011
+0,3:0000111 1,3:001010 2,3:001001 3,3:0101
+0,4:00000111 1,4:000110 2,4:000101 3,4:0100
+0,5:00000100 1,5:0000110 2,5:0000101 3,5:00110
+0,6:000000111 1,6:00000110 2,6:00000101 3,6:001000
+0,7:00000001111 1,7:000000110 2,7:000000101 3,7:000100
+0,8:00000001011 1,8:00000001110 2,8:00000001101 3,8:0000100
+0,9:000000001111 1,9:00000001010 2,9:00000001001 3,9:000000100
+0,10:000000001011 1,10:000000001110 2,10:000000001101 3,10:00000001100
+0,11:000000001000 1,11:000000001010 2,11:000000001001 3,11:00000001000
+0,12:0000000001111 1,12:0000000001110 2,12:0000000001101 3,12:000000001100
+0,13:0000000001011 1,13:0000000001010 2,13:0000000001001 3,13:0000000001100
+0,14:0000000000111 1,14:00000000001011 2,14:0000000000110 3,14:0000000001000
+0,15:00000000001001 1,15:00000000001000 2,15:00000000001010 3,15:0000000000001
+0,16:00000000000111 1,16:00000000000110 2,16:00000000000101 3,16:00000000000100
+""")
+
+# coeff_token, 4 <= nC < 8
+_CT4 = _tab("""
+0,0:1111
+0,1:001111 1,1:1110
+0,2:001011 1,2:01111 2,2:1101
+0,3:001000 1,3:01100 2,3:01110 3,3:1100
+0,4:0001111 1,4:01010 2,4:01011 3,4:1011
+0,5:0001011 1,5:01000 2,5:01001 3,5:1010
+0,6:0001001 1,6:001110 2,6:001101 3,6:1001
+0,7:0001000 1,7:001010 2,7:001001 3,7:1000
+0,8:00001111 1,8:0001110 2,8:0001101 3,8:01101
+0,9:00001011 1,9:00001110 2,9:0001010 3,9:001100
+0,10:000001111 1,10:00001010 2,10:00001101 3,10:0001100
+0,11:000001011 1,11:000001110 2,11:00001001 3,11:00001100
+0,12:000001000 1,12:000001010 2,12:000001101 3,12:00001000
+0,13:0000001101 1,13:000000111 2,13:000001001 3,13:000001100
+0,14:0000001001 1,14:0000001100 2,14:0000001011 3,14:0000001010
+0,15:0000000101 1,15:0000001000 2,15:0000000111 3,15:0000000110
+0,16:0000000001 1,16:0000000100 2,16:0000000011 3,16:0000000010
+""")
+
+# coeff_token, chroma DC (nC == -1)
+_CTC = _tab("""
+0,0:01
+0,1:000111 1,1:1
+0,2:000100 1,2:000110 2,2:001
+0,3:000011 1,3:0000011 2,3:0000010 3,3:000101
+0,4:000010 1,4:00000011 2,4:00000010 3,4:0000000
+""")
+
+
+def _tz_tab(spec: str):
+    out = {}
+    for row in spec.strip().split("\n"):
+        tc_s, _, rest = row.partition(":")
+        out[int(tc_s)] = {
+            i: (int(b, 2), len(b)) for i, b in enumerate(rest.split())
+        }
+    return out
+
+
+# total_zeros for 4x4 blocks (tables 9-7/9-8), row = TotalCoeff, cols = tz 0..
+_TZ = _tz_tab("""
+1:1 011 010 0011 0010 00011 00010 000011 000010 0000011 0000010 00000011 00000010 000000011 000000010 000000001
+2:111 110 101 100 011 0101 0100 0011 0010 00011 00010 000011 000010 000001 000000
+3:0101 111 110 101 0100 0011 100 011 0010 00011 00010 000001 00001 000000
+4:00011 111 0101 0100 110 101 100 0011 011 0010 00010 00001 00000
+5:0101 0100 0011 111 110 101 100 011 0010 00001 0001 00000
+6:000001 00001 111 110 101 100 011 010 0001 001 000000
+7:000001 00001 101 100 011 11 010 0001 001 000000
+8:000001 0001 00001 011 11 10 010 001 000000
+9:000001 000000 0001 11 10 001 01 00001
+10:00001 00000 001 11 10 01 0001
+11:0000 0001 001 010 1 011
+12:0000 0001 01 1 001
+13:000 001 1 01
+14:00 01 1
+15:0 1
+""")
+
+# total_zeros, chroma DC (table 9-9b)
+_TZC = _tz_tab("""
+1:1 01 001 000
+2:1 01 00
+3:1 0
+""")
+
+# run_before (table 9-10): rows keyed by min(zerosLeft, 7)
+_RB = _tz_tab("""
+1:1 0
+2:1 01 00
+3:11 10 01 00
+4:11 10 01 001 000
+5:11 10 011 010 001 000
+6:11 000 001 011 010 101 100
+7:111 110 101 100 011 010 001 0001 00001 000001 0000001 00000001 000000001 0000000001 00000000001
+""")
+
+# 4x4 zigzag scan positions (r, c)
+_ZZ4 = [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+        (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3)]
+
+# 4x4 luma block coding order within an MB -> (bx, by) in 4-px units
+_BLK_ORDER = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+              (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3)]
+
+# quant multiplier MF by QP%6 and coefficient class (a, b, c)
+_MF = [
+    (13107, 5243, 8066),
+    (11916, 4660, 7490),
+    (10082, 4194, 6554),
+    (9362, 3647, 5825),
+    (8192, 3355, 5243),
+    (7282, 2893, 4559),
+]
+# class per raster position: a for (even,even) corners, b for (odd,odd), c else
+_POSCLASS = [[0 if (r % 2 == 0 and c % 2 == 0) else 1 if (r % 2 and c % 2) else 2
+              for c in range(4)] for r in range(4)]
+
+
+def cavlc_block(w: "BitWriter", coeffs, nC: int) -> int:
+    """CAVLC-encode one zigzag-ordered coefficient list.  Returns TotalCoeff.
+
+    ``coeffs``: the block's coefficients already in zigzag order (16 for DC
+    4x4 / full blocks, 15 for AC-only, 4 for chroma DC).  ``nC``: context
+    (-1 for chroma DC).
+    """
+    n = len(coeffs)
+    nz = [(i, int(c)) for i, c in enumerate(coeffs) if c]
+    total = len(nz)
+    # trailing ones: up to 3 |1| values at the end of the nonzero list
+    t1 = 0
+    for i in range(len(nz) - 1, -1, -1):
+        if abs(nz[i][1]) == 1 and t1 < 3:
+            t1 += 1
+        else:
+            break
+    if nC == -1:
+        table = _CTC
+    elif nC < 2:
+        table = _CT0
+    elif nC < 4:
+        table = _CT2
+    elif nC < 8:
+        table = _CT4
+    else:
+        table = None
+    if table is not None:
+        val, ln = table[(t1, total)]
+        w.u(val, ln)
+    else:  # 6-bit FLC
+        if total == 0:
+            w.u(3, 6)
+        else:
+            w.u(((total - 1) << 2) | t1, 6)
+    if total == 0:
+        return 0
+    # trailing one signs (reverse order; 0 = +)
+    for i in range(len(nz) - 1, len(nz) - 1 - t1, -1):
+        w.u(0 if nz[i][1] > 0 else 1, 1)
+    # remaining levels, reverse order
+    suffix_len = 1 if (total > 10 and t1 < 3) else 0
+    first = True
+    for i in range(len(nz) - 1 - t1, -1, -1):
+        level = nz[i][1]
+        code = 2 * abs(level) - 2 if level > 0 else 2 * abs(level) - 1
+        if first and t1 < 3:
+            code -= 2
+        first = False
+        if suffix_len == 0:
+            if code < 14:
+                w.u(1, code + 1)           # code zeros then 1
+            elif code < 30:
+                w.u(1, 15)                 # prefix 14
+                w.u(code - 14, 4)
+            else:
+                w.u(1, 16)                 # prefix 15
+                w.u(code - 30, 12)
+        else:
+            if (code >> suffix_len) < 15:
+                w.u(1, (code >> suffix_len) + 1)
+                w.u(code & ((1 << suffix_len) - 1), suffix_len)
+            else:
+                w.u(1, 16)
+                w.u(code - (15 << suffix_len), 12)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    # total_zeros
+    zeros = nz[-1][0] + 1 - total
+    if total < n:
+        tz_tab = _TZC if nC == -1 else _TZ
+        val, ln = tz_tab[total][zeros]
+        w.u(val, ln)
+    # run_before
+    zeros_left = zeros
+    for k in range(len(nz) - 1, 0, -1):
+        if zeros_left <= 0:
+            break
+        run = nz[k][0] - nz[k - 1][0] - 1
+        val, ln = _RB[min(zeros_left, 7)][run]
+        w.u(val, ln)
+        zeros_left -= run
+    return total
+
+
+# ---------------------------------------------------------------------------
+# I_16x16 encoder (stage B: DC prediction + 4x4 transform + CAVLC)
+# ---------------------------------------------------------------------------
+
+_C4 = np.array([[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1], [1, -2, 2, -1]],
+               np.int32)
+_H4 = np.array([[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]],
+               np.int32)
+_H2 = np.array([[1, 1], [1, -1]], np.int32)
+
+
+def _fwd4(block: np.ndarray) -> np.ndarray:
+    return _C4 @ block.astype(np.int32) @ _C4.T
+
+
+def _quant(coef: np.ndarray, qp: int) -> np.ndarray:
+    """4x4 AC/full quant: sign(c) * ((|c|*MF + f) >> qbits)."""
+    qbits = 15 + qp // 6
+    mfr = _MF[qp % 6]
+    mf = np.array([[mfr[_POSCLASS[r][c]] for c in range(4)] for r in range(4)],
+                  np.int64)
+    f = (1 << qbits) // 3
+    lv = (np.abs(coef.astype(np.int64)) * mf + f) >> qbits
+    return (np.sign(coef) * lv).astype(np.int32)
+
+
+def _quant_dc(coef: np.ndarray, qp: int) -> np.ndarray:
+    """Hadamard-domain DC quant: MF[0][0], double f, qbits+1."""
+    qbits = 15 + qp // 6
+    mf0 = _MF[qp % 6][0]
+    f = (1 << qbits) // 3
+    lv = (np.abs(coef.astype(np.int64)) * mf0 + 2 * f) >> (qbits + 1)
+    return (np.sign(coef) * lv).astype(np.int32)
+
+
+def _zigzag16(block: np.ndarray):
+    return [int(block[r][c]) for r, c in _ZZ4]
+
+
+_CHROMA_QP = [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37, 38,
+              38, 38, 39, 39, 39, 39]  # index qp-30 for qp in 30..51
+
+
+def chroma_qp(qp: int) -> int:
+    return qp if qp < 30 else _CHROMA_QP[qp - 30]
+
+
+class Intra16Encoder:
+    """All-I_16x16-DC encoder: real compression, bitstream-conformant
+    (decoded by libavcodec in tests; PSNR-gated).  QP is fixed per frame.
+
+    Prediction uses SOURCE neighbors (parallel-friendly; see module
+    docstring).  CBP/nC bookkeeping follows the decoder's rules so CAVLC
+    contexts match exactly.
+    """
+
+    def __init__(self, width: int, height: int, qp: int = 26):
+        self.width, self.height = width, height
+        self.qp = qp
+        self.mb_w = (width + 15) // 16
+        self.mb_h = (height + 15) // 16
+        self.headers = make_sps(width, height) + make_pps(qp)
+
+    # -- per-macroblock helpers -----------------------------------------
+
+    def _pred_dc_luma(self, y, mx, my):
+        left = y[my * 16 : my * 16 + 16, mx * 16 - 1] if mx > 0 else None
+        top = y[my * 16 - 1, mx * 16 : mx * 16 + 16] if my > 0 else None
+        if left is not None and top is not None:
+            return (int(left.sum()) + int(top.sum()) + 16) >> 5
+        if left is not None:
+            return (int(left.sum()) + 8) >> 4
+        if top is not None:
+            return (int(top.sum()) + 8) >> 4
+        return 128
+
+    def _pred_dc_chroma4(self, p, mx, my, bx, by):
+        """Chroma DC prediction per 4x4 sub-block (spec 8.3.4.1 DC rules)."""
+        x0, y0 = mx * 8 + bx * 4, my * 8 + by * 4
+        left = p[y0 : y0 + 4, mx * 8 - 1] if mx > 0 else None
+        top = p[my * 8 - 1, x0 : x0 + 4] if my > 0 else None
+        use_left = left is not None
+        use_top = top is not None
+        if bx == 1 and by == 0:
+            use_left = False   # (1,0): top only (fall back to left)
+            if top is None:
+                use_left = left is not None
+        if bx == 0 and by == 1:
+            use_top = False    # (0,1): left only (fall back to top)
+            if left is None:
+                use_top = top is not None
+        if use_left and use_top:
+            return (int(left.sum()) + int(top.sum()) + 4) >> 3
+        if use_left:
+            return (int(left.sum()) + 2) >> 2
+        if use_top:
+            return (int(top.sum()) + 2) >> 2
+        return 128
+
+    # -- frame encode ----------------------------------------------------
+
+    def encode_planes(self, y, cb, cr) -> bytes:
+        y, cb, cr = _pad_to_mb(y, cb, cr)
+        qp = self.qp
+        qpc = chroma_qp(qp)
+        mbw, mbh = self.mb_w, self.mb_h
+        w = BitWriter()
+        _slice_header(w, 0, 0, 0, disable_deblock=True)
+        # per-4x4 nonzero counts for nC prediction: luma [mbh*4, mbw*4],
+        # chroma per component [mbh*2, mbw*2]
+        nnz_l = np.zeros((mbh * 4, mbw * 4), np.int32)
+        nnz_c = [np.zeros((mbh * 2, mbw * 2), np.int32) for _ in range(2)]
+
+        def nc_of(nn, bx, by, left_avail, top_avail):
+            na = nn[by, bx - 1] if left_avail else None
+            nb = nn[by - 1, bx] if top_avail else None
+            if na is not None and nb is not None:
+                return (int(na) + int(nb) + 1) >> 1
+            if na is not None:
+                return int(na)
+            if nb is not None:
+                return int(nb)
+            return 0
+
+        for my in range(mbh):
+            for mx in range(mbw):
+                # ---- luma: predict, transform, quantize ----
+                pred = self._pred_dc_luma(y, mx, my)
+                res = y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16].astype(np.int32) - pred
+                coefs = np.zeros((4, 4, 4, 4), np.int64)  # [by, bx, r, c]
+                for by in range(4):
+                    for bx in range(4):
+                        coefs[by, bx] = _fwd4(res[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4])
+                dc_raw = coefs[:, :, 0, 0].astype(np.int64)
+                # JM convention: forward Hadamard halved, then the DC quant's
+                # (qbits+1) shift absorbs the remaining transform gain
+                dc_had = (_H4 @ dc_raw @ _H4) // 2
+                dc_lv = _quant_dc(dc_had, qp)
+                ac_lv = np.zeros((4, 4, 4, 4), np.int32)
+                for by in range(4):
+                    for bx in range(4):
+                        q = _quant(coefs[by, bx], qp)
+                        q[0, 0] = 0
+                        ac_lv[by, bx] = q
+                cbp_luma = 1 if np.any(ac_lv) else 0
+
+                # ---- chroma ----
+                cpred = np.zeros((2, 8, 8), np.int32)
+                for ci, plane in enumerate((cb, cr)):
+                    for by in range(2):
+                        for bx in range(2):
+                            cpred[ci, by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = \
+                                self._pred_dc_chroma4(plane, mx, my, bx, by)
+                cres = [
+                    plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].astype(np.int32)
+                    - cpred[ci]
+                    for ci, plane in enumerate((cb, cr))
+                ]
+                cdc_lv = []
+                cac_lv = []
+                for ci in range(2):
+                    cc = np.zeros((2, 2, 4, 4), np.int64)
+                    for by in range(2):
+                        for bx in range(2):
+                            cc[by, bx] = _fwd4(cres[ci][by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4])
+                    dc2 = _H2 @ cc[:, :, 0, 0] @ _H2
+                    cdc_lv.append(_quant_dc(dc2, qpc))
+                    acs = np.zeros((2, 2, 4, 4), np.int32)
+                    for by in range(2):
+                        for bx in range(2):
+                            q = _quant(cc[by, bx], qpc)
+                            q[0, 0] = 0
+                            acs[by, bx] = q
+                    cac_lv.append(acs)
+                any_cac = any(np.any(a) for a in cac_lv)
+                any_cdc = any(np.any(d) for d in cdc_lv)
+                cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
+
+                # ---- write macroblock ----
+                mb_type = 1 + 2 + 4 * cbp_chroma + 12 * cbp_luma  # pred mode DC=2
+                w.ue(mb_type)
+                w.ue(0)  # intra_chroma_pred_mode: DC
+                w.se(0)  # mb_qp_delta
+                left_mb = mx > 0
+                top_mb = my > 0
+                # luma DC block: nC from blk(0,0) neighbors
+                nc = nc_of(nnz_l, mx * 4, my * 4, left_mb, top_mb)
+                cavlc_block(w, _zigzag16(dc_lv), nc)
+                # luma AC blocks
+                if cbp_luma:
+                    for bi, (bx, by) in enumerate(_BLK_ORDER):
+                        gx, gy = mx * 4 + bx, my * 4 + by
+                        la = (gx % 4 > 0) or left_mb
+                        ta = (gy % 4 > 0) or top_mb
+                        nc = nc_of(nnz_l, gx, gy, la, ta)
+                        zz = _zigzag16(ac_lv[by, bx])[1:]
+                        tc = cavlc_block(w, zz, nc)
+                        nnz_l[gy, gx] = tc
+                # chroma DC (both components) when cbp_chroma > 0
+                if cbp_chroma:
+                    for ci in range(2):
+                        d = cdc_lv[ci]
+                        w_coefs = [int(d[0, 0]), int(d[0, 1]), int(d[1, 0]), int(d[1, 1])]
+                        cavlc_block(w, w_coefs, -1)
+                if cbp_chroma == 2:
+                    for ci in range(2):
+                        for by in range(2):
+                            for bx in range(2):
+                                gx, gy = mx * 2 + bx, my * 2 + by
+                                la = (gx % 2 > 0) or left_mb
+                                ta = (gy % 2 > 0) or top_mb
+                                nc = nc_of(nnz_c[ci], gx, gy, la, ta)
+                                zz = _zigzag16(cac_lv[ci][by, bx])[1:]
+                                tc = cavlc_block(w, zz, nc)
+                                nnz_c[ci][gy, gx] = tc
+        w.rbsp_trailing()
+        return self.headers + nal(3, 5, w.rbsp())
+
+    def encode_uyvy(self, frame: np.ndarray) -> bytes:
+        y, cb, cr = uyvy_to_i420(frame, self.width, self.height)
+        return self.encode_planes(y, cb, cr)
