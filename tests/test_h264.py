@@ -95,3 +95,36 @@ def test_intra16_conformance_matrix(qp):
         psnr = 10 * math.log10(255 * 255 / max(mse, 1e-9))
         assert psnr > floor, (qp, psnr)
         assert len(bs) < frame.nbytes  # actually compresses
+
+
+def test_own_h264_end_to_end_rtp():
+    """testcard -> OWN H.264 encoder -> RFC 6184 RTP -> receiver decodes
+    (via lavc) and displays: the complete loop without FFmpeg encoding."""
+    import threading
+
+    from ultragrid_tpu.pipeline.receiver import VideoReceiver
+    from ultragrid_tpu.pipeline.sender import VideoSender
+
+    port = 23482
+    recv = VideoReceiver("dummy", rx_port=port, frame_limit=2, timeout=60.0)
+    t = threading.Thread(target=recv.run, daemon=True)
+    t.start()
+    sender = VideoSender(
+        "testcard:64:48:30:UYVY", "127.0.0.1", compress_spec="h264:qp=20",
+        tx_port=port, frame_limit=4,
+    )
+    sender.run()
+    t.join(timeout=60)
+    assert recv.frames_displayed >= 1
+
+
+def test_vectorized_encoder_bit_identical_to_scalar():
+    from ultragrid_tpu.ops.h264 import Intra16Encoder, Intra16EncoderV
+
+    w, h = 96, 64
+    rng = np.random.default_rng(1)
+    for qp in (10, 26, 40):
+        frame = rng.integers(0, 256, (h, 2 * w), dtype=np.uint8)
+        a = bytes(Intra16Encoder(w, h, qp=qp).encode_uyvy(frame))
+        b = bytes(Intra16EncoderV(w, h, qp=qp).encode_uyvy(frame))
+        assert a == b

@@ -160,7 +160,65 @@ class JpegCompress(VideoCompress):
         return out
 
 
+
+
+class H264Compress(VideoCompress):
+    """This framework's OWN H.264 intra encoder (no FFmpeg; see ops/h264.py).
+
+    ``h264[:qp=<0-51>][:mode=i16|pcm]`` — produces self-contained Annex-B
+    IDR access units (SPS/PPS prepended), decodable by any AVC decoder and
+    carried by the RFC 6184 packetizer.  ``mode=pcm`` selects the lossless
+    I_PCM path.  For live libx264-class rates use ``libavcodec:codec=H.264``;
+    this module is the zero-dependency fallback (reference role:
+    src/video_compress/libavcodec.cpp).
+    """
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        self.qp = 26
+        self.mode = "i16"
+        for tok in [t for t in cfg.split(":") if t]:
+            key, _, val = tok.partition("=")
+            if key == "qp":
+                self.qp = max(0, min(51, int(val)))
+            elif key == "mode":
+                self.mode = val
+            elif key == "help":
+                print("h264 (own encoder): h264[:qp=<0-51>][:mode=i16|pcm]")
+        self._enc = None
+        self._geom = None
+
+    def compress(self, frame: VideoFrame) -> Optional[VideoFrame]:
+        import numpy as np
+
+        from ultragrid_tpu.ops import h264 as h264_ops
+
+        desc = frame.desc
+        src_codec = desc.color_spec
+        data = frame.data
+        if src_codec != Codec.UYVY:
+            dec = pixfmt.get_decoder_from_to(src_codec, Codec.UYVY)
+            if dec is None:
+                log.error(f"h264: unsupported input {src_codec.name}")
+                return None
+            data = pixfmt.convert_frame(data, desc.width, src_codec, Codec.UYVY)
+        geom = (desc.width, desc.height, self.qp, self.mode)
+        if self._geom != geom:
+            cls = h264_ops.PcmEncoder if self.mode == "pcm" else h264_ops.Intra16EncoderV
+            self._enc = (cls(desc.width, desc.height) if self.mode == "pcm"
+                         else cls(desc.width, desc.height, qp=self.qp))
+            self._geom = geom
+        bs = self._enc.encode_uyvy(np.asarray(data))
+        out_desc = VideoDesc(desc.width, desc.height, Codec.H264, desc.fps,
+                             desc.interlacing, desc.tile_count)
+        out = VideoFrame(out_desc, [np.frombuffer(bytes(bs), np.uint8)],
+                         timestamp=frame.timestamp)
+        out.callbacks.update(frame.callbacks)
+        return out
+
+
 register_module("none", LibraryClass.VIDEO_COMPRESS, NoneCompress)
+register_module("h264", LibraryClass.VIDEO_COMPRESS, H264Compress)
 register_module("uyvy", LibraryClass.VIDEO_COMPRESS, UyvyCompress)
 register_module("dxt", LibraryClass.VIDEO_COMPRESS, DxtCompress)
 register_module("cuda_dxt", LibraryClass.VIDEO_COMPRESS, DxtCompress)  # alias

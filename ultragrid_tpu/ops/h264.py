@@ -714,3 +714,403 @@ class Intra16Encoder:
     def encode_uyvy(self, frame: np.ndarray) -> bytes:
         y, cb, cr = uyvy_to_i420(frame, self.width, self.height)
         return self.encode_planes(y, cb, cr)
+
+
+# ---------------------------------------------------------------------------
+# Stage C: vectorized encoder (whole-frame numpy; device-mappable layout)
+# ---------------------------------------------------------------------------
+#
+# Every entropy element becomes a (value, length) symbol in a FIXED slot
+# grid per macroblock; absent elements get length 0.  The stream is then the
+# flat slot sequence packed MSB-first — the identical strategy to the JPEG
+# encoder's slot machinery (ops/jpeg.py), so the device port is mechanical.
+# Per-block slot layout (36 slots):
+#   [0] coeff_token | [1..3] trailing-one signs (rank 0..2)
+#   [4..19] level of rank r at slot 4+r | [20] total_zeros
+#   [21..35] run_before of rank r at slot 21+r
+
+
+def _ue_symbol(v):
+    """ue(v) as (value, length) arrays."""
+    v = np.asarray(v, np.int64)
+    bl = np.int64(np.ceil(np.log2(v + 2)))  # bitlen(v+1)
+    bl = np.where((v + 1) >= (1 << bl), bl + 1, bl)  # guard fp edge
+    return v + 1, 2 * bl - 1
+
+
+def _table_arrays(table, shape):
+    """dict[(a,b)] -> (val, len) dense arrays of given shape."""
+    val = np.zeros(shape, np.int64)
+    ln = np.zeros(shape, np.int64)
+    for (a, b), (v, l) in table.items():
+        val[a, b] = v
+        ln[a, b] = l
+    return val, ln
+
+
+_CT_VAL = {}
+_CT_LEN = {}
+for _k, _t in (("0", _CT0), ("2", _CT2), ("4", _CT4), ("c", _CTC)):
+    _CT_VAL[_k], _CT_LEN[_k] = _table_arrays(_t, (4, 17))
+
+_TZ_VAL = np.zeros((17, 16), np.int64)
+_TZ_LEN = np.zeros((17, 16), np.int64)
+for _tc, _row in _TZ.items():
+    for _tz, (_v, _l) in _row.items():
+        _TZ_VAL[_tc, _tz] = _v
+        _TZ_LEN[_tc, _tz] = _l
+_TZC_VAL = np.zeros((4, 4), np.int64)
+_TZC_LEN = np.zeros((4, 4), np.int64)
+for _tc, _row in _TZC.items():
+    for _tz, (_v, _l) in _row.items():
+        _TZC_VAL[_tc, _tz] = _v
+        _TZC_LEN[_tc, _tz] = _l
+_RB_VAL = np.zeros((8, 15), np.int64)
+_RB_LEN = np.zeros((8, 15), np.int64)
+for _zl, _row in _RB.items():
+    for _r, (_v, _l) in _row.items():
+        _RB_VAL[_zl, _r] = _v
+        _RB_LEN[_zl, _r] = _l
+
+_ZZ_IDX = np.array([r * 4 + c for r, c in _ZZ4])  # zigzag gather indices
+
+
+def cavlc_blocks_vec(levels: np.ndarray, nC: np.ndarray, chroma_dc: bool = False):
+    """Vectorized CAVLC for N blocks.
+
+    levels: [N, L] coefficients ALREADY zigzag-ordered (L = 16, 15 or 4).
+    nC: [N] contexts (>= 0; pass chroma_dc=True for the -1 table).
+    Returns (sym_val [N, 36], sym_len [N, 36], total_coeff [N]).
+    """
+    n, L = levels.shape
+    lv = levels.astype(np.int64)
+    nzm = lv != 0
+    total = nzm.sum(axis=1)
+    idx = np.arange(L)
+    # rank from end: number of nonzeros at strictly higher positions
+    nz_after = (np.cumsum(nzm[:, ::-1], axis=1)[:, ::-1] - nzm).astype(np.int64)
+    # trailing ones: nonzeros with |l|==1 after the last |l|>1 nonzero
+    big = nzm & (np.abs(lv) > 1)
+    t1_raw = np.where(big.any(axis=1),
+                      nz_after[np.arange(n), np.where(big, idx, -1).argmax(axis=1)]
+                      if L else 0, total)
+    # argmax of masked idx gives LAST big position; nz_after there = count after
+    lastbig = np.where(big, idx, -1).max(axis=1)
+    t1_raw = np.where(lastbig >= 0,
+                      nz_after[np.arange(n), np.clip(lastbig, 0, L - 1)],
+                      total)
+    t1 = np.minimum(t1_raw, 3)
+    last_nz = np.where(nzm, idx, -1).max(axis=1)
+    zeros = np.where(total > 0, last_nz + 1 - total, 0)
+
+    S = 36
+    sval = np.zeros((n, S), np.int64)
+    slen = np.zeros((n, S), np.int64)
+
+    # coeff_token
+    if chroma_dc:
+        sval[:, 0] = _CT_VAL["c"][t1, total]
+        slen[:, 0] = _CT_LEN["c"][t1, total]
+    else:
+        for lo, hi, key in ((0, 2, "0"), (2, 4, "2"), (4, 8, "4")):
+            m = (nC >= lo) & (nC < hi)
+            sval[m, 0] = _CT_VAL[key][t1[m], total[m]]
+            slen[m, 0] = _CT_LEN[key][t1[m], total[m]]
+        m = nC >= 8
+        if m.any():
+            tv = np.where(total[m] == 0, 3, ((total[m] - 1) << 2) | t1[m])
+            sval[m, 0] = tv
+            slen[m, 0] = 6
+    # per-rank gathers: position and level of the coeff with rank r from end
+    # pos_of_rank[m, r] = zigzag index of that coeff
+    pos_of_rank = np.full((n, L), -1, np.int64)
+    rows, cols = np.nonzero(nzm)
+    pos_of_rank[rows, nz_after[rows, cols]] = cols
+    lvl_of_rank = np.zeros((n, L), np.int64)
+    lvl_of_rank[rows, nz_after[rows, cols]] = lv[rows, cols]
+
+    # trailing one signs (ranks 0..t1-1): slots 1..3
+    for r in range(3):
+        m = r < t1
+        sval[m, 1 + r] = (lvl_of_rank[m, r] < 0).astype(np.int64)
+        slen[m, 1 + r] = 1
+
+    # levels for ranks t1..total-1, with per-block suffix_len adaptation
+    suffix_len = np.where((total > 10) & (t1 < 3), 1, 0).astype(np.int64)
+    first = np.ones(n, bool)
+    for r in range(L):
+        m = (r >= t1) & (r < total)
+        if not m.any():
+            continue
+        level = lvl_of_rank[:, r]
+        code = np.where(level > 0, 2 * np.abs(level) - 2, 2 * np.abs(level) - 1)
+        code = np.where(m & first & (t1 < 3), code - 2, code)
+        sl = suffix_len
+        # regular: prefix p = code >> sl (when < 15 or sl==0&&code<14)
+        p = code >> np.maximum(sl, 0)
+        val = np.zeros(n, np.int64)
+        ln = np.zeros(n, np.int64)
+        # sl == 0 cases
+        c0 = m & (sl == 0)
+        val = np.where(c0 & (code < 14), 1, val)
+        ln = np.where(c0 & (code < 14), code + 1, ln)
+        esc14 = c0 & (code >= 14) & (code < 30)
+        val = np.where(esc14, (1 << 4) | (code - 14), val)
+        ln = np.where(esc14, 15 + 4, ln)
+        esc15_0 = c0 & (code >= 30)
+        val = np.where(esc15_0, (1 << 12) | (code - 30), val)
+        ln = np.where(esc15_0, 16 + 12, ln)
+        # sl > 0 cases
+        c1 = m & (sl > 0)
+        reg = c1 & (p < 15)
+        val = np.where(reg, (1 << sl) | (code & ((1 << sl) - 1)), val)
+        ln = np.where(reg, p + 1 + sl, ln)
+        esc15 = c1 & (p >= 15)
+        val = np.where(esc15, (1 << 12) | (code - (15 << sl)), val)
+        ln = np.where(esc15, 16 + 12, ln)
+        sval[:, 4 + r] = np.where(m, val, sval[:, 4 + r])
+        slen[:, 4 + r] = np.where(m, ln, slen[:, 4 + r])
+        # state update
+        suffix_len = np.where(m & (suffix_len == 0), 1, suffix_len)
+        grow = m & (np.abs(level) > (3 << np.maximum(suffix_len - 1, 0))) & (suffix_len < 6)
+        suffix_len = np.where(grow, suffix_len + 1, suffix_len)
+        first = first & ~m
+
+    # total_zeros (when 0 < total < L)
+    m = (total > 0) & (total < L)
+    if chroma_dc:
+        sval[m, 20] = _TZC_VAL[total[m], zeros[m]]
+        slen[m, 20] = _TZC_LEN[total[m], zeros[m]]
+    else:
+        sval[m, 20] = _TZ_VAL[total[m], zeros[m]]
+        slen[m, 20] = _TZ_LEN[total[m], zeros[m]]
+
+    # run_before: rank r vs rank r+1, while zeros remain
+    zeros_left = zeros.copy()
+    for r in range(L - 1):
+        m = (r <= total - 2) & (zeros_left > 0)
+        if not m.any():
+            continue
+        run = np.where(m, pos_of_rank[:, r] - pos_of_rank[:, r + 1] - 1, 0)
+        zl = np.minimum(zeros_left, 7)
+        sval[m, 21 + r] = _RB_VAL[zl[m], run[m]]
+        slen[m, 21 + r] = _RB_LEN[zl[m], run[m]]
+        zeros_left = np.where(m, zeros_left - run, zeros_left)
+    return sval, slen, total
+
+
+def pack_symbols(vals: np.ndarray, lens: np.ndarray) -> Tuple[bytes, int]:
+    """Pack a flat (value, length<=28) symbol stream MSB-first.
+
+    Returns (bytes, total_bits).  Disjoint-bit contributions are OR-combined
+    into big-endian u32 words (the JPEG slot-pack formulation, host-side)."""
+    keep = lens > 0
+    lens = lens[keep].astype(np.int64)
+    vals = vals[keep]
+    vals = vals.astype(np.uint64) & ((np.uint64(1) << lens.astype(np.uint64)) - np.uint64(1))
+    ends = np.cumsum(lens)
+    total = int(ends[-1]) if len(ends) else 0
+    offs = ends - lens
+    nwords = (total + 31) // 32 + 1
+    words = np.zeros(nwords, np.uint32)
+    t = (offs & 31).astype(np.uint64)
+    w0 = (offs >> 5).astype(np.int64)
+    d = t + lens.astype(np.uint64)
+    spans = d > 32
+    x0 = np.where(spans, vals >> np.where(spans, d - 32, 0),
+                  vals << ((np.uint64(32) - d) & np.uint64(31)))
+    x1 = np.where(spans, vals << np.where(spans, np.uint64(64) - d, 0), 0)
+    np.bitwise_or.at(words, w0, x0.astype(np.uint32))
+    np.bitwise_or.at(words, w0 + 1, x1.astype(np.uint32))
+    data = words.astype(">u4").tobytes()[: (total + 7) // 8]
+    return data, total
+
+
+def _bits_to_symbols(w: "BitWriter"):
+    """BitWriter contents -> list of (value, length<=24) symbols."""
+    out = []
+    for b in w.bytes:
+        out.append((int(b), 8))
+    if w.nbits:
+        out.append((int(w.acc), int(w.nbits)))
+    return out
+
+
+class Intra16EncoderV:
+    """Vectorized whole-frame Intra16 encoder — bit-identical to
+    :class:`Intra16Encoder`, but all transforms/quant/CAVLC run as
+    array ops over every macroblock at once (the layout the device port
+    uses; cf. the JPEG encoder's slot machinery)."""
+
+    def __init__(self, width: int, height: int, qp: int = 26):
+        self.width, self.height = width, height
+        self.qp = qp
+        self.mb_w = (width + 15) // 16
+        self.mb_h = (height + 15) // 16
+        self.headers = make_sps(width, height) + make_pps(qp)
+
+    def encode_planes(self, y, cb, cr) -> bytes:
+        y, cb, cr = _pad_to_mb(y, cb, cr)
+        qp, qpc = self.qp, chroma_qp(self.qp)
+        mbw, mbh = self.mb_w, self.mb_h
+        nmb = mbw * mbh
+        yi = y.astype(np.int64)
+
+        # ---- luma DC prediction (source neighbors), vectorized ----
+        right_edge = yi[:, 15::16]            # [H, mbw] column sums source
+        bottom_edge = yi[15::16, :]           # [mbh, W]
+        top_sum = np.zeros((mbh, mbw), np.int64)
+        top_sum[1:] = bottom_edge[:-1].reshape(mbh - 1, mbw, 16).sum(axis=2)
+        left_sum = np.zeros((mbh, mbw), np.int64)
+        left_sum[:, 1:] = right_edge[:, :-1].reshape(mbh, 16, mbw - 1).sum(axis=1)
+        has_t = np.zeros((mbh, mbw), bool); has_t[1:] = True
+        has_l = np.zeros((mbh, mbw), bool); has_l[:, 1:] = True
+        pred = np.where(
+            has_t & has_l, (top_sum + left_sum + 16) >> 5,
+            np.where(has_l, (left_sum + 8) >> 4,
+                     np.where(has_t, (top_sum + 8) >> 4, 128)),
+        )
+
+        # ---- luma residual -> 4x4 transforms, batched ----
+        blocks = yi.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3)  # [mbh,mbw,16,16]
+        res = blocks - pred[:, :, None, None]
+        b44 = res.reshape(mbh, mbw, 4, 4, 4, 4).transpose(0, 1, 2, 4, 3, 5)
+        # [mbh, mbw, by, bx, 4, 4]
+        coefs = np.einsum("ij,...jk,lk->...il", _C4, b44, _C4)
+        dc_raw = coefs[..., 0, 0]
+        dc_had = np.einsum("ij,...jk,kl->...il", _H4, dc_raw, _H4) // 2
+        dc_lv = _quant_dc(dc_had, qp)                      # [mbh,mbw,4,4]
+        qbits = 15 + qp // 6
+        mfr = _MF[qp % 6]
+        mf = np.array([[mfr[_POSCLASS[r][c]] for c in range(4)] for r in range(4)], np.int64)
+        f = (1 << qbits) // 3
+        ac_lv = (np.sign(coefs) * ((np.abs(coefs) * mf + f) >> qbits)).astype(np.int64)
+        ac_lv[..., 0, 0] = 0
+        cbp_luma = np.any(ac_lv.reshape(mbh, mbw, -1) != 0, axis=2)  # [mbh,mbw]
+
+        # ---- chroma ----
+        cdc_lv = []
+        cac_lv = []
+        for plane in (cb, cr):
+            p = plane.astype(np.int64)
+            # per-4x4-quadrant edge sums
+            tq = np.zeros((mbh, mbw, 2), np.int64)   # top sums per bx quadrant
+            tq[1:] = p[7::8][:-1].reshape(mbh - 1, mbw, 2, 4).sum(axis=3)
+            lq = np.zeros((mbh, mbw, 2), np.int64)   # left sums per by quadrant
+            lq[:, 1:] = p[:, 7::8][:, :-1].reshape(mbh, 2, 4, mbw - 1).sum(axis=2).transpose(0, 2, 1)
+            cpred = np.zeros((mbh, mbw, 2, 2), np.int64)  # [my,mx,by,bx]
+            ht = has_t; hl = has_l
+            # (0,0): both -> avg8; (1,0): top else left0; (0,1): left else top0
+            cpred[:, :, 0, 0] = np.where(ht & hl, (tq[:, :, 0] + lq[:, :, 0] + 4) >> 3,
+                                 np.where(hl, (lq[:, :, 0] + 2) >> 2,
+                                          np.where(ht, (tq[:, :, 0] + 2) >> 2, 128)))
+            cpred[:, :, 0, 1] = np.where(ht, (tq[:, :, 1] + 2) >> 2,
+                                 np.where(hl, (lq[:, :, 0] + 2) >> 2, 128))
+            cpred[:, :, 1, 0] = np.where(hl, (lq[:, :, 1] + 2) >> 2,
+                                 np.where(ht, (tq[:, :, 0] + 2) >> 2, 128))
+            cpred[:, :, 1, 1] = np.where(ht & hl, (tq[:, :, 1] + lq[:, :, 1] + 4) >> 3,
+                                 np.where(hl, (lq[:, :, 1] + 2) >> 2,
+                                          np.where(ht, (tq[:, :, 1] + 2) >> 2, 128)))
+            cblocks = p.reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3)
+            cres = cblocks.reshape(mbh, mbw, 2, 4, 2, 4).transpose(0, 1, 2, 4, 3, 5)
+            cres = cres - cpred[..., None, None]
+            cc = np.einsum("ij,...jk,lk->...il", _C4, cres, _C4)
+            dc2 = np.einsum("ij,...jk,kl->...il", _H2, cc[..., 0, 0], _H2)
+            cdc_lv.append(_quant_dc(dc2, qpc))
+            qbc = 15 + qpc // 6
+            mfrc = _MF[qpc % 6]
+            mfc = np.array([[mfrc[_POSCLASS[r][c]] for c in range(4)] for r in range(4)], np.int64)
+            fc = (1 << qbc) // 3
+            a = (np.sign(cc) * ((np.abs(cc) * mfc + fc) >> qbc)).astype(np.int64)
+            a[..., 0, 0] = 0
+            cac_lv.append(a)
+        any_cac = (np.any(cac_lv[0].reshape(mbh, mbw, -1) != 0, axis=2)
+                   | np.any(cac_lv[1].reshape(mbh, mbw, -1) != 0, axis=2))
+        any_cdc = (np.any(cdc_lv[0].reshape(mbh, mbw, -1) != 0, axis=2)
+                   | np.any(cdc_lv[1].reshape(mbh, mbw, -1) != 0, axis=2))
+        cbp_chroma = np.where(any_cac, 2, np.where(any_cdc, 1, 0))
+
+        # ---- totals / nnz maps for nC (decoder bookkeeping) ----
+        # zigzag AC levels per luma 4x4 [mbh,mbw,4(by),4(bx),15]
+        zz_ac = ac_lv.reshape(mbh, mbw, 4, 4, 16)[..., _ZZ_IDX][..., 1:]
+        tot_l = (zz_ac != 0).sum(axis=4)                     # [mbh,mbw,by,bx]
+        nnz_l = np.zeros((mbh * 4, mbw * 4), np.int64)
+        nnz_l_grid = (tot_l * cbp_luma[:, :, None, None]).transpose(0, 2, 1, 3)
+        nnz_l = nnz_l_grid.reshape(mbh * 4, mbw * 4)
+        zz_cac = [a.reshape(mbh, mbw, 2, 2, 16)[..., _ZZ_IDX][..., 1:] for a in cac_lv]
+        tot_c = [(z != 0).sum(axis=4) for z in zz_cac]
+        nnz_c = [
+            (t * (cbp_chroma == 2)[:, :, None, None]).transpose(0, 2, 1, 3).reshape(mbh * 2, mbw * 2)
+        for t in tot_c]
+
+        def nc_grid(nn, gh, gw):
+            """nC per 4x4 grid position from stored neighbor counts."""
+            na = np.full((gh, gw), -1, np.int64)
+            na[:, 1:] = nn[:, :-1]
+            nb = np.full((gh, gw), -1, np.int64)
+            nb[1:] = nn[:-1]
+            both = (na >= 0) & (nb >= 0)
+            return np.where(both, (na + nb + 1) >> 1,
+                            np.where(na >= 0, na, np.where(nb >= 0, nb, 0)))
+
+        ncl = nc_grid(nnz_l, mbh * 4, mbw * 4)
+        ncc = [nc_grid(nn, mbh * 2, mbw * 2) for nn in nnz_c]
+
+        # ---- symbol grid ----
+        S = 36
+        NSL = 3 + S * (1 + 16 + 2 + 8)
+        sval = np.zeros((nmb, NSL), np.int64)
+        slen = np.zeros((nmb, NSL), np.int64)
+        mb_type = 1 + 2 + 4 * cbp_chroma.reshape(-1) + 12 * cbp_luma.reshape(-1).astype(np.int64)
+        v, l = _ue_symbol(mb_type)
+        sval[:, 0], slen[:, 0] = v, l
+        sval[:, 1], slen[:, 1] = 1, 1  # intra_chroma_pred_mode ue(0)
+        sval[:, 2], slen[:, 2] = 1, 1  # mb_qp_delta se(0)
+        # DC block
+        zz_dc = dc_lv.reshape(mbh, mbw, 16)[..., _ZZ_IDX].reshape(nmb, 16)
+        nc_dc = ncl[::4, ::4]
+        dv, dl, _ = cavlc_blocks_vec(zz_dc, nc_dc.reshape(-1))
+        sval[:, 3 : 3 + S], slen[:, 3 : 3 + S] = dv, dl
+        # luma AC blocks, coding order
+        for bi, (bx, by) in enumerate(_BLK_ORDER):
+            lvls = zz_ac[:, :, by, bx].reshape(nmb, 15)
+            ncb = ncl[by::4, bx::4].reshape(-1)
+            av, al, _ = cavlc_blocks_vec(lvls, ncb)
+            keep = cbp_luma.reshape(-1)
+            base = 3 + S * (1 + bi)
+            sval[:, base : base + S] = av * keep[:, None]
+            slen[:, base : base + S] = al * keep[:, None]
+        # chroma DC
+        for ci in range(2):
+            d = cdc_lv[ci].reshape(nmb, 4)  # raster [00,01,10,11]
+            cvv, cll, _ = cavlc_blocks_vec(d, np.zeros(nmb, np.int64), chroma_dc=True)
+            keep = (cbp_chroma.reshape(-1) > 0)
+            base = 3 + S * (17 + ci)
+            sval[:, base : base + S] = cvv * keep[:, None]
+            slen[:, base : base + S] = cll * keep[:, None]
+        # chroma AC
+        for ci in range(2):
+            for bi, (bx, by) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+                lvls = zz_cac[ci][:, :, by, bx].reshape(nmb, 15)
+                ncb = ncc[ci][by::2, bx::2].reshape(-1)
+                av, al, _ = cavlc_blocks_vec(lvls, ncb)
+                keep = (cbp_chroma.reshape(-1) == 2)
+                base = 3 + S * (19 + ci * 4 + bi)
+                sval[:, base : base + S] = av * keep[:, None]
+                slen[:, base : base + S] = al * keep[:, None]
+
+        # ---- assemble: slice header symbols + MB slots + stop bit ----
+        hw = BitWriter()
+        _slice_header(hw, 0, 0, 0, disable_deblock=True)
+        head = _bits_to_symbols(hw)
+        flat_v = np.concatenate([np.array([v for v, _ in head], np.int64),
+                                 sval.reshape(-1), np.array([1], np.int64)])
+        flat_l = np.concatenate([np.array([l for _, l in head], np.int64),
+                                 slen.reshape(-1), np.array([1], np.int64)])
+        data, _total_bits = pack_symbols(flat_v, flat_l)
+        # rbsp trailing: stop bit appended above; pack pads to a byte with 0s
+        return self.headers + nal(3, 5, data)
+
+    def encode_uyvy(self, frame: np.ndarray) -> bytes:
+        y, cb, cr = uyvy_to_i420(frame, self.width, self.height)
+        return self.encode_planes(y, cb, cr)
