@@ -128,3 +128,18 @@ def test_vectorized_encoder_bit_identical_to_scalar():
         a = bytes(Intra16Encoder(w, h, qp=qp).encode_uyvy(frame))
         b = bytes(Intra16EncoderV(w, h, qp=qp).encode_uyvy(frame))
         assert a == b
+
+
+def test_device_encoder_bit_identical():
+    """The jnp/TPU encoder (h264_tpu) must produce byte-identical streams
+    to the numpy encoder (integer-butterfly transforms keep it exact on
+    any backend, including reduced-precision TPU matmul defaults)."""
+    from ultragrid_tpu.ops.h264 import Intra16EncoderV
+    from ultragrid_tpu.ops.h264_tpu import Intra16EncoderTpu
+
+    w, h = 48, 32
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 256, (h, 2 * w), dtype=np.uint8)
+    a = bytes(Intra16EncoderV(w, h, qp=26).encode_uyvy(frame))
+    b = bytes(Intra16EncoderTpu(w, h, qp=26).encode_uyvy(frame))
+    assert a == b

@@ -177,14 +177,17 @@ class H264Compress(VideoCompress):
         super().__init__(cfg)
         self.qp = 26
         self.mode = "i16"
+        self.accel = "host"
         for tok in [t for t in cfg.split(":") if t]:
             key, _, val = tok.partition("=")
             if key == "qp":
                 self.qp = max(0, min(51, int(val)))
             elif key == "mode":
                 self.mode = val
+            elif key == "accel":
+                self.accel = val  # host | device (device jit-compiles once)
             elif key == "help":
-                print("h264 (own encoder): h264[:qp=<0-51>][:mode=i16|pcm]")
+                print("h264 (own encoder): h264[:qp=<0-51>][:mode=i16|pcm][:accel=host|device]")
         self._enc = None
         self._geom = None
 
@@ -202,11 +205,16 @@ class H264Compress(VideoCompress):
                 log.error(f"h264: unsupported input {src_codec.name}")
                 return None
             data = pixfmt.convert_frame(data, desc.width, src_codec, Codec.UYVY)
-        geom = (desc.width, desc.height, self.qp, self.mode)
+        geom = (desc.width, desc.height, self.qp, self.mode, self.accel)
         if self._geom != geom:
-            cls = h264_ops.PcmEncoder if self.mode == "pcm" else h264_ops.Intra16EncoderV
-            self._enc = (cls(desc.width, desc.height) if self.mode == "pcm"
-                         else cls(desc.width, desc.height, qp=self.qp))
+            if self.mode == "pcm":
+                self._enc = h264_ops.PcmEncoder(desc.width, desc.height)
+            elif self.accel == "device":
+                from ultragrid_tpu.ops.h264_tpu import Intra16EncoderTpu
+
+                self._enc = Intra16EncoderTpu(desc.width, desc.height, qp=self.qp)
+            else:
+                self._enc = h264_ops.Intra16EncoderV(desc.width, desc.height, qp=self.qp)
             self._geom = geom
         bs = self._enc.encode_uyvy(np.asarray(data))
         out_desc = VideoDesc(desc.width, desc.height, Codec.H264, desc.fps,

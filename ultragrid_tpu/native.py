@@ -110,6 +110,20 @@ def ldgm_xor_lib() -> Optional[ctypes.CDLL]:
 
 
 @lru_cache(maxsize=None)
+def h264_assemble_lib() -> Optional[ctypes.CDLL]:
+    so = _build("h264_assemble", ["h264_assemble.c"])
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.h264_assemble.restype = ctypes.c_long
+    lib.h264_assemble.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_long,
+    ]
+    return lib
+
+
+@lru_cache(maxsize=None)
 def lavc_shim_lib() -> Optional[ctypes.CDLL]:
     """libavcodec/libswscale shim (role analogue of the reference's
     src/video_compress/libavcodec.cpp + src/video_decompress/libavcodec.c

@@ -1,0 +1,456 @@
+"""Device (TPU) path of the own H.264 intra encoder.
+
+Whole-frame jit graph: source-neighbor DC prediction, 4x4 core transforms +
+Hadamard DC as batched matmuls, quantization, fully vectorized CAVLC (the
+16-step rank loops unroll into static jnp ops), and per-macroblock
+MSB-first slot-window bit packing — the same machinery as the JPEG encoder
+(ops/jpeg.py) applied to a second codec family.  Host side, the C assembler
+(native/h264_assemble.c) concatenates the per-MB windows and inserts
+emulation-prevention bytes.
+
+Bit-identical to the numpy encoder ``Intra16EncoderV`` (asserted in
+tests/test_h264.py), which is itself bit-identical to the scalar reference
+implementation.  Overflowing slot windows escalate like the JPEG encoder.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ultragrid_tpu.ops import h264 as H
+
+_L = 16  # max coeffs per block
+
+
+def _tables_jnp():
+    t = {}
+    for k in ("0", "2", "4", "c"):
+        t[f"ctv{k}"] = jnp.asarray(H._CT_VAL[k].astype(np.int32))
+        t[f"ctl{k}"] = jnp.asarray(H._CT_LEN[k].astype(np.int32))
+    t["tzv"] = jnp.asarray(H._TZ_VAL.astype(np.int32))
+    t["tzl"] = jnp.asarray(H._TZ_LEN.astype(np.int32))
+    t["tzcv"] = jnp.asarray(H._TZC_VAL.astype(np.int32))
+    t["tzcl"] = jnp.asarray(H._TZC_LEN.astype(np.int32))
+    t["rbv"] = jnp.asarray(H._RB_VAL.astype(np.int32))
+    t["rbl"] = jnp.asarray(H._RB_LEN.astype(np.int32))
+    return t
+
+
+_UE_N = 64
+_UE_VAL = np.arange(_UE_N) + 1
+_UE_LEN = 2 * np.ceil(np.log2(np.arange(_UE_N) + 2)).astype(np.int64) - 1
+for _i in range(_UE_N):  # exact bit lengths
+    _UE_LEN[_i] = 2 * int(_i + 1).bit_length() - 1
+
+
+def cavlc_blocks_jnp(levels, nC, tabs, chroma_dc: bool = False):
+    """jnp twin of h264.cavlc_blocks_vec: [N, L] zigzag levels -> slot grid.
+
+    Returns (sval [N, 36] int32, slen [N, 36] int32, total [N] int32)."""
+    n, L = levels.shape
+    lv = levels.astype(jnp.int32)
+    nzm = lv != 0
+    total = nzm.sum(axis=1).astype(jnp.int32)
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    nz_after = (jnp.cumsum(nzm[:, ::-1], axis=1)[:, ::-1] - nzm).astype(jnp.int32)
+    big = nzm & (jnp.abs(lv) > 1)
+    lastbig = jnp.max(jnp.where(big, idx, -1), axis=1)
+    nz_after_at_lastbig = jnp.sum(
+        jnp.where(idx == lastbig[:, None], nz_after, 0), axis=1
+    )
+    t1 = jnp.minimum(jnp.where(lastbig >= 0, nz_after_at_lastbig, total), 3)
+    last_nz = jnp.max(jnp.where(nzm, idx, -1), axis=1)
+    zeros = jnp.where(total > 0, last_nz + 1 - total, 0).astype(jnp.int32)
+
+    S = 36
+    svals = []
+    slens = []
+
+    # coeff_token
+    if chroma_dc:
+        ct_v = tabs["ctvc"][t1, total]
+        ct_l = tabs["ctlc"][t1, total]
+    else:
+        v0 = tabs["ctv0"][t1, total]
+        l0 = tabs["ctl0"][t1, total]
+        v2 = tabs["ctv2"][t1, total]
+        l2 = tabs["ctl2"][t1, total]
+        v4 = tabs["ctv4"][t1, total]
+        l4 = tabs["ctl4"][t1, total]
+        vf = jnp.where(total == 0, 3, ((total - 1) << 2) | t1)
+        ct_v = jnp.where(nC < 2, v0, jnp.where(nC < 4, v2, jnp.where(nC < 8, v4, vf)))
+        ct_l = jnp.where(nC < 2, l0, jnp.where(nC < 4, l2, jnp.where(nC < 8, l4, 6)))
+    svals.append(ct_v)
+    slens.append(ct_l)
+
+    # rank gathers via iota-compare (L small)
+    rank = jnp.where(nzm, nz_after, jnp.int32(L))  # L = "no coeff"
+    pos_of_rank = []
+    lvl_of_rank = []
+    for r in range(L):
+        m = rank == r
+        pos_of_rank.append(jnp.sum(jnp.where(m, idx, 0), axis=1))
+        lvl_of_rank.append(jnp.sum(jnp.where(m, lv, 0), axis=1))
+
+    # trailing-one signs
+    for r in range(3):
+        m = r < t1
+        svals.append(jnp.where(m, (lvl_of_rank[r] < 0).astype(jnp.int32), 0))
+        slens.append(jnp.where(m, 1, 0))
+
+    # levels with suffix-length adaptation
+    suffix_len = jnp.where((total > 10) & (t1 < 3), 1, 0).astype(jnp.int32)
+    first = jnp.ones(n, bool)
+    for r in range(L):
+        m = (r >= t1) & (r < total)
+        level = lvl_of_rank[r]
+        code = jnp.where(level > 0, 2 * jnp.abs(level) - 2, 2 * jnp.abs(level) - 1)
+        code = jnp.where(m & first & (t1 < 3), code - 2, code)
+        sl = suffix_len
+        p = code >> sl
+        c0 = m & (sl == 0)
+        val = jnp.where(c0 & (code < 14), 1, 0)
+        ln = jnp.where(c0 & (code < 14), code + 1, 0)
+        esc14 = c0 & (code >= 14) & (code < 30)
+        val = jnp.where(esc14, (1 << 4) | (code - 14), val)
+        ln = jnp.where(esc14, 19, ln)
+        esc15_0 = c0 & (code >= 30)
+        val = jnp.where(esc15_0, (1 << 12) | (code - 30), val)
+        ln = jnp.where(esc15_0, 28, ln)
+        c1 = m & (sl > 0)
+        reg = c1 & (p < 15)
+        val = jnp.where(reg, (1 << sl) | (code & ((1 << sl) - 1)), val)
+        ln = jnp.where(reg, p + 1 + sl, ln)
+        esc15 = c1 & (p >= 15)
+        val = jnp.where(esc15, (1 << 12) | (code - (15 << sl)), val)
+        ln = jnp.where(esc15, 28, ln)
+        svals.append(val)
+        slens.append(ln)
+        suffix_len = jnp.where(m & (suffix_len == 0), 1, suffix_len)
+        grow = m & (jnp.abs(level) > (3 << jnp.maximum(suffix_len - 1, 0))) & (suffix_len < 6)
+        suffix_len = jnp.where(grow, suffix_len + 1, suffix_len)
+        first = first & ~m
+
+    # total_zeros
+    m = (total > 0) & (total < L)
+    if chroma_dc:
+        tz_v = tabs["tzcv"][total, zeros]
+        tz_l = tabs["tzcl"][total, zeros]
+    else:
+        tz_v = tabs["tzv"][total, zeros]
+        tz_l = tabs["tzl"][total, zeros]
+    svals.append(jnp.where(m, tz_v, 0))
+    slens.append(jnp.where(m, tz_l, 0))
+
+    # run_before
+    zeros_left = zeros
+    for r in range(L - 1):
+        m = (r <= total - 2) & (zeros_left > 0)
+        run = jnp.where(m, pos_of_rank[r] - pos_of_rank[r + 1] - 1, 0)
+        zl = jnp.minimum(zeros_left, 7)
+        svals.append(jnp.where(m, tabs["rbv"][zl, run], 0))
+        slens.append(jnp.where(m, tabs["rbl"][zl, run], 0))
+        zeros_left = jnp.where(m, zeros_left - run, zeros_left)
+    for _ in range(L - 1, 15):  # pad to 15 run slots for L < 16
+        svals.append(jnp.zeros(n, jnp.int32))
+        slens.append(jnp.zeros(n, jnp.int32))
+
+    # layout: [0]=token [1..3]=signs [4..19]=levels [20]=tz [21..35]=runs
+    # svals currently: 1 token + 3 signs + L levels + 1 tz + 15 runs
+    if L < 16:
+        # insert zero level slots to keep the 36-slot layout
+        lv_part = svals[4 : 4 + L] + [jnp.zeros(n, jnp.int32)] * (16 - L)
+        ll_part = slens[4 : 4 + L] + [jnp.zeros(n, jnp.int32)] * (16 - L)
+    else:
+        lv_part = svals[4 : 4 + 16]
+        ll_part = slens[4 : 4 + 16]
+    sval = jnp.stack(svals[:4] + lv_part + [svals[4 + L]] + svals[5 + L :], axis=1)
+    slen = jnp.stack(slens[:4] + ll_part + [slens[4 + L]] + slens[5 + L :], axis=1)
+    return sval.astype(jnp.int32), slen.astype(jnp.int32), total
+
+
+def make_device_encode(width: int, height: int, qp: int, wwords: int = 80):
+    """Build the jitted whole-frame encode: (y, cb, cr) planes ->
+    (mb_words u32 [nmb, wwords] MSB-first, mb_bits i32 [nmb], overflow)."""
+    mbw = (width + 15) // 16
+    mbh = (height + 15) // 16
+    nmb = mbw * mbh
+    qpc = H.chroma_qp(qp)
+    tabs = _tables_jnp()
+    zz = jnp.asarray(H._ZZ_IDX)
+
+    def _mleft(M, x, n):
+        # exact integer small-matrix multiply: (M @ x) over axis -2
+        return jnp.stack(
+            [sum(int(M[i, j]) * x[..., j, :] for j in range(n)) for i in range(n)],
+            axis=-2)
+
+    def _mright_t(M, x, n):
+        # x @ M.T over axis -1
+        return jnp.stack(
+            [sum(int(M[k, j]) * x[..., :, j] for j in range(n)) for k in range(n)],
+            axis=-1)
+
+    def core4(x):    # C4 @ x @ C4.T
+        return _mright_t(H._C4, _mleft(H._C4, x, 4), 4)
+
+    def had4(x):     # H4 @ x @ H4 (H4 symmetric)
+        return _mright_t(H._H4, _mleft(H._H4, x, 4), 4)
+
+    def had2(x):     # H2 @ x @ H2 (H2 symmetric)
+        return _mright_t(H._H2, _mleft(H._H2, x, 2), 2)
+    uev = jnp.asarray(_UE_VAL.astype(np.int32))
+    uel = jnp.asarray(_UE_LEN.astype(np.int32))
+    qbits = 15 + qp // 6
+    mfr = H._MF[qp % 6]
+    mf = jnp.asarray(np.array(
+        [[mfr[H._POSCLASS[r][c]] for c in range(4)] for r in range(4)], np.float32))
+    f_off = (1 << qbits) // 3
+    qbc = 15 + qpc // 6
+    mfrc = H._MF[qpc % 6]
+    mfc = jnp.asarray(np.array(
+        [[mfrc[H._POSCLASS[r][c]] for c in range(4)] for r in range(4)], np.float32))
+    fc_off = (1 << qbc) // 3
+    mf0 = float(mfr[0])
+    mf0c = float(mfrc[0])
+
+    def quant_ac(coefs, mfm, foff, qb):
+        # coefs are exact small ints in f32; quant in int32 via float mul is
+        # unsafe, so go int32
+        ci = coefs.astype(jnp.int32)
+        lv = (jnp.abs(ci) * mfm.astype(jnp.int32) + foff) >> qb
+        return jnp.sign(ci) * lv
+
+    def quant_dc(coefs, mf0v, foff, qb):
+        ci = coefs.astype(jnp.int32)
+        lv = (jnp.abs(ci) * jnp.int32(mf0v) + 2 * foff) >> (qb + 1)
+        return jnp.sign(ci) * lv
+
+    def encode(y, cb, cr):
+        yi = y.astype(jnp.int32)
+        # luma DC pred (source neighbors)
+        bottom = yi[15::16, :].reshape(mbh, mbw, 16).sum(axis=2)
+        right = yi[:, 15::16].reshape(mbh, 16, mbw).sum(axis=1)
+        top_sum = jnp.concatenate([jnp.zeros((1, mbw), jnp.int32), bottom[:-1]], axis=0)
+        left_sum = jnp.concatenate([jnp.zeros((mbh, 1), jnp.int32), right[:, :-1]], axis=1)
+        has_t = jnp.concatenate([jnp.zeros((1, mbw), bool), jnp.ones((mbh - 1, mbw), bool)])
+        has_l = jnp.concatenate([jnp.zeros((mbh, 1), bool), jnp.ones((mbh, mbw - 1), bool)], axis=1)
+        pred = jnp.where(
+            has_t & has_l, (top_sum + left_sum + 16) >> 5,
+            jnp.where(has_l, (left_sum + 8) >> 4,
+                      jnp.where(has_t, (top_sum + 8) >> 4, 128)))
+        blocks = yi.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3)
+        res = blocks - pred[:, :, None, None]
+        b44 = res.reshape(mbh, mbw, 4, 4, 4, 4).transpose(0, 1, 2, 4, 3, 5)
+        coefs = core4(b44)
+        dc_raw = coefs[..., 0, 0]
+        dc_had = had4(dc_raw)
+        # JM: floor-div by 2 (python // semantics for negatives)
+        dc_had = jnp.where(dc_had >= 0, dc_had >> 1, -((-dc_had + 1) >> 1))
+        dc_lv = quant_dc(dc_had, mf0, f_off, qbits)
+        ac_lv = quant_ac(coefs, mf, f_off, qbits)
+        ac_lv = ac_lv.at[..., 0, 0].set(0)
+        cbp_luma = jnp.any(ac_lv.reshape(mbh, mbw, -1) != 0, axis=2)
+
+        cdc_lv = []
+        cac_lv = []
+        for plane in (cb, cr):
+            p = plane.astype(jnp.int32)
+            tq = jnp.concatenate([
+                jnp.zeros((1, mbw, 2), jnp.int32),
+                p[7::8][:-1].reshape(mbh - 1, mbw, 2, 4).sum(axis=3)], axis=0)
+            lq = jnp.concatenate([
+                jnp.zeros((mbh, 1, 2), jnp.int32),
+                p[:, 7::8][:, :-1].reshape(mbh, 2, 4, mbw - 1).sum(axis=2).transpose(0, 2, 1)],
+                axis=1)
+            ht, hl = has_t, has_l
+            c00 = jnp.where(ht & hl, (tq[:, :, 0] + lq[:, :, 0] + 4) >> 3,
+                    jnp.where(hl, (lq[:, :, 0] + 2) >> 2,
+                              jnp.where(ht, (tq[:, :, 0] + 2) >> 2, 128)))
+            c01 = jnp.where(ht, (tq[:, :, 1] + 2) >> 2,
+                    jnp.where(hl, (lq[:, :, 0] + 2) >> 2, 128))
+            c10 = jnp.where(hl, (lq[:, :, 1] + 2) >> 2,
+                    jnp.where(ht, (tq[:, :, 0] + 2) >> 2, 128))
+            c11 = jnp.where(ht & hl, (tq[:, :, 1] + lq[:, :, 1] + 4) >> 3,
+                    jnp.where(hl, (lq[:, :, 1] + 2) >> 2,
+                              jnp.where(ht, (tq[:, :, 1] + 2) >> 2, 128)))
+            cpred = jnp.stack([jnp.stack([c00, c01], axis=-1),
+                               jnp.stack([c10, c11], axis=-1)], axis=-2)
+            cblocks = p.reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3)
+            cres = cblocks.reshape(mbh, mbw, 2, 4, 2, 4).transpose(0, 1, 2, 4, 3, 5)
+            cres = cres - cpred[..., None, None]
+            cc = core4(cres)
+            dc2 = had2(cc[..., 0, 0])
+            cdc_lv.append(quant_dc(dc2, mf0c, fc_off, qbc))
+            a = quant_ac(cc, mfc, fc_off, qbc)
+            cac_lv.append(a.at[..., 0, 0].set(0))
+        any_cac = (jnp.any(cac_lv[0].reshape(mbh, mbw, -1) != 0, axis=2)
+                   | jnp.any(cac_lv[1].reshape(mbh, mbw, -1) != 0, axis=2))
+        any_cdc = (jnp.any(cdc_lv[0].reshape(mbh, mbw, -1) != 0, axis=2)
+                   | jnp.any(cdc_lv[1].reshape(mbh, mbw, -1) != 0, axis=2))
+        cbp_chroma = jnp.where(any_cac, 2, jnp.where(any_cdc, 1, 0))
+
+        # totals / nnz / nC
+        zz_ac = ac_lv.reshape(mbh, mbw, 4, 4, 16)[..., zz][..., 1:]
+        tot_l = (zz_ac != 0).sum(axis=4).astype(jnp.int32)
+        nnz_l = (tot_l * cbp_luma[:, :, None, None]).transpose(0, 2, 1, 3).reshape(mbh * 4, mbw * 4)
+        zz_cac = [a.reshape(mbh, mbw, 2, 2, 16)[..., zz][..., 1:] for a in cac_lv]
+        tot_c = [(z != 0).sum(axis=4).astype(jnp.int32) for z in zz_cac]
+        nnz_c = [(t * (cbp_chroma == 2)[:, :, None, None]).transpose(0, 2, 1, 3).reshape(mbh * 2, mbw * 2)
+                 for t in tot_c]
+
+        def nc_grid(nn):
+            gh, gw = nn.shape
+            na = jnp.concatenate([jnp.full((gh, 1), -1, jnp.int32), nn[:, :-1]], axis=1)
+            nb = jnp.concatenate([jnp.full((1, gw), -1, jnp.int32), nn[:-1]], axis=0)
+            both = (na >= 0) & (nb >= 0)
+            return jnp.where(both, (na + nb + 1) >> 1,
+                             jnp.where(na >= 0, na, jnp.where(nb >= 0, nb, 0)))
+
+        ncl = nc_grid(nnz_l)
+        ncc = [nc_grid(nn) for nn in nnz_c]
+
+        # symbol grid
+        S = 36
+        parts_v = []
+        parts_l = []
+        mb_type = (1 + 2 + 4 * cbp_chroma.reshape(-1)
+                   + 12 * cbp_luma.reshape(-1).astype(jnp.int32))
+        parts_v.append(jnp.stack([uev[mb_type], jnp.ones(nmb, jnp.int32),
+                                  jnp.ones(nmb, jnp.int32)], axis=1))
+        parts_l.append(jnp.stack([uel[mb_type], jnp.ones(nmb, jnp.int32),
+                                  jnp.ones(nmb, jnp.int32)], axis=1))
+        # ONE batched CAVLC call per block family (keeps the traced graph
+        # small: 4 calls instead of 27)
+        zz_dc = dc_lv.reshape(mbh, mbw, 16)[..., zz].reshape(nmb, 16)
+        dv, dl, _ = cavlc_blocks_jnp(zz_dc, ncl[::4, ::4].reshape(-1), tabs)
+        parts_v.append(dv)
+        parts_l.append(dl)
+        keep_l = cbp_luma.reshape(-1)[:, None]
+        lum_lv = jnp.stack([zz_ac[:, :, by, bx].reshape(nmb, 15)
+                            for bx, by in H._BLK_ORDER])          # [16, nmb, 15]
+        lum_nc = jnp.stack([ncl[by::4, bx::4].reshape(-1)
+                            for bx, by in H._BLK_ORDER])          # [16, nmb]
+        av, al, _ = cavlc_blocks_jnp(lum_lv.reshape(16 * nmb, 15),
+                                     lum_nc.reshape(-1), tabs)
+        av = av.reshape(16, nmb, 36).transpose(1, 0, 2).reshape(nmb, 16 * 36)
+        al = al.reshape(16, nmb, 36).transpose(1, 0, 2).reshape(nmb, 16 * 36)
+        parts_v.append(av * keep_l)
+        parts_l.append(al * keep_l)
+        keep_cd = (cbp_chroma.reshape(-1) > 0)[:, None]
+        cdc_all = jnp.concatenate([cdc_lv[0].reshape(nmb, 4), cdc_lv[1].reshape(nmb, 4)])
+        cv, cl, _ = cavlc_blocks_jnp(cdc_all, jnp.zeros(2 * nmb, jnp.int32),
+                                     tabs, chroma_dc=True)
+        cv = cv.reshape(2, nmb, 36).transpose(1, 0, 2).reshape(nmb, 72)
+        cl = cl.reshape(2, nmb, 36).transpose(1, 0, 2).reshape(nmb, 72)
+        parts_v.append(cv * keep_cd)
+        parts_l.append(cl * keep_cd)
+        keep_ca = (cbp_chroma.reshape(-1) == 2)[:, None]
+        cac_l = jnp.stack([zz_cac[ci][:, :, by, bx].reshape(nmb, 15)
+                           for ci in range(2)
+                           for bx, by in ((0, 0), (1, 0), (0, 1), (1, 1))])
+        cac_n = jnp.stack([ncc[ci][by::2, bx::2].reshape(-1)
+                           for ci in range(2)
+                           for bx, by in ((0, 0), (1, 0), (0, 1), (1, 1))])
+        av, al, _ = cavlc_blocks_jnp(cac_l.reshape(8 * nmb, 15),
+                                     cac_n.reshape(-1), tabs)
+        av = av.reshape(8, nmb, 36).transpose(1, 0, 2).reshape(nmb, 8 * 36)
+        al = al.reshape(8, nmb, 36).transpose(1, 0, 2).reshape(nmb, 8 * 36)
+        parts_v.append(av * keep_ca)
+        parts_l.append(al * keep_ca)
+        sval = jnp.concatenate(parts_v, axis=1)
+        slen = jnp.concatenate(parts_l, axis=1)
+
+        # per-MB MSB-first packing into wwords u32 windows (JPEG slot pack)
+        ends = jnp.cumsum(slen, axis=1)
+        mb_bits = ends[:, -1]
+        offs = ends - slen
+        vv = sval.astype(jnp.uint32) & ((jnp.uint32(1) << slen.astype(jnp.uint32)) - 1)
+        t = (offs & 31).astype(jnp.uint32)
+        w0 = offs >> 5
+        d = t + slen.astype(jnp.uint32)
+        spans = d > 32
+        x0 = jnp.where(spans, vv >> jnp.where(spans, d - 32, 0),
+                       vv << ((jnp.uint32(32) - d) & 31))
+        x1 = jnp.where(spans, vv << jnp.where(spans, jnp.uint32(64) - d, 0), jnp.uint32(0))
+        words = []
+        for w in range(wwords):
+            contrib = jnp.where(w0 == w, x0, jnp.uint32(0)) | jnp.where(w0 == w - 1, x1, jnp.uint32(0))
+            words.append(jnp.sum(contrib.astype(jnp.int32), axis=1))
+        mb_words = jnp.stack(words, axis=1).astype(jnp.uint32)
+        overflow = jnp.max(mb_bits) > wwords * 32
+        return mb_words, mb_bits.astype(jnp.int32), overflow
+
+    return jax.jit(encode)
+
+
+class Intra16EncoderTpu:
+    """Device H.264 intra encoder: one jit graph + host C assembly.
+
+    Bit-identical to Intra16EncoderV / Intra16Encoder."""
+
+    def __init__(self, width: int, height: int, qp: int = 26, wwords: int = 80):
+        self.width, self.height = width, height
+        self.qp = qp
+        self.wwords = wwords
+        self.mb_w = (width + 15) // 16
+        self.mb_h = (height + 15) // 16
+        self.headers = H.make_sps(width, height) + H.make_pps(qp)
+        self._fns = {}
+        # slice header as a synthetic prefix window for the C assembler
+        hw = H.BitWriter()
+        H._slice_header(hw, 0, 0, 0, disable_deblock=True)
+        nbits = len(hw.bytes) * 8 + hw.nbits
+        bits = int.from_bytes(bytes(hw.bytes), "big") << hw.nbits | hw.acc
+        bits <<= (-nbits) % 32
+        nw = (nbits + 31) // 32
+        self._hdr_words = np.array(
+            [(bits >> (32 * (nw - 1 - i))) & 0xFFFFFFFF for i in range(nw)], np.uint32)
+        self._hdr_bits = nbits
+
+    def _fn(self):
+        fn = self._fns.get(self.wwords)
+        if fn is None:
+            fn = self._fns[self.wwords] = make_device_encode(
+                self.width, self.height, self.qp, self.wwords)
+        return fn
+
+    def encode_planes(self, y, cb, cr) -> bytes:
+        import ctypes
+
+        from ultragrid_tpu.native import h264_assemble_lib
+
+        y, cb, cr = H._pad_to_mb(y, cb, cr)
+        yj, cbj, crj = jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr)
+        words, bits, ovf = self._fn()(yj, cbj, crj)
+        while bool(ovf) and self.wwords < 1024:
+            self.wwords *= 2
+            words, bits, ovf = self._fn()(yj, cbj, crj)
+        wn = np.asarray(words)
+        bn = np.asarray(bits)
+        # prepend the slice header window
+        W = wn.shape[1]
+        hdr_row = np.zeros((1, W), np.uint32)
+        hdr_row[0, : len(self._hdr_words)] = self._hdr_words
+        wn = np.ascontiguousarray(np.concatenate([hdr_row, wn], axis=0))
+        bn = np.ascontiguousarray(
+            np.concatenate([[self._hdr_bits], bn]).astype(np.int32))
+        lib = h264_assemble_lib()
+        total_bits = int(bn.sum())
+        cap = total_bits // 8 + total_bits // 64 + 64
+        out = np.empty(cap, np.uint8)
+        n = lib.h264_assemble(wn.ctypes.data, bn.ctypes.data, wn.shape[0], W,
+                              out.ctypes.data, cap)
+        if n < 0:
+            raise RuntimeError("h264_assemble: buffer too small")
+        payload = out[:n].tobytes()
+        start = b"\x00\x00\x00\x01" + bytes([(3 << 5) | 5])
+        return self.headers + start + payload
+
+    def encode_uyvy(self, frame: np.ndarray) -> bytes:
+        y, cb, cr = H.uyvy_to_i420(np.asarray(frame), self.width, self.height)
+        return self.encode_planes(y, cb, cr)
