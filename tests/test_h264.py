@@ -143,3 +143,23 @@ def test_device_encoder_bit_identical():
     a = bytes(Intra16EncoderV(w, h, qp=26).encode_uyvy(frame))
     b = bytes(Intra16EncoderTpu(w, h, qp=26).encode_uyvy(frame))
     assert a == b
+
+
+def test_own_h264_standards_mode_rtp():
+    """Own encoder over RFC 6184 standards mode (PT 96) end to end."""
+    import threading
+
+    from ultragrid_tpu.pipeline.receiver import VideoReceiver
+    from ultragrid_tpu.pipeline.sender import VideoSender
+
+    port = 23486
+    recv = VideoReceiver("dummy", rx_port=port, frame_limit=2, timeout=60.0)
+    t = threading.Thread(target=recv.run, daemon=True)
+    t.start()
+    sender = VideoSender(
+        "testcard:64:48:30:UYVY", "127.0.0.1", compress_spec="h264:qp=20",
+        tx_port=port, frame_limit=4, rtp_standard=True,
+    )
+    sender.run()
+    t.join(timeout=60)
+    assert recv.frames_displayed >= 1

@@ -72,7 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-p", "--postprocess", default="", help="display postprocess chain")
     p.add_argument("--frames", type=int, default=None, help="stop after N frames")
     p.add_argument("--protocol", default="ultragrid_rtp",
-                   help="rxtx protocol: ultragrid_rtp | loopback (ref: --protocol)")
+                   help="rxtx protocol: ultragrid_rtp | loopback | mpegts | "
+                        "ihdtv (sage/omt need their SDKs, absent here; "
+                        "ref: --protocol)")
     p.add_argument("--list-modules", action="store_true")
     p.add_argument("--capabilities", action="store_true",
                    help="print machine-readable capabilities JSON (GUI contract)")
@@ -127,6 +129,16 @@ def main(argv=None) -> int:
             )
     if args.display:
         args.display, _ = cf.resolve_device("display", args.display)
+
+    if args.protocol in ("sage", "omt"):
+        # the reference gates these modules behind the SAGE / Open Media
+        # Transport SDKs (ref: src/rxtx/sage.cpp, omt.cpp); neither SDK
+        # exists in this environment, so probe with the reason like the
+        # hardware device stubs do
+        print(f"{args.protocol}: requires the "
+              f"{'SAGE' if args.protocol == 'sage' else 'Open Media Transport'} "
+              "SDK, which is not present on this system", file=sys.stderr)
+        return 1
 
     if args.protocol == "mpegts":
         # H.264-in-TS over UDP (ref: src/rxtx/mpegts.c); playable by any TS
