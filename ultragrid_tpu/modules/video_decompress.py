@@ -113,7 +113,39 @@ class JpegToDxtDecompress(VideoDecompress):
         return out
 
 
+class OwnH264Decompress(VideoDecompress):
+    """Own H.264 intra decoder (ops/h264_dec.py): decodes the subset the
+    own encoder emits (I_PCM + I_16x16 CAVLC), sample-exact with libavcodec
+    (tested).  Selected as the no-FFmpeg fallback for H.264; raises on
+    streams outside the subset, which the driver treats as decode failure.
+    """
+
+    SUPPORTS = [(Codec.H264, Codec.UYVY)]
+
+    def decompress(self, frame: VideoFrame, out_codec: Codec):
+        import numpy as np
+
+        from ultragrid_tpu.ops.h264_dec import IntraDecoder, UnsupportedStream
+
+        try:
+            y, cb, cr = IntraDecoder().decode(bytes(np.asarray(frame.data)))
+        except (UnsupportedStream, IndexError, KeyError):
+            return None
+        h, w = y.shape
+        # I420 -> UYVY (chroma rows duplicated)
+        cbf = np.repeat(cb, 2, axis=0)[:h]
+        crf = np.repeat(cr, 2, axis=0)[:h]
+        out = np.empty((h, w * 2), np.uint8)
+        out[:, 1::2] = y
+        out[:, 0::4] = cbf[:, : w // 2]
+        out[:, 2::4] = crf[:, : w // 2]
+        desc = VideoDesc(w, h, Codec.UYVY, frame.desc.fps,
+                         frame.desc.interlacing, frame.desc.tile_count)
+        return VideoFrame(desc, [out], timestamp=frame.timestamp)
+
+
 register_module("dxt", LibraryClass.VIDEO_DECOMPRESS, DxtDecompress)
+register_module("h264_own", LibraryClass.VIDEO_DECOMPRESS, OwnH264Decompress)
 register_module("i420", LibraryClass.VIDEO_DECOMPRESS, I420Decompress)
 register_module("jpeg", LibraryClass.VIDEO_DECOMPRESS, JpegDecompress)
 register_module("jpeg_to_dxt", LibraryClass.VIDEO_DECOMPRESS, JpegToDxtDecompress)
@@ -133,6 +165,9 @@ def decompress_init(in_codec: Codec, out_candidates: List[Codec]):
             classes.append(LavcDecompress)
     except Exception:  # noqa: BLE001 - lavc strictly optional
         pass
+    # own H.264 intra decoder: after lavc (which handles every profile),
+    # but present even without FFmpeg so own-encoder streams still display
+    classes.append(OwnH264Decompress)
     for out_codec in out_candidates:
         for cls in classes:
             if (in_codec, out_codec) in cls.SUPPORTS:
