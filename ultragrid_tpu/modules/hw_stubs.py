@@ -80,6 +80,8 @@ def _audio_probe_msg(name: str) -> str:
         "pulse": ("a PulseAudio daemon (libpulse)", ctypes.util.find_library("pulse")),
         "coreaudio": ("macOS CoreAudio", None),
         "wasapi": ("Windows WASAPI", None),
+        "sdi": ("an SDI capture card with embedded audio "
+                "(DeckLink/AJA/Deltacast SDK)", None),
     }
     what, found = checks.get(name, (name, None))
     if found:
@@ -96,7 +98,8 @@ def _make_audio_stub(name: str):
     return _Stub
 
 
-for _name in ("alsa", "pipewire", "jack", "portaudio", "pulse", "coreaudio", "wasapi"):
+for _name in ("alsa", "pipewire", "jack", "portaudio", "pulse", "coreaudio",
+              "wasapi", "sdi"):
     _stub = _make_audio_stub(_name)
     register_module(_name, LibraryClass.AUDIO_CAPTURE, _stub)
     register_module(_name, LibraryClass.AUDIO_PLAYBACK, _stub)

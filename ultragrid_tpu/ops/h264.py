@@ -942,17 +942,38 @@ class Intra16EncoderV:
     array ops over every macroblock at once (the layout the device port
     uses; cf. the JPEG encoder's slot machinery)."""
 
-    def __init__(self, width: int, height: int, qp: int = 26):
+    def __init__(self, width: int, height: int, qp: int = 26, slices: int = 1):
         self.width, self.height = width, height
         self.qp = qp
+        self.slices = slices
         self.mb_w = (width + 15) // 16
         self.mb_h = (height + 15) // 16
         self.headers = make_sps(width, height) + make_pps(qp)
 
     def encode_planes(self, y, cb, cr) -> bytes:
+        """One IDR access unit; ``slices`` horizontal bands, each an
+        independent slice (slice boundaries reset intra prediction and
+        CAVLC contexts, so a band encodes exactly like a standalone
+        frame of its height — the property the mesh-sharded encoder
+        exploits; cf. parallel/sharded_jpeg.py's restart alignment)."""
         y, cb, cr = _pad_to_mb(y, cb, cr)
+        if self.slices <= 1:
+            return self.headers + self._slice_nal(y, cb, cr, 0)
+        mbh, mbw = self.mb_h, self.mb_w
+        bounds = [round(i * mbh / self.slices) for i in range(self.slices + 1)]
+        out = [self.headers]
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            if b0 == b1:
+                continue
+            out.append(self._slice_nal(
+                y[b0 * 16 : b1 * 16], cb[b0 * 8 : b1 * 8], cr[b0 * 8 : b1 * 8],
+                b0 * mbw))
+        return b"".join(out)
+
+    def _slice_nal(self, y, cb, cr, first_mb: int) -> bytes:
         qp, qpc = self.qp, chroma_qp(self.qp)
-        mbw, mbh = self.mb_w, self.mb_h
+        mbw = self.mb_w
+        mbh = y.shape[0] // 16
         nmb = mbw * mbh
         yi = y.astype(np.int64)
 
@@ -1101,7 +1122,7 @@ class Intra16EncoderV:
 
         # ---- assemble: slice header symbols + MB slots + stop bit ----
         hw = BitWriter()
-        _slice_header(hw, 0, 0, 0, disable_deblock=True)
+        _slice_header(hw, first_mb, 0, 0, disable_deblock=True)
         head = _bits_to_symbols(hw)
         flat_v = np.concatenate([np.array([v for v, _ in head], np.int64),
                                  sval.reshape(-1), np.array([1], np.int64)])
@@ -1109,7 +1130,7 @@ class Intra16EncoderV:
                                  slen.reshape(-1), np.array([1], np.int64)])
         data, _total_bits = pack_symbols(flat_v, flat_l)
         # rbsp trailing: stop bit appended above; pack pads to a byte with 0s
-        return self.headers + nal(3, 5, data)
+        return nal(3, 5, data)
 
     def encode_uyvy(self, frame: np.ndarray) -> bytes:
         y, cb, cr = uyvy_to_i420(frame, self.width, self.height)

@@ -256,6 +256,7 @@ class IntraDecoder:
     def decode(self, bs: bytes):
         sps = pps = None
         y = cb = cr = None
+        state = None
         for nal_type, rbsp in split_nals(bs):
             if nal_type == 7:
                 sps = self._parse_sps(rbsp)
@@ -264,7 +265,14 @@ class IntraDecoder:
             elif nal_type == 5:
                 if sps is None or pps is None:
                     raise UnsupportedStream("slice before parameter sets")
-                y, cb, cr = self._decode_slice(rbsp, sps, pps)
+                if state is None:
+                    mbw, mbh = sps["mb_w"], sps["mb_h"]
+                    state = (
+                        np.zeros((mbh * 16, mbw * 16), np.int64),
+                        np.zeros((mbh * 8, mbw * 8), np.int64),
+                        np.zeros((mbh * 8, mbw * 8), np.int64),
+                    )
+                y, cb, cr = self._decode_slice(rbsp, sps, pps, state)
         if y is None:
             raise UnsupportedStream("no IDR slice found")
         w, h = sps["width"], sps["height"]
@@ -319,10 +327,9 @@ class IntraDecoder:
         r.u(1); r.u(1)
         return {"init_qp": init_qp, "chroma_off": chroma_off, "dbf_ctrl": dbf_ctrl}
 
-    def _decode_slice(self, rbsp: bytes, sps, pps):
+    def _decode_slice(self, rbsp: bytes, sps, pps, state):
         r = BitReader(rbsp)
-        if r.ue() != 0:
-            raise UnsupportedStream("first_mb != 0")
+        first_mb = r.ue()
         st = r.ue()
         if st % 5 != 2:
             raise UnsupportedStream("not an I slice")
@@ -334,18 +341,25 @@ class IntraDecoder:
         if pps["dbf_ctrl"]:
             r.ue()  # disable_deblocking_filter_idc (we require 1; see below)
         mbw, mbh = sps["mb_w"], sps["mb_h"]
-        y = np.zeros((mbh * 16, mbw * 16), np.int64)
-        cbp_ = np.zeros((mbh * 8, mbw * 8), np.int64)
-        crp = np.zeros((mbh * 8, mbw * 8), np.int64)
+        y, cbp_, crp = state
+        if first_mb % mbw:
+            raise UnsupportedStream("slices must start at an MB row")
+        my0 = first_mb // mbw  # slice's first MB row: resets availability
         nnz_l = np.zeros((mbh * 4, mbw * 4), np.int64)
         nnz_c = [np.zeros((mbh * 2, mbw * 2), np.int64) for _ in range(2)]
+        # last meaningful bit = the rbsp stop bit (last set bit of the
+        # last nonzero byte); more_rbsp_data() is true before it
+        last_nz = len(rbsp) - 1
+        while last_nz >= 0 and rbsp[last_nz] == 0:
+            last_nz -= 1
+        stop_pos = last_nz * 8 + (7 - ((rbsp[last_nz] & -rbsp[last_nz]).bit_length() - 1))
         qpc = H.chroma_qp(max(0, min(51, qp + pps["chroma_off"])))
         vy = _vmat(qp)
         vc = _vmat(qpc)
 
-        def nc_of(nn, gx, gy):
+        def nc_of(nn, gx, gy, gy_min):
             na = nn[gy, gx - 1] if gx > 0 else None
-            nb = nn[gy - 1, gx] if gy > 0 else None
+            nb = nn[gy - 1, gx] if gy > gy_min else None
             if na is not None and nb is not None:
                 return (int(na) + int(nb) + 1) >> 1
             if na is not None:
@@ -354,8 +368,11 @@ class IntraDecoder:
                 return int(nb)
             return 0
 
-        for my in range(mbh):
-            for mx in range(mbw):
+        mb_addr = first_mb
+        while r.pos < stop_pos:
+            my, mx = mb_addr // mbw, mb_addr % mbw
+            mb_addr += 1
+            if True:
                 mb_type = r.ue()
                 if mb_type == 25:  # I_PCM
                     r.byte_align()
@@ -383,13 +400,13 @@ class IntraDecoder:
                 r.se()  # mb_qp_delta (always 0 from our encoder)
 
                 # luma DC coefficients
-                nc = nc_of(nnz_l, mx * 4, my * 4)
+                nc = nc_of(nnz_l, mx * 4, my * 4, my0 * 4)
                 dc_zz = decode_cavlc_block(r, nc, 16)
                 ac = np.zeros((4, 4, 16), np.int64)
                 if cbp_luma:
                     for bx, by in H._BLK_ORDER:
                         gx, gy = mx * 4 + bx, my * 4 + by
-                        nc = nc_of(nnz_l, gx, gy)
+                        nc = nc_of(nnz_l, gx, gy, my0 * 4)
                         zz = decode_cavlc_block(r, nc, 15)
                         ac[by, bx, 1:] = zz
                         nnz_l[gy, gx] = int(np.count_nonzero(zz))
@@ -402,14 +419,14 @@ class IntraDecoder:
                     for ci in range(2):
                         for bx, by in ((0, 0), (1, 0), (0, 1), (1, 1)):
                             gx, gy = mx * 2 + bx, my * 2 + by
-                            nc = nc_of(nnz_c[ci], gx, gy)
+                            nc = nc_of(nnz_c[ci], gx, gy, my0 * 2)
                             zz = decode_cavlc_block(r, nc, 15)
                             cac[ci][by, bx, 1:] = zz
                             nnz_c[ci][gy, gx] = int(np.count_nonzero(zz))
 
                 # ---- reconstruct luma ----
                 left = y[my * 16 : my * 16 + 16, mx * 16 - 1] if mx > 0 else None
-                top = y[my * 16 - 1, mx * 16 : mx * 16 + 16] if my > 0 else None
+                top = y[my * 16 - 1, mx * 16 : mx * 16 + 16] if my > my0 else None
                 if left is not None and top is not None:
                     pred = (int(left.sum()) + int(top.sum()) + 16) >> 5
                 elif left is not None:
@@ -441,7 +458,7 @@ class IntraDecoder:
                         for bx in range(2):
                             x0, y0 = mx * 8 + bx * 4, my * 8 + by * 4
                             lcol = plane[y0 : y0 + 4, mx * 8 - 1] if mx > 0 else None
-                            trow = plane[my * 8 - 1, x0 : x0 + 4] if my > 0 else None
+                            trow = plane[my * 8 - 1, x0 : x0 + 4] if my > my0 else None
                             use_l, use_t = lcol is not None, trow is not None
                             if bx == 1 and by == 0 and trow is not None:
                                 use_l = False
