@@ -282,3 +282,79 @@ def test_scan_decode_mt_matches_serial():
         results.append(outs)
     for o1, o8 in zip(*results):
         np.testing.assert_array_equal(o1, o8)
+
+
+def test_jpeg_420_encode_decodes_everywhere():
+    """4:2:0 encode (16x16 MCUs, 4 Y blocks, chroma pair-average folded
+    into the mega-matrix): PIL and libavcodec both decode it; luma within
+    the usual quality bound; our own parser handles the (2,2) sampling."""
+    import io
+
+    import numpy as np
+
+    from ultragrid_tpu.ops.jpeg import JpegEncoder, decode_jpeg
+    from ultragrid_tpu.types import Codec
+
+    w, h = 64, 48
+    rng = np.random.default_rng(1)
+    frame = np.empty((h, 2 * w), np.uint8)
+    frame[:, 1::2] = (
+        np.linspace(30, 220, w, dtype=np.float32)[None, :]
+        + rng.normal(0, 6, (h, w))
+    ).clip(0, 255).astype(np.uint8)
+    frame[:, 0::2] = 128  # neutral chroma
+    enc = JpegEncoder(w, h, quality=85, subsampling="420")
+    jpg = bytes(enc.encode(frame))
+    assert len(jpg) < frame.nbytes
+    # PIL
+    from PIL import Image
+
+    im = Image.open(io.BytesIO(jpg))
+    im.load()
+    y = np.asarray(im.convert("YCbCr"))[:, :, 0].astype(float)
+    err = np.abs(y - frame[:, 1::2].astype(float))
+    assert err.mean() < 4.5 and err.max() < 40, (err.mean(), err.max())
+    # own parser handles (2,2)
+    planes, hh, ww, sampling = (lambda t: (t[0], t[1], t[2], t[3]))(decode_jpeg(jpg))
+    assert sampling[0] == (2, 2)
+    # lavc mjpeg decoder cross-check when available
+    try:
+        from ultragrid_tpu.modules.lavc import lavc_available, LavcDecompress
+        from ultragrid_tpu.types import VideoDesc, VideoFrame
+
+        if lavc_available():
+            vf = VideoFrame(VideoDesc(w, h, Codec.JPEG, 30.0),
+                            [np.frombuffer(jpg, np.uint8)])
+            out = LavcDecompress().decompress(vf, Codec.UYVY)
+            assert out is not None
+            ly = np.asarray(out.data)[:, 1::2].astype(float)
+            assert np.abs(ly - frame[:, 1::2].astype(float)).mean() < 4.5
+    except ImportError:
+        pass
+
+
+def test_jpeg_assemble_orientation_tiny_frame():
+    """Regression: nblocks < wwords used to trip the row/word-major
+    heuristic and emit a scrambled stream."""
+    import io
+
+    import numpy as np
+
+    from ultragrid_tpu.ops.jpeg import JpegEncoder
+
+    w, h = 32, 32
+    frame = np.zeros((h, 2 * w), np.uint8)
+    frame[:, 0::2] = 128
+    vals = (np.arange(16).reshape(4, 4) + 1) * 15
+    for by in range(4):
+        for bx in range(4):
+            frame[by * 8 : (by + 1) * 8, 1 + 2 * bx * 8 : 1 + 2 * (bx + 1) * 8 : 2] = vals[by, bx]
+    for ss in ("422", "420"):
+        jpg = bytes(JpegEncoder(w, h, quality=95, subsampling=ss).encode(frame))
+        from PIL import Image
+
+        im = Image.open(io.BytesIO(jpg))
+        im.load()
+        y = np.asarray(im.convert("YCbCr"))[:, :, 0]
+        got = np.array([[y[by * 8 + 4, bx * 8 + 4] for bx in range(4)] for by in range(4)])
+        assert np.abs(got.astype(int) - vals).max() <= 2, ss

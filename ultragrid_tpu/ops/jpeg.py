@@ -386,21 +386,26 @@ class JpegEncoder:
         restart_interval: Optional[int] = None,
         subsampling: Optional[str] = None,
     ):
-        if width % 16 or height % 8:
-            raise ValueError("JPEG encoder requires width % 16 == 0 and height % 8 == 0")
         self.width, self.height = width, height
         self.in_codec = in_codec
         self.quality = quality
-        # 4:2:2 for YCbCr sources, 4:4:4 for RGB (ref: gpujpeg.cpp:295-304)
+        # 4:2:2 for YCbCr sources, 4:4:4 for RGB (ref: gpujpeg.cpp:295-304);
+        # 4:2:0 available on request (RFC 2435 type-1 / camera interop)
         if subsampling is None:
             subsampling = "422" if in_codec in (Codec.UYVY, Codec.YUYV) else "444"
         self.subsampling = subsampling
-        self.mcu_w = 16 if subsampling == "422" else 8
-        self.mcu_h = 8
+        if subsampling == "420" and in_codec not in (Codec.UYVY, Codec.YUYV):
+            raise ValueError("4:2:0 encode supports UYVY/YUYV input")
+        self.mcu_w = 16 if subsampling in ("422", "420") else 8
+        self.mcu_h = 16 if subsampling == "420" else 8
+        if width % self.mcu_w or height % self.mcu_h:
+            raise ValueError(
+                f"JPEG encoder requires width % {self.mcu_w} == 0 and "
+                f"height % {self.mcu_h} == 0 for {subsampling}")
         self.nmcux = width // self.mcu_w
         self.nmcuy = height // self.mcu_h
         self.nmcu = self.nmcux * self.nmcuy
-        self.blocks_per_mcu = 4 if subsampling == "422" else 3
+        self.blocks_per_mcu = {"422": 4, "444": 3, "420": 6}[subsampling]
         if restart_interval is None:
             # keep >= 512 segments for TPU parallelism, but small overhead
             restart_interval = max(1, min(32, self.nmcu // 512))
@@ -450,10 +455,11 @@ class JpegEncoder:
         out += marker(0xDB, bytes([0]) + bytes(self.qtab_luma[ZIGZAG].tolist()))
         out += marker(0xDB, bytes([1]) + bytes(self.qtab_chroma[ZIGZAG].tolist()))
         # SOF0
-        h_y = 2 if self.subsampling == "422" else 1
+        h_y = 2 if self.subsampling in ("422", "420") else 1
+        v_y = 2 if self.subsampling == "420" else 1
         sof = bytes([8]) + self.height.to_bytes(2, "big") + self.width.to_bytes(2, "big")
         sof += bytes([3])
-        sof += bytes([1, (h_y << 4) | 1, 0])  # Y
+        sof += bytes([1, (h_y << 4) | v_y, 0])  # Y
         sof += bytes([2, (1 << 4) | 1, 1])  # Cb
         sof += bytes([3, (1 << 4) | 1, 1])  # Cr
         out += marker(0xC0, sof)
@@ -544,6 +550,30 @@ class JpegEncoder:
                     W[r * 32 + 4 * c + voff, 192:256] = mc[rc]      # Cr
             const = np.concatenate([cy, cy, cc, cc]).astype(np.float32)
             return W, const, 32
+        if self.subsampling == "420" and self.in_codec in (Codec.UYVY, Codec.YUYV):
+            # 16x16 MCU = 16 rows x 32 bytes: 4 luma blocks (2x2) + Cb + Cr
+            # with the vertical chroma pair-average folded into the matrix
+            B = 512
+            W = np.zeros((B, 384), np.float32)
+            if self.in_codec == Codec.UYVY:
+                yoff, uoff, voff = 1, 0, 2
+            else:
+                yoff, uoff, voff = 0, 1, 3
+            for r in range(8):
+                for c in range(8):
+                    rc = r * 8 + c
+                    # Y00 Y01 (top row of blocks), Y10 Y11 (bottom)
+                    W[r * 32 + 2 * c + yoff, 0:64] = my[rc]
+                    W[r * 32 + 16 + 2 * c + yoff, 64:128] = my[rc]
+                    W[(8 + r) * 32 + 2 * c + yoff, 128:192] = my[rc]
+                    W[(8 + r) * 32 + 16 + 2 * c + yoff, 192:256] = my[rc]
+                    # chroma row r averages input rows 2r and 2r+1
+                    W[(2 * r) * 32 + 4 * c + uoff, 256:320] += 0.5 * mc[rc]
+                    W[(2 * r + 1) * 32 + 4 * c + uoff, 256:320] += 0.5 * mc[rc]
+                    W[(2 * r) * 32 + 4 * c + voff, 320:384] += 0.5 * mc[rc]
+                    W[(2 * r + 1) * 32 + 4 * c + voff, 320:384] += 0.5 * mc[rc]
+            const = np.concatenate([cy, cy, cy, cy, cc, cc]).astype(np.float32)
+            return W, const, 32
         if self.subsampling == "444" and self.in_codec in (Codec.RGB, Codec.RGBA):
             # 8x8 MCU: Y + Cb + Cr blocks; JFIF full-range BT.601 color
             # conversion folded into the matrix (it is linear; the Cb/Cr
@@ -602,14 +632,18 @@ class JpegEncoder:
                 Wj = jnp.asarray(Wm)
                 cj = jnp.asarray(constv)
                 mb = frame[:, : self.nmcux * bpr].reshape(
-                    self.nmcuy, 8, self.nmcux, bpr
-                ).transpose(0, 2, 1, 3).reshape(nmcu, 8 * bpr)
+                    self.nmcuy, self.mcu_h, self.nmcux, bpr
+                ).transpose(0, 2, 1, 3).reshape(nmcu, self.mcu_h * bpr)
                 f = jnp.dot(mb.astype(jnp.float32), Wj, preferred_element_type=jnp.float32)
                 q = jnp.round(f - cj[None, :]).astype(jnp.int32)
                 if self.subsampling == "422":
                     qy_blocks = q[:, 0:128].reshape(nmcu * 2, 64)
                     qu_blocks = q[:, 128:192]
                     qv_blocks = q[:, 192:256]
+                elif self.subsampling == "420":
+                    qy_blocks = q[:, 0:256].reshape(nmcu * 4, 64)
+                    qu_blocks = q[:, 256:320]
+                    qv_blocks = q[:, 320:384]
                 else:
                     qy_blocks = q[:, 0:64]
                     qu_blocks = q[:, 64:128]
@@ -648,9 +682,11 @@ class JpegEncoder:
 
             mcu_idx = jnp.arange(nmcu, dtype=jnp.int32)
             seg_start_mcu = (mcu_idx % ri) == 0
-            if self.subsampling == "422":
+            ky = {"422": 2, "420": 4}.get(self.subsampling, 1)
+            if ky > 1:
                 y_seg_start = jnp.stack(
-                    [seg_start_mcu, jnp.zeros_like(seg_start_mcu)], axis=1
+                    [seg_start_mcu] + [jnp.zeros_like(seg_start_mcu)] * (ky - 1),
+                    axis=1,
                 ).reshape(-1)
             else:
                 y_seg_start = seg_start_mcu
@@ -763,12 +799,14 @@ class JpegEncoder:
         (C fast path, python fallback)."""
         from ultragrid_tpu.native import jpeg_assemble_lib
 
-        ky = 2 if self.subsampling == "422" else 1
+        ky = {"422": 2, "420": 4}.get(self.subsampling, 1)
         lib = jpeg_assemble_lib()
         arrs = [np.ascontiguousarray(a, dtype=np.uint32) for a in (ys, us, vs)]
         bitsarr = [np.ascontiguousarray(b, dtype=np.int32) for b in (ybits, ubits, vbits)]
         # detect orientation: [nb, W] row-major vs [W, nb] word-major
-        word_major = arrs[0].shape[0] < arrs[0].shape[1]
+        # (exact row-count check: a < comparison misfires when the frame is
+        # tiny enough that nblocks < wwords)
+        word_major = arrs[0].shape[0] != self.nmcu * ky
         total_bits = int(sum(int(b.sum()) for b in bitsarr))
         if lib is not None:
             cap = int(total_bits // 8 + self.nblocks // 4 + 4 * self.nseg + 64)
@@ -881,7 +919,7 @@ class JpegBatchEncoder:
             out = self.tall.escalate_and_retry(f)
             self.single.wwords = self.tall.wwords
         ys, ybits, us, ubits, vs, vbits = (np.asarray(p) for p in out[:-1])
-        ky = 2 if self.single.subsampling == "422" else 1
+        ky = {"422": 2, "420": 4}.get(self.single.subsampling, 1)
         npm = self.single.nmcu  # MCUs per frame
         hdr = np.frombuffer(self.single._header, dtype=np.uint8)
         eoi = np.frombuffer(b"\xff\xd9", dtype=np.uint8)
