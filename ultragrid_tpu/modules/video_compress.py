@@ -130,7 +130,9 @@ class JpegCompress(VideoCompress):
     """GPUJPEG-equivalent JPEG encoder on device
     (ref: src/video_compress/gpujpeg.cpp).
 
-    Config: ``jpeg[:quality][:restart_interval]`` (quality default 80).
+    Config: ``jpeg[:quality][:restart_interval][:subsampling]`` (quality
+    default 80; subsampling 422 for YCbCr inputs, 444 for RGB, or 420 —
+    same option set as gpujpeg.cpp:279-353).
     """
 
     def __init__(self, cfg: str):
@@ -138,6 +140,9 @@ class JpegCompress(VideoCompress):
         parts = [p for p in cfg.split(":") if p]
         self.quality = int(parts[0]) if parts else 80
         self.restart_interval = int(parts[1]) if len(parts) > 1 else None
+        if not self.restart_interval:
+            self.restart_interval = None  # 0 = auto (we always use restarts)
+        self.subsampling = parts[2] if len(parts) > 2 else None
         self._encoder = None
         self._desc: Optional[VideoDesc] = None
 
@@ -152,6 +157,7 @@ class JpegCompress(VideoCompress):
                 in_codec=desc.color_spec,
                 quality=self.quality,
                 restart_interval=self.restart_interval,
+                subsampling=self.subsampling,
             )
             self._desc = desc
         data = self._encoder.encode(frame.data)
