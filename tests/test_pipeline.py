@@ -397,3 +397,31 @@ def test_swmix_capture_grid():
     assert left.std() > 5  # gradient content
     assert right.max() <= 16  # blank
     cap.done()
+
+
+def test_encode_pipeline_fused_scale_jpeg_ldgm():
+    """BASELINE config #5: capture -> scale -> JPEG -> LDGM as ONE graph."""
+    import numpy as np
+
+    from ultragrid_tpu.models.encode import EncodeConfig, EncodePipeline
+    from ultragrid_tpu.ops.jpeg import JpegEncoder
+    from ultragrid_tpu.types import Codec, VideoDesc, vc_get_linesize
+
+    desc = VideoDesc(128, 64, Codec.UYVY, 30.0)
+    pipe = EncodePipeline(desc, EncodeConfig(
+        in_codec=Codec.UYVY, compress="jpeg", quality=80,
+        fec="ldgm:8:4:3", scale_to=(64, 32)))
+    frame = np.random.default_rng(0).integers(
+        0, 256, (64, vc_get_linesize(128, Codec.UYVY)), dtype=np.uint8)
+    out = pipe._step(frame)
+    assert len(out) == 8  # parts + parity + overflow
+    # the scaled-down encode must match scaling on host then encoding
+    from ultragrid_tpu.ops.postprocess import scale_nearest
+
+    small = np.asarray(scale_nearest(frame, 128, Codec.UYVY, 64, 32))
+    ref = JpegEncoder(64, 32, in_codec=Codec.UYVY, quality=80,
+                      restart_interval=pipe.jpeg_encoder.restart_interval)
+    ref.wwords = pipe.jpeg_encoder.wwords
+    ref_out = ref._encode(small)
+    got_ys = np.asarray(out[0])
+    assert (got_ys == np.asarray(ref_out[0])).all()

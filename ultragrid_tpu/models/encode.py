@@ -46,6 +46,9 @@ class EncodeConfig:
     compress: str = "none"  # none | dxt1 | dxt5 | jpeg
     quality: int = 80
     fec: str = "none"  # none | ldgm:k:m:c | rs:k:n
+    # optional device pre-scale (BASELINE config #5: capture -> scale ->
+    # JPEG -> LDGM as ONE graph); None = encode at capture resolution
+    scale_to: Optional[Tuple[int, int]] = None
 
 
 def _parse_fec(spec: str):
@@ -125,13 +128,31 @@ class EncodePipeline:
         if cfg.compress == "jpeg":
             from ultragrid_tpu.ops.jpeg import JpegEncoder
 
+            enc_w, enc_h = desc.width, desc.height
+            prescale = None
+            if cfg.scale_to is not None:
+                from ultragrid_tpu.ops.postprocess import scale_nearest
+
+                enc_w, enc_h = cfg.scale_to
+
+                def prescale(frame):
+                    return scale_nearest(frame, desc.width, cfg.in_codec, enc_w, enc_h)
+
             encoder = JpegEncoder(
-                desc.width, desc.height, in_codec=cfg.in_codec, quality=cfg.quality
+                enc_w, enc_h, in_codec=cfg.in_codec, quality=cfg.quality
             )
             self.jpeg_encoder = encoder
-            base = encoder._encode_cache.setdefault(
+            raw = encoder._encode_cache.setdefault(
                 encoder.wwords, encoder._build_encode(encoder.wwords)
             )
+            if prescale is not None:
+                inner_raw = raw
+
+                @jax.jit
+                def base(frame):
+                    return inner_raw.__wrapped__(prescale(frame))
+            else:
+                base = raw
             if fec is None:
                 return base
             # fused JPEG + FEC over the slot-aligned device container: the
@@ -170,6 +191,12 @@ class EncodePipeline:
             ps_words = ps // 4
 
             inner = encoder._build_encode(ww)
+            inner_fn = inner.__wrapped__
+            if prescale is not None:
+                _plain = inner_fn
+
+                def inner_fn(frame):
+                    return _plain(prescale(frame))
 
             def part_syms(arr_u32, rows):
                 flat = arr_u32.reshape(-1)
@@ -180,7 +207,7 @@ class EncodePipeline:
                 ).reshape(rows, ps)
 
             def step(frame):
-                ys, ybits, us, ubits, vs, vbits, ovf = inner.__wrapped__(frame)
+                ys, ybits, us, ubits, vs, vbits, ovf = inner_fn(frame)
                 parts = [
                     ys, jnp.asarray(ybits, jnp.int32).view(jnp.uint32),
                     us, jnp.asarray(ubits, jnp.int32).view(jnp.uint32),
