@@ -173,9 +173,14 @@ def cavlc_blocks_jnp(levels, nC, tabs, chroma_dc: bool = False):
     return sval.astype(jnp.int32), slen.astype(jnp.int32), total
 
 
-def make_device_encode(width: int, height: int, qp: int, wwords: int = 80):
+def make_device_encode(width: int, height: int, qp: int, wwords: int = 80,
+                       uyvy_in: bool = False):
     """Build the jitted whole-frame encode: (y, cb, cr) planes ->
-    (mb_words u32 [nmb, wwords] MSB-first, mb_bits i32 [nmb], overflow)."""
+    (mb_words u32 [nmb, wwords] MSB-first, mb_bits i32 [nmb], overflow).
+
+    With ``uyvy_in`` the graph takes the padded UYVY frame directly and
+    performs the 4:2:0 plane split (incl chroma pair-average) on device —
+    one host->device transfer instead of three plus a host numpy pass."""
     mbw = (width + 15) // 16
     mbh = (height + 15) // 16
     nmb = mbw * mbh
@@ -230,7 +235,17 @@ def make_device_encode(width: int, height: int, qp: int, wwords: int = 80):
         lv = (jnp.abs(ci) * jnp.int32(mf0v) + 2 * foff) >> (qb + 1)
         return jnp.sign(ci) * lv
 
-    def encode(y, cb, cr):
+    def encode(*args):
+        if uyvy_in:
+            (frame,) = args
+            a = frame.astype(jnp.int32)
+            y = a[:, 1::2]
+            cbf = a[:, 0::4]
+            crf = a[:, 2::4]
+            cb = (cbf[0::2] + cbf[1::2] + 1) >> 1
+            cr = (crf[0::2] + crf[1::2] + 1) >> 1
+        else:
+            y, cb, cr = args
         yi = y.astype(jnp.int32)
         # luma DC pred (source neighbors)
         bottom = yi[15::16, :].reshape(mbh, mbw, 16).sum(axis=2)
@@ -412,24 +427,26 @@ class Intra16EncoderTpu:
             [(bits >> (32 * (nw - 1 - i))) & 0xFFFFFFFF for i in range(nw)], np.uint32)
         self._hdr_bits = nbits
 
-    def _fn(self):
-        fn = self._fns.get(self.wwords)
+    def _fn(self, uyvy_in: bool = False):
+        key = (self.wwords, uyvy_in)
+        fn = self._fns.get(key)
         if fn is None:
-            fn = self._fns[self.wwords] = make_device_encode(
-                self.width, self.height, self.qp, self.wwords)
+            fn = self._fns[key] = make_device_encode(
+                self.width, self.height, self.qp, self.wwords, uyvy_in=uyvy_in)
         return fn
 
     def encode_planes(self, y, cb, cr) -> bytes:
-        import ctypes
-
-        from ultragrid_tpu.native import h264_assemble_lib
-
         y, cb, cr = H._pad_to_mb(y, cb, cr)
         yj, cbj, crj = jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr)
         words, bits, ovf = self._fn()(yj, cbj, crj)
         while bool(ovf) and self.wwords < 1024:
             self.wwords *= 2
             words, bits, ovf = self._fn()(yj, cbj, crj)
+        return self._assemble(words, bits)
+
+    def _assemble(self, words, bits) -> bytes:
+        from ultragrid_tpu.native import h264_assemble_lib
+
         wn = np.asarray(words)
         bn = np.asarray(bits)
         # prepend the slice header window
@@ -452,5 +469,19 @@ class Intra16EncoderTpu:
         return self.headers + start + payload
 
     def encode_uyvy(self, frame: np.ndarray) -> bytes:
-        y, cb, cr = H.uyvy_to_i420(np.asarray(frame), self.width, self.height)
-        return self.encode_planes(y, cb, cr)
+        """UYVY in, ONE device transfer: plane split runs in the graph.
+
+        Non-MB-aligned sizes take the plane path (host pad semantics differ
+        from padding the interleaved frame; bit-identity with the numpy
+        encoder is the contract)."""
+        a = np.asarray(frame)[: self.height, : 2 * self.width]
+        ph, pw = self.mb_h * 16, self.mb_w * 16
+        if a.shape != (ph, 2 * pw):
+            y, cb, cr = H.uyvy_to_i420(a, self.width, self.height)
+            return self.encode_planes(y, cb, cr)
+        fj = jnp.asarray(a)
+        words, bits, ovf = self._fn(uyvy_in=True)(fj)
+        while bool(ovf) and self.wwords < 1024:
+            self.wwords *= 2
+            words, bits, ovf = self._fn(uyvy_in=True)(fj)
+        return self._assemble(words, bits)
