@@ -425,3 +425,38 @@ def test_encode_pipeline_fused_scale_jpeg_ldgm():
     ref_out = ref._encode(small)
     got_ys = np.asarray(out[0])
     assert (got_ys == np.asarray(ref_out[0])).all()
+
+
+def test_unix_sock_display_survives_dead_consumer():
+    """A consumer that stops reading mid-stream must never wedge the
+    pipeline: put_frame/done degrade to drops once the worker exits
+    (found live: thumbnailgen -n 2 hung the whole sender)."""
+    import socket as socket_mod
+    import tempfile, os, time
+
+    from ultragrid_tpu.modules.ipc_display import UnixSockDisplay
+    from ultragrid_tpu.types import Codec, VideoDesc, VideoFrame
+    from ultragrid_tpu.utils.pattern import generate_pattern
+
+    path = os.path.join(tempfile.gettempdir(), f"ug_deadcons_{os.getpid()}")
+    srv = socket_mod.socket(socket_mod.AF_UNIX, socket_mod.SOCK_STREAM)
+    try:
+        os.unlink(path)
+    except FileNotFoundError:
+        pass
+    srv.bind(path)
+    srv.listen(1)
+    d = UnixSockDisplay(f"path={path}")
+    conn, _ = srv.accept()
+    conn.close()  # consumer goes away immediately
+    srv.close()
+    desc = VideoDesc(64, 32, Codec.RGB, 30.0)
+    frame = VideoFrame(desc, [generate_pattern(64, 32, Codec.RGB, "bars")])
+    d.reconfigure(desc)
+    t0 = time.monotonic()
+    for _ in range(20):  # > queue capacity; must not block forever
+        d.put_frame(frame)
+    d.put_frame(None)
+    d.done()
+    assert time.monotonic() - t0 < 30  # bounded, no wedge
+    os.unlink(path)

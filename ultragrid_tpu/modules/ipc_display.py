@@ -142,16 +142,25 @@ class UnixSockDisplay(VideoDisplay):
 
     def put_frame(self, frame: Optional[VideoFrame], blocking: bool = True) -> None:
         if frame is None:
-            self._q.put(None)
+            if self._worker.is_alive():
+                try:
+                    self._q.put(None, timeout=2.0)
+                except queue.Full:
+                    pass
             return
         super().put_frame(frame, blocking)
+        if not self._worker.is_alive():
+            return  # consumer went away; never wedge the pipeline
         if self.is_preview or not blocking:
             try:
                 self._q.put_nowait(frame)
             except queue.Full:
                 pass
         else:
-            self._q.put(frame)
+            try:
+                self._q.put(frame, timeout=2.0)
+            except queue.Full:
+                pass
 
     def _run(self) -> None:
         while True:
@@ -188,7 +197,11 @@ class UnixSockDisplay(VideoDisplay):
         )
 
     def done(self) -> None:
-        self._q.put(None)
+        if self._worker.is_alive():
+            try:
+                self._q.put(None, timeout=2.0)
+            except queue.Full:
+                pass
         self._worker.join(timeout=2.0)
         try:
             self._sock.close()

@@ -128,6 +128,8 @@ class LoopbackRxTx:
                 self.display.put_frame(fr)
                 self.frames_shown += 1
         self.display.put_frame(None)
+        self.display.done()   # join display workers before interpreter exit
+        self.capture.done()
         self.capture.done()
         t.join(timeout=5)
         return self.frames_shown

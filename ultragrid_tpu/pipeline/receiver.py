@@ -195,6 +195,7 @@ class VideoReceiver:
             self.audio_session.close()
             self.audio_playback.done()
         self.display.put_frame(None)
+        self.display.done()  # join display worker threads cleanly
         return self.frames_displayed
 
 

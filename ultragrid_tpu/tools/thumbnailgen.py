@@ -46,6 +46,14 @@ def write_thumbnail(w: int, h: int, rgb: bytes, path: str, quality: int = 75) ->
 
 
 def main(argv=None) -> int:
+    # host-side tool: thumbnails are tiny, and grabbing the (single-client)
+    # TPU tunnel here would stall the sender feeding us — force CPU
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", os.environ.get("UGTPU_PLATFORM", "cpu"))
+    except Exception:
+        pass
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("path", nargs="?", default=os.path.join(
         tempfile.gettempdir(), "ug_preview_disp_unix"))
