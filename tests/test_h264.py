@@ -205,3 +205,21 @@ def test_own_decompress_module_registered():
     vf = VideoFrame(VideoDesc(w, h, Codec.H264, 30.0), [np.frombuffer(bs, np.uint8)])
     out = dec.decompress(vf, out_codec)
     assert out is not None and out.desc.color_spec == Codec.UYVY
+
+
+def test_h264_compress_module_device_accel():
+    """'-c h264:accel=device' module path produces the same stream as the
+    host path (on CPU backends the device graph runs on CPU)."""
+    from ultragrid_tpu.modules.registry import LibraryClass, load_library
+    from ultragrid_tpu.types import VideoDesc, VideoFrame
+    from ultragrid_tpu.utils.pattern import generate_pattern
+
+    w, h = 64, 48
+    desc = VideoDesc(w, h, Codec.UYVY, 30.0)
+    frame = VideoFrame(desc, [generate_pattern(w, h, Codec.UYVY, "bars")])
+    host = load_library("h264", LibraryClass.VIDEO_COMPRESS)("qp=24")
+    dev = load_library("h264", LibraryClass.VIDEO_COMPRESS)("qp=24:accel=device")
+    a = host.compress(frame)
+    b = dev.compress(frame)
+    assert a is not None and b is not None
+    assert bytes(np.asarray(a.data)) == bytes(np.asarray(b.data))
