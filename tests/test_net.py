@@ -894,3 +894,82 @@ def test_ihdtv_localhost_roundtrip():
     assert got.get(1) is not None and bytes(got[1]) == frame1
     rx.close()
     tx.close()
+
+
+@pytest.mark.parametrize("addr,rx_bind,fam6", [
+    ("::1", None, True),                 # IPv6 unicast (dual-stack)
+    ("239.255.42.42", "239.255.42.42", False),  # IPv4 multicast group
+    ("ff02::4242", "ff02::4242", True),  # IPv6 multicast group
+])
+def test_rtp_ipv6_and_multicast_sessions(addr, rx_bind, fam6):
+    """Dual-stack + multicast RTP sessions (ref: net_udp.c:163-187 dual
+    stack, udp_join_mcast_grp; test_net_udp.c scope).  The receiver joins
+    the group (or binds the v6 wildcard); loop is enabled so single-host
+    sessions see their own group traffic."""
+    import socket as _s
+
+    from ultragrid_tpu.net.rtp import RtpSession, is_multicast, resolve_addr
+
+    port = 24700 + (hash(addr) % 7) * 4
+    # multicast receivers construct with the group addr so they join it;
+    # plain v6 receivers force the v6 wildcard bind
+    rx = RtpSession(addr=rx_bind, rx_port=port, tx_port=0,
+                    force_ip_version=6 if (fam6 and rx_bind is None) else 0)
+    tx = RtpSession(addr=addr, rx_port=0, tx_port=port, ttl=4)
+    fam, ip = resolve_addr(addr)
+    assert (fam == _s.AF_INET6) == fam6
+    assert tx.multicast == is_multicast(fam, ip)
+    for i in range(5):
+        tx.send_data_hdr(777, 20, i == 4, b"", bytes([i]) * 64, async_send=False)
+    got = []
+    deadline = time.monotonic() + 3
+    while len(got) < 5 and time.monotonic() < deadline:
+        got.extend(rx.recv_batch(timeout=0.05))
+    assert [p.payload[0] for p in got] == list(range(5))
+    assert got[-1].m and got[0].ts == 777
+    tx.close(); rx.close()
+
+
+@pytest.mark.parametrize("addr", ["::1", "239.255.42.43"])
+def test_rtp_batch_send_c_path_nonv4_unicast(addr):
+    """The C sendmmsg batch path handles sockaddr_in6 and multicast
+    destinations (ref: udp_sendv, net_udp.c:1298)."""
+    import numpy as np
+
+    from ultragrid_tpu.net.rtp import RtpSession
+
+    port = 24760 if addr == "::1" else 24764
+    rx = RtpSession(addr=None if addr == "::1" else addr, rx_port=port, tx_port=0,
+                    force_ip_version=6 if addr == "::1" else 0)
+    tx = RtpSession(addr=addr, rx_port=0, tx_port=port)
+    npkt = 12
+    hdrs = np.tile(np.frombuffer(b"HDR8", np.uint8), (npkt, 1))
+    payload = bytes(range(npkt)) * 32
+    offsets = [i * 32 for i in range(npkt)]
+    sizes = [32] * npkt
+    n = tx.send_batch(555, 20, hdrs, payload, offsets, sizes, m_last=True)
+    assert n == npkt
+    got = []
+    deadline = time.monotonic() + 3
+    while len(got) < npkt and time.monotonic() < deadline:
+        got.extend(rx.recv_batch(timeout=0.05))
+    assert len(got) == npkt
+    assert got[0].payload[:4] == b"HDR8"
+    assert got[-1].m
+    tx.close(); rx.close()
+
+
+def test_rtp_async_wait_drains():
+    """async_wait() returns once queued sends hit the kernel (was a
+    Queue.join() deadlock when the worker never task_done'd)."""
+    from ultragrid_tpu.net.rtp import RtpSession
+
+    port = 24770
+    rx = RtpSession(addr=None, rx_port=port, tx_port=0)
+    tx = RtpSession(addr="127.0.0.1", rx_port=0, tx_port=port)
+    for i in range(50):
+        tx.send_data_hdr(1, 20, False, b"", b"x" * 100, async_send=True)
+    done = threading.Event()
+    threading.Thread(target=lambda: (tx.async_wait(), done.set()), daemon=True).start()
+    assert done.wait(timeout=5), "async_wait did not return"
+    tx.close(); rx.close()

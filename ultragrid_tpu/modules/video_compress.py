@@ -292,30 +292,36 @@ class CompressDriver:
 
             with self._lock:
                 impl = self._impl
-            if len(frame.tiles) > 1:
-                # per-tile fan-out (ref: sync tile API fanned out via
-                # task_run_async, src/video_compress.cpp:79-120)
-                outs = []
-                for t in frame.tiles:
-                    sub = VideoFrame(frame.desc.with_(tile_count=1), [t])
-                    sub.timestamp = frame.timestamp
-                    res = impl.compress(sub)
-                    if res is None:
-                        outs = None
-                        break
-                    outs.append(res)
-                if outs is None:
-                    continue
-                out = VideoFrame(outs[0].desc.with_(tile_count=len(outs)),
-                                 [o.data for o in outs])
-                out.timestamp = frame.timestamp
-            else:
-                with profiler.zone("compress"):
-                    out = impl.compress(frame)
+            try:
+                out = self._compress_one(impl, frame, profiler)
+            except Exception as e:  # noqa: BLE001 - a codec failure must
+                # drop the frame, not kill the compress thread (and with it
+                # the whole sender pipeline)
+                log.error(f"compress: dropping frame: {e}")
+                continue
             if out is not None:
                 out.compress_start = frame.compress_start
                 out.compress_end = time.monotonic()
                 self.out_queue.put(out)
+
+    def _compress_one(self, impl, frame, profiler):
+        if len(frame.tiles) > 1:
+            # per-tile fan-out (ref: sync tile API fanned out via
+            # task_run_async, src/video_compress.cpp:79-120)
+            outs = []
+            for t in frame.tiles:
+                sub = VideoFrame(frame.desc.with_(tile_count=1), [t])
+                sub.timestamp = frame.timestamp
+                res = impl.compress(sub)
+                if res is None:
+                    return None
+                outs.append(res)
+            out = VideoFrame(outs[0].desc.with_(tile_count=len(outs)),
+                             [o.data for o in outs])
+            out.timestamp = frame.timestamp
+            return out
+        with profiler.zone("compress"):
+            return impl.compress(frame)
 
     def enqueue(self, frame: Optional[VideoFrame]) -> None:
         self.in_queue.put(frame)

@@ -99,11 +99,29 @@ class RtcpSession:
         self.ssrc = ssrc
         self.cname = cname.encode()[:255]
         self.interval = interval
-        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        from ultragrid_tpu.net.rtp import is_multicast, resolve_addr
+
+        family, ip = resolve_addr(addr)
+        self.sock = socket.socket(family, socket.SOCK_DGRAM)
         self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        if is_multicast(family, ip):
+            try:
+                self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+            except (OSError, AttributeError):
+                pass
+            if family == socket.AF_INET:
+                mreq = socket.inet_aton(ip) + socket.inet_aton("0.0.0.0")
+                self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
+                self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_LOOP, 1)
+            else:
+                import struct as _struct
+
+                mreq = socket.inet_pton(socket.AF_INET6, ip) + _struct.pack("@I", 0)
+                self.sock.setsockopt(socket.IPPROTO_IPV6, socket.IPV6_JOIN_GROUP, mreq)
+                self.sock.setsockopt(socket.IPPROTO_IPV6, socket.IPV6_MULTICAST_LOOP, 1)
         if rx_port:
-            self.sock.bind(("", rx_port))
-        self._dest = (addr, tx_port) if addr else None
+            self.sock.bind(("" if family == socket.AF_INET else "::", rx_port))
+        self._dest = (ip, tx_port) if ip else None
         self.sources: Dict[int, SourceStats] = {}
         # sender stats provided by the RTP session
         self.packets_sent = 0

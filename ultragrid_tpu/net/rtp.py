@@ -26,6 +26,52 @@ RTP_HDR_LEN = 12
 RTP_MAX_PACKET_LEN = 9200
 
 
+# -- address helpers (ref: dual-stack + multicast setup in net_udp.c:163-187,
+#    udp_addr_valid/udp_init_if 1026-1131) ------------------------------------
+
+
+def resolve_addr(addr: Optional[str], force_ip_version: int = 0) -> Tuple[int, Optional[str]]:
+    """Resolve ``addr`` to (family, numeric-ip).  ``force_ip_version`` of
+    4 or 6 restricts resolution (ref: '-4'/'-6' options, net_udp.c)."""
+    if not addr:
+        return (socket.AF_INET6 if force_ip_version == 6 else socket.AF_INET), None
+    fam = {4: socket.AF_INET, 6: socket.AF_INET6}.get(force_ip_version, socket.AF_UNSPEC)
+    infos = socket.getaddrinfo(addr, None, fam, socket.SOCK_DGRAM)
+    # prefer IPv4 on unspec lookups (reference resolves the same name for
+    # whichever family the socket got; we pick one deterministically)
+    infos.sort(key=lambda i: 0 if i[0] == socket.AF_INET else 1)
+    family, _, _, _, sa = infos[0]
+    return family, sa[0]
+
+
+def is_multicast(family: int, ip: Optional[str]) -> bool:
+    """ref: IN_MULTICAST/IN6_IS_ADDR_MULTICAST checks in net_udp.c."""
+    if not ip:
+        return False
+    if family == socket.AF_INET:
+        try:
+            first = int(ip.split(".", 1)[0])
+        except ValueError:
+            return False
+        return 224 <= first <= 239
+    try:
+        b = socket.inet_pton(socket.AF_INET6, ip)
+    except OSError:
+        return False
+    return b[0] == 0xFF
+
+
+def pack_sockaddr(family: int, ip: str, port: int) -> bytes:
+    """Build a native struct sockaddr_in / sockaddr_in6 (Linux layout:
+    little-endian sa_family, network-order port) for the C sendmmsg path."""
+    fam_le = struct.pack("<H", family)
+    port_be = struct.pack("!H", port)
+    if family == socket.AF_INET:
+        return fam_le + port_be + socket.inet_aton(ip) + bytes(8)
+    return (fam_le + port_be + bytes(4)  # flowinfo
+            + socket.inet_pton(socket.AF_INET6, ip) + bytes(4))  # scope 0
+
+
 class RtpPacket:
     __slots__ = ("pt", "seq", "ts", "ssrc", "m", "payload", "arrival", "_decrypted")
 
@@ -52,13 +98,19 @@ class RtpSession:
         send_buf: int = 4 * 1024 * 1024,
         mtu: int = 1500,
         rtcp: bool = False,
+        force_ip_version: int = 0,
     ):
         self.addr = addr
         self.rx_port = rx_port
         self.tx_port = tx_port
+        self.ttl = ttl
         self.ssrc = random.getrandbits(32)
         self.seq = random.getrandbits(16)
-        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        # dual-stack: family follows the resolved destination address
+        # (ref: net_udp.c udp_init_if resolves then sockets per family)
+        self.family, ip = resolve_addr(addr, force_ip_version)
+        self.multicast = is_multicast(self.family, ip)
+        self.sock = socket.socket(self.family, socket.SOCK_DGRAM)
         self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         try:
             # 4-6 MB socket buffers (ref: doc/PERFORMANCE-TUNING.md:18-22)
@@ -66,9 +118,38 @@ class RtpSession:
             self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, send_buf)
         except OSError:
             pass
+        if self.multicast:
+            # receive the group + loop locally so single-host sessions work
+            # (ref: udp_join_mcast_grp / IP_MULTICAST_LOOP, net_udp.c)
+            try:
+                self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+            except (OSError, AttributeError):
+                pass
+            if self.family == socket.AF_INET:
+                mreq = socket.inet_aton(ip) + socket.inet_aton("0.0.0.0")
+                self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
+                self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_LOOP, 1)
+                self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_TTL,
+                                     min(max(ttl, 0), 255))
+            else:
+                mreq = socket.inet_pton(socket.AF_INET6, ip) + struct.pack("@I", 0)
+                self.sock.setsockopt(socket.IPPROTO_IPV6, socket.IPV6_JOIN_GROUP, mreq)
+                self.sock.setsockopt(socket.IPPROTO_IPV6, socket.IPV6_MULTICAST_LOOP, 1)
+                self.sock.setsockopt(socket.IPPROTO_IPV6, socket.IPV6_MULTICAST_HOPS,
+                                     min(max(ttl, 0), 255))
+        elif ttl and ttl != 255:
+            # honor unicast TTL when explicitly narrowed (ref: IP_TTL setup)
+            try:
+                if self.family == socket.AF_INET:
+                    self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_TTL, ttl)
+                else:
+                    self.sock.setsockopt(socket.IPPROTO_IPV6,
+                                         socket.IPV6_UNICAST_HOPS, ttl)
+            except OSError:
+                pass
         if rx_port:
-            self.sock.bind(("", rx_port))
-        self._dest = (addr, tx_port) if addr else None
+            self.sock.bind(("" if self.family == socket.AF_INET else "::", rx_port))
+        self._dest = ((ip, tx_port) if ip else None)
         self._extra_dests: set = set()
         self._send_queue: "queue.Queue" = queue.Queue(maxsize=4096)
         self._send_thread = threading.Thread(target=self._send_worker, name="rtp-send", daemon=True)
@@ -97,7 +178,12 @@ class RtpSession:
         return self._dest is not None or bool(self._extra_dests)
 
     def set_receiver(self, addr: str, tx_port: Optional[int] = None) -> None:
-        self._dest = (addr, tx_port or self.tx_port)
+        fam, ip = resolve_addr(addr)
+        if fam != self.family:
+            raise ValueError(
+                f"receiver {addr!r} resolves to a different address family "
+                "than this session's socket")
+        self._dest = (ip, tx_port or self.tx_port)
 
     # extra unicast destinations (RTSP clients; ref: live555 per-client
     # sessions in src/rtsp/BasicRTSPOnlyServer.cpp)
@@ -119,14 +205,16 @@ class RtpSession:
     def _send_worker(self) -> None:
         while True:
             item = self._send_queue.get()
-            if item is None:
-                return
             try:
+                if item is None:
+                    return
                 if self._dest is not None:
                     self.sock.sendto(item, self._dest)
                 self._fanout(item)
             except OSError as e:
                 log.warning(f"send failed: {e}")
+            finally:
+                self._send_queue.task_done()
 
     def send_data_hdr(
         self, ts: int, pt: int, m: bool, payload_hdr: bytes, data, async_send: bool = True
@@ -199,14 +287,9 @@ class RtpSession:
             )
             offs = np.ascontiguousarray(np.asarray(offsets, np.int64))
             szs = np.ascontiguousarray(np.asarray(sizes, np.int32))
-            # resolve destination sockaddr
+            # destination sockaddr (dual-stack; _dest holds a numeric ip)
             addr, port = self._dest
-            sa = _socket.inet_aton(_socket.gethostbyname(addr))
-            import ctypes as _ct
-
-            sockaddr = _struct.pack("!H", _socket.AF_INET)[::-1] + _struct.pack(
-                "!H", port
-            ) + sa + bytes(8)
+            sockaddr = pack_sockaddr(self.family, addr, port)
             n = lib.udp_send_packets(
                 self.sock.fileno(), headers.ctypes.data, headers.shape[1],
                 payload_arr.ctypes.data, offs.ctypes.data, szs.ctypes.data,
@@ -238,8 +321,10 @@ class RtpSession:
         return sent
 
     def async_wait(self) -> None:
-        """Wait for queued sends to drain (ref: rtp_async_wait)."""
-        self._send_queue.join() if hasattr(self._send_queue, "join") else None
+        """Block until every queued packet has been handed to the kernel
+        (ref: rtp_async_wait, rtp.c:4060-4068).  The worker marks each
+        item done, so Queue.join() returns once the queue drains."""
+        self._send_queue.join()
 
     # -- receive --------------------------------------------------------
 

@@ -185,7 +185,9 @@ def uyvy_to_i420(frame: np.ndarray, width: int, height: int):
     """UYVY [H, 2W] -> (Y [H,W], Cb [H/2,W/2], Cr [H/2,W/2]) with
     pair-averaged chroma rows (baseline is 4:2:0)."""
     a = np.asarray(frame, np.uint8)[:height, : 2 * width]
-    y = a[:, 1::2]
+    if height & 1:
+        a = np.concatenate([a, a[-1:]], axis=0)
+    y = a[:height, 1::2]
     cb = a[:, 0::4].astype(np.uint16)
     cr = a[:, 2::4].astype(np.uint16)
     cb = ((cb[0::2] + cb[1::2] + 1) >> 1).astype(np.uint8)
@@ -791,10 +793,8 @@ def cavlc_blocks_vec(levels: np.ndarray, nC: np.ndarray, chroma_dc: bool = False
     nz_after = (np.cumsum(nzm[:, ::-1], axis=1)[:, ::-1] - nzm).astype(np.int64)
     # trailing ones: nonzeros with |l|==1 after the last |l|>1 nonzero
     big = nzm & (np.abs(lv) > 1)
-    t1_raw = np.where(big.any(axis=1),
-                      nz_after[np.arange(n), np.where(big, idx, -1).argmax(axis=1)]
-                      if L else 0, total)
-    # argmax of masked idx gives LAST big position; nz_after there = count after
+    # trailing ones = nonzeros strictly after the LAST |level|>1 position
+    # (all nonzeros when no big level exists)
     lastbig = np.where(big, idx, -1).max(axis=1)
     t1_raw = np.where(lastbig >= 0,
                       nz_after[np.arange(n), np.clip(lastbig, 0, L - 1)],

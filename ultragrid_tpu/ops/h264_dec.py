@@ -339,7 +339,14 @@ class IntraDecoder:
         r.u(1); r.u(1)  # dec_ref_pic_marking
         qp = pps["init_qp"] + r.se()
         if pps["dbf_ctrl"]:
-            r.ue()  # disable_deblocking_filter_idc (we require 1; see below)
+            # deblocking is not implemented: only idc==1 (disabled) keeps
+            # the decode loop valid; idc 0/2 also carry two se() offsets
+            # that would desync the bitstream if left unread
+            dbf_idc = r.ue()
+            if dbf_idc != 1:
+                raise UnsupportedStream(
+                    f"deblocking filter requested (idc={dbf_idc}), "
+                    "not implemented")
         mbw, mbh = sps["mb_w"], sps["mb_h"]
         y, cbp_, crp = state
         if first_mb % mbw:

@@ -130,6 +130,5 @@ class LoopbackRxTx:
         self.display.put_frame(None)
         self.display.done()   # join display workers before interpreter exit
         self.capture.done()
-        self.capture.done()
         t.join(timeout=5)
         return self.frames_shown

@@ -152,9 +152,11 @@ class ControlBridge:
             return f"control socket unavailable: {exc}"
 
 
-def make_server(port: int, preview_path: str, control_port: int):
+def make_server(port: int, preview_path: str, control_port: int,
+                host: str = "127.0.0.1", token: str = ""):
     hub = PreviewHub(preview_path)
     bridge = ControlBridge(port=control_port)
+    allowed_hosts = {"localhost", "127.0.0.1", "[::1]", host}
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -202,13 +204,22 @@ def make_server(port: int, preview_path: str, control_port: int):
 
         def do_POST(self):
             if self.path == "/control":
+                # Host check blocks DNS-rebinding; token gates non-local
+                # binds (control socket can reconfigure the session).
+                hdr_host = (self.headers.get("Host") or "").rsplit(":", 1)[0]
+                if hdr_host not in allowed_hosts:
+                    self._send(403, "text/plain", b"forbidden (bad Host)")
+                    return
+                if token and self.headers.get("X-Auth-Token") != token:
+                    self._send(403, "text/plain", b"forbidden (token)")
+                    return
                 n = int(self.headers.get("Content-Length", 0) or 0)
                 cmd = self.rfile.read(n).decode(errors="replace")
                 self._send(200, "text/plain", bridge.command(cmd).encode())
             else:
                 self._send(404, "text/plain", b"not found")
 
-    srv = ThreadingHTTPServer(("", port), Handler)
+    srv = ThreadingHTTPServer((host, port), Handler)
     return srv, hub, bridge
 
 
@@ -218,9 +229,15 @@ def main(argv=None) -> int:
     p.add_argument("--preview-path", default=os.path.join(
         tempfile.gettempdir(), "ug_preview_disp_unix"))
     p.add_argument("--control-port", type=int, default=5054)
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address (default loopback only; "
+                        "non-local binds should set --token)")
+    p.add_argument("--token", default="",
+                   help="require X-Auth-Token header on /control")
     args = p.parse_args(argv)
-    srv, _, _ = make_server(args.port, args.preview_path, args.control_port)
-    print(f"web UI on http://0.0.0.0:{srv.server_address[1]}/ "
+    srv, _, _ = make_server(args.port, args.preview_path, args.control_port,
+                            host=args.host, token=args.token)
+    print(f"web UI on http://{args.host}:{srv.server_address[1]}/ "
           f"(preview socket {args.preview_path})", file=sys.stderr)
     srv.serve_forever()
     return 0
