@@ -1,0 +1,132 @@
+"""Live runtime reconfiguration over the control socket.
+
+The reference always starts its control server and can change compression
+and FEC mid-stream without dropping frames (ref: src/main.cpp:1288-1306,
+src/rxtx/rtp_common.c:216-241, src/video_compress.cpp:147-209).  These
+tests drive a live localhost sender+receiver pair and reconfigure it over
+TCP while frames are flowing.
+"""
+
+import socket
+import threading
+import time
+
+from ultragrid_tpu.pipeline.receiver import VideoReceiver
+from ultragrid_tpu.pipeline.sender import VideoSender
+from ultragrid_tpu.types import Codec
+
+PORT = 24850
+
+
+def _ctl(sock: socket.socket, line: str) -> str:
+    sock.sendall(line.encode() + b"\r\n")
+    return sock.recv(4096).decode()
+
+
+def _warm_jpeg_codec():
+    """Compile the JPEG encode/decode graphs once so the live stream does
+    not stall on first-compile (frames expire out of the playout buffer
+    while XLA compiles; a real deployment hits the persistent cache)."""
+    import numpy as np
+
+    from ultragrid_tpu.modules.video_compress import compress_init
+    from ultragrid_tpu.modules.video_decompress import decompress_init
+    from ultragrid_tpu.types import VideoDesc, VideoFrame
+
+    desc = VideoDesc(192, 128, Codec.UYVY, 30.0)
+    frame = VideoFrame(desc, [np.zeros((128, 384), np.uint8)])
+    comp = compress_init("JPEG:60").compress(frame)
+    d, out_codec = decompress_init(Codec.JPEG, [Codec.UYVY])
+    d.decompress(comp, out_codec)
+
+
+def test_live_compress_and_fec_change_over_control_socket():
+    displayed_codecs = []
+    _warm_jpeg_codec()
+
+    recv = VideoReceiver("dummy", rx_port=PORT, frame_limit=500, timeout=60.0,
+                         playout_delay=0.2)
+    orig_put = recv.display.put_frame
+
+    def capture_put(frame, blocking=True):
+        if frame is not None:
+            displayed_codecs.append(frame.desc.color_spec)
+        orig_put(frame, blocking)
+
+    recv.display.put_frame = capture_put
+    rx_thread = threading.Thread(target=recv.run, daemon=True)
+    rx_thread.start()
+    time.sleep(0.2)
+
+    sender = VideoSender(
+        "testcard:s=192x128:f=10:c=UYVY:still=1",
+        "127.0.0.1",
+        compress_spec="none",
+        fec_spec="none",
+        tx_port=PORT,
+        rx_port=0,
+        frame_limit=300,
+        control_port=0,  # ephemeral: the test reads the bound port
+    )
+    assert sender.control is not None
+    tx_thread = threading.Thread(target=sender.run, daemon=True)
+    tx_thread.start()
+
+    # wait until frames flow
+    deadline = time.monotonic() + 10
+    while recv.frames_displayed < 5 and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert recv.frames_displayed >= 5, "no frames before reconfig"
+
+    with socket.create_connection(("127.0.0.1", sender.control.port), timeout=5) as c:
+        assert _ctl(c, "compress JPEG:60").startswith("200")
+        assert _ctl(c, "fec ldgm:64:12:5").startswith("200")
+        # bogus specs are rejected without killing the stream
+        assert _ctl(c, "fec ldgm:banana").startswith("400")
+        assert _ctl(c, "compress nosuchcodec").startswith("500")
+
+    # the swap is atomic: frames keep arriving after the change
+    assert sender.tx.fec_spec == "ldgm:64:12:5"
+    n_at_change = recv.frames_displayed
+    # this container has ONE core shared by sender+receiver+JPEG codec;
+    # a handful of post-change frames proves the stream survived the swap
+    deadline = time.monotonic() + 30
+    while recv.frames_displayed < n_at_change + 4 and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert recv.frames_displayed >= n_at_change + 4, "stream stalled after reconfig"
+
+    sender.should_exit.set()
+    tx_thread.join(timeout=30)
+    recv.should_exit = True
+    rx_thread.join(timeout=10)
+
+    # frames after the change were JPEG on the wire: the sender's compress
+    # impl swapped in-place
+    assert type(sender.compress._impl).__name__ == "JpegCompress"
+    assert displayed_codecs, "receiver displayed nothing"
+
+
+def test_live_pause_play_and_receiver_change():
+    sender = VideoSender(
+        "testcard:s=128x96:f=30:c=UYVY:still=1",
+        "127.0.0.1",
+        compress_spec="none",
+        tx_port=PORT + 4,
+        rx_port=0,
+        frame_limit=60,
+        control_port=0,
+    )
+    tx_thread = threading.Thread(target=sender.run, daemon=True)
+    tx_thread.start()
+    with socket.create_connection(("127.0.0.1", sender.control.port), timeout=5) as c:
+        assert _ctl(c, "pause").startswith("200")
+        assert sender.paused.is_set()
+        assert _ctl(c, "play").startswith("200")
+        assert not sender.paused.is_set()
+        assert _ctl(c, "receiver 127.0.0.1").startswith("200")
+        assert _ctl(c, "port 9000").startswith("200")
+        assert sender.session._dest == ("127.0.0.1", 9000)
+        assert _ctl(c, "receiver no.such.host.invalid").startswith("400")
+        assert _ctl(c, "nosuchcmd").startswith("404")
+    sender.should_exit.set()
+    tx_thread.join(timeout=15)

@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="export the session to DIR (default auto-named)")
     p.add_argument("-V", "--verbose", action="count", default=0)
     p.add_argument("--param", action="append", default=[], help="key=value tuning params")
+    p.add_argument("--control-port", type=int, default=5054,
+                   help="runtime control TCP port (0 = ephemeral; "
+                        "ref: control_socket.c:178, default 5054)")
     p.add_argument(
         "--rtsp",
         action="store_true",

@@ -245,6 +245,10 @@ def compress_init(spec: str) -> VideoCompress:
     name, _, cfg = spec.partition(":")
     cls = load_library(name, LibraryClass.VIDEO_COMPRESS)
     if cls is None:
+        # control-socket commands use the reference's capitalized module
+        # names ("compress JPEG:60"); registry keys are lowercase
+        cls = load_library(name.lower(), LibraryClass.VIDEO_COMPRESS)
+    if cls is None:
         raise ValueError(f"unknown compression {name!r}")
     return cls(cfg)
 

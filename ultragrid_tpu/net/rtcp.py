@@ -199,6 +199,9 @@ class RtcpSession:
                     rb = struct.unpack("!IBBHIIII", data[off : off + 24])
                     self.remote_reports[ssrc] = {
                         "type": "RR", "fraction_lost": rb[1] / 256.0,
+                        # cumulative lost is a 24-bit field: high byte + low 16
+                        "lost": (rb[2] << 16) | rb[3],
+                        "ext_seq": rb[4],
                         "jitter": rb[5], "time": time.time(),
                     }
                     off += 24

@@ -200,6 +200,21 @@ class VideoReceiver:
 
 
 def run_receiver(args) -> int:
+    # live sessions always get a control socket + keyboard, like the
+    # reference (ref: control_init + keyboard start, main.cpp:1288-1306)
+    from ultragrid_tpu.modules.messaging import Module
+
+    root = Module("root")
+    control = None
+    control_port = getattr(args, "control_port", None)
+    if control_port is not None:
+        from ultragrid_tpu.utils.control_socket import ControlServer
+
+        try:
+            control = ControlServer(root, control_port)
+            log.notice(f"control socket on 127.0.0.1:{control.port}")
+        except OSError as e:
+            log.warning(f"control socket unavailable: {e}")
     receiver = VideoReceiver(
         display_spec=args.display,
         rx_port=int(str(args.ports).split(":")[0]),
@@ -208,7 +223,14 @@ def run_receiver(args) -> int:
         audio_playback=getattr(args, "audio_playback", None),
         encryption=getattr(args, "encryption", None),
         mode=getattr(args, "mode", "normal"),
+        control=control,
     )
+    from ultragrid_tpu.utils.keyboard import KeyboardControl
+
+    kb = KeyboardControl(root)
+    kb.start()  # no-op unless stdin is a tty
     n = receiver.run()
+    if control is not None:
+        control.close()
     log.notice(f"displayed {n} frames")
     return 0

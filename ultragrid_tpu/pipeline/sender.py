@@ -10,7 +10,14 @@ import threading
 import time
 from typing import Optional
 
-from ultragrid_tpu.modules.messaging import Module
+from ultragrid_tpu.modules.messaging import (
+    Module,
+    MsgChangeFec,
+    MsgSender,
+    RESPONSE_BAD_REQUEST,
+    RESPONSE_OK,
+    Response,
+)
 from ultragrid_tpu.modules.video_capture import initialize_video_capture
 from ultragrid_tpu.modules.video_compress import CompressDriver
 from ultragrid_tpu.net.rtp import RtpSession
@@ -40,6 +47,7 @@ class VideoSender:
         mode: str = "normal",
         rtp_standard: bool = False,
         rtsp: bool = False,
+        control_port: Optional[int] = None,
     ):
         from ultragrid_tpu.utils.tiling import VideoMode
 
@@ -65,7 +73,12 @@ class VideoSender:
             self.audio_session = RtpSession(addr=host, rx_port=0, tx_port=tx_port + 2, mtu=mtu)
             self.audio_tx = Tx(mtu=mtu)
         self.root = Module("root")
-        self.compress = CompressDriver(compress_spec, self.root)
+        # live-reconfigurable sender module (ref: the "sender" message
+        # target, rxtx/rtp_common.c:216-241 + msg_sender handling)
+        self.sender_module = Module("sender", self.root)
+        self.sender_module.msg_callback = self._on_sender_message
+        self.paused = threading.Event()
+        self.compress = CompressDriver(compress_spec, self.sender_module)
         crypto = None
         if encryption:
             from ultragrid_tpu.utils.crypto import PacketCrypto
@@ -101,6 +114,62 @@ class VideoSender:
         self.frame_limit = frame_limit
         self.should_exit = threading.Event()
         self.frames_sent = 0
+        # runtime control socket — live sessions always get one like the
+        # reference (ref: control_init, main.cpp:1288-1306)
+        self.control = None
+        if control_port is not None:
+            from ultragrid_tpu.utils.control_socket import ControlServer
+
+            try:
+                self.control = ControlServer(self.root, control_port)
+                log.notice(f"control socket on 127.0.0.1:{self.control.port}")
+            except OSError as e:
+                log.warning(f"control socket unavailable: {e}")
+        self._bytes_since_report = 0
+        self._last_report = time.monotonic()
+
+    def _on_sender_message(self, msg) -> Response:
+        """Runtime reconfig from the control socket / keyboard
+        (ref: fec change rtp_common.c:216-241; msg_sender receiver/port/
+        pause, src/video_rxtx/ultragrid_rtp.cpp message handling)."""
+        if isinstance(msg, MsgChangeFec):
+            spec = msg.fec.strip()
+            # strip an optional V: medium prefix (ref: main.cpp:824-839)
+            if spec[:2].upper() == "V:":
+                spec = spec[2:]
+            try:
+                if spec not in ("", "none") and not spec.startswith("mult:"):
+                    from ultragrid_tpu.ops.fec import fec_from_spec
+
+                    fec_from_spec(spec, 65536, self.tx.mtu)  # validate
+            except Exception as e:  # noqa: BLE001
+                return Response(RESPONSE_BAD_REQUEST, f"bad fec {spec!r}: {e}")
+            new_tx = Tx(mtu=self.tx.mtu, fec_spec=spec, bitrate=self.tx.bitrate,
+                        encryption=self.tx.encryption, rfc2435=self.tx.rfc2435)
+            self.tx = new_tx  # single-reference swap: next frame uses it
+            log.notice(f"FEC changed to {spec or 'none'}")
+            return Response(RESPONSE_OK)
+        if isinstance(msg, MsgSender):
+            if msg.receiver is not None:
+                try:
+                    self.session.set_receiver(msg.receiver)
+                except (ValueError, OSError) as e:
+                    return Response(RESPONSE_BAD_REQUEST, str(e))
+                log.notice(f"receiver changed to {msg.receiver}")
+            if msg.port is not None:
+                addr = self.session._dest[0] if self.session._dest else None
+                if addr is None:
+                    return Response(RESPONSE_BAD_REQUEST, "no receiver set")
+                self.session.set_receiver(addr, msg.port)
+                log.notice(f"TX port changed to {msg.port}")
+            if msg.paused is not None:
+                if msg.paused:
+                    self.paused.set()
+                else:
+                    self.paused.clear()
+                log.notice("paused" if msg.paused else "playing")
+            return Response(RESPONSE_OK)
+        return Response(RESPONSE_BAD_REQUEST, "unsupported message")
 
     def _capture_thread(self) -> None:
         count = 0
@@ -117,6 +186,8 @@ class VideoSender:
                         frame = self.capture_chain.apply(frame)
                 if frame is None:
                     continue
+                if self.paused.is_set():
+                    continue  # drop while paused (ref: paused sender state)
                 # periodic per-stage FPS line (ref: print_fps, main.cpp:307-332)
                 fps_n += 1
                 now = time.monotonic()
@@ -145,6 +216,10 @@ class VideoSender:
             time.sleep(1 / 25)
 
     def run(self) -> int:
+        from ultragrid_tpu.utils.keyboard import KeyboardControl
+
+        kb = KeyboardControl(self.root)
+        kb.start()  # no-op unless stdin is a tty
         t = threading.Thread(target=self._capture_thread, name="capture", daemon=True)
         t.start()
         at = None
@@ -158,14 +233,41 @@ class VideoSender:
             if self.exporter is not None:
                 self.exporter.export_video(frame)
             with profiler.zone("fec+tx.send"):
+                before = self.session.bytes_sent
                 self.tx.send_video(self.session, frame)
             self.frames_sent += 1
+            if self.control is not None:
+                # periodic bandwidth line (ref: report_stats, transmit.c:625-648)
+                self._bytes_since_report += self.session.bytes_sent - before
+                now = time.monotonic()
+                if now - self._last_report >= 1.0:
+                    self.control.report_stats(
+                        f"tx_send {self.session.ssrc:x} video "
+                        f"{self._bytes_since_report}")
+                    if self.session.rtcp is not None:
+                        # surface receiver-reported loss from RTCP RRs
+                        # (ref: rtp.c:160-201 RR consumption)
+                        for ssrc, rr in self.session.rtcp.remote_reports.items():
+                            if rr.get("type") != "RR":
+                                continue
+                            self.control.report_stats(
+                                f"rtcp_rr {ssrc:x} lost {rr.get('lost', 0)} "
+                                f"fraction {rr.get('fraction_lost', 0.0):.4f} "
+                                f"jitter {rr.get('jitter', 0)}")
+                            log.info(
+                                f"receiver {ssrc:x} reports "
+                                f"{rr.get('lost', 0)} lost "
+                                f"({rr.get('fraction_lost', 0.0) * 100:.1f}%)")
+                    self._last_report = now
+                    self._bytes_since_report = 0
         self.should_exit.set()
         # force-exit if a stuck device/capture thread wedges the shutdown
         # (ref: main.cpp:1438 exit watchdog)
         from ultragrid_tpu.utils.crash import arm_exit_watchdog
 
         wd = arm_exit_watchdog()
+        if self.control is not None:
+            self.control.close()
         if self.audio is not None:
             self.audio_session.close()
         self.session.close()
@@ -178,6 +280,7 @@ class VideoSender:
 
 def run_sender(args) -> int:
     sender = VideoSender(
+        control_port=getattr(args, "control_port", None),
         capture_spec=args.capture,
         host=args.host,
         compress_spec=args.compress,
