@@ -45,7 +45,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-d", "--display", default=None, help="display spec")
     p.add_argument("-c", "--compress", default="none",
                    help="video compression: none|uyvy|dxt|jpeg|libavcodec:codec=H.264|...")
-    p.add_argument("-f", "--fec", default="none", help="FEC: none|mult:N|ldgm:k:m:c|rs:k:n")
+    p.add_argument("-f", "--fec", action="append", default=None,
+                   help="FEC: [A:|V:]{none|mult:N|ldgm:k:m:c|ldgm:P%%|rs:k:n} "
+                        "(A:/V: select the medium; ref: main.cpp:824-839)")
+    p.add_argument("-l", "--limit-bitrate", default="auto",
+                   help="auto|dynamic|unlimited|<num>[kMG][!][E] "
+                        "(ref: parse_bitrate, rtp_common.c:777)")
+    p.add_argument("-I", "--playback", default=None, metavar="DIR",
+                   help="replay a recorded session directory as the capture "
+                        "(ref: -I/--playback, main.cpp:904-915)")
+    p.add_argument("-T", "--ttl", type=int, default=-1,
+                   help="TTL for multicast/unicast (0..255, -1 default)")
+    p.add_argument("-4", dest="force_ip_version", action="store_const", const=4,
+                   default=0, help="force IPv4 resolution")
+    p.add_argument("-6", dest="force_ip_version", action="store_const", const=6,
+                   help="force IPv6 resolution")
+    p.add_argument("-U", "--audio-channel-map", default=None,
+                   help="src:dst[,src:dst...] audio channel remap")
     p.add_argument("-P", "--ports", default="5004", help="RTP base port[:tx]")
     p.add_argument("-m", "--mtu", type=int, default=1500)
     p.add_argument("-M", "--mode", default="normal",
@@ -108,6 +124,26 @@ def main(argv=None) -> int:
         print()
         print(print_param_doc())
         return 0
+
+    # -f [A:|V:]spec may appear once per medium (ref: main.cpp:824-839);
+    # normalize into args.fec (video) + args.audio_fec
+    video_fec, audio_fec = "none", "none"
+    for spec in (args.fec or []):
+        if len(spec) > 2 and spec[1] == ":" and spec[0].upper() in "AV":
+            if spec[0].upper() == "A":
+                audio_fec = spec[2:]
+            else:
+                video_fec = spec[2:]
+        else:
+            video_fec = spec
+    args.fec = video_fec
+    args.audio_fec = audio_fec
+
+    if args.playback:
+        # -I DIR == import capture with embedded audio (ref: playback.c)
+        args.capture = f"import:{args.playback}"
+        if not args.audio_capture:
+            args.audio_capture = "embedded"
 
     for kv in args.param:
         key, _, val = kv.partition("=")

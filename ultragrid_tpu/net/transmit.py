@@ -30,6 +30,36 @@ log = Logger("transmit")
 
 RATE_UNLIMITED = -1
 RATE_AUTO = 0
+RATE_DYNAMIC = -2  # auto, but an occasional huge frame may exceed frame time
+_EXCESS_GAP = 4  # min frames between excess frames (ref: transmit.c:130)
+
+
+def parse_bitrate(spec: str):
+    """Parse the ``-l/--limit-bitrate`` grammar (ref: parse_bitrate,
+    rtp_common.c:777-840): ``auto | dynamic | unlimited | <num>[kMG][!][E]``.
+    Returns (bitrate, fixed): bitrate is bps or a RATE_* sentinel; fixed
+    means send at the nominal rate even when auto would be slower ('E')."""
+    spec = (spec or "").strip()
+    named = {"auto": RATE_AUTO, "dynamic": RATE_DYNAMIC,
+             "unlimited": RATE_UNLIMITED, "": RATE_AUTO}
+    if spec in named:
+        return named[spec], False
+    fixed = False
+    while spec and spec[-1] in "!E":
+        if spec[-1] == "E":
+            fixed = True
+        spec = spec[:-1]  # '!' just acknowledges an intentionally low rate
+    mult = 1
+    if spec and spec[-1] in "kKMG":
+        mult = {"k": 1_000, "K": 1_000, "M": 1_000_000, "G": 1_000_000_000}[spec[-1]]
+        spec = spec[:-1]
+    try:
+        bps = int(float(spec) * mult)
+    except ValueError:
+        raise ValueError(f"bad bitrate spec {spec!r}") from None
+    if bps <= 0:
+        raise ValueError("bitrate must be positive")
+    return bps, fixed
 
 IPV4_HDR_LEN = 20
 UDP_HDR_LEN = 8
@@ -85,10 +115,14 @@ class Tx:
         mult_count: int = 1,
         encryption=None,
         rfc2435: bool = False,
+        bitrate_fixed: bool = False,
     ):
         self.encryption = encryption
         self.mtu = mtu
         self.bitrate = bitrate
+        self.bitrate_fixed = bitrate_fixed
+        self._dyn_avg_frame = 0.0  # RATE_DYNAMIC state (ref: transmit.c:672-680)
+        self._dyn_last_excess = _EXCESS_GAP + 1
         self.mult_count = mult_count
         self.buffer = 0  # 22-bit buffer id
         if fec_spec.startswith("mult:"):
@@ -349,6 +383,19 @@ class Tx:
         interval = min(interval, self.mtu / 1e6)  # >= 1 Mbps floor
         if self.bitrate == RATE_AUTO:
             return interval
+        if self.bitrate == RATE_DYNAMIC:
+            # like auto, but an occasional oversized frame (>2x running
+            # average) may double its packet rate (ref: transmit.c:671-680)
+            if (data_len > 2 * self._dyn_avg_frame
+                    and self._dyn_last_excess > _EXCESS_GAP):
+                interval /= 2
+                self._dyn_last_excess = 0
+            else:
+                self._dyn_last_excess += 1
+            self._dyn_avg_frame = (9 * self._dyn_avg_frame + data_len) / 10
+            return interval
         avg_pkt = data_len / max(packet_count, 1)
         fixed = avg_pkt * 8 / self.bitrate
+        if self.bitrate_fixed:
+            return fixed  # nominal rate even when auto would be slower
         return max(fixed, interval)

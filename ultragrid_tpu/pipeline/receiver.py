@@ -37,6 +37,8 @@ class VideoReceiver:
         encryption: Optional[str] = None,
         mode: str = "normal",
         control=None,
+        mcast_addr: Optional[str] = None,
+        force_ip_version: int = 0,
     ):
         from ultragrid_tpu.utils.tiling import VideoMode
 
@@ -46,14 +48,19 @@ class VideoReceiver:
 
         self.postprocess_chain = FilterChain(postprocess)
         self.display = initialize_video_display(display_spec)
-        self.session = RtpSession(addr=None, rx_port=rx_port, tx_port=0)
+        # a multicast session address makes the receiver join the group
+        # (ref: session addr semantics, net_udp.c udp_join_mcast_grp)
+        self.session = RtpSession(addr=mcast_addr, rx_port=rx_port, tx_port=0,
+                                  force_ip_version=force_ip_version)
         self.audio_playback = None
         if audio_playback and audio_playback != "none":
             from ultragrid_tpu.audio.playback import initialize_audio_playback
             from ultragrid_tpu.net.audio_rx import AudioRxState
 
             self.audio_playback = initialize_audio_playback(audio_playback)
-            self.audio_session = RtpSession(addr=None, rx_port=rx_port + 2, tx_port=0)
+            self.audio_session = RtpSession(addr=mcast_addr, rx_port=rx_port + 2,
+                                            tx_port=0,
+                                            force_ip_version=force_ip_version)
             self.audio_pbuf = PlayoutBuffer(playout_delay)
             self.audio_rx = AudioRxState()
             self._audio_desc = None
@@ -224,6 +231,9 @@ def run_receiver(args) -> int:
         encryption=getattr(args, "encryption", None),
         mode=getattr(args, "mode", "normal"),
         control=control,
+        # receiver-mode `uv -d gl 239.x.y.z` joins the multicast group
+        mcast_addr=getattr(args, "host", None),
+        force_ip_version=getattr(args, "force_ip_version", 0),
     )
     from ultragrid_tpu.utils.keyboard import KeyboardControl
 

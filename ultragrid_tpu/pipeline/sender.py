@@ -48,6 +48,12 @@ class VideoSender:
         rtp_standard: bool = False,
         rtsp: bool = False,
         control_port: Optional[int] = None,
+        audio_fec: str = "none",
+        audio_channel_map: Optional[str] = None,
+        bitrate: int = RATE_AUTO,
+        bitrate_fixed: bool = False,
+        ttl: int = 255,
+        force_ip_version: int = 0,
     ):
         from ultragrid_tpu.utils.tiling import VideoMode
 
@@ -63,14 +69,35 @@ class VideoSender:
         self.capture = initialize_video_capture(capture_spec)
         self.audio = None
         self.audio_codec_name = audio_codec
-        if audio_capture and audio_capture != "none":
+        self.audio_fec = audio_fec
+        self.audio_remap = None
+        if audio_channel_map:
+            from ultragrid_tpu.audio.filters import ChannelRemap
+
+            self.audio_remap = ChannelRemap(audio_channel_map)
+        # "embedded" = audio rides along with video capture grabs
+        # (ref: audio_sdi_send, main.cpp:365)
+        self.audio_embedded = audio_capture == "embedded"
+        if self.audio_embedded:
+            from ultragrid_tpu.audio.codecs import get_audio_codec
+
+            self.audio_codec = get_audio_codec(audio_codec)
+            self.audio_session = RtpSession(addr=host, rx_port=0,
+                                            tx_port=tx_port + 2, mtu=mtu,
+                                            ttl=ttl,
+                                            force_ip_version=force_ip_version)
+            self.audio_tx = Tx(mtu=mtu)
+        elif audio_capture and audio_capture != "none":
             from ultragrid_tpu.audio.capture import initialize_audio_capture
             from ultragrid_tpu.audio.codecs import get_audio_codec
 
             self.audio = initialize_audio_capture(audio_capture)
             self.audio_codec = get_audio_codec(audio_codec)
             # audio ports = base + 2 (ref: src/main.cpp:592-628)
-            self.audio_session = RtpSession(addr=host, rx_port=0, tx_port=tx_port + 2, mtu=mtu)
+            self.audio_session = RtpSession(addr=host, rx_port=0,
+                                            tx_port=tx_port + 2, mtu=mtu,
+                                            ttl=ttl,
+                                            force_ip_version=force_ip_version)
             self.audio_tx = Tx(mtu=mtu)
         self.root = Module("root")
         # live-reconfigurable sender module (ref: the "sender" message
@@ -84,8 +111,11 @@ class VideoSender:
             from ultragrid_tpu.utils.crypto import PacketCrypto
 
             crypto = PacketCrypto(encryption)
-        self.session = RtpSession(addr=host, rx_port=rx_port, tx_port=tx_port, mtu=mtu)
-        self.tx = Tx(mtu=mtu, fec_spec=fec_spec, bitrate=RATE_AUTO, encryption=crypto,
+        self.session = RtpSession(addr=host, rx_port=rx_port, tx_port=tx_port,
+                                  mtu=mtu, ttl=ttl,
+                                  force_ip_version=force_ip_version)
+        self.tx = Tx(mtu=mtu, fec_spec=fec_spec, bitrate=bitrate,
+                     bitrate_fixed=bitrate_fixed, encryption=crypto,
                      rfc2435=rtp_standard)
         self.sdp_server = None
         self.rtsp_server = None
@@ -145,6 +175,7 @@ class VideoSender:
             except Exception as e:  # noqa: BLE001
                 return Response(RESPONSE_BAD_REQUEST, f"bad fec {spec!r}: {e}")
             new_tx = Tx(mtu=self.tx.mtu, fec_spec=spec, bitrate=self.tx.bitrate,
+                        bitrate_fixed=self.tx.bitrate_fixed,
                         encryption=self.tx.encryption, rfc2435=self.tx.rfc2435)
             self.tx = new_tx  # single-reference swap: next frame uses it
             log.notice(f"FEC changed to {spec or 'none'}")
@@ -180,7 +211,16 @@ class VideoSender:
                 if self.frame_limit is not None and count >= self.frame_limit:
                     break
                 with profiler.zone("capture.grab"):
-                    frame, _audio = self.capture.grab()
+                    frame, audio = self.capture.grab()
+                if self.audio_embedded and audio is not None:
+                    # embedded (SDI-style) audio rides the capture cadence
+                    # (ref: audio_sdi_send, main.cpp:365)
+                    if self.audio_remap is not None:
+                        audio = self.audio_remap.apply(audio)
+                    comp = self.audio_codec.compress(audio)
+                    self.audio_tx.send_audio(self.audio_session, comp,
+                                             self.audio_codec_name,
+                                             fec_spec=self.audio_fec)
                 if frame is not None:
                     with profiler.zone("capture.filter"):
                         frame = self.capture_chain.apply(frame)
@@ -205,15 +245,29 @@ class VideoSender:
             self.compress.enqueue(None)
 
     def _audio_thread(self) -> None:
-        # ~1/25 s chunks like the reference's audio frame cadence
+        # ~1/25 s chunks; pacing is TIMESTAMP-driven off the cumulative
+        # sample count, not a fixed sleep, so capture drift (48001 Hz
+        # sources, slow reads) never desynchronizes the stream
+        # (ref: audio_sender_thread cadence, audio.cpp:707-776)
         chunk = self.audio.desc.sample_rate // 25
+        start = time.monotonic()
+        samples_sent = 0
         while not self.should_exit.is_set():
             frame = self.audio.read(chunk)
             if frame is None:
                 break
+            if self.audio_remap is not None:
+                frame = self.audio_remap.apply(frame)
             comp = self.audio_codec.compress(frame)
-            self.audio_tx.send_audio(self.audio_session, comp, self.audio_codec_name)
-            time.sleep(1 / 25)
+            self.audio_tx.send_audio(self.audio_session, comp,
+                                     self.audio_codec_name,
+                                     fec_spec=self.audio_fec)
+            nsamples = frame.channels[0].size // frame.desc.bps
+            samples_sent += nsamples
+            deadline = start + samples_sent / frame.desc.sample_rate
+            delay = deadline - time.monotonic()
+            if delay > 0:
+                time.sleep(delay)
 
     def run(self) -> int:
         from ultragrid_tpu.utils.keyboard import KeyboardControl
@@ -268,7 +322,7 @@ class VideoSender:
         wd = arm_exit_watchdog()
         if self.control is not None:
             self.control.close()
-        if self.audio is not None:
+        if self.audio is not None or self.audio_embedded:
             self.audio_session.close()
         self.session.close()
         if self.exporter is not None:
@@ -279,8 +333,17 @@ class VideoSender:
 
 
 def run_sender(args) -> int:
+    from ultragrid_tpu.net.transmit import parse_bitrate
+
+    bitrate, bitrate_fixed = parse_bitrate(getattr(args, "limit_bitrate", "auto"))
     sender = VideoSender(
         control_port=getattr(args, "control_port", None),
+        audio_fec=getattr(args, "audio_fec", "none"),
+        audio_channel_map=getattr(args, "audio_channel_map", None),
+        bitrate=bitrate,
+        bitrate_fixed=bitrate_fixed,
+        ttl=getattr(args, "ttl", -1) if getattr(args, "ttl", -1) >= 0 else 255,
+        force_ip_version=getattr(args, "force_ip_version", 0),
         capture_spec=args.capture,
         host=args.host,
         compress_spec=args.compress,
