@@ -460,3 +460,52 @@ def test_unix_sock_display_survives_dead_consumer():
     d.done()
     assert time.monotonic() - t0 < 30  # bounded, no wedge
     os.unlink(path)
+
+
+def test_receiver_three_stage_pipeline_and_line_decode():
+    """The receiver runs the reference's 3-stage decode pipeline (rx ->
+    fec thread -> decompress thread, ref: video_decoders.cpp:46-93) and
+    uncompressed native-codec streams are written straight into
+    display-owned framebuffers (LINE_DECODER, video_decoders.cpp:1707-1796):
+    put_frame receives the very frame get_frame handed out."""
+    import threading
+    import time as _time
+
+    from ultragrid_tpu.pipeline.receiver import VideoReceiver
+    from ultragrid_tpu.pipeline.sender import VideoSender
+
+    port = 24950
+    handed_out = []
+    displayed = []
+
+    recv = VideoReceiver("dummy", rx_port=port, frame_limit=5, timeout=20.0)
+    orig_get = recv.display.get_frame
+    orig_put = recv.display.put_frame
+
+    def spy_get():
+        f = orig_get()
+        handed_out.append(id(f))
+        return f
+
+    def spy_put(frame, blocking=True):
+        if frame is not None:
+            displayed.append((id(frame), bool(frame.callbacks.get("display_owned"))))
+        orig_put(frame, blocking)
+
+    recv.display.get_frame = spy_get
+    recv.display.put_frame = spy_put
+    t = threading.Thread(target=recv.run, daemon=True)
+    t.start()
+    _time.sleep(0.2)
+
+    sender = VideoSender(
+        "testcard:s=128x96:f=30:c=UYVY:still=1", "127.0.0.1",
+        compress_spec="none", tx_port=port, rx_port=0, frame_limit=12,
+    )
+    sender.run()
+    t.join(timeout=15)
+
+    assert recv.frames_displayed >= 5
+    # every displayed frame was display-owned and one of the handed-out ones
+    assert displayed and all(owned for _, owned in displayed)
+    assert all(fid in handed_out for fid, _ in displayed)

@@ -33,6 +33,21 @@ ENCRYPTED_PTS = {
 }
 
 
+class FecJob:
+    """Reassembled-but-undecoded FEC frame: the rx thread only copies
+    packet payloads; the actual LDGM/RS solve runs on the fec thread
+    (ref: fec_thread, video_decoders.cpp:423)."""
+
+    __slots__ = ("kind", "buf", "got", "params", "ssrc")
+
+    def __init__(self, kind, buf, got, params, ssrc=0):
+        self.kind = kind
+        self.buf = buf
+        self.got = got
+        self.params = params
+        self.ssrc = ssrc
+
+
 class VideoRxState:
     def __init__(self, decryption=None) -> None:
         self._fec_cache: Dict[Tuple, object] = {}
@@ -40,6 +55,10 @@ class VideoRxState:
         self.frames_ok = 0
         self.frames_missing_data = 0
         self._h264_dep = None
+        # optional display-owned framebuffer provider: desc -> VideoFrame
+        # whose buffer the reassembly writes straight into (the reference's
+        # LINE_DECODER path, video_decoders.cpp:1707-1796)
+        self.framebuffer_provider = None
 
     def _maybe_decrypt(self, node: PbufNode) -> Optional[int]:
         """Decrypt packet payloads in place; returns the effective (plain)
@@ -80,7 +99,20 @@ class VideoRxState:
         return sess
 
     def decode_frame(self, node: PbufNode) -> Optional[VideoFrame]:
-        """Reassemble one pbuf node into a VideoFrame (compressed or raw)."""
+        """Reassemble one pbuf node into a VideoFrame (compressed or raw).
+        Single-stage convenience: reassemble + any FEC solve inline."""
+        out = self.reassemble(node)
+        if out is None:
+            return None
+        if isinstance(out, FecJob):
+            return self.decode_fec_job(out)
+        return out
+
+    def reassemble(self, node: PbufNode):
+        """Stage-1 work only (the rx thread's share of decode_video_frame,
+        video_decoders.cpp:1528-1843): copy packet payloads into the frame
+        buffer.  Returns a VideoFrame, a FecJob for the fec thread, or
+        None."""
         if not node.packets:
             return None
         pt = self._maybe_decrypt(node)
@@ -96,7 +128,10 @@ class VideoRxState:
             # standards-mode RFC 6184 (dynamic PT 96; ref: rtpdec_h264.c)
             frame = self._decode_rfc6184(node)
         elif pt in (rt.PT_VIDEO_LDGM, rt.PT_VIDEO_RS):
-            frame = self._decode_fec(node, "ldgm" if pt == rt.PT_VIDEO_LDGM else "rs")
+            job = self._reassemble_fec(node, "ldgm" if pt == rt.PT_VIDEO_LDGM else "rs")
+            if job is not None:
+                job.ssrc = node.packets[0].ssrc
+            return job
         else:
             log.warning(f"unsupported payload type {pt}")
             return None
@@ -160,6 +195,7 @@ class VideoRxState:
         # header word 0, transmit.c:490)
         bufs: Dict[int, np.ndarray] = {}
         descs: Dict[int, VideoDesc] = {}
+        fb_frame = None  # display-owned frame (LINE_DECODER path)
         received = 0
         total = 0
         for pkt in node.packets:
@@ -173,7 +209,24 @@ class VideoRxState:
                 continue
             data = pkt.payload[rt.VIDEO_PAYLOAD_HDR_LEN :]
             if substream not in bufs:
-                bufs[substream] = np.zeros(frame_len, dtype=np.uint8)
+                buf = None
+                if (substream == 0 and not bufs
+                        and self.framebuffer_provider is not None):
+                    # uncompressed single-substream stream: write packet
+                    # payloads STRAIGHT into the display's framebuffer —
+                    # zero intermediate copies (ref: LINE_DECODER via
+                    # vc_copyline into display_get_frame() buffers,
+                    # video_decoders.cpp:1707-1796)
+                    fb_frame = self.framebuffer_provider(desc)
+                    if fb_frame is not None:
+                        flat = np.asarray(fb_frame.tiles[0]).reshape(-1)
+                        if flat.size >= frame_len:
+                            buf = flat
+                        else:
+                            fb_frame = None
+                if buf is None:
+                    buf = np.zeros(frame_len, dtype=np.uint8)
+                bufs[substream] = buf
                 descs[substream] = desc
                 total += frame_len
             end = min(offset + len(data), frame_len)
@@ -189,6 +242,9 @@ class VideoRxState:
         if len(bufs) == 1:
             (buf,) = bufs.values()
             (desc,) = descs.values()
+            if fb_frame is not None:
+                fb_frame.callbacks["display_owned"] = True
+                return fb_frame
             return self._wrap(buf, desc)
         # multi-tile: wrap each substream as a tile
         desc0 = descs[min(descs)]
@@ -199,7 +255,7 @@ class VideoRxState:
         out = VideoFrame(desc0.with_(tile_count=len(tiles)), tiles)
         return out
 
-    def _decode_fec(self, node: PbufNode, kind: str) -> Optional[VideoFrame]:
+    def _reassemble_fec(self, node: PbufNode, kind: str) -> Optional[FecJob]:
         frame_len = 0
         params = None
         buf = None
@@ -223,11 +279,16 @@ class VideoRxState:
             got[offset:end] = True
         if buf is None or params is None:
             return None
-        k, m, c, seed = params
-        sess = self._get_fec(kind, k, m, c, seed)
+        return FecJob(kind, buf, got, (frame_len, *params))
+
+    def decode_fec_job(self, job: FecJob) -> Optional[VideoFrame]:
+        """Stage-2 work: the actual LDGM/RS erasure solve
+        (ref: fec::decode in fec_thread, video_decoders.cpp:450)."""
+        frame_len, k, m, c, seed = job.params
+        sess = self._get_fec(job.kind, k, m, c, seed)
         ss = frame_len // (k + m)
-        symbols = buf[: (k + m) * ss].reshape(k + m, ss)
-        present = got[: (k + m) * ss].reshape(k + m, ss).all(axis=1)
+        symbols = job.buf[: (k + m) * ss].reshape(k + m, ss)
+        present = job.got[: (k + m) * ss].reshape(k + m, ss).all(axis=1)
         payload = sess.decode(symbols, present)
         if payload is None:
             self.frames_missing_data += 1
@@ -238,7 +299,9 @@ class VideoRxState:
         _, _, _, inner_len, desc = rt.parse_video_header(payload[: rt.VIDEO_PAYLOAD_HDR_LEN].tobytes())
         frame_data = payload[rt.VIDEO_PAYLOAD_HDR_LEN : rt.VIDEO_PAYLOAD_HDR_LEN + inner_len]
         self.frames_ok += 1
-        return self._wrap(frame_data, desc)
+        frame = self._wrap(frame_data, desc)
+        frame.callbacks["ssrc"] = job.ssrc
+        return frame
 
     @staticmethod
     def _wrap(buf: np.ndarray, desc: VideoDesc) -> VideoFrame:

