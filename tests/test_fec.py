@@ -149,3 +149,29 @@ def test_fec_spec_parsing():
     assert fec_from_spec("mult:3") == ("mult", 3)
     k, m, c = ldgm_suggest_params(150000, 5.0)
     assert (k, m, c) == (1500, 450, 6)
+
+
+def test_pallas_parity_kernel_matches_gf2_matmul():
+    """make_gf2_parity_pallas (interpret mode on CPU) is bit-identical to
+    the XLA gf2_matmul for odd symbol sizes that need column padding."""
+    import jax
+    import jax.numpy as jnp
+
+    from ultragrid_tpu.ops.fec import (
+        build_ldgm_matrix,
+        gf2_matmul,
+        make_gf2_parity_pallas,
+    )
+
+    k, m, c = 32, 6, 4
+    psw = 700  # not a multiple of 512 -> exercises the pad/slice path
+    mask = build_ldgm_matrix(k, m, c, 1).astype(np.float32)
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 2**32, (k, psw), dtype=np.uint32)
+    ref = gf2_matmul(jnp.asarray(mask),
+                     jnp.asarray(np.frombuffer(data.tobytes(), np.uint8)
+                                 .reshape(k, psw * 4)), False)
+    fn = make_gf2_parity_pallas(mask, psw, interpret=True)
+    got = np.asarray(fn(jnp.asarray(data)))
+    assert np.array_equal(np.frombuffer(got.tobytes(), np.uint8).reshape(m, psw * 4),
+                          np.asarray(ref))

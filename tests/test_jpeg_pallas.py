@@ -80,3 +80,32 @@ def test_batch_encoder_bit_identical_per_frame():
         assert bytes(got[i]) == singles[i], f"frame {i} differs"
     # each file is a decodable standalone JPEG
     decode_jpeg(bytes(got[0]))
+
+
+def test_pallas_parity_uyvy_420():
+    """4:2:0 (16x16 MCUs, 6 blocks: Y00 Y01 Y10 Y11 Cb Cr) in the fused
+    kernel — the subsampling the wider world defaults to (ref:
+    gpujpeg.cpp:295-302)."""
+    enc = JpegEncoder(64, 32, in_codec=Codec.UYVY, quality=80,
+                      restart_interval=2, subsampling="420")
+    assert jpeg_pallas.supports(enc)
+    _parity_case_enc(enc)
+
+
+def test_pallas_parity_yuyv_420_high_quality():
+    enc = JpegEncoder(32, 32, in_codec=Codec.YUYV, quality=95,
+                      restart_interval=1, subsampling="420")
+    _parity_case_enc(enc)
+
+
+def _parity_case_enc(enc, seed=7):
+    rng = np.random.default_rng(seed)
+    frame = rng.integers(0, 256, (enc.height, 2 * enc.width), dtype=np.uint8)
+    ref = jax.tree.map(np.asarray, enc._make_encode(enc.wwords)(frame))
+    fn = jpeg_pallas.make_fused_encode(enc, enc.wwords, interpret=True)
+    assert fn is not None
+    got = jax.tree.map(np.asarray, fn(frame))
+    for name, a, b in zip(
+        ("ys", "ybits", "us", "ubits", "vs", "vbits", "overflow"), ref, got
+    ):
+        assert np.array_equal(a, b), f"{name} mismatch"

@@ -179,7 +179,11 @@ class EncodePipeline:
             while sum(-(-(w * 4) // ps) for w in part_words) > k:
                 ps += 4
             row_counts = [-(-(w * 4) // ps) for w in part_words]
-            from ultragrid_tpu.ops.fec import build_ldgm_matrix, gf2_matmul
+            from ultragrid_tpu.ops.fec import (
+                build_ldgm_matrix,
+                gf2_matmul,
+                make_gf2_parity_pallas,
+            )
 
             mask_np = build_ldgm_matrix(k, m, c, 1).astype(np.float32)
             starts = np.concatenate([[0], np.cumsum(row_counts)])
@@ -189,6 +193,18 @@ class EncodePipeline:
             ]
             self.fec_desc = ("ldgm", k, m, c, ps)
             ps_words = ps // 4
+            # Pallas XOR-accumulate parity on TPU (the XLA masked reduce is
+            # ~5 ms at 8K container sizes); CPU keeps the XLA formulation
+            from ultragrid_tpu.ops.jpeg_pallas import _HAVE_PALLAS, on_tpu
+
+            pallas_par_fns = None
+            if _HAVE_PALLAS and on_tpu():
+                pallas_par_fns = [
+                    make_gf2_parity_pallas(
+                        mask_np[:, starts[i] : starts[i + 1]], ps_words
+                    )
+                    for i in range(len(part_words))
+                ]
 
             inner = encoder._build_encode(ww)
             inner_fn = inner.__wrapped__
@@ -206,6 +222,12 @@ class EncodePipeline:
                     padded.reshape(rows, ps_words), jnp.uint8
                 ).reshape(rows, ps)
 
+            def part_syms_u32(arr_u32, rows):
+                flat = arr_u32.reshape(-1)
+                pad = rows * ps_words - flat.size
+                padded = jnp.concatenate([flat, jnp.zeros(pad, jnp.uint32)])
+                return padded.reshape(rows, ps_words)
+
             def step(frame):
                 ys, ybits, us, ubits, vs, vbits, ovf = inner_fn(frame)
                 parts = [
@@ -214,14 +236,22 @@ class EncodePipeline:
                     vs, jnp.asarray(vbits, jnp.int32).view(jnp.uint32),
                 ]
                 par = None
-                for msl, p, rows in zip(mask_slices, parts, row_counts):
-                    pp = gf2_matmul(msl, part_syms(p, rows), False)
-                    par = pp if par is None else par ^ pp
+                if pallas_par_fns is not None:
+                    for pfn, p, rows in zip(pallas_par_fns, parts, row_counts):
+                        pp = pfn(part_syms_u32(p, rows))
+                        par = pp if par is None else par ^ pp
+                else:
+                    for msl, p, rows in zip(mask_slices, parts, row_counts):
+                        pp = gf2_matmul(msl, part_syms(p, rows), False)
+                        par = pp if par is None else par ^ pp
                 # staircase accumulation over the m parity rows
                 kshift = 1
                 while kshift < m:
                     par = par ^ jnp.pad(par, ((kshift, 0), (0, 0)))[:m]
                     kshift *= 2
+                if pallas_par_fns is not None:
+                    # words -> the wire's byte layout (little-endian match)
+                    par = jax.lax.bitcast_convert_type(par, jnp.uint8).reshape(m, ps)
                 return ys, ybits, us, ubits, vs, vbits, par, ovf
 
             return jax.jit(step)

@@ -138,7 +138,8 @@ def gf256_matmul(bitmat_f32: jnp.ndarray, data_u8: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(pb * weights, axis=1).astype(jnp.uint8)
 
 
-def make_gf2_parity_pallas(mask_rows: "np.ndarray", psw: int):
+def make_gf2_parity_pallas(mask_rows: "np.ndarray", psw: int,
+                           interpret: bool = False):
     """Pallas XOR-accumulate parity: returns fn(data_u32 [rows, psw]) ->
     [m, psw] uint32 with parity row j = XOR of data rows where
     mask_rows[j, row] != 0 (no staircase — caller applies it).
@@ -192,6 +193,7 @@ def make_gf2_parity_pallas(mask_rows: "np.ndarray", psw: int):
         grid=(ncol,),
         in_specs=[pl.BlockSpec((rows * 8, CH), lambda i: (0, i))],
         out_specs=pl.BlockSpec((m * 8, CH), lambda i: (0, i)),
+        interpret=interpret,
     )
 
     def parity(data_u32):

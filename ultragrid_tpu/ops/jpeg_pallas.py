@@ -58,7 +58,7 @@ def supports(enc) -> bool:
         return False
     if enc._mega is None:
         return False
-    if enc.subsampling not in ("422", "444"):
+    if enc.subsampling not in ("422", "444", "420"):
         return False
     # row-aligned restart segments keep the DC chain tile-local
     if enc.nmcux % enc.restart_interval != 0:
@@ -133,9 +133,12 @@ def make_fused_encode(enc, wwords: int, interpret: bool = False):
     Wm, constv, bpr = enc._mega
     nmcux, nmcuy, nmcu = enc.nmcux, enc.nmcuy, enc.nmcu
     ri = enc.restart_interval
-    bpm = enc.blocks_per_mcu  # 4 for 422 (YL YR U V); 3 for 444 (Y Cb Cr)
+    bpm = enc.blocks_per_mcu  # 4 for 422 (YL YR U V); 3 for 444; 6 for 420
     nlanes = 64 * bpm
     is422 = enc.subsampling == "422"
+    is420 = enc.subsampling == "420"
+    mcu_h = enc.mcu_h  # 16 raw rows per MCU for 420, 8 otherwise
+    n_y = {"422": 2, "420": 4}.get(enc.subsampling, 1)  # luma blocks/MCU
 
     # Tile = one chunk of an MCU row.  Chunk width must be a multiple of the
     # restart interval so every chunk starts at a restart boundary (DC chain
@@ -148,7 +151,7 @@ def make_fused_encode(enc, wwords: int, interpret: bool = False):
     ncx = nmcux // cx
 
     # per-lane-group component class: True = luma tables
-    luma_groups = (True, True, False, False) if is422 else (True, False, False)
+    luma_groups = tuple([True] * n_y + [False, False])
 
     acl_codes, acl_lens = enc._ac_l
     acc_codes, acc_lens = enc._ac_c
@@ -215,7 +218,9 @@ def make_fused_encode(enc, wwords: int, interpret: bool = False):
         ys_ref, yb_ref, us_ref, ub_ref, vs_ref, vb_ref,
     ):
         # ---- front end: bytes -> zigzag quantized coeffs ----
-        xcat = jnp.concatenate([x_ref[0, r] for r in range(8)], axis=1)  # [nmcux, 8*bpr]
+        xcat = jnp.concatenate(
+            [x_ref[0, r] for r in range(mcu_h)], axis=1
+        )  # [nmcux, mcu_h*bpr]
         f = jnp.dot(
             xcat.astype(jnp.int32).astype(jnp.float32),
             w_ref[:],
@@ -228,12 +233,15 @@ def make_fused_encode(enc, wwords: int, interpret: bool = False):
 
         # ---- DC differentials (per block-group column) ----
         dcols = [q[:, 64 * g : 64 * g + 1] for g in range(bpm)]
-        if is422:
-            d_yl = dcols[0] - jnp.where(seg, 0, pltpu.roll(dcols[1], 1, 0))
-            d_yr = dcols[1] - dcols[0]
-            d_u = dcols[2] - jnp.where(seg, 0, pltpu.roll(dcols[2], 1, 0))
-            d_v = dcols[3] - jnp.where(seg, 0, pltpu.roll(dcols[3], 1, 0))
-            diffs = [d_yl, d_yr, d_u, d_v]
+        if n_y > 1:
+            # luma DC chain walks the MCU's Y blocks in raster order, so Y0
+            # predicts from the previous MCU's LAST Y block (or 0 at a
+            # restart boundary); later Y blocks predict in-MCU
+            diffs = [dcols[0] - jnp.where(seg, 0, pltpu.roll(dcols[n_y - 1], 1, 0))]
+            for g in range(1, n_y):
+                diffs.append(dcols[g] - dcols[g - 1])
+            for g in range(n_y, bpm):  # chroma: per-component MCU chain
+                diffs.append(dcols[g] - jnp.where(seg, 0, pltpu.roll(dcols[g], 1, 0)))
         else:
             diffs = [
                 c - jnp.where(seg, 0, pltpu.roll(c, 1, 0)) for c in dcols
@@ -363,23 +371,15 @@ def make_fused_encode(enc, wwords: int, interpret: bool = False):
         ]  # bpm x [nmcux, wwords]
         bits = [cum[:, 64 * g + 63 : 64 * g + 64] for g in range(bpm)]  # [nmcux,1]
 
-        if is422:
-            ys_ref[0, :, 0, :] = slots[0]
-            ys_ref[0, :, 1, :] = slots[1]
-            yb_ref[0] = jnp.concatenate([bits[0], bits[1]], axis=1)
-            us_ref[0] = slots[2]
-            ub_ref[0] = bits[2]
-            vs_ref[0] = slots[3]
-            vb_ref[0] = bits[3]
-        else:
-            ys_ref[0, :, 0, :] = slots[0]
-            yb_ref[0] = bits[0]
-            us_ref[0] = slots[1]
-            ub_ref[0] = bits[1]
-            vs_ref[0] = slots[2]
-            vb_ref[0] = bits[2]
+        for g in range(n_y):
+            ys_ref[0, :, g, :] = slots[g]
+        yb_ref[0] = (jnp.concatenate(bits[:n_y], axis=1) if n_y > 1 else bits[0])
+        us_ref[0] = slots[n_y]
+        ub_ref[0] = bits[n_y]
+        vs_ref[0] = slots[n_y + 1]
+        vb_ref[0] = bits[n_y + 1]
 
-    y_per_mcu = 2 if is422 else 1
+    y_per_mcu = n_y
     grid = (nmcuy, ncx)
     out_shapes = (
         jax.ShapeDtypeStruct((nmcuy, nmcux, y_per_mcu, wwords), jnp.uint32),
@@ -398,8 +398,8 @@ def make_fused_encode(enc, wwords: int, interpret: bool = False):
         pl.BlockSpec((1, cx, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
     )
     in_specs = [
-        pl.BlockSpec((1, 8, cx, bpr), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8 * bpr, nlanes), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, mcu_h, cx, bpr), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((mcu_h * bpr, nlanes), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, nlanes), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((nlanes, nlanes), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((112, nlanes), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -424,7 +424,7 @@ def make_fused_encode(enc, wwords: int, interpret: bool = False):
     dcj = jnp.asarray(dc_words_np)
 
     def encode_fn(frame):
-        X = frame[:, : nmcux * bpr].reshape(nmcuy, 8, nmcux, bpr)
+        X = frame[:, : nmcux * bpr].reshape(nmcuy, mcu_h, nmcux, bpr)
         ys4, yb3, us3, ub3, vs3, vb3 = call(X, Wj, cj, trij, acj, miscj, dcj)
         ys = ys4.reshape(nmcu * y_per_mcu, wwords)
         ybits = yb3.reshape(nmcu * y_per_mcu)
