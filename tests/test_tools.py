@@ -191,3 +191,53 @@ def test_webui_preview_control_capabilities(tmp_path):
         disp.done()
         srv.shutdown()
         ctl.close()
+
+
+def test_hd_rum_translator_slow_client_does_not_stall_others():
+    """Per-client recompress threads: a wedged client drops its own frames
+    while the fast client keeps receiving (ref: hd-rum-recompress.cpp
+    worker-per-output)."""
+    import threading
+    import time as _time
+
+    import numpy as np
+
+    from ultragrid_tpu.net.rtp import RtpSession
+    from ultragrid_tpu.net.transmit import Tx
+    from ultragrid_tpu.tools.hd_rum_translator import HdRumTranslator
+    from ultragrid_tpu.types import Codec, VideoDesc, VideoFrame
+
+    rx_port, fast_port, slow_port = 25840, 25844, 25848
+    translator = HdRumTranslator(
+        rx_port, [("127.0.0.1", fast_port, "none"), ("127.0.0.1", slow_port, "none")]
+    )
+    slow = translator.clients[1]
+    orig_send = slow.tx.send_video
+
+    def wedged_send(session, frame):
+        _time.sleep(0.5)  # pathological client
+        return orig_send(session, frame)
+
+    slow.tx.send_video = wedged_send
+
+    fast_rx = RtpSession(addr=None, rx_port=fast_port, tx_port=0)
+    run_t = threading.Thread(
+        target=lambda: translator.run(timeout=6.0), daemon=True
+    )
+    run_t.start()
+
+    tx = RtpSession(addr="127.0.0.1", rx_port=0, tx_port=rx_port)
+    sender_tx = Tx(mtu=1500)
+    desc = VideoDesc(64, 32, Codec.UYVY, 30.0)
+    frame = VideoFrame(desc, [np.zeros((32, 128), np.uint8)])
+    got_fast = 0
+    for i in range(20):
+        sender_tx.send_video(tx, frame)
+        _time.sleep(0.03)
+        while fast_rx.recv(timeout=0.01) is not None:
+            got_fast += 1
+    run_t.join(timeout=10)
+    # the fast client saw most packets; the slow client dropped frames
+    assert got_fast >= 10, f"fast client starved ({got_fast} pkts)"
+    assert slow.dropped >= 5
+    tx.close(); fast_rx.close()

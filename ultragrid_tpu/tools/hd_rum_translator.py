@@ -12,7 +12,9 @@ re-send of the decoded stream with the same codec.
 
 from __future__ import annotations
 
+import queue
 import sys
+import threading
 import time
 from typing import List, Optional, Tuple
 
@@ -29,21 +31,50 @@ log = Logger("hd-rum-transcode")
 
 
 class TranslatorClient:
+    """One output leg with its OWN recompress thread + bounded queue, so a
+    slow client drops its own frames instead of stalling the reflector
+    loop and every other client (ref: a recompress worker per output,
+    src/hd-rum-translator/hd-rum-recompress.cpp)."""
+
     def __init__(self, host: str, port: int, compress_spec: str, mtu: int = 1500):
         self.session = RtpSession(addr=host, rx_port=0, tx_port=port, mtu=mtu)
         self.compress = compress_init(compress_spec) if compress_spec != "none" else None
         self.compress_spec = compress_spec
         self.tx = Tx(mtu=mtu)
+        self.dropped = 0
+        self._q: "queue.Queue" = queue.Queue(maxsize=2)
+        self._thread = threading.Thread(
+            target=self._worker, name=f"recompress-{host}:{port}", daemon=True
+        )
+        self._thread.start()
 
     def forward(self, frame) -> None:
-        out = frame
-        if self.compress is not None:
-            out = self.compress.compress(frame)
-            if out is None:
+        try:
+            self._q.put_nowait(frame)
+        except queue.Full:
+            self.dropped += 1  # this client is too slow; others unaffected
+
+    def _worker(self) -> None:
+        while True:
+            frame = self._q.get()
+            if frame is None:
                 return
-        self.tx.send_video(self.session, out)
+            try:
+                out = frame
+                if self.compress is not None:
+                    out = self.compress.compress(frame)
+                    if out is None:
+                        continue
+                self.tx.send_video(self.session, out)
+            except Exception as e:  # noqa: BLE001 - a bad frame must not
+                # kill this client's leg
+                log.warning(f"client {self.compress_spec} forward failed: {e}")
 
     def close(self) -> None:
+        self._q.put(None)
+        # generous drain: the first frame may still be compiling its codec
+        # graph; closing the session under a mid-send worker loses frames
+        self._thread.join(timeout=30)
         self.session.close()
 
 
