@@ -150,7 +150,38 @@ register_module("i420", LibraryClass.VIDEO_DECOMPRESS, I420Decompress)
 register_module("jpeg", LibraryClass.VIDEO_DECOMPRESS, JpegDecompress)
 register_module("jpeg_to_dxt", LibraryClass.VIDEO_DECOMPRESS, JpegToDxtDecompress)
 
-_ALL = [DxtDecompress, I420Decompress, JpegDecompress, JpegToDxtDecompress]
+class JpegXsDecompress(VideoDecompress):
+    """JPEG XS-architecture stream -> UYVY (ref role:
+    src/video_decompress/jpegxs.cpp; see ops/jpegxs.py)."""
+
+    SUPPORTS = [(Codec.JPEG_XS, Codec.UYVY)]
+
+    def __init__(self) -> None:
+        from ultragrid_tpu.ops.jpegxs import JpegXsCodec
+
+        self.codec = JpegXsCodec()
+
+    def decompress(self, frame: VideoFrame, out_codec: Codec) -> Optional[VideoFrame]:
+        import numpy as np
+
+        if out_codec != Codec.UYVY:
+            return None
+        stream = bytes(np.asarray(frame.data, np.uint8).reshape(-1))
+        y, cb, cr = self.codec.decode_planes(stream)
+        h, w = y.shape
+        out = np.empty((h, 2 * w), np.uint8)
+        out[:, 1::2] = np.clip(y, 0, 255)
+        out[:, 0::4] = np.clip(cb, 0, 255)
+        out[:, 2::4] = np.clip(cr, 0, 255)
+        res = VideoFrame(frame.desc.with_(color_spec=Codec.UYVY), [out])
+        res.timestamp = frame.timestamp
+        return res
+
+
+register_module("jpegxs", LibraryClass.VIDEO_DECOMPRESS, JpegXsDecompress)
+
+_ALL = [DxtDecompress, I420Decompress, JpegDecompress, JpegToDxtDecompress,
+        JpegXsDecompress]
 
 
 def decompress_init(in_codec: Codec, out_candidates: List[Codec]):
