@@ -223,3 +223,45 @@ def test_h264_compress_module_device_accel():
     b = dev.compress(frame)
     assert a is not None and b is not None
     assert bytes(np.asarray(a.data)) == bytes(np.asarray(b.data))
+
+
+def test_own_decoder_decodes_foreign_x264_streams():
+    """The own decoder is no longer limited to own-encoder output: it
+    decodes libx264-produced baseline intra streams (I_4x4 all nine
+    prediction modes, I_16x16 all four, all chroma modes, CBP me(v),
+    per-MB QP deltas) SAMPLE-EXACT vs libavcodec's decode
+    (role: src/video_decompress/libavcodec.c as the universal decoder)."""
+    import pytest
+
+    from ultragrid_tpu.modules.lavc import LavcCompress, LavcDecompress, lavc_available
+    from ultragrid_tpu.ops.h264_dec import IntraDecoder
+    from ultragrid_tpu.utils.pattern import generate_pattern
+
+    if not lavc_available():
+        pytest.skip("lavc shim unavailable")
+    rng = np.random.default_rng(0)
+    cases = [
+        (64, 64, 12, None),          # low QP noise: dense I_4x4, all modes
+        (176, 144, 30, "gradient"),  # smooth: plane/DC 16x16 paths
+        (64, 48, 40, None),          # high QP noise
+    ]
+    for w, h, qp, pat in cases:
+        if pat is None:
+            data = rng.integers(0, 256, (h, 2 * w), dtype=np.uint8)
+        else:
+            data = np.asarray(generate_pattern(w, h, Codec.UYVY, pat))
+        frame = VideoFrame(VideoDesc(w, h, Codec.UYVY, 30.0), [data])
+        comp = LavcCompress(
+            "codec=H.264:encoder=libx264:profile=baseline:qp="
+            f"{qp}:g=1:aq-mode=0:x264opts=no-deblock")
+        out = comp.compress(frame)
+        bs = bytes(np.asarray(out.tiles[0]).reshape(-1))
+        y, cb, cr = IntraDecoder().decode(bs)
+        ref = LavcDecompress().decompress(
+            VideoFrame(VideoDesc(w, h, Codec.H264, 30.0),
+                       [np.frombuffer(bs, np.uint8)]), Codec.UYVY)
+        uy = np.asarray(ref.data)
+        assert np.array_equal(uy[:, 1::2].astype(np.int64), y.astype(np.int64)), \
+            f"luma mismatch {w}x{h} qp{qp}"
+        assert np.array_equal(uy[0::2, 0::4].astype(np.int64), cb.astype(np.int64))
+        assert np.array_equal(uy[0::2, 2::4].astype(np.int64), cr.astype(np.int64))

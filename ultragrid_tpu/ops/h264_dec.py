@@ -1,4 +1,4 @@
-"""Own H.264 intra decoder (the encoder's subset: I_PCM + I_16x16 CAVLC).
+"""Own H.264 baseline intra decoder (CAVLC; foreign streams supported).
 
 Counterpart of the own encoder in ops/h264.py, so the framework can both
 produce AND consume H.264 without FFmpeg (role: src/video_decompress/
@@ -6,11 +6,15 @@ libavcodec.c).  Implements the *decoder-side* spec math — CAVLC parsing,
 dequantization (LevelScale tables), inverse Hadamard + inverse core
 transform, and intra prediction from RECONSTRUCTED neighbors — so its
 output must match any conformant decoder bit-exactly; tests assert
-sample-exact agreement with libavcodec on our encoder's streams.
+sample-exact agreement with libavcodec both on our encoder's streams and
+on libx264-produced baseline intra streams.
 
-Supported: baseline profile, one I slice per IDR frame, mb types I_PCM and
-I_16x16 with DC prediction (what the encoder emits), deblocking disabled.
-Anything else raises ``UnsupportedStream``.
+Supported: baseline profile I/IDR slices, mb types I_PCM, I_16x16 (all
+four luma prediction modes) and I_4x4 (all nine prediction modes), all
+four chroma prediction modes, per-MB QP deltas, CAVLC residual —
+i.e. everything a baseline intra encoder can emit except deblocking
+(streams must signal deblocking disabled).  Anything else raises
+``UnsupportedStream``.
 """
 
 from __future__ import annotations
@@ -245,6 +249,146 @@ def _dezigzag(zz: np.ndarray) -> np.ndarray:
     return out.reshape(4, 4)
 
 
+# coded_block_pattern me(v) mapping for intra MBs (spec Table 9-4)
+_CBP_INTRA = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+]
+
+
+# ---------------------------------------------------------------------------
+# intra prediction (spec 8.3)
+# ---------------------------------------------------------------------------
+
+
+def _pred4x4(mode: int, t: Optional[np.ndarray], l: Optional[np.ndarray],
+             tl: Optional[int]) -> np.ndarray:
+    """4x4 luma prediction.  t: top samples p[0..7,-1] (top-right already
+    replicated if unavailable), l: left p[-1,0..3], tl: p[-1,-1]."""
+    p = np.zeros((4, 4), np.int64)
+    if mode == 0:  # Vertical
+        p[:] = t[None, :4]
+    elif mode == 1:  # Horizontal
+        p[:] = l[:, None]
+    elif mode == 2:  # DC
+        if t is not None and l is not None:
+            p[:] = (int(t[:4].sum()) + int(l.sum()) + 4) >> 3
+        elif t is not None:
+            p[:] = (int(t[:4].sum()) + 2) >> 2
+        elif l is not None:
+            p[:] = (int(l.sum()) + 2) >> 2
+        else:
+            p[:] = 128
+    elif mode == 3:  # Diagonal-Down-Left
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    p[y, x] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    p[y, x] = (t[x + y] + 2 * t[x + y + 1] + t[x + y + 2] + 2) >> 2
+    elif mode == 4:  # Diagonal-Down-Right
+        ext = np.array([l[3], l[2], l[1], l[0], tl, t[0], t[1], t[2], t[3]], np.int64)
+        f = np.zeros(9, np.int64)
+        for k in range(1, 8):
+            f[k] = (ext[k - 1] + 2 * ext[k] + ext[k + 1] + 2) >> 2
+        for y in range(4):
+            for x in range(4):
+                p[y, x] = f[(x - y) + 4]
+    elif mode == 5:  # Vertical-Right
+        def P(x, y):
+            if y == -1:
+                return tl if x == -1 else t[x]
+            return l[y]
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = (P(x - (y >> 1) - 1, -1) + P(x - (y >> 1), -1) + 1) >> 1
+                elif z >= 0:
+                    p[y, x] = (P(x - (y >> 1) - 2, -1) + 2 * P(x - (y >> 1) - 1, -1)
+                               + P(x - (y >> 1), -1) + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (l[0] + 2 * tl + t[0] + 2) >> 2
+                else:
+                    # l[-1] is the corner (p[-1,-1]), NOT a python wrap
+                    def L(i):
+                        return tl if i == -1 else l[i]
+                    p[y, x] = (L(y - 1) + 2 * L(y - 2) + L(y - 3) + 2) >> 2
+    elif mode == 6:  # Horizontal-Down
+        def P(x, y):
+            if x == -1:
+                return tl if y == -1 else l[y]
+            return t[x]
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = (P(-1, y - (x >> 1) - 1) + P(-1, y - (x >> 1)) + 1) >> 1
+                elif z >= 0:
+                    p[y, x] = (P(-1, y - (x >> 1) - 2) + 2 * P(-1, y - (x >> 1) - 1)
+                               + P(-1, y - (x >> 1)) + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (l[0] + 2 * tl + t[0] + 2) >> 2
+                else:
+                    # t[-1] is the corner (p[-1,-1]), NOT a python wrap
+                    def T(i):
+                        return tl if i == -1 else t[i]
+                    p[y, x] = (T(x - 1) + 2 * T(x - 2) + T(x - 3) + 2) >> 2
+    elif mode == 7:  # Vertical-Left
+        for y in range(4):
+            for x in range(4):
+                if y % 2 == 0:
+                    p[y, x] = (t[x + (y >> 1)] + t[x + (y >> 1) + 1] + 1) >> 1
+                else:
+                    p[y, x] = (t[x + (y >> 1)] + 2 * t[x + (y >> 1) + 1]
+                               + t[x + (y >> 1) + 2] + 2) >> 2
+    elif mode == 8:  # Horizontal-Up
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z in (0, 2, 4):
+                    p[y, x] = (l[y + (x >> 1)] + l[y + (x >> 1) + 1] + 1) >> 1
+                elif z in (1, 3):
+                    p[y, x] = (l[y + (x >> 1)] + 2 * l[y + (x >> 1) + 1]
+                               + l[y + (x >> 1) + 2] + 2) >> 2
+                elif z == 5:
+                    p[y, x] = (l[2] + 3 * l[3] + 2) >> 2
+                else:
+                    p[y, x] = l[3]
+    else:
+        raise UnsupportedStream(f"intra4x4 mode {mode}")
+    return p
+
+
+def _pred16_plane(t: np.ndarray, l: np.ndarray, tl: int) -> np.ndarray:
+    """I_16x16 plane prediction (spec 8.3.3.4)."""
+    pfull_t = np.concatenate([[tl], t]).astype(np.int64)  # p[-1..15, -1]
+    pfull_l = np.concatenate([[tl], l]).astype(np.int64)
+    Hs = sum((x + 1) * (pfull_t[9 + x] - pfull_t[7 - x]) for x in range(8))
+    Vs = sum((y + 1) * (pfull_l[9 + y] - pfull_l[7 - y]) for y in range(8))
+    a = 16 * (int(l[15]) + int(t[15]))
+    b = (5 * Hs + 32) >> 6
+    c = (5 * Vs + 32) >> 6
+    xs = np.arange(16, dtype=np.int64)
+    pred = (a + b * (xs[None, :] - 7) + c * (xs[:, None] - 7) + 16) >> 5
+    return np.clip(pred, 0, 255)
+
+
+def _pred8_chroma_plane(t: np.ndarray, l: np.ndarray, tl: int) -> np.ndarray:
+    """Chroma 8x8 plane prediction (spec 8.3.4.4, 4:2:0)."""
+    pfull_t = np.concatenate([[tl], t]).astype(np.int64)
+    pfull_l = np.concatenate([[tl], l]).astype(np.int64)
+    Hs = sum((x + 1) * (pfull_t[5 + x] - pfull_t[3 - x]) for x in range(4))
+    Vs = sum((y + 1) * (pfull_l[5 + y] - pfull_l[3 - y]) for y in range(4))
+    a = 16 * (int(l[7]) + int(t[7]))
+    b = (34 * Hs + 32) >> 6
+    c = (34 * Vs + 32) >> 6
+    xs = np.arange(8, dtype=np.int64)
+    pred = (a + b * (xs[None, :] - 3) + c * (xs[:, None] - 3) + 16) >> 5
+    return np.clip(pred, 0, 255)
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
@@ -360,10 +504,6 @@ class IntraDecoder:
         while last_nz >= 0 and rbsp[last_nz] == 0:
             last_nz -= 1
         stop_pos = last_nz * 8 + (7 - ((rbsp[last_nz] & -rbsp[last_nz]).bit_length() - 1))
-        qpc = H.chroma_qp(max(0, min(51, qp + pps["chroma_off"])))
-        vy = _vmat(qp)
-        vc = _vmat(qpc)
-
         def nc_of(nn, gx, gy, gy_min):
             na = nn[gy, gx - 1] if gx > 0 else None
             nb = nn[gy - 1, gx] if gy > gy_min else None
@@ -375,120 +515,268 @@ class IntraDecoder:
                 return int(nb)
             return 0
 
+        # intra4x4 prediction-mode grid: 2 (DC) for non-I4x4 MBs per spec
+        # 8.3.1.1; -1 marks not-yet-decoded (treated as unavailable -> DC)
+        i4mode = np.full((mbh * 4, mbw * 4), 2, np.int64)
+        # which 4x4 luma blocks are reconstructed (drives top-right
+        # availability for prediction, spec 6.4.12 neighbour rules)
+        done4 = np.zeros((mbh * 4, mbw * 4), bool)
+        # which blocks have been PARSED (mode-prediction availability is
+        # address-based: all 16 modes parse before any reconstruction)
+        avail4 = np.zeros((mbh * 4, mbw * 4), bool)
+
+        def luma_neighbors(px, py, need_tr):
+            """(t[0..7], l[0..3], tl) sample arrays for block at pixel
+            (px, py); None where unavailable."""
+            gx, gy = px // 4, py // 4
+            top = None
+            if py > my0 * 16 and done4[gy - 1, gx]:
+                t8 = np.empty(8, np.int64)
+                t8[:4] = y[py - 1, px : px + 4]
+                if need_tr and gx + 1 < mbw * 4 and done4[gy - 1, gx + 1]:
+                    t8[4:] = y[py - 1, px + 4 : px + 8]
+                else:
+                    t8[4:] = y[py - 1, px + 3]
+                top = t8
+            left = None
+            if px > 0 and done4[gy, gx - 1]:
+                left = y[py : py + 4, px - 1].astype(np.int64)
+            tl = None
+            if top is not None and left is not None and px > 0 and py > my0 * 16:
+                tl = int(y[py - 1, px - 1])
+            return top, left, tl
+
+        def chroma_pred_block(plane, mx, my, mode):
+            x0, y0 = mx * 8, my * 8
+            lcol = plane[y0 : y0 + 8, x0 - 1].astype(np.int64) if mx > 0 else None
+            trow = plane[y0 - 1, x0 : x0 + 8].astype(np.int64) if my > my0 else None
+            if mode == 0:  # DC per 4x4 sub-block (spec 8.3.4.1)
+                preds = np.zeros((8, 8), np.int64)
+                for by in range(2):
+                    for bx in range(2):
+                        lc = lcol[by * 4 : by * 4 + 4] if lcol is not None else None
+                        tr = trow[bx * 4 : bx * 4 + 4] if trow is not None else None
+                        use_l, use_t = lc is not None, tr is not None
+                        if bx == 1 and by == 0 and tr is not None:
+                            use_l = False
+                        if bx == 0 and by == 1 and lc is not None:
+                            use_t = False
+                        if use_l and use_t:
+                            v = (int(lc.sum()) + int(tr.sum()) + 4) >> 3
+                        elif use_l:
+                            v = (int(lc.sum()) + 2) >> 2
+                        elif use_t:
+                            v = (int(tr.sum()) + 2) >> 2
+                        else:
+                            v = 128
+                        preds[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = v
+                return preds
+            if mode == 1:  # Horizontal
+                return np.repeat(lcol[:, None], 8, axis=1)
+            if mode == 2:  # Vertical
+                return np.repeat(trow[None, :], 8, axis=0)
+            if mode == 3:  # Plane
+                tl = int(plane[y0 - 1, x0 - 1])
+                return _pred8_chroma_plane(trow, lcol, tl)
+            raise UnsupportedStream(f"chroma pred mode {mode}")
+
+        def residual4(r_, nn, gx, gy, gy_min, v, qp_, has):
+            """Read (if has) one 16-coeff CAVLC block and return the spatial
+            residual (already includes DC); updates nnz."""
+            if not has:
+                nn[gy, gx] = 0
+                return np.zeros((4, 4), np.int64)
+            nc = nc_of(nn, gx, gy, gy_min)
+            zz = decode_cavlc_block(r_, nc, 16)
+            nn[gy, gx] = int(np.count_nonzero(zz))
+            d = _dezigzag(zz) * v << (qp_ // 6)
+            return (_itransform4(d) + 32) >> 6
+
+        def chroma_residuals(r_, cbp_chroma, mx, my, vc, qpc):
+            cdc = [np.zeros(4, np.int64), np.zeros(4, np.int64)]
+            cac = [np.zeros((2, 2, 16), np.int64) for _ in range(2)]
+            if cbp_chroma:
+                for ci in range(2):
+                    cdc[ci] = decode_cavlc_block(r_, -1, 4)
+            if cbp_chroma == 2:
+                for ci in range(2):
+                    for bx, by in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                        gx, gy = mx * 2 + bx, my * 2 + by
+                        nc = nc_of(nnz_c[ci], gx, gy, my0 * 2)
+                        zz = decode_cavlc_block(r_, nc, 15)
+                        cac[ci][by, bx, 1:] = zz
+                        nnz_c[ci][gy, gx] = int(np.count_nonzero(zz))
+            else:
+                for ci in range(2):
+                    nnz_c[ci][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+            res = [np.zeros((8, 8), np.int64) for _ in range(2)]
+            for ci in range(2):
+                fdc = H._H2 @ np.array([[cdc[ci][0], cdc[ci][1]],
+                                        [cdc[ci][2], cdc[ci][3]]], np.int64) @ H._H2
+                v00c = int(vc[0, 0])
+                dcsc = ((fdc * v00c) << (qpc // 6)) >> 1
+                for by in range(2):
+                    for bx in range(2):
+                        d = _dezigzag(cac[ci][by, bx]) * vc << (qpc // 6)
+                        d[0, 0] = dcsc[by, bx]
+                        res[ci][by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = (
+                            (_itransform4(d) + 32) >> 6
+                        )
+            return res
+
         mb_addr = first_mb
         while r.pos < stop_pos:
             my, mx = mb_addr // mbw, mb_addr % mbw
             mb_addr += 1
-            if True:
-                mb_type = r.ue()
-                if mb_type == 25:  # I_PCM
-                    r.byte_align()
-                    for i in range(16):
-                        for j in range(16):
-                            y[my * 16 + i, mx * 16 + j] = r.u(8)
-                    for plane in (cbp_, crp):
-                        for i in range(8):
-                            for j in range(8):
-                                plane[my * 8 + i, mx * 8 + j] = r.u(8)
-                    nnz_l[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 16
-                    for nn in nnz_c:
-                        nn[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
-                    continue
-                if not 1 <= mb_type <= 24:
-                    raise UnsupportedStream(f"mb_type {mb_type}")
-                t = mb_type - 1
-                pred_mode = t % 4
-                cbp_chroma = (t // 4) % 3
-                cbp_luma = 15 if t >= 12 else 0
-                if pred_mode != 2:
-                    raise UnsupportedStream("only DC I16 prediction emitted")
-                if r.ue() != 0:
-                    raise UnsupportedStream("chroma pred != DC")
-                r.se()  # mb_qp_delta (always 0 from our encoder)
+            qpc = H.chroma_qp(max(0, min(51, qp + pps["chroma_off"])))
+            vy = _vmat(qp)
+            vc = _vmat(qpc)
+            mb_type = r.ue()
+            if mb_type == 25:  # I_PCM
+                r.byte_align()
+                for i in range(16):
+                    for j in range(16):
+                        y[my * 16 + i, mx * 16 + j] = r.u(8)
+                for plane in (cbp_, crp):
+                    for i in range(8):
+                        for j in range(8):
+                            plane[my * 8 + i, mx * 8 + j] = r.u(8)
+                nnz_l[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 16
+                for nn in nnz_c:
+                    nn[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
+                done4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
+                avail4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
+                i4mode[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 2
+                continue
 
-                # luma DC coefficients
-                nc = nc_of(nnz_l, mx * 4, my * 4, my0 * 4)
-                dc_zz = decode_cavlc_block(r, nc, 16)
-                ac = np.zeros((4, 4, 16), np.int64)
-                if cbp_luma:
-                    for bx, by in H._BLK_ORDER:
-                        gx, gy = mx * 4 + bx, my * 4 + by
-                        nc = nc_of(nnz_l, gx, gy, my0 * 4)
-                        zz = decode_cavlc_block(r, nc, 15)
-                        ac[by, bx, 1:] = zz
-                        nnz_l[gy, gx] = int(np.count_nonzero(zz))
-                cdc = [np.zeros(4, np.int64), np.zeros(4, np.int64)]
-                cac = [np.zeros((2, 2, 16), np.int64) for _ in range(2)]
-                if cbp_chroma:
-                    for ci in range(2):
-                        cdc[ci] = decode_cavlc_block(r, -1, 4)
-                if cbp_chroma == 2:
-                    for ci in range(2):
-                        for bx, by in ((0, 0), (1, 0), (0, 1), (1, 1)):
-                            gx, gy = mx * 2 + bx, my * 2 + by
-                            nc = nc_of(nnz_c[ci], gx, gy, my0 * 2)
-                            zz = decode_cavlc_block(r, nc, 15)
-                            cac[ci][by, bx, 1:] = zz
-                            nnz_c[ci][gy, gx] = int(np.count_nonzero(zz))
-
-                # ---- reconstruct luma ----
-                left = y[my * 16 : my * 16 + 16, mx * 16 - 1] if mx > 0 else None
-                top = y[my * 16 - 1, mx * 16 : mx * 16 + 16] if my > my0 else None
-                if left is not None and top is not None:
-                    pred = (int(left.sum()) + int(top.sum()) + 16) >> 5
-                elif left is not None:
-                    pred = (int(left.sum()) + 8) >> 4
-                elif top is not None:
-                    pred = (int(top.sum()) + 8) >> 4
-                else:
-                    pred = 128
-                # DC: inverse hadamard then scale (spec 8.5.10)
-                f = _ihadamard4(_dezigzag(dc_zz)[0:4, 0:4] if False else _dezigzag(dc_zz))
-                v00 = int(vy[0, 0])
-                if qp >= 12:
-                    dcs = (f * v00) << (qp // 6 - 2)
-                else:
-                    dcs = (f * v00 + (1 << (1 - qp // 6))) >> (2 - qp // 6)
-                for by in range(4):
-                    for bx in range(4):
-                        d = _dezigzag(ac[by, bx]) * vy << (qp // 6)
-                        d[0, 0] = dcs[by, bx]
-                        res = (_itransform4(d) + 32) >> 6
-                        blk = np.clip(pred + res, 0, 255)
-                        y[my * 16 + by * 4 : my * 16 + by * 4 + 4,
-                          mx * 16 + bx * 4 : mx * 16 + bx * 4 + 4] = blk
-
-                # ---- reconstruct chroma ----
+            if mb_type == 0:  # I_4x4 (I_NxN, baseline => 4x4 transform)
+                # prediction modes for all 16 blocks (spec 8.3.1.1)
+                modes = np.zeros(16, np.int64)
+                for bi, (bx, by) in enumerate(H._BLK_ORDER):
+                    gx, gy = mx * 4 + bx, my * 4 + by
+                    ma = i4mode[gy, gx - 1] if gx > 0 and avail4[gy, gx - 1] else -1
+                    mb_ = i4mode[gy - 1, gx] if gy > my0 * 4 and avail4[gy - 1, gx] else -1
+                    # unavailable neighbour -> 2 (non-I4x4 MBs already
+                    # recorded as 2 in the grid)
+                    pm = min(ma if ma >= 0 else 2, mb_ if mb_ >= 0 else 2)
+                    if ma < 0 or mb_ < 0:
+                        pm = 2
+                    if r.u(1):  # prev_intra4x4_pred_mode_flag
+                        modes[bi] = pm
+                    else:
+                        rem = r.u(3)
+                        modes[bi] = rem if rem < pm else rem + 1
+                    # record at parse time so in-MB neighbours see it;
+                    # done4 separately gates SAMPLE availability
+                    i4mode[gy, gx] = modes[bi]
+                    avail4[gy, gx] = True
+                chroma_mode = r.ue()
+                cbp = r.ue()
+                if cbp >= len(_CBP_INTRA):
+                    raise UnsupportedStream("bad coded_block_pattern")
+                cbp = _CBP_INTRA[cbp]
+                cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+                if cbp_chroma == 3:
+                    raise UnsupportedStream("bad chroma cbp")
+                if cbp:
+                    qp = qp + r.se()
+                    qpc = H.chroma_qp(max(0, min(51, qp + pps["chroma_off"])))
+                    vy, vc = _vmat(qp), _vmat(qpc)
+                # per-block: residual read order is H._BLK_ORDER; predict +
+                # reconstruct in the same order so neighbours are ready
+                for bi, (bx, by) in enumerate(H._BLK_ORDER):
+                    gx, gy = mx * 4 + bx, my * 4 + by
+                    px, py = gx * 4, gy * 4
+                    mode = int(modes[bi])
+                    need_tr = mode in (3, 7)
+                    top, left, tl = luma_neighbors(px, py, need_tr)
+                    pred = _pred4x4(mode, top, left, tl)
+                    if getattr(self, "trace", None) is not None:
+                        self.trace.append((px, py, mode))
+                    has = bool(cbp_luma & (1 << (bi // 4)))
+                    res = residual4(r, nnz_l, gx, gy, my0 * 4, vy, qp, has)
+                    y[py : py + 4, px : px + 4] = np.clip(pred + res, 0, 255)
+                    done4[gy, gx] = True
+                cres = chroma_residuals(r, cbp_chroma, mx, my, vc, qpc)
                 for ci, plane in enumerate((cbp_, crp)):
-                    preds = np.zeros((2, 2), np.int64)
-                    for by in range(2):
-                        for bx in range(2):
-                            x0, y0 = mx * 8 + bx * 4, my * 8 + by * 4
-                            lcol = plane[y0 : y0 + 4, mx * 8 - 1] if mx > 0 else None
-                            trow = plane[my * 8 - 1, x0 : x0 + 4] if my > my0 else None
-                            use_l, use_t = lcol is not None, trow is not None
-                            if bx == 1 and by == 0 and trow is not None:
-                                use_l = False
-                            if bx == 0 and by == 1 and lcol is not None:
-                                use_t = False
-                            if use_l and use_t:
-                                preds[by, bx] = (int(lcol.sum()) + int(trow.sum()) + 4) >> 3
-                            elif use_l:
-                                preds[by, bx] = (int(lcol.sum()) + 2) >> 2
-                            elif use_t:
-                                preds[by, bx] = (int(trow.sum()) + 2) >> 2
-                            else:
-                                preds[by, bx] = 128
-                    fdc = H._H2 @ np.array([[cdc[ci][0], cdc[ci][1]],
-                                            [cdc[ci][2], cdc[ci][3]]], np.int64) @ H._H2
-                    v00c = int(vc[0, 0])
-                    dcsc = ((fdc * v00c) << (qpc // 6)) >> 1
-                    for by in range(2):
-                        for bx in range(2):
-                            d = _dezigzag(cac[ci][by, bx]) * vc << (qpc // 6)
-                            d[0, 0] = dcsc[by, bx]
-                            res = (_itransform4(d) + 32) >> 6
-                            blk = np.clip(preds[by, bx] + res, 0, 255)
-                            plane[my * 8 + by * 4 : my * 8 + by * 4 + 4,
-                                  mx * 8 + bx * 4 : mx * 8 + bx * 4 + 4] = blk
+                    predc = chroma_pred_block(plane, mx, my, chroma_mode)
+                    plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(
+                        predc + cres[ci], 0, 255
+                    )
+                continue
+
+            if not 1 <= mb_type <= 24:
+                raise UnsupportedStream(f"mb_type {mb_type}")
+            t = mb_type - 1
+            pred_mode = t % 4
+            cbp_chroma = (t // 4) % 3
+            cbp_luma = 15 if t >= 12 else 0
+            chroma_mode = r.ue()
+            delta = r.se()  # mb_qp_delta (always present for I_16x16)
+            qp = qp + delta
+            qpc = H.chroma_qp(max(0, min(51, qp + pps["chroma_off"])))
+            vy, vc = _vmat(qp), _vmat(qpc)
+            i4mode[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 2
+            avail4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
+
+            # luma DC coefficients
+            nc = nc_of(nnz_l, mx * 4, my * 4, my0 * 4)
+            dc_zz = decode_cavlc_block(r, nc, 16)
+            ac = np.zeros((4, 4, 16), np.int64)
+            if cbp_luma:
+                for bx, by in H._BLK_ORDER:
+                    gx, gy = mx * 4 + bx, my * 4 + by
+                    nc = nc_of(nnz_l, gx, gy, my0 * 4)
+                    zz = decode_cavlc_block(r, nc, 15)
+                    ac[by, bx, 1:] = zz
+                    nnz_l[gy, gx] = int(np.count_nonzero(zz))
+            else:
+                nnz_l[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
+            cres_pending = (r, cbp_chroma, mx, my, vc, qpc)
+
+            # ---- predict luma (spec 8.3.3: V/H/DC/Plane) ----
+            left = y[my * 16 : my * 16 + 16, mx * 16 - 1] if mx > 0 else None
+            top = y[my * 16 - 1, mx * 16 : mx * 16 + 16] if my > my0 else None
+            if pred_mode == 0:
+                pred16 = np.repeat(top[None, :].astype(np.int64), 16, axis=0)
+            elif pred_mode == 1:
+                pred16 = np.repeat(left[:, None].astype(np.int64), 16, axis=1)
+            elif pred_mode == 2:
+                if left is not None and top is not None:
+                    dcv = (int(left.sum()) + int(top.sum()) + 16) >> 5
+                elif left is not None:
+                    dcv = (int(left.sum()) + 8) >> 4
+                elif top is not None:
+                    dcv = (int(top.sum()) + 8) >> 4
+                else:
+                    dcv = 128
+                pred16 = np.full((16, 16), dcv, np.int64)
+            else:
+                tl = int(y[my * 16 - 1, mx * 16 - 1])
+                pred16 = _pred16_plane(top.astype(np.int64), left.astype(np.int64), tl)
+            # DC: inverse hadamard then scale (spec 8.5.10)
+            f = _ihadamard4(_dezigzag(dc_zz))
+            v00 = int(vy[0, 0])
+            if qp >= 12:
+                dcs = (f * v00) << (qp // 6 - 2)
+            else:
+                dcs = (f * v00 + (1 << (1 - qp // 6))) >> (2 - qp // 6)
+            for by in range(4):
+                for bx in range(4):
+                    d = _dezigzag(ac[by, bx]) * vy << (qp // 6)
+                    d[0, 0] = dcs[by, bx]
+                    res = (_itransform4(d) + 32) >> 6
+                    blk = np.clip(pred16[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + res,
+                                  0, 255)
+                    y[my * 16 + by * 4 : my * 16 + by * 4 + 4,
+                      mx * 16 + bx * 4 : mx * 16 + bx * 4 + 4] = blk
+            done4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
+
+            # ---- chroma ----
+            cres = chroma_residuals(*cres_pending)
+            for ci, plane in enumerate((cbp_, crp)):
+                predc = chroma_pred_block(plane, mx, my, chroma_mode)
+                plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(
+                    predc + cres[ci], 0, 255
+                )
         return y.astype(np.uint8), cbp_.astype(np.uint8), crp.astype(np.uint8)
