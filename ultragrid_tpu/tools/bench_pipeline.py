@@ -84,6 +84,30 @@ def main() -> int:
     dt = _time(lambda: enc4k.encode_device(f4k)[1], n=20)
     report("4K UYVY->JPEG device encode", dt)
 
+    # 4b. FULL encode path as the sender ships it: single-frame device
+    #     dispatch + host C byte-stuffing/assembly, PIPELINED — the device
+    #     encode of frame i+1 is queued (JAX async dispatch) before frame
+    #     i's parts are fetched and assembled on the host, so the two
+    #     halves overlap exactly like the live sender's compress worker
+    #     (ref: GPUJPEG end-to-end role, gpujpeg.cpp:106-168)
+    parts = enc4k.encode_device(f4k)
+    n = 12
+    t0 = time.perf_counter()
+    for _ in range(n):
+        nxt = enc4k.encode_device(f4k)  # queued async
+        enc4k.assemble(*(np.asarray(p) for p in parts[:-1]))  # host overlap
+        parts = nxt
+    enc4k.assemble(*(np.asarray(p) for p in parts[:-1]))
+    dt = (time.perf_counter() - t0) / (n + 1)
+    report("4K UYVY->JPEG full path (device+assembly, pipelined)", dt)
+
+    # 4c. 4:2:0 in the fused Pallas kernel (the wider world's default
+    #     subsampling; ref: gpujpeg.cpp:295-302)
+    enc420 = JpegEncoder(3840, 2160, in_codec=Codec.UYVY, quality=80,
+                         subsampling="420")
+    dt = _time(lambda: enc420.encode_device(f4k)[1], n=20)
+    report("4K UYVY->JPEG 4:2:0 device encode", dt)
+
     # 5. full 8K pipeline: UYVY 8K -> JPEG device encode -> host C assemble
     #    -> host C LDGM encode (the north-star configuration)
     w8, h8 = 7680, 4320
