@@ -26,17 +26,51 @@ from ultragrid_tpu.ops import h264 as H
 _L = 16  # max coeffs per block
 
 
+import os
+
+# gather-free CAVLC table lookups (the JPEG kernel's lesson applied here:
+# in-graph gathers over ~130k blocks are the prime suspect for the device
+# H.264 cost; a row-select chain + one-hot column reduce is pure VPU)
+_GATHERLESS = os.environ.get("UGTPU_H264_GATHERLESS", "1") != "0"
+
+
+def _pack_vl(val: np.ndarray, ln: np.ndarray) -> np.ndarray:
+    """(val, len) tables -> one packed (val<<5 | len) int32 table."""
+    return ((val.astype(np.int64) << 5) | ln.astype(np.int64)).astype(np.int32)
+
+
+def _sel_lookup(packed_np: np.ndarray, i, j):
+    """Gather-free table[i, j] for a SMALL packed table: row-select chain
+    over R constant rows, then a one-hot column reduce (exact, pure VPU —
+    no gather lowering).  Returns (val, len)."""
+    R, C = packed_np.shape
+    cols = jnp.arange(C, dtype=jnp.int32)[None, :]
+    rowvals = jnp.zeros((i.shape[0], C), jnp.int32)
+    for r in range(R):
+        rowvals = jnp.where(
+            (i == r)[:, None],
+            jnp.asarray(packed_np[r].astype(np.int32))[None, :],
+            rowvals,
+        )
+    p = jnp.sum(jnp.where(j[:, None] == cols, rowvals, 0), axis=1)
+    return p >> 5, p & 31
+
+
 def _tables_jnp():
     t = {}
     for k in ("0", "2", "4", "c"):
         t[f"ctv{k}"] = jnp.asarray(H._CT_VAL[k].astype(np.int32))
         t[f"ctl{k}"] = jnp.asarray(H._CT_LEN[k].astype(np.int32))
+        t[f"p_ct{k}"] = _pack_vl(H._CT_VAL[k], H._CT_LEN[k])
     t["tzv"] = jnp.asarray(H._TZ_VAL.astype(np.int32))
     t["tzl"] = jnp.asarray(H._TZ_LEN.astype(np.int32))
     t["tzcv"] = jnp.asarray(H._TZC_VAL.astype(np.int32))
     t["tzcl"] = jnp.asarray(H._TZC_LEN.astype(np.int32))
     t["rbv"] = jnp.asarray(H._RB_VAL.astype(np.int32))
     t["rbl"] = jnp.asarray(H._RB_LEN.astype(np.int32))
+    t["p_tz"] = _pack_vl(H._TZ_VAL, H._TZ_LEN)
+    t["p_tzc"] = _pack_vl(H._TZC_VAL, H._TZC_LEN)
+    t["p_rb"] = _pack_vl(H._RB_VAL, H._RB_LEN)
     return t
 
 
@@ -72,15 +106,23 @@ def cavlc_blocks_jnp(levels, nC, tabs, chroma_dc: bool = False):
 
     # coeff_token
     if chroma_dc:
-        ct_v = tabs["ctvc"][t1, total]
-        ct_l = tabs["ctlc"][t1, total]
+        if _GATHERLESS:
+            ct_v, ct_l = _sel_lookup(tabs["p_ctc"], t1, total)
+        else:
+            ct_v = tabs["ctvc"][t1, total]
+            ct_l = tabs["ctlc"][t1, total]
     else:
-        v0 = tabs["ctv0"][t1, total]
-        l0 = tabs["ctl0"][t1, total]
-        v2 = tabs["ctv2"][t1, total]
-        l2 = tabs["ctl2"][t1, total]
-        v4 = tabs["ctv4"][t1, total]
-        l4 = tabs["ctl4"][t1, total]
+        if _GATHERLESS:
+            v0, l0 = _sel_lookup(tabs["p_ct0"], t1, total)
+            v2, l2 = _sel_lookup(tabs["p_ct2"], t1, total)
+            v4, l4 = _sel_lookup(tabs["p_ct4"], t1, total)
+        else:
+            v0 = tabs["ctv0"][t1, total]
+            l0 = tabs["ctl0"][t1, total]
+            v2 = tabs["ctv2"][t1, total]
+            l2 = tabs["ctl2"][t1, total]
+            v4 = tabs["ctv4"][t1, total]
+            l4 = tabs["ctl4"][t1, total]
         vf = jnp.where(total == 0, 3, ((total - 1) << 2) | t1)
         ct_v = jnp.where(nC < 2, v0, jnp.where(nC < 4, v2, jnp.where(nC < 8, v4, vf)))
         ct_l = jnp.where(nC < 2, l0, jnp.where(nC < 4, l2, jnp.where(nC < 8, l4, 6)))
@@ -137,7 +179,10 @@ def cavlc_blocks_jnp(levels, nC, tabs, chroma_dc: bool = False):
 
     # total_zeros
     m = (total > 0) & (total < L)
-    if chroma_dc:
+    if _GATHERLESS:
+        tz_v, tz_l = _sel_lookup(tabs["p_tzc" if chroma_dc else "p_tz"],
+                                 total, zeros)
+    elif chroma_dc:
         tz_v = tabs["tzcv"][total, zeros]
         tz_l = tabs["tzcl"][total, zeros]
     else:
@@ -152,8 +197,13 @@ def cavlc_blocks_jnp(levels, nC, tabs, chroma_dc: bool = False):
         m = (r <= total - 2) & (zeros_left > 0)
         run = jnp.where(m, pos_of_rank[r] - pos_of_rank[r + 1] - 1, 0)
         zl = jnp.minimum(zeros_left, 7)
-        svals.append(jnp.where(m, tabs["rbv"][zl, run], 0))
-        slens.append(jnp.where(m, tabs["rbl"][zl, run], 0))
+        if _GATHERLESS:
+            rb_v, rb_l = _sel_lookup(tabs["p_rb"], zl, run)
+        else:
+            rb_v = tabs["rbv"][zl, run]
+            rb_l = tabs["rbl"][zl, run]
+        svals.append(jnp.where(m, rb_v, 0))
+        slens.append(jnp.where(m, rb_l, 0))
         zeros_left = jnp.where(m, zeros_left - run, zeros_left)
     for _ in range(L - 1, 15):  # pad to 15 run slots for L < 16
         svals.append(jnp.zeros(n, jnp.int32))
