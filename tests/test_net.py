@@ -128,8 +128,10 @@ def test_end_to_end_rs():
 
 
 def test_end_to_end_jpeg():
-    # generous timeout: first JPEG frame includes XLA compilation
-    received = _loopback_roundtrip("jpeg:90", "none", port_off=4, timeout=120.0)
+    # generous timeout: first JPEG frame includes XLA compilation; 8 frames
+    # so localhost UDP drops under full-suite load can't corrupt every one
+    received = _loopback_roundtrip("jpeg:90", "none", port_off=4, frames=8,
+                                   timeout=120.0)
     assert len(received) >= 1
     frame = received[0]
     # display got a decompressed frame
