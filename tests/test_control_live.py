@@ -130,3 +130,37 @@ def test_live_pause_play_and_receiver_change():
         assert _ctl(c, "nosuchcmd").startswith("404")
     sender.should_exit.set()
     tx_thread.join(timeout=15)
+
+
+def test_live_receiver_postprocess_change():
+    """'postprocess <chain>' over the control socket swaps the receiver's
+    display postprocess mid-session (ref: receiver messages,
+    control_socket.c command set)."""
+    from ultragrid_tpu.modules.messaging import Module
+    from ultragrid_tpu.utils.control_socket import ControlServer
+
+    root = Module("root")
+    ctl = ControlServer(root, port=0)
+    recv = VideoReceiver("dummy", rx_port=PORT + 8, frame_limit=5, timeout=10.0,
+                         control=ctl, root=root)
+    assert not recv.postprocess_chain.filters
+    rx_thread = threading.Thread(target=recv.run, daemon=True)
+    rx_thread.start()
+
+    sender = VideoSender(
+        "testcard:s=128x96:f=20:c=UYVY:still=1", "127.0.0.1",
+        compress_spec="none", tx_port=PORT + 8, rx_port=0, frame_limit=30,
+    )
+    tx_thread = threading.Thread(target=sender.run, daemon=True)
+    tx_thread.start()
+
+    with socket.create_connection(("127.0.0.1", ctl.port), timeout=5) as c:
+        assert _ctl(c, "postprocess mirror").startswith("200")
+        assert len(recv.postprocess_chain.filters) == 1
+        assert _ctl(c, "postprocess none").startswith("200")
+        assert not recv.postprocess_chain.filters
+    sender.should_exit.set()
+    recv.should_exit = True
+    rx_thread.join(timeout=10)
+    tx_thread.join(timeout=10)
+    ctl.close()

@@ -86,3 +86,40 @@ def test_golden_vector_stability():
 
 
 GOLDEN_DIGEST = "20621eebdd37a4bb2b2d684f181ea0440a63541f3fd0d5412e8db1c3b1cc1d55"
+
+
+def test_jpegxs_e2e_over_rtp():
+    """-c jpegxs travels the native RTP path as an opaque codec and the
+    receiver decompresses it for display (full loop like -c jpeg)."""
+    import threading
+    import time
+
+    from ultragrid_tpu.pipeline.receiver import VideoReceiver
+    from ultragrid_tpu.pipeline.sender import VideoSender
+
+    port = 25900
+    displayed = []
+    recv = VideoReceiver("dummy", rx_port=port, frame_limit=2, timeout=60.0)
+    orig_put = recv.display.put_frame
+
+    def spy(frame, blocking=True):
+        if frame is not None:
+            displayed.append(frame)
+        orig_put(frame, blocking)
+
+    recv.display.put_frame = spy
+    t = threading.Thread(target=recv.run, daemon=True)
+    t.start()
+    time.sleep(0.2)
+    sender = VideoSender(
+        "testcard:s=128x64:f=10:c=UYVY:still=1", "127.0.0.1",
+        compress_spec="jpegxs:100", tx_port=port, rx_port=0, frame_limit=6,
+    )
+    sender.run()
+    t.join(timeout=30)
+    assert displayed, "no jpegxs frame displayed"
+    # lossless: the displayed frame equals the testcard exactly
+    expected = generate_pattern(128, 64, Codec.UYVY, "bars")
+    best = min(int(np.abs(np.asarray(f.data).astype(int) - expected.astype(int)).max())
+               for f in displayed if f.desc.color_spec == Codec.UYVY)
+    assert best == 0

@@ -39,10 +39,40 @@ class VideoReceiver:
         control=None,
         mcast_addr: Optional[str] = None,
         force_ip_version: int = 0,
+        root=None,
     ):
         from ultragrid_tpu.utils.tiling import VideoMode
 
         self.control = control
+        # live-reconfigurable receiver module (ref: receiver-side messages,
+        # e.g. runtime postprocess change via the control socket)
+        if root is not None:
+            from ultragrid_tpu.modules.messaging import (
+                Module,
+                MsgReceiver,
+                RESPONSE_BAD_REQUEST,
+                RESPONSE_OK,
+                Response,
+            )
+
+            self._module = Module("receiver", root)
+
+            def on_msg(msg):
+                if isinstance(msg, MsgReceiver):
+                    if msg.postprocess is not None:
+                        from ultragrid_tpu.modules.filters import FilterChain
+
+                        try:
+                            chain = FilterChain(msg.postprocess)
+                        except Exception as e:  # noqa: BLE001
+                            return Response(RESPONSE_BAD_REQUEST, str(e))
+                        self.postprocess_chain = chain  # atomic swap
+                        log.notice(f"postprocess changed to "
+                                   f"{msg.postprocess or 'none'}")
+                    return Response(RESPONSE_OK)
+                return Response(RESPONSE_BAD_REQUEST, "unsupported message")
+
+            self._module.msg_callback = on_msg
         self.mode = VideoMode.from_str(mode)
         from ultragrid_tpu.modules.filters import FilterChain
 
@@ -318,6 +348,7 @@ def run_receiver(args) -> int:
         # receiver-mode `uv -d gl 239.x.y.z` joins the multicast group
         mcast_addr=getattr(args, "host", None),
         force_ip_version=getattr(args, "force_ip_version", 0),
+        root=root,
     )
     from ultragrid_tpu.utils.keyboard import KeyboardControl
 

@@ -17,6 +17,7 @@ from ultragrid_tpu.modules.messaging import (
     Module,
     MsgChangeCompress,
     MsgChangeFec,
+    MsgReceiver,
     MsgSender,
     MsgUniversal,
     RESPONSE_BAD_REQUEST,
@@ -71,6 +72,11 @@ class ControlServer:
             return send_message(self.root, "sender", MsgSender(paused=True))
         if cmd == "play":
             return send_message(self.root, "sender", MsgSender(paused=False))
+        if cmd == "postprocess":
+            # runtime display-postprocess swap on the receiver
+            # (ref: postprocess message, control_socket.c command set)
+            return send_message(self.root, "receiver",
+                                MsgReceiver(postprocess="" if arg == "none" else arg))
         if cmd in ("mute", "unmute", "volume"):
             return send_message(self.root, "audio", MsgUniversal(line.strip()))
         return Response(RESPONSE_NOT_FOUND, f"unknown command {cmd}")
