@@ -975,3 +975,27 @@ def test_rtp_async_wait_drains():
     threading.Thread(target=lambda: (tx.async_wait(), done.set()), daemon=True).start()
     assert done.wait(timeout=5), "async_wait did not return"
     tx.close(); rx.close()
+
+
+def test_hd_rum_fed_by_multicast_group():
+    """hd-rum reflector subscribed to a 239.x group unicasts the stream on
+    (VERDICT: 'hd-rum fed by a multicast receiver')."""
+    from ultragrid_tpu.tools.hd_rum import HdRum
+
+    group, gport, outport = "239.255.42.44", 25060, 25064
+    rum = HdRum(gport, [f"127.0.0.1:{outport}"], mcast_group=group)
+    t = threading.Thread(target=rum.run, kwargs={"packet_limit": 5}, daemon=True)
+    t.start()
+    time.sleep(0.1)
+
+    out_rx = RtpSession(addr=None, rx_port=outport, tx_port=0)
+    tx = RtpSession(addr=group, rx_port=0, tx_port=gport, ttl=1)
+    for i in range(5):
+        tx.send_data_hdr(99, 20, i == 4, b"", bytes([i]) * 32, async_send=False)
+    got = []
+    deadline = time.monotonic() + 3
+    while len(got) < 5 and time.monotonic() < deadline:
+        got.extend(out_rx.recv_batch(timeout=0.05))
+    assert [p.payload[0] for p in got] == list(range(5))
+    t.join(timeout=5)
+    tx.close(); out_rx.close()

@@ -20,7 +20,8 @@ log = Logger("hd-rum")
 
 
 class HdRum:
-    def __init__(self, port: int, hosts: List[str], buffer_packets: int = 1024, out_port: int = 0):
+    def __init__(self, port: int, hosts: List[str], buffer_packets: int = 1024,
+                 out_port: int = 0, mcast_group: str = ""):
         self.port = port
         self.targets: List[Tuple[str, int]] = [
             (h.rsplit(":", 1)[0], int(h.rsplit(":", 1)[1]) if ":" in h else (out_port or port))
@@ -28,7 +29,13 @@ class HdRum:
         ]
         self.rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self.rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 * 1024 * 1024)
+        self.rx.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.rx.bind(("", port))
+        if mcast_group:
+            # reflector fed by a multicast group: join it on the rx socket
+            # (ref: the reference feeds hd-rum from multicast sessions too)
+            mreq = socket.inet_aton(mcast_group) + socket.inet_aton("0.0.0.0")
+            self.rx.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
         self.tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self.queue: "queue.Queue" = queue.Queue(maxsize=buffer_packets)
         self._stop = threading.Event()
@@ -75,9 +82,15 @@ class HdRum:
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) < 3:
-        print("usage: hd_rum <buffer_packets> <port> <host[:port]>...", file=sys.stderr)
+        print("usage: hd_rum <buffer_packets> <port> [--mcast GROUP] "
+              "<host[:port]>...", file=sys.stderr)
         return 1
-    rum = HdRum(int(argv[1]), argv[2:], buffer_packets=int(argv[0]))
+    mcast = ""
+    rest = argv[2:]
+    if rest and rest[0] == "--mcast":
+        mcast = rest[1]
+        rest = rest[2:]
+    rum = HdRum(int(argv[1]), rest, buffer_packets=int(argv[0]), mcast_group=mcast)
     log.notice(f"reflecting :{argv[1]} -> {rum.targets}")
     rum.run()
     return 0
