@@ -357,8 +357,10 @@ def make_fused_encode(enc, wwords: int, interpret: bool = False):
 
         slot_cols = [[] for _ in range(bpm)]
         for w in range(wwords):
-            contrib = jnp.where(w0 == w, x0, jnp.uint32(0)) | jnp.where(
-                w0 == w - 1, x1, jnp.uint32(0)
+            # a lane lands in word w0 (x0) and possibly w0+1 (x1); the two
+            # cases are mutually exclusive per lane, so one nested select
+            contrib = jnp.where(
+                w0 == w, x0, jnp.where(w0 == w - 1, x1, jnp.uint32(0))
             )
             # disjoint bit ranges: integer add == OR
             ci = contrib.astype(jnp.int32)
