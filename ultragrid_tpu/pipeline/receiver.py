@@ -352,7 +352,10 @@ def run_receiver(args) -> int:
     )
     from ultragrid_tpu.utils.keyboard import KeyboardControl
 
-    kb = KeyboardControl(root)
+    def _stop():
+        receiver.should_exit = True
+
+    kb = KeyboardControl(root, on_exit=_stop)
     kb.start()  # no-op unless stdin is a tty
     n = receiver.run()
     if control is not None:

@@ -272,7 +272,7 @@ class VideoSender:
     def run(self) -> int:
         from ultragrid_tpu.utils.keyboard import KeyboardControl
 
-        kb = KeyboardControl(self.root)
+        kb = KeyboardControl(self.root, on_exit=self.should_exit.set)
         kb.start()  # no-op unless stdin is a tty
         t = threading.Thread(target=self._capture_thread, name="capture", daemon=True)
         t.start()

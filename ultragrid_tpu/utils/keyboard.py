@@ -23,10 +23,12 @@ DEFAULT_KEYMAP_FILE = "ug-key-map.txt"
 
 
 class KeyboardControl:
-    def __init__(self, root: Module, keymap_path: Optional[str] = None):
+    def __init__(self, root: Module, keymap_path: Optional[str] = None,
+                 on_exit: Optional[Callable[[], None]] = None):
         self.root = root
         self.keymap: Dict[str, str] = {}
         self.should_exit = threading.Event()
+        self.on_exit = on_exit  # 'q' propagates to the owning pipeline
         path = keymap_path or DEFAULT_KEYMAP_FILE
         if os.path.exists(path):
             self._load_keymap(path)
@@ -60,6 +62,8 @@ class KeyboardControl:
             return True
         if key == "q":
             self.should_exit.set()
+            if self.on_exit is not None:
+                self.on_exit()
             return False
         if key == "m":
             send_message(self.root, "audio", MsgUniversal("mute"))
