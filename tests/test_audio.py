@@ -367,3 +367,71 @@ def test_aes67_rtp_l24_receive():
     pkt = bytes([0x20, 0, 0, 0]) + socket.inet_aton("10.0.0.5") + b"application/sdp\0" + sdp
     out = parse_sap(pkt)
     assert out is not None and "L24/48000/8" in out
+
+
+def test_encrypted_audio_round_trip():
+    """PT_ENCRYPT_AUDIO / PT_ENCRYPT_AUDIO_RS: audio packets carry the same
+    per-packet AES scheme as video (ref: rtp_types.h:75-80)."""
+    import numpy as np
+
+    from ultragrid_tpu.audio.types import AudioDesc, AudioFrame
+    from ultragrid_tpu.net import rtp_types as rt
+    from ultragrid_tpu.net.audio_rx import AudioRxState
+    from ultragrid_tpu.net.pbuf import PlayoutBuffer
+    from ultragrid_tpu.net.rtp import RtpSession
+    from ultragrid_tpu.net.transmit import Tx
+    from ultragrid_tpu.utils.crypto import PacketCrypto
+
+    port = 25980
+    rx = RtpSession(addr=None, rx_port=port, tx_port=0)
+    tx_sess = RtpSession(addr="127.0.0.1", rx_port=0, tx_port=port)
+    rng = np.random.default_rng(0)
+    desc = AudioDesc(bps=2, sample_rate=48000, ch_count=2, codec="PCM")
+    pcm = [rng.integers(0, 256, 4800, dtype=np.uint8) for _ in range(2)]
+    frame = AudioFrame(desc, [p.copy() for p in pcm])
+
+    for fec in ("none", "rs:4:6"):
+        while rx.recv(timeout=0.05) is not None:
+            pass  # flush leftovers from the previous sub-case
+        tx = Tx(mtu=1500, encryption=PacketCrypto("sekrit"))
+        tx.send_audio(tx_sess, frame, "PCM", fec_spec=fec)
+        pb = PlayoutBuffer(0.0)
+        deadline = time.monotonic() + 3
+        pts = set()
+        while time.monotonic() < deadline:
+            p = rx.recv(timeout=0.05)
+            if p is None:
+                if pts:
+                    break
+                continue
+            pts.add(p.pt)
+            pb.insert(p)
+        expected_pt = rt.PT_ENCRYPT_AUDIO if fec == "none" else rt.PT_ENCRYPT_AUDIO_RS
+        assert pts == {expected_pt}
+
+        got = []
+        st = AudioRxState(decryption=PacketCrypto("sekrit"))
+        pb.decode(time.monotonic() + 100, lambda n: got.append(st.decode_frame(n)) or True)
+        frames = [f for f in got if f is not None]
+        assert frames, f"no decrypted audio frame (fec={fec})"
+        out = frames[0]
+        for ch in range(2):
+            np.testing.assert_array_equal(np.asarray(out.channels[ch]), pcm[ch])
+
+        # wrong key: auth fails, no frame comes out
+        pb2 = PlayoutBuffer(0.0)
+        tx.send_audio(tx_sess, frame, "PCM", fec_spec=fec)
+        deadline = time.monotonic() + 3
+        n_in = 0
+        idle = 0
+        while time.monotonic() < deadline and (n_in == 0 or idle < 3):
+            p = rx.recv(timeout=0.05)
+            if p is not None:
+                pb2.insert(p); n_in += 1; idle = 0
+            else:
+                idle += 1
+        bad = []
+        stbad = AudioRxState(decryption=PacketCrypto("wrong"))
+        pb2.decode(time.monotonic() + 100, lambda n: bad.append(stbad.decode_frame(n)) or True)
+        assert all(f is None for f in bad)
+    rx.close(); tx_sess.close()

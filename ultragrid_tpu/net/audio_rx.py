@@ -23,9 +23,40 @@ log = Logger("audio_rx")
 MAX_AUDIO_FRAME_LEN = 1 << 24
 
 
+AUDIO_ENCRYPTED_PTS = {
+    rt.PT_ENCRYPT_AUDIO: rt.PT_AUDIO,
+    rt.PT_ENCRYPT_AUDIO_RS: rt.PT_AUDIO_RS,
+}
+
+
 class AudioRxState:
-    def __init__(self) -> None:
+    def __init__(self, decryption=None) -> None:
         self.frames_ok = 0
+        self.decryption = decryption
+
+    def _maybe_decrypt(self, node: PbufNode) -> bool:
+        """Decrypt PT 25/36 packet payloads in place (ref: the audio leg of
+        the per-packet AES scheme, rtp_types.h:75-80); returns False on
+        missing key or auth failure."""
+        pt = node.packets[0].pt
+        plain = AUDIO_ENCRYPTED_PTS.get(pt)
+        if plain is None:
+            return True
+        if self.decryption is None:
+            log.warning("received encrypted audio but no decryption key set")
+            return False
+        for pkt in node.packets:
+            if getattr(pkt, "_decrypted", False):
+                continue
+            hdr = pkt.payload[: rt.AUDIO_PAYLOAD_HDR_LEN]
+            body = pkt.payload[rt.AUDIO_PAYLOAD_HDR_LEN + 4 :]  # skip crypto word
+            data = self.decryption.decrypt(body, hdr)
+            if data is None:
+                return False
+            pkt.payload = hdr + data
+            pkt.pt = plain
+            pkt._decrypted = True
+        return True
 
     def _decode_g711_standard(self, node: PbufNode) -> Optional[AudioFrame]:
         """RFC 3551 static payloads: PT 0 = PCMU, PT 8 = PCMA (8 kHz mono,
@@ -42,8 +73,12 @@ class AudioRxState:
         return frame
 
     def decode_frame(self, node: PbufNode) -> Optional[AudioFrame]:
-        if node.packets and node.packets[0].pt in (0, 8):
+        if not node.packets:
+            return None
+        if node.packets[0].pt in (0, 8):
             return self._decode_g711_standard(node)
+        if not self._maybe_decrypt(node):
+            return None
         channels: Dict[int, np.ndarray] = {}
         got: Dict[int, np.ndarray] = {}
         desc = None

@@ -345,7 +345,14 @@ class Tx:
                 self.fec_spec = fec_spec
             rs = self._fec
             pt = rt.PT_AUDIO_RS
+        enc = self.encryption is not None
+        if enc:
+            # per-packet AES like video (ref: PT_ENCRYPT_AUDIO[_RS],
+            # rtp_types.h:75-80 + the transmit.c:789-802 encrypt hook)
+            pt = rt.PT_ENCRYPT_AUDIO_RS if rs is not None else rt.PT_ENCRYPT_AUDIO
         netto = self.mtu - (IPV4_HDR_LEN + UDP_HDR_LEN + rt.RTP_HDR_LEN + rt.AUDIO_PAYLOAD_HDR_LEN)
+        if enc:
+            netto -= 4 + 36 + 15  # crypto hdr word + len+IV+tag/crc overhead
         sent = 0
         nch = len(frame.channels)
         for ch, data in enumerate(frame.channels):
@@ -367,7 +374,11 @@ class Tx:
                 # M only on the whole frame's (= last channel's) final packet,
                 # else the playout buffer decodes before all channels arrive
                 last = ch == nch - 1 and pos + chunk.size >= n
-                session.send_data_hdr(ts, pt, last, hdr, chunk.tobytes())
+                payload = chunk.tobytes()
+                if enc:
+                    payload = self.encryption.encrypt(payload, hdr)
+                    hdr = hdr + self.encryption.crypto_header()
+                session.send_data_hdr(ts, pt, last, hdr, payload)
                 pos += max(chunk.size, 1)
                 sent += 1
         self.buffer = (self.buffer + 1) & 0x3FFFFF

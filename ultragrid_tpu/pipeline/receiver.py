@@ -101,6 +101,8 @@ class VideoReceiver:
 
             crypto = PacketCrypto(encryption)
         self.rx_state = VideoRxState(decryption=crypto)
+        if self.audio_playback is not None:
+            self.audio_rx.decryption = crypto
         self.frame_limit = frame_limit
         self.timeout = timeout
         self.should_exit = False  # external stop (ug_input, embedding)

@@ -111,6 +111,9 @@ class VideoSender:
             from ultragrid_tpu.utils.crypto import PacketCrypto
 
             crypto = PacketCrypto(encryption)
+        if crypto is not None and (self.audio is not None or self.audio_embedded):
+            # audio rides the same per-packet AES (PT 25/36)
+            self.audio_tx.encryption = crypto
         self.session = RtpSession(addr=host, rx_port=rx_port, tx_port=tx_port,
                                   mtu=mtu, ttl=ttl,
                                   force_ip_version=force_ip_version)
