@@ -62,6 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force IPv6 resolution")
     p.add_argument("-U", "--audio-channel-map", default=None,
                    help="src:dst[,src:dst...] audio channel remap")
+    p.add_argument("--mcast-if", default=None, metavar="IFADDR",
+                   help="IPv4 address of the interface for multicast "
+                        "(ref: --mcast-if, main.cpp:892)")
     p.add_argument("-P", "--ports", default="5004", help="RTP base port[:tx]")
     p.add_argument("-m", "--mtu", type=int, default=1500)
     p.add_argument("-M", "--mode", default="normal",

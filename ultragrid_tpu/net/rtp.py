@@ -99,6 +99,7 @@ class RtpSession:
         mtu: int = 1500,
         rtcp: bool = False,
         force_ip_version: int = 0,
+        mcast_if: Optional[str] = None,
     ):
         self.addr = addr
         self.rx_port = rx_port
@@ -126,11 +127,17 @@ class RtpSession:
             except (OSError, AttributeError):
                 pass
             if self.family == socket.AF_INET:
-                mreq = socket.inet_aton(ip) + socket.inet_aton("0.0.0.0")
+                # --mcast-if binds group membership + egress to an interface
+                # (ref: OPT_MCAST_IF, main.cpp:892 + net_udp.c)
+                ifaddr = socket.inet_aton(mcast_if) if mcast_if else socket.inet_aton("0.0.0.0")
+                mreq = socket.inet_aton(ip) + ifaddr
                 self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
                 self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_LOOP, 1)
                 self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_TTL,
                                      min(max(ttl, 0), 255))
+                if mcast_if:
+                    self.sock.setsockopt(socket.IPPROTO_IP,
+                                         socket.IP_MULTICAST_IF, ifaddr)
             else:
                 mreq = socket.inet_pton(socket.AF_INET6, ip) + struct.pack("@I", 0)
                 self.sock.setsockopt(socket.IPPROTO_IPV6, socket.IPV6_JOIN_GROUP, mreq)

@@ -40,6 +40,7 @@ class VideoReceiver:
         mcast_addr: Optional[str] = None,
         force_ip_version: int = 0,
         root=None,
+        mcast_if: Optional[str] = None,
     ):
         from ultragrid_tpu.utils.tiling import VideoMode
 
@@ -81,7 +82,8 @@ class VideoReceiver:
         # a multicast session address makes the receiver join the group
         # (ref: session addr semantics, net_udp.c udp_join_mcast_grp)
         self.session = RtpSession(addr=mcast_addr, rx_port=rx_port, tx_port=0,
-                                  force_ip_version=force_ip_version)
+                                  force_ip_version=force_ip_version,
+                                  mcast_if=mcast_if)
         self.audio_playback = None
         if audio_playback and audio_playback != "none":
             from ultragrid_tpu.audio.playback import initialize_audio_playback
@@ -351,6 +353,7 @@ def run_receiver(args) -> int:
         mcast_addr=getattr(args, "host", None),
         force_ip_version=getattr(args, "force_ip_version", 0),
         root=root,
+        mcast_if=getattr(args, "mcast_if", None),
     )
     from ultragrid_tpu.utils.keyboard import KeyboardControl
 

@@ -54,6 +54,7 @@ class VideoSender:
         bitrate_fixed: bool = False,
         ttl: int = 255,
         force_ip_version: int = 0,
+        mcast_if=None,
     ):
         from ultragrid_tpu.utils.tiling import VideoMode
 
@@ -116,7 +117,8 @@ class VideoSender:
             self.audio_tx.encryption = crypto
         self.session = RtpSession(addr=host, rx_port=rx_port, tx_port=tx_port,
                                   mtu=mtu, ttl=ttl,
-                                  force_ip_version=force_ip_version)
+                                  force_ip_version=force_ip_version,
+                                  mcast_if=mcast_if)
         self.tx = Tx(mtu=mtu, fec_spec=fec_spec, bitrate=bitrate,
                      bitrate_fixed=bitrate_fixed, encryption=crypto,
                      rfc2435=rtp_standard)
@@ -347,6 +349,7 @@ def run_sender(args) -> int:
         bitrate_fixed=bitrate_fixed,
         ttl=getattr(args, "ttl", -1) if getattr(args, "ttl", -1) >= 0 else 255,
         force_ip_version=getattr(args, "force_ip_version", 0),
+        mcast_if=getattr(args, "mcast_if", None),
         capture_spec=args.capture,
         host=args.host,
         compress_spec=args.compress,
