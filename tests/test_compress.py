@@ -358,3 +358,21 @@ def test_jpeg_assemble_orientation_tiny_frame():
         y = np.asarray(im.convert("YCbCr"))[:, :, 0]
         got = np.array([[y[by * 8 + 4, bx * 8 + 4] for bx in range(4)] for by in range(4)])
         assert np.abs(got.astype(int) - vals).max() <= 2, ss
+
+
+def test_jpeg_decoder_cache_not_poisoned_across_qualities():
+    """One decoder instance decoding a q60 stream must not reuse its
+    quant-folded matmul for a later q90 stream of the same geometry
+    (regression: 41-mean error on every frame of the second session)."""
+    from ultragrid_tpu.ops.jpeg import JpegDecoder, JpegEncoder
+    from ultragrid_tpu.utils.pattern import generate_pattern
+
+    w, h = 192, 128
+    uy = generate_pattern(w, h, Codec.UYVY, "bars")
+    dec = JpegDecoder()
+    for q in (60, 90, 60):
+        enc = JpegEncoder(w, h, quality=q)
+        stream = bytes(enc.encode(uy).tobytes())
+        out, oh, ow = dec.decode_to_uyvy(stream)
+        err = np.abs(np.asarray(out).astype(int) - uy.astype(int)).mean()
+        assert err < 4.0, f"q{q} decode err {err}"

@@ -1441,12 +1441,17 @@ class JpegDecoder:
         delta32 = flat.astype(np.int32) - lo
         delta32[::64] = 0  # DC column rides in `dc`, not the exception list
         exc = np.nonzero(delta32)[0]
+        # the mega matmul FOLDS the quant tables, so the cache key must
+        # cover the table VALUES — two streams at different quality share
+        # tq selector ids (found live: a q60 session poisoned a later q90
+        # session's decode with 41-mean error)
+        qsig = tuple(hdr["qtabs"][c["tq"]].tobytes() for c in scan)
         if exc.size <= _EXC_CAP:
             idx = np.zeros(_EXC_CAP, np.int32)
             dv = np.zeros(_EXC_CAP, np.int32)
             idx[: exc.size] = exc
             dv[: exc.size] = delta32[exc]
-            key = ("uyvy8", h_img, w_img, tuple(c["tq"] for c in scan))
+            key = ("uyvy8", h_img, w_img, qsig)
             fn = self._fns.get(key)
             if fn is None:
                 fn = self._fns[key] = self._make_mega_uyvy_fn(
@@ -1454,7 +1459,7 @@ class JpegDecoder:
                 )
             uyvy = fn(jnp.asarray(lo), jnp.asarray(dc), jnp.asarray(idx), jnp.asarray(dv))
             return uyvy, h_img, w_img
-        key = ("uyvy", h_img, w_img, tuple(c["tq"] for c in scan))
+        key = ("uyvy", h_img, w_img, qsig)
         fn = self._fns.get(key)
         if fn is None:
             fn = self._fns[key] = self._make_mega_uyvy_fn(hdr, nmcux, nmcuy)
