@@ -509,3 +509,33 @@ def test_receiver_three_stage_pipeline_and_line_decode():
     # every displayed frame was display-owned and one of the handed-out ones
     assert displayed and all(owned for _, owned in displayed)
     assert all(fid in handed_out for fid, _ in displayed)
+
+
+def test_batched_jpeg_ldgm_parity_matches_single_frame():
+    """BatchedJpegLdgmPipeline: per-frame parity bit-identical to the
+    single-frame fused pipeline (frame boundaries are restart
+    boundaries; throughput variant of the north-star sender graph)."""
+    import numpy as np
+
+    from ultragrid_tpu.models.encode import (
+        BatchedJpegLdgmPipeline,
+        EncodeConfig,
+        EncodePipeline,
+    )
+    from ultragrid_tpu.types import Codec, VideoDesc
+
+    desc = VideoDesc(64, 32, Codec.UYVY, 30.0)
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 256, (32, 128), dtype=np.uint8) for _ in range(3)]
+    single = EncodePipeline(desc, EncodeConfig(compress="jpeg", quality=80,
+                                               fec="ldgm:8:4:3"))
+    batch = BatchedJpegLdgmPipeline(desc, 3, quality=80, fec="ldgm:8:4:3")
+    outs = batch(np.concatenate(frames, axis=0))
+    pars = np.asarray(outs[6])
+    npm = batch.enc.single.nmcu
+    ys = np.asarray(outs[0])
+    for i, f in enumerate(frames):
+        ref = single._step(f)
+        np.testing.assert_array_equal(pars[i], np.asarray(ref[6]))
+        np.testing.assert_array_equal(ys[i * npm * 2:(i + 1) * npm * 2],
+                                      np.asarray(ref[0]))

@@ -309,3 +309,115 @@ class EncodePipeline:
 
     def __call__(self, frame):
         return self._step(frame)
+
+
+class BatchedJpegLdgmPipeline:
+    """Throughput variant of the fused JPEG+LDGM sender graph: B frames
+    stacked row-wise ride ONE kernel dispatch (frame boundaries are restart
+    boundaries, so per-frame output is bit-identical to the single-frame
+    pipeline — the JpegBatchEncoder property), and per-frame LDGM parity is
+    computed inside the same jit graph with the Pallas XOR kernel.
+
+    Amortizes the per-dispatch floor across B frames; the latency-critical
+    sender keeps the single-frame EncodePipeline."""
+
+    def __init__(self, desc: VideoDesc, nframes: int,
+                 quality: int = 80, fec: str = "ldgm:256:26:5"):
+        from ultragrid_tpu.ops.jpeg import JpegBatchEncoder
+
+        kind, k, m, c = _parse_fec(fec)
+        assert kind == "ldgm"
+        self.nframes = nframes
+        self.enc = JpegBatchEncoder(desc.width, desc.height, nframes,
+                                    in_codec=desc.color_spec, quality=quality)
+        single = self.enc.single
+        ww = single.wwords
+        ky = 2 if single.subsampling == "422" else (4 if single.subsampling == "420" else 1)
+        n_y = single.nmcu * ky
+        n_c = single.nmcu
+        part_words = [n_y * ww, n_y, n_c * ww, n_c, n_c * ww, n_c]
+        total_bytes = sum(part_words) * 4
+        ps, _ = ldgm_container_params(total_bytes, k)
+        while sum(-(-(w * 4) // ps) for w in part_words) > k:
+            ps += 4
+        self.row_counts = [-(-(w * 4) // ps) for w in part_words]
+        self.ps, self.k, self.m, self.c = ps, k, m, c
+        ps_words = ps // 4
+        from ultragrid_tpu.ops.fec import (
+            build_ldgm_matrix,
+            gf2_matmul,
+            make_gf2_parity_pallas,
+        )
+        from ultragrid_tpu.ops.jpeg_pallas import _HAVE_PALLAS, on_tpu
+
+        mask_np = build_ldgm_matrix(k, m, c, 1).astype(np.float32)
+        starts = np.concatenate([[0], np.cumsum(self.row_counts)])
+        use_pallas = _HAVE_PALLAS and on_tpu()
+        if use_pallas:
+            par_fns = [
+                make_gf2_parity_pallas(mask_np[:, starts[i]: starts[i + 1]], ps_words)
+                for i in range(len(part_words))
+            ]
+        else:
+            mask_slices = [jnp.asarray(mask_np[:, starts[i]: starts[i + 1]])
+                           for i in range(len(part_words))]
+        row_counts = self.row_counts
+        B = nframes
+        npm, ww_ = single.nmcu, ww
+
+        raw = self.enc.tall._encode_cache.setdefault(
+            ww, self.enc.tall._build_encode(ww))
+        inner_fn = raw.__wrapped__ if hasattr(raw, "__wrapped__") else raw
+
+        def part_syms_u32(arr_u32, rows):
+            flat = arr_u32.reshape(-1)
+            pad = rows * ps_words - flat.size
+            padded = jnp.concatenate([flat, jnp.zeros(pad, jnp.uint32)])
+            return padded.reshape(rows, ps_words)
+
+        def frame_parity(parts_f):
+            par = None
+            if use_pallas:
+                for pfn, p, rows in zip(par_fns, parts_f, row_counts):
+                    pp = pfn(part_syms_u32(p, rows))
+                    par = pp if par is None else par ^ pp
+            else:
+                for msl, p, rows in zip(mask_slices, parts_f, row_counts):
+                    sym = jax.lax.bitcast_convert_type(
+                        part_syms_u32(p, rows), jnp.uint8).reshape(rows, ps_words * 4)
+                    pp = gf2_matmul(msl, sym, False)
+                    par = pp if par is None else par ^ pp
+            kshift = 1
+            while kshift < m:
+                par = par ^ jnp.pad(par, ((kshift, 0), (0, 0)))[:m]
+                kshift *= 2
+            if use_pallas:
+                # words -> the wire's byte layout, same as EncodePipeline
+                par = jax.lax.bitcast_convert_type(par, jnp.uint8).reshape(m, ps)
+            return par
+
+        def step(stacked):
+            ys, ybits, us, ubits, vs, vbits, ovf = inner_fn(stacked)
+            pars = []
+            for f in range(B):
+                sl = slice(f * npm * ky, (f + 1) * npm * ky)
+                sc = slice(f * npm, (f + 1) * npm)
+                parts_f = [
+                    ys[sl],
+                    jnp.asarray(ybits[sl], jnp.int32).view(jnp.uint32),
+                    us[sc],
+                    jnp.asarray(ubits[sc], jnp.int32).view(jnp.uint32),
+                    vs[sc],
+                    jnp.asarray(vbits[sc], jnp.int32).view(jnp.uint32),
+                ]
+                pars.append(frame_parity(parts_f))
+            return ys, ybits, us, ubits, vs, vbits, jnp.stack(pars), ovf
+
+        self._step = jax.jit(step)
+
+    def __call__(self, stacked_frames):
+        """stacked_frames: uint8 [B*H, linesize] (or [B, H, linesize])."""
+        f = jnp.asarray(stacked_frames)
+        if f.ndim == 3:
+            f = f.reshape(self.enc.tall.height, f.shape[-1])
+        return self._step(f)
