@@ -57,7 +57,9 @@ def _make_display_stub(name: str):
     return _Stub
 
 
-for _name in ("decklink", "ndi", "aja", "screen"):
+# "screen" has a real implementation now (modules/screen_capture.py — pure
+# wire-protocol X11 client); only the SDK-bound cards remain stubs.
+for _name in ("decklink", "ndi", "aja"):
     register_module(_name, LibraryClass.VIDEO_CAPTURE, _make_capture_stub(_name))
 for _name in ("decklink", "ndi", "sdl", "gl"):
     register_module(_name, LibraryClass.VIDEO_DISPLAY, _make_display_stub(_name))
