@@ -271,8 +271,50 @@ class JpegXsCompress(VideoCompress):
         return out
 
 
+class CineformCompress(VideoCompress):
+    """CineForm/VC-5-architecture wavelet compression (ref role:
+    src/video_compress/cineform.cpp wrapping the CineForm SDK; here a
+    from-scratch 2/6-DWT codec, see ops/cineform.py for the conformance
+    statement).
+
+    Config: ``cineform[:quality]`` (default 90; 100 = lossless).
+    Accepts UYVY directly (4:2:2 planes); other codecs convert to UYVY.
+    """
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        self.quality = int(cfg) if cfg else 90
+        from ultragrid_tpu.ops.cineform import CineformCodec
+
+        self.codec = CineformCodec(levels=3, quality=self.quality)
+
+    def compress(self, frame: VideoFrame) -> Optional[VideoFrame]:
+        import numpy as np
+
+        desc = frame.desc
+        if desc.color_spec != Codec.UYVY:
+            dec = pixfmt.get_decoder_from_to(desc.color_spec, Codec.UYVY)
+            if dec is None:
+                log.error(f"cineform: cannot convert from {desc.color_spec.name}")
+                return None
+            data = pixfmt.convert_frame(frame.data, desc.width, desc.color_spec, Codec.UYVY)
+            frame = VideoFrame(desc.with_(color_spec=Codec.UYVY), [data])
+        a = np.asarray(frame.data, np.uint8)[:, : 2 * desc.width]
+        y = a[:, 1::2].astype(np.int32)
+        cb = a[:, 0::4].astype(np.int32)
+        cr = a[:, 2::4].astype(np.int32)
+        stream = self.codec.encode_planes([y, cb, cr])
+        out = VideoFrame(
+            desc.with_(color_spec=Codec.CFHD),
+            [np.frombuffer(stream, np.uint8)],
+        )
+        out.timestamp = frame.timestamp
+        return out
+
+
 register_module("none", LibraryClass.VIDEO_COMPRESS, NoneCompress)
 register_module("jpegxs", LibraryClass.VIDEO_COMPRESS, JpegXsCompress)
+register_module("cineform", LibraryClass.VIDEO_COMPRESS, CineformCompress)
 register_module("h264", LibraryClass.VIDEO_COMPRESS, H264Compress)
 register_module("uyvy", LibraryClass.VIDEO_COMPRESS, UyvyCompress)
 register_module("dxt", LibraryClass.VIDEO_COMPRESS, DxtCompress)

@@ -180,8 +180,39 @@ class JpegXsDecompress(VideoDecompress):
 
 register_module("jpegxs", LibraryClass.VIDEO_DECOMPRESS, JpegXsDecompress)
 
+
+class CineformDecompress(VideoDecompress):
+    """CineForm/VC-5-architecture stream -> UYVY (ref role:
+    src/video_decompress/cineform.cpp; see ops/cineform.py)."""
+
+    SUPPORTS = [(Codec.CFHD, Codec.UYVY)]
+
+    def __init__(self) -> None:
+        from ultragrid_tpu.ops.cineform import CineformCodec
+
+        self.codec = CineformCodec()
+
+    def decompress(self, frame: VideoFrame, out_codec: Codec) -> Optional[VideoFrame]:
+        import numpy as np
+
+        if out_codec != Codec.UYVY:
+            return None
+        stream = bytes(np.asarray(frame.data, np.uint8).reshape(-1))
+        y, cb, cr = self.codec.decode_planes(stream)
+        h, w = y.shape
+        out = np.empty((h, 2 * w), np.uint8)
+        out[:, 1::2] = np.clip(y, 0, 255)
+        out[:, 0::4] = np.clip(cb, 0, 255)
+        out[:, 2::4] = np.clip(cr, 0, 255)
+        res = VideoFrame(frame.desc.with_(color_spec=Codec.UYVY), [out])
+        res.timestamp = frame.timestamp
+        return res
+
+
+register_module("cineform", LibraryClass.VIDEO_DECOMPRESS, CineformDecompress)
+
 _ALL = [DxtDecompress, I420Decompress, JpegDecompress, JpegToDxtDecompress,
-        JpegXsDecompress]
+        JpegXsDecompress, CineformDecompress]
 
 
 def decompress_init(in_codec: Codec, out_candidates: List[Codec]):
