@@ -312,7 +312,48 @@ class CineformCompress(VideoCompress):
         return out
 
 
+class J2kCompress(VideoCompress):
+    """Own JPEG 2000 encoder (ref role: src/video_compress/cmpto_j2k.cpp —
+    proprietary Comprimato SDK wrapper; here a from-scratch T.800
+    implementation, OpenJPEG-conformance-tested — see ops/j2k.py).
+
+    Config: ``cmpto_j2k[:quality]`` / ``j2k[:quality]`` (default 100 =
+    mathematically lossless RCT+5/3).  RGB encodes directly; other codecs
+    convert to RGB first (the reference SDK likewise takes RGB).
+    """
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        self.quality = int(cfg) if cfg else 100
+        from ultragrid_tpu.ops.j2k import J2KEncoder
+
+        self.enc = J2KEncoder(levels=5, quality=self.quality, mct=True)
+
+    def compress(self, frame: VideoFrame) -> Optional[VideoFrame]:
+        desc = frame.desc
+        if desc.color_spec != Codec.RGB:
+            dec = pixfmt.get_decoder_from_to(desc.color_spec, Codec.RGB)
+            if dec is None:
+                log.error(f"j2k: cannot convert from {desc.color_spec.name}")
+                return None
+            data = pixfmt.convert_frame(frame.data, desc.width, desc.color_spec, Codec.RGB)
+            frame = VideoFrame(desc.with_(color_spec=Codec.RGB), [data])
+        rgb = np.asarray(frame.data, np.uint8)[:, : 3 * desc.width].reshape(
+            desc.height, desc.width, 3
+        )
+        comps = [rgb[:, :, i] for i in range(3)]
+        stream = self.enc.encode(comps)
+        out = VideoFrame(
+            desc.with_(color_spec=Codec.J2KR),
+            [np.frombuffer(stream, np.uint8)],
+        )
+        out.timestamp = frame.timestamp
+        return out
+
+
 register_module("none", LibraryClass.VIDEO_COMPRESS, NoneCompress)
+register_module("cmpto_j2k", LibraryClass.VIDEO_COMPRESS, J2kCompress)
+register_module("j2k", LibraryClass.VIDEO_COMPRESS, J2kCompress)
 register_module("jpegxs", LibraryClass.VIDEO_COMPRESS, JpegXsCompress)
 register_module("cineform", LibraryClass.VIDEO_COMPRESS, CineformCompress)
 register_module("h264", LibraryClass.VIDEO_COMPRESS, H264Compress)

@@ -211,8 +211,47 @@ class CineformDecompress(VideoDecompress):
 
 register_module("cineform", LibraryClass.VIDEO_DECOMPRESS, CineformDecompress)
 
+
+class J2kDecompress(VideoDecompress):
+    """JPEG 2000 -> RGB via OpenJPEG (through Pillow — a system-library
+    wrapper exactly like the lavc class; ref role:
+    src/video_decompress/cmpto_j2k.cpp).  Decodes any .j2c codestream,
+    including the own encoder's (ops/j2k.py)."""
+
+    SUPPORTS = [(Codec.J2KR, Codec.RGB), (Codec.J2K, Codec.RGB)]
+
+    def decompress(self, frame: VideoFrame, out_codec: Codec) -> Optional[VideoFrame]:
+        import io
+
+        import numpy as np
+
+        if out_codec != Codec.RGB:
+            return None
+        try:
+            from PIL import Image
+        except ImportError:
+            return None
+        stream = bytes(np.asarray(frame.data, np.uint8).reshape(-1))
+        try:
+            arr = np.asarray(Image.open(io.BytesIO(stream)))
+        except Exception:  # noqa: BLE001 - corrupt stream -> decode failure
+            log.error("j2k: decode failed")
+            return None
+        if arr.ndim == 2:
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        h, w = arr.shape[:2]
+        out = VideoFrame(
+            frame.desc.with_(color_spec=Codec.RGB),
+            [np.ascontiguousarray(arr[:, :, :3]).reshape(h, w * 3)],
+        )
+        out.timestamp = frame.timestamp
+        return out
+
+
+register_module("cmpto_j2k", LibraryClass.VIDEO_DECOMPRESS, J2kDecompress)
+
 _ALL = [DxtDecompress, I420Decompress, JpegDecompress, JpegToDxtDecompress,
-        JpegXsDecompress, CineformDecompress]
+        JpegXsDecompress, CineformDecompress, J2kDecompress]
 
 
 def decompress_init(in_codec: Codec, out_candidates: List[Codec]):

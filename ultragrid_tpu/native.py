@@ -204,6 +204,24 @@ def lavc_shim_lib() -> Optional[ctypes.CDLL]:
 
 
 @lru_cache(maxsize=None)
+def j2k_t1_lib() -> Optional[ctypes.CDLL]:
+    """EBCOT Tier-1 block coder (MQ + coding passes) for the own JPEG 2000
+    encoder (role analogue of the reference's cmpto_j2k SDK entropy stage,
+    src/video_compress/cmpto_j2k.cpp)."""
+    so = _build("j2k_t1", ["j2k_t1.c"])
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.j2k_t1_encode_cblk.restype = ctypes.c_long
+    lib.j2k_t1_encode_cblk.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
+    return lib
+
+
+@lru_cache(maxsize=None)
 def udp_rx_lib() -> Optional[ctypes.CDLL]:
     so = _build("udp_rx", ["udp_rx.c"])
     if so is None:
