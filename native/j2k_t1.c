@@ -318,3 +318,225 @@ long j2k_t1_encode_cblk(const int32_t *coef, int w, int h, int orient,
     memmove(out, out + 1, (size_t)n);
     return n;
 }
+
+/* ---------------- MQ decoder + Tier-1 decode (T.800 C.3 / D) ---------------- */
+
+typedef struct {
+    uint32_t c, a;
+    int ct;
+    const uint8_t *buf;
+    long bp, len;
+    uint8_t idx[NCTX], mps[NCTX];
+} mqd_t;
+
+static void mqd_bytein(mqd_t *q) {
+    if (q->bp < q->len && q->buf[q->bp] == 0xff) {
+        if (q->bp + 1 >= q->len || q->buf[q->bp + 1] > 0x8f) {
+            q->c += 0xff00; q->ct = 8;          /* marker / end: feed 1s */
+        } else {
+            q->bp++; q->c += (uint32_t)q->buf[q->bp] << 9; q->ct = 7;
+        }
+    } else {
+        q->bp++;
+        q->c += (q->bp < q->len ? (uint32_t)q->buf[q->bp] : 0xff) << 8;
+        q->ct = 8;
+    }
+}
+
+static void mqd_init(mqd_t *q, const uint8_t *buf, long len) {
+    q->buf = buf; q->len = len; q->bp = 0;
+    q->c = (uint32_t)(len > 0 ? buf[0] : 0xff) << 16;
+    mqd_bytein(q);
+    q->c <<= 7; q->ct -= 7;
+    q->a = 0x8000;
+    memset(q->idx, 0, sizeof q->idx);
+    memset(q->mps, 0, sizeof q->mps);
+    q->idx[0] = 4; q->idx[CTX_RL] = 3; q->idx[CTX_UNI] = 46;
+}
+
+static int mqd_decode(mqd_t *q, int ctx) {
+    uint32_t qe = QE[q->idx[ctx]];
+    int d;
+    q->a -= qe;
+    if ((q->c >> 16) < qe) {
+        /* LPS exchange path */
+        if (q->a < qe) { d = q->mps[ctx]; q->idx[ctx] = NMPS[q->idx[ctx]]; }
+        else {
+            d = 1 - q->mps[ctx];
+            if (SWITCH[q->idx[ctx]]) q->mps[ctx] ^= 1;
+            q->idx[ctx] = NLPS[q->idx[ctx]];
+        }
+        q->a = qe;
+        do {
+            if (q->ct == 0) mqd_bytein(q);
+            q->a <<= 1; q->c <<= 1; q->ct--;
+        } while ((q->a & 0x8000) == 0);
+    } else {
+        q->c -= qe << 16;
+        if ((q->a & 0x8000) == 0) {
+            if (q->a < qe) {
+                d = 1 - q->mps[ctx];
+                if (SWITCH[q->idx[ctx]]) q->mps[ctx] ^= 1;
+                q->idx[ctx] = NLPS[q->idx[ctx]];
+            } else { d = q->mps[ctx]; q->idx[ctx] = NMPS[q->idx[ctx]]; }
+            do {
+                if (q->ct == 0) mqd_bytein(q);
+                q->a <<= 1; q->c <<= 1; q->ct--;
+            } while ((q->a & 0x8000) == 0);
+        } else d = q->mps[ctx];
+    }
+    return d;
+}
+
+typedef struct {
+    int32_t *mag;           /* decoded magnitudes (w*h) */
+    uint8_t *st;
+    int w, h, sw, orient;
+    mqd_t mq;
+} t1d_t;
+
+static inline uint8_t *dstp(t1d_t *t, int x, int y) {
+    return &t->st[(y + 1) * t->sw + (x + 1)];
+}
+
+static void dneigh(t1d_t *t, int x, int y, int *h, int *v, int *d) {
+    uint8_t *p = dstp(t, x, y);
+    int s = t->sw;
+    *h = !!(p[-1] & F_SIG) + !!(p[1] & F_SIG);
+    *v = !!(p[-s] & F_SIG) + !!(p[s] & F_SIG);
+    *d = !!(p[-s - 1] & F_SIG) + !!(p[-s + 1] & F_SIG) +
+         !!(p[s - 1] & F_SIG) + !!(p[s + 1] & F_SIG);
+}
+
+static int dec_sign(t1d_t *t, int x, int y) {
+    uint8_t *p = dstp(t, x, y);
+    int s = t->sw;
+    int l = (p[-1] & F_SIG) ? ((p[-1] & F_NEG) ? -1 : 1) : 0;
+    int r = (p[1] & F_SIG) ? ((p[1] & F_NEG) ? -1 : 1) : 0;
+    int u = (p[-s] & F_SIG) ? ((p[-s] & F_NEG) ? -1 : 1) : 0;
+    int dn = (p[s] & F_SIG) ? ((p[s] & F_NEG) ? -1 : 1) : 0;
+    int hc = l + r, vc = u + dn, xorbit, ctx;
+    if (hc > 1) hc = 1; if (hc < -1) hc = -1;
+    if (vc > 1) vc = 1; if (vc < -1) vc = -1;
+    ctx = sc_ctx(hc, vc, &xorbit);
+    return mqd_decode(&t->mq, ctx) ^ xorbit;   /* 1 = negative */
+}
+
+static void d_spp(t1d_t *t, int plane) {
+    int w = t->w, h = t->h;
+    for (int y0 = 0; y0 < h; y0 += 4)
+        for (int x = 0; x < w; x++)
+            for (int y = y0; y < y0 + 4 && y < h; y++) {
+                uint8_t *p = dstp(t, x, y);
+                if (*p & F_SIG) continue;
+                int hn, vn, dn;
+                dneigh(t, x, y, &hn, &vn, &dn);
+                if (hn + vn + dn == 0) continue;
+                if (mqd_decode(&t->mq, zc_ctx(t->orient, hn, vn, dn))) {
+                    int neg = dec_sign(t, x, y);
+                    t->mag[y * w + x] |= 1 << plane;
+                    *p |= F_SIG | (neg ? F_NEG : 0);
+                }
+                *p |= F_VIS;
+            }
+}
+
+static void d_mrp(t1d_t *t, int plane) {
+    int w = t->w, h = t->h;
+    for (int y0 = 0; y0 < h; y0 += 4)
+        for (int x = 0; x < w; x++)
+            for (int y = y0; y < y0 + 4 && y < h; y++) {
+                uint8_t *p = dstp(t, x, y);
+                if (!(*p & F_SIG) || (*p & F_VIS)) continue;
+                int ctx;
+                if (*p & F_REF) ctx = 16;
+                else {
+                    int hn, vn, dn;
+                    dneigh(t, x, y, &hn, &vn, &dn);
+                    ctx = (hn + vn + dn > 0) ? 15 : 14;
+                }
+                if (mqd_decode(&t->mq, ctx)) t->mag[y * w + x] |= 1 << plane;
+                *p |= F_REF;
+            }
+}
+
+static void d_cup(t1d_t *t, int plane) {
+    int w = t->w, h = t->h;
+    for (int y0 = 0; y0 < h; y0 += 4)
+        for (int x = 0; x < w; x++) {
+            int y = y0;
+            if (y0 + 3 < h) {
+                int rl = 1;
+                for (int k = 0; k < 4 && rl; k++) {
+                    uint8_t *p = dstp(t, x, y0 + k);
+                    if (*p & (F_SIG | F_VIS)) { rl = 0; break; }
+                    int hn, vn, dn;
+                    dneigh(t, x, y0 + k, &hn, &vn, &dn);
+                    if (hn + vn + dn) rl = 0;
+                }
+                if (rl) {
+                    if (!mqd_decode(&t->mq, CTX_RL)) continue;
+                    int first = (mqd_decode(&t->mq, CTX_UNI) << 1)
+                              | mqd_decode(&t->mq, CTX_UNI);
+                    int neg = dec_sign(t, x, y0 + first);
+                    t->mag[(y0 + first) * w + x] |= 1 << plane;
+                    *dstp(t, x, y0 + first) |= F_SIG | (neg ? F_NEG : 0);
+                    y = y0 + first + 1;
+                }
+            }
+            for (; y < y0 + 4 && y < h; y++) {
+                uint8_t *p = dstp(t, x, y);
+                if (*p & (F_SIG | F_VIS)) continue;
+                int hn, vn, dn;
+                dneigh(t, x, y, &hn, &vn, &dn);
+                if (mqd_decode(&t->mq, zc_ctx(t->orient, hn, vn, dn))) {
+                    int neg = dec_sign(t, x, y);
+                    t->mag[y * w + x] |= 1 << plane;
+                    *p |= F_SIG | (neg ? F_NEG : 0);
+                }
+            }
+        }
+    for (int y = 0; y < h; y++)
+        for (int x = 0; x < w; x++)
+            *dstp(t, x, y) &= (uint8_t)~F_VIS;
+}
+
+/* Decode one codeblock codeword segment.  numbps = Mb - zbp (from packet
+ * header), npasses as signalled.  Writes signed coefficients to coef
+ * (magnitudes shifted back up for truncated planes with half-bit
+ * reconstruction).  Scratch state: (w+2)*(h+2) bytes. */
+long j2k_t1_decode_cblk(const uint8_t *data, long len, int w, int h,
+                        int orient, int numbps, int npasses,
+                        int32_t *coef, uint8_t *state) {
+    t1d_t t;
+    t.w = w; t.h = h; t.sw = w + 2; t.orient = orient;
+    t.st = state;
+    memset(state, 0, (size_t)(w + 2) * (h + 2));
+    memset(coef, 0, sizeof(int32_t) * (size_t)w * h);
+    t.mag = coef;
+    mqd_init(&t.mq, data, len);
+
+    int planes_total = numbps;
+    int planes = (npasses + 2) / 3;
+    if (planes > planes_total) planes = planes_total;
+    int pass = 0;
+    int plane = planes_total - 1;
+    if (plane >= 0 && pass < npasses) { d_cup(&t, plane); pass++; plane--; }
+    while (plane >= 0 && pass < npasses) {
+        if (pass < npasses) { d_spp(&t, plane); pass++; }
+        if (pass < npasses) { d_mrp(&t, plane); pass++; }
+        if (pass < npasses) { d_cup(&t, plane); pass++; }
+        plane--;
+    }
+    int low = plane + 1;    /* lowest decoded plane */
+    if (low > 0) {
+        int half = 1 << (low - 1);
+        for (long i = 0; i < (long)w * h; i++)
+            if (coef[i]) coef[i] += half;    /* mid-point reconstruction */
+    }
+    for (int y = 0; y < h; y++)
+        for (int x = 0; x < w; x++)
+            if (state[(y + 1) * (w + 2) + (x + 1)] & F_NEG)
+                coef[y * w + x] = -coef[y * w + x];
+    return 0;
+}

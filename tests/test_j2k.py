@@ -93,6 +93,32 @@ def test_module_e2e_uyvy_to_j2k():
     assert np.array_equal(np.asarray(rec.data, np.uint8), ref_rgb)
 
 
+def test_own_decoder_lossless_round_trip():
+    """Own Tier-2 + MQ/T1 decoder (no external library) recovers the own
+    encoder's streams exactly."""
+    from ultragrid_tpu.ops.j2k import J2KDecoder
+
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, (37, 61)).astype(np.uint8)
+    assert np.array_equal(J2KDecoder().decode(encode_gray(img, levels=3))[0], img)
+    rgb = rng.integers(0, 256, (48, 80, 3)).astype(np.uint8)
+    rec = np.stack(J2KDecoder().decode(encode_rgb_lossless(rgb, levels=5)), axis=-1)
+    assert np.array_equal(rec, rgb)
+
+
+def test_own_decoder_matches_openjpeg_on_lossy():
+    """On truncated (lossy) streams the own decoder and OpenJPEG produce the
+    SAME samples (identical mid-point reconstruction) — strict two-
+    implementation agreement."""
+    from ultragrid_tpu.ops.j2k import J2KDecoder
+
+    x = np.indices((64, 96)).sum(axis=0)
+    sm = np.stack([(x * 2) % 256, (x * 3) % 256, x % 256], axis=-1).astype(np.uint8)
+    cs = encode_rgb_lossless(sm, levels=5, quality=70)
+    own = np.stack(J2KDecoder().decode(cs), axis=-1)
+    assert np.array_equal(own, _pil_decode(cs))
+
+
 def test_golden_vector_stability():
     import hashlib
 

@@ -213,10 +213,12 @@ register_module("cineform", LibraryClass.VIDEO_DECOMPRESS, CineformDecompress)
 
 
 class J2kDecompress(VideoDecompress):
-    """JPEG 2000 -> RGB via OpenJPEG (through Pillow — a system-library
-    wrapper exactly like the lavc class; ref role:
-    src/video_decompress/cmpto_j2k.cpp).  Decodes any .j2c codestream,
-    including the own encoder's (ops/j2k.py)."""
+    """JPEG 2000 -> RGB (ref role: src/video_decompress/cmpto_j2k.cpp).
+
+    Own T.800 decoder first (ops/j2k.py Tier-2 + native/j2k_t1.c MQ/T1 —
+    sample-exact with OpenJPEG on own streams, tested); codestreams using
+    features outside the own profile fall back to OpenJPEG via Pillow (a
+    system-library wrapper exactly like the lavc class)."""
 
     SUPPORTS = [(Codec.J2KR, Codec.RGB), (Codec.J2K, Codec.RGB)]
 
@@ -227,16 +229,23 @@ class J2kDecompress(VideoDecompress):
 
         if out_codec != Codec.RGB:
             return None
-        try:
-            from PIL import Image
-        except ImportError:
-            return None
         stream = bytes(np.asarray(frame.data, np.uint8).reshape(-1))
+        arr = None
         try:
-            arr = np.asarray(Image.open(io.BytesIO(stream)))
-        except Exception:  # noqa: BLE001 - corrupt stream -> decode failure
-            log.error("j2k: decode failed")
-            return None
+            from ultragrid_tpu.ops.j2k import J2KDecoder, UnsupportedStream
+
+            comps = J2KDecoder().decode(stream)
+            arr = comps[0] if len(comps) == 1 else np.stack(comps[:3], axis=-1)
+        except Exception:  # noqa: BLE001 - foreign profile -> OpenJPEG
+            arr = None
+        if arr is None:
+            try:
+                from PIL import Image
+
+                arr = np.asarray(Image.open(io.BytesIO(stream)))
+            except Exception:  # noqa: BLE001 - corrupt stream
+                log.error("j2k: decode failed")
+                return None
         if arr.ndim == 2:
             arr = np.repeat(arr[:, :, None], 3, axis=2)
         h, w = arr.shape[:2]

@@ -218,6 +218,12 @@ def j2k_t1_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
         ctypes.c_void_p,
     ]
+    lib.j2k_t1_decode_cblk.restype = ctypes.c_long
+    lib.j2k_t1_decode_cblk.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
     return lib
 
 

@@ -430,3 +430,266 @@ def encode_rgb_lossless(rgb: np.ndarray, levels: int = 5, quality: int = 100) ->
 
 def encode_gray(plane: np.ndarray, levels: int = 5, quality: int = 100) -> bytes:
     return J2KEncoder(levels=levels, quality=quality, mct=False).encode([plane])
+
+
+# ---------------------------------------------------------------------------
+# Decoder (own Tier-2 parse + C Tier-1 decode; no external library)
+# ---------------------------------------------------------------------------
+
+
+class UnsupportedStream(ValueError):
+    """Codestream uses features outside the own decoder's profile
+    (multi-tile, 9/7, precincts, multi-layer, SOP/EPH)."""
+
+
+class _HdrReader:
+    """Packet-header bit reader with 0xFF unstuffing (mirror of _HdrWriter)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.ct = 0
+        self.prev_ff = False
+
+    def get_bit(self) -> int:
+        if self.ct == 0:
+            self.cur = self.data[self.pos]
+            self.pos += 1
+            if self.prev_ff:
+                self.ct = 7            # byte after 0xFF carries 7 bits
+                self.prev_ff = False   # (its MSB is a stuffed 0)
+            else:
+                self.ct = 8
+                self.prev_ff = self.cur == 0xFF
+        self.ct -= 1
+        return (self.cur >> self.ct) & 1
+
+    def get_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get_bit()
+        return v
+
+    def align(self) -> int:
+        """Finish the header: skip padding; a trailing 0xFF carries a
+        stuffed 0 byte.  Returns the byte offset after the header."""
+        if self.ct == 0 and self.prev_ff:
+            self.pos += 1          # stuffing byte after terminal 0xFF
+        self.ct = 0
+        self.prev_ff = False
+        return self.pos
+
+
+class _TagTreeDec:
+    def __init__(self, nx: int, ny: int):
+        self.dims = []
+        while True:
+            self.dims.append((nx, ny))
+            if nx == 1 and ny == 1:
+                break
+            nx = (nx + 1) // 2
+            ny = (ny + 1) // 2
+        big = 0x7FFFFFFF
+        self.value = [np.full((d[1], d[0]), big, np.int64) for d in self.dims]
+        self.low = [np.zeros((d[1], d[0]), np.int64) for d in self.dims]
+
+    def decode(self, br: _HdrReader, i: int, j: int, threshold: int) -> bool:
+        path = []
+        lvl = 0
+        while True:
+            path.append((lvl, i, j))
+            if lvl == len(self.dims) - 1:
+                break
+            lvl += 1
+            i //= 2
+            j //= 2
+        low = 0
+        for lvl, ii, jj in reversed(path):
+            if low > self.low[lvl][jj, ii]:
+                self.low[lvl][jj, ii] = low
+            else:
+                low = int(self.low[lvl][jj, ii])
+            while low < threshold and low < self.value[lvl][jj, ii]:
+                if br.get_bit():
+                    self.value[lvl][jj, ii] = low
+                else:
+                    low += 1
+            self.low[lvl][jj, ii] = low
+        lvl, ii, jj = path[0]
+        return bool(self.value[lvl][jj, ii] < threshold)
+
+
+def _get_numpasses(br: _HdrReader) -> int:
+    if not br.get_bit():
+        return 1
+    if not br.get_bit():
+        return 2
+    v = br.get_bits(2)
+    if v < 3:
+        return 3 + v
+    v = br.get_bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + br.get_bits(7)
+
+
+class J2KDecoder:
+    """Decodes the own encoder's profile (and any codestream within it:
+    single tile, reversible 5/3, one layer, default precincts)."""
+
+    def decode(self, cs: bytes) -> List[np.ndarray]:
+        if cs[:2] != b"\xff\x4f":
+            raise UnsupportedStream("no SOC")
+        pos = 2
+        xsiz = ysiz = ncomp = None
+        depths = []
+        subs = []
+        levels = None
+        mct = 0
+        cbw = cbh = None
+        guard = eps = None
+        while pos < len(cs):
+            marker = cs[pos : pos + 2]
+            if marker == b"\xff\x93":  # SOD
+                pos += 2
+                break
+            ln = struct.unpack_from(">H", cs, pos + 2)[0]
+            seg = cs[pos + 4 : pos + 2 + ln]
+            if marker == b"\xff\x51":  # SIZ
+                (_, xsiz, ysiz, xo, yo, xt, yt, xto, yto, ncomp) = struct.unpack_from(
+                    ">HIIIIIIIIH", seg, 0
+                )
+                if (xo, yo, xto, yto) != (0, 0, 0, 0) or (xt, yt) != (xsiz, ysiz):
+                    raise UnsupportedStream("tiling/offsets")
+                off = 36
+                for _ in range(ncomp):
+                    ssiz, sx, sy = struct.unpack_from(">BBB", seg, off)
+                    off += 3
+                    if ssiz & 0x80:
+                        raise UnsupportedStream("signed components")
+                    depths.append((ssiz & 0x7F) + 1)
+                    subs.append((sx, sy))
+            elif marker == b"\xff\x52":  # COD
+                scod, prog, layers, mct, levels, cbw_, cbh_, cbsty, wt = struct.unpack_from(
+                    ">BBHBBBBBB", seg, 0
+                )
+                if scod != 0 or prog != 0 or layers != 1 or cbsty != 0 or wt != 1:
+                    raise UnsupportedStream("COD features")
+                cbw, cbh = 1 << (cbw_ + 2), 1 << (cbh_ + 2)
+            elif marker == b"\xff\x5c":  # QCD
+                guard = seg[0] >> 5
+                if seg[0] & 0x1F:
+                    raise UnsupportedStream("quantization style")
+                eps = [b >> 3 for b in seg[1:]]
+            elif marker == b"\xff\x90":  # SOT
+                pass
+            pos += 2 + ln
+        if xsiz is None or levels is None or eps is None:
+            raise UnsupportedStream("missing markers")
+
+        from ultragrid_tpu.native import j2k_t1_lib
+
+        lib = j2k_t1_lib()
+        if lib is None:
+            raise RuntimeError("j2k_t1 native build failed")
+
+        # band geometry per component
+        comp_dims = [((xsiz + sx - 1) // sx, (ysiz + sy - 1) // sy) for sx, sy in subs]
+
+        def band_dims(w, h, levels):
+            """[(res, [(orient, bw, bh)])] + final LL dims per level chain."""
+            chain = [(w, h)]
+            for _ in range(levels):
+                w2, h2 = chain[-1]
+                chain.append(((w2 + 1) // 2, (h2 + 1) // 2))
+            res = [[(0, chain[levels][0], chain[levels][1])]]
+            for r in range(1, levels + 1):
+                lvl = levels - r + 1
+                wl, hl = chain[lvl - 1]
+                lw, hw = (wl + 1) // 2, wl // 2
+                lh, hh_ = (hl + 1) // 2, hl // 2
+                res.append([(1, hw, lh), (2, lw, hh_), (3, hw, hh_)])
+            return res
+
+        per_comp_bands = [
+            [
+                [
+                    (orient, np.zeros((bh, bw_), np.int32))
+                    for orient, bw_, bh in resbands
+                ]
+                for resbands in band_dims(w, h, levels)
+            ]
+            for (w, h) in comp_dims
+        ]
+        # per-band Mb follows QCD order (LL, then HL,LH,HH per resolution)
+        state = np.empty((cbh + 2) * (cbw + 2), np.uint8)
+
+        for r in range(levels + 1):
+            for c in range(ncomp):
+                br = _HdrReader(cs, pos)
+                bodies = []  # (band_idx, cy, cx, numbps, npasses, length)
+                if br.get_bit():  # non-empty packet
+                    for bi, (orient, band) in enumerate(per_comp_bands[c][r]):
+                        bh, bw_ = band.shape
+                        if bh == 0 or bw_ == 0:
+                            continue
+                        ncx = (bw_ + cbw - 1) // cbw
+                        ncy = (bh + cbh - 1) // cbh
+                        incl = _TagTreeDec(ncx, ncy)
+                        imsb = _TagTreeDec(ncx, ncy)
+                        qi = 0 if r == 0 else 1 + 3 * (r - 1) + bi
+                        mb = eps[qi] + guard - 1
+                        lblock = {}
+                        for cy in range(ncy):
+                            for cx in range(ncx):
+                                if not incl.decode(br, cx, cy, 1):
+                                    continue
+                                zbp = 0
+                                while not imsb.decode(br, cx, cy, zbp + 1):
+                                    zbp += 1
+                                npasses = _get_numpasses(br)
+                                lb = lblock.get((cx, cy), 3)
+                                while br.get_bit():
+                                    lb += 1
+                                lblock[(cx, cy)] = lb
+                                nbits = lb + int(math.floor(math.log2(npasses)))
+                                length = br.get_bits(nbits)
+                                bodies.append(
+                                    (bi, cy, cx, mb - zbp, npasses, length)
+                                )
+                pos = br.align()
+                for bi, cy, cx, numbps, npasses, length in bodies:
+                    orient, band = per_comp_bands[c][r][bi]
+                    y0, x0 = cy * cbh, cx * cbw
+                    blk_h = min(cbh, band.shape[0] - y0)
+                    blk_w = min(cbw, band.shape[1] - x0)
+                    coef = np.zeros(blk_h * blk_w, np.int32)
+                    data = np.frombuffer(cs, np.uint8, length, pos)
+                    lib.j2k_t1_decode_cblk(
+                        np.ascontiguousarray(data).ctypes.data, length,
+                        blk_w, blk_h, orient, numbps, npasses,
+                        coef.ctypes.data, state.ctypes.data,
+                    )
+                    band[y0 : y0 + blk_h, x0 : x0 + blk_w] = coef.reshape(blk_h, blk_w)
+                    pos += length
+
+        # inverse DWT per component
+        planes = []
+        for c in range(ncomp):
+            res = per_comp_bands[c]
+            ll = res[0][0][1]
+            details = []
+            for r in range(1, levels + 1):
+                hl, lh, hh = (b for _, b in res[r])
+                details.append((hl, lh, hh))
+            # res order is coarsest-first; reconstruct wants finest-first
+            details.reverse()
+            planes.append(dwt53_reconstruct(ll, details))
+        if mct and ncomp == 3:
+            planes = list(rct_inverse(planes[0], planes[1], planes[2]))
+        out = []
+        for c, p in enumerate(planes):
+            half = 1 << (depths[c] - 1)
+            out.append(np.clip(p + half, 0, (1 << depths[c]) - 1).astype(np.uint8))
+        return out
