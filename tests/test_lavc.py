@@ -38,7 +38,7 @@ def _roundtrip(cfg, out_codec=Codec.UYVY):
     return out, err
 
 
-@pytest.mark.parametrize("codec", ["H.264", "VP8", "VP9", "MJPEG", "prores"])
+@pytest.mark.parametrize("codec", ["H.264", "VP8", "VP9", "MJPEG", "prores", "CFHD"])
 def test_lavc_video_roundtrip(codec):
     out, err = _roundtrip(f"codec={codec}:bitrate=3M")
     assert err < 4.0, f"{codec} mean err {err}"

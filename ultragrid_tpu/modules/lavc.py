@@ -40,6 +40,7 @@ ENCODERS: Dict[Codec, List[str]] = {
     Codec.FFV1: ["ffv1"],
     Codec.PRORES: ["prores"],
     Codec.JPEG: ["mjpeg"],
+    Codec.CFHD: ["cfhd"],
 }
 DECODERS: Dict[Codec, List[str]] = {
     Codec.H264: ["h264"],
@@ -50,13 +51,14 @@ DECODERS: Dict[Codec, List[str]] = {
     Codec.FFV1: ["ffv1"],
     Codec.PRORES: ["prores"],
     Codec.JPEG: ["mjpeg"],
+    Codec.CFHD: ["cfhd"],
 }
 CODEC_NAMES = {
     "H.264": Codec.H264, "H264": Codec.H264,
     "H.265": Codec.H265, "H265": Codec.H265, "HEVC": Codec.H265,
     "VP8": Codec.VP8, "VP9": Codec.VP9, "AV1": Codec.AV1,
     "FFV1": Codec.FFV1, "prores": Codec.PRORES, "MJPEG": Codec.JPEG,
-    "JPEG": Codec.JPEG,
+    "JPEG": Codec.JPEG, "CFHD": Codec.CFHD, "cineform": Codec.CFHD,
 }
 _IN_FMT = {Codec.UYVY: 0, Codec.RGB: 1, Codec.YUYV: 3, Codec.RGBA: 4}
 

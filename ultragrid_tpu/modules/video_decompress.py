@@ -182,8 +182,10 @@ register_module("jpegxs", LibraryClass.VIDEO_DECOMPRESS, JpegXsDecompress)
 
 
 class CineformDecompress(VideoDecompress):
-    """CineForm/VC-5-architecture stream -> UYVY (ref role:
-    src/video_decompress/cineform.cpp; see ops/cineform.py)."""
+    """CineForm-architecture stream -> UYVY (ref role:
+    src/video_decompress/cineform.cpp; see ops/cineform.py).  Own UCF1
+    streams decode natively; real CFHD bitstreams (e.g. from the lavc
+    cfhd encoder) fall through to libavcodec's cfhd decoder."""
 
     SUPPORTS = [(Codec.CFHD, Codec.UYVY)]
 
@@ -191,6 +193,7 @@ class CineformDecompress(VideoDecompress):
         from ultragrid_tpu.ops.cineform import CineformCodec
 
         self.codec = CineformCodec()
+        self._lavc = None
 
     def decompress(self, frame: VideoFrame, out_codec: Codec) -> Optional[VideoFrame]:
         import numpy as np
@@ -198,6 +201,16 @@ class CineformDecompress(VideoDecompress):
         if out_codec != Codec.UYVY:
             return None
         stream = bytes(np.asarray(frame.data, np.uint8).reshape(-1))
+        if stream[:4] != b"UCF1":
+            try:
+                from ultragrid_tpu.modules.lavc import LavcDecompress
+
+                if self._lavc is None:
+                    self._lavc = LavcDecompress()
+                return self._lavc.decompress(frame, out_codec)
+            except Exception:  # noqa: BLE001 - no lavc -> decode failure
+                log.error("cineform: foreign CFHD stream and no libavcodec")
+                return None
         y, cb, cr = self.codec.decode_planes(stream)
         h, w = y.shape
         out = np.empty((h, 2 * w), np.uint8)
