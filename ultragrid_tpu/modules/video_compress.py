@@ -351,9 +351,60 @@ class J2kCompress(VideoCompress):
         return out
 
 
+class ApvCompress(VideoCompress):
+    """APV-architecture compression (ref role: src/video_compress/openapv.cpp
+    wrapping liboapv — ISO/IEC 23090-33; here a from-scratch tile/DCT/Rice
+    codec, see ops/apv.py for the conformance statement).
+
+    Config: ``openapv[:qp=N][:tile_w=N][:tile_h=N]`` or ``openapv:N`` (qp,
+    default 18; 0 = near-lossless).  Accepts UYVY directly (coded as
+    10-bit 4:2:2 like the reference's OAPV_CS_YCBCR422_10LE default);
+    other codecs convert to UYVY.
+    """
+
+    def __init__(self, cfg: str):
+        super().__init__(cfg)
+        qp, tw, th = 18, 1920, 1080
+        for tok in filter(None, cfg.split(":")):
+            if tok.isdigit():
+                qp = int(tok)
+            elif tok.startswith("qp="):
+                qp = int(tok[3:])
+            elif tok.startswith("tile_w="):
+                tw = int(tok[7:])
+            elif tok.startswith("tile_h="):
+                th = int(tok[7:])
+        from ultragrid_tpu.ops.apv import ApvCodec
+
+        self.codec = ApvCodec(qp=qp, bit_depth=10, tile_w=tw, tile_h=th)
+
+    def compress(self, frame: VideoFrame) -> Optional[VideoFrame]:
+        desc = frame.desc
+        if desc.color_spec != Codec.UYVY:
+            dec = pixfmt.get_decoder_from_to(desc.color_spec, Codec.UYVY)
+            if dec is None:
+                log.error(f"openapv: cannot convert from {desc.color_spec.name}")
+                return None
+            data = pixfmt.convert_frame(frame.data, desc.width, desc.color_spec, Codec.UYVY)
+            frame = VideoFrame(desc.with_(color_spec=Codec.UYVY), [data])
+        a = np.asarray(frame.data, np.uint8)[:, : 2 * desc.width]
+        y = a[:, 1::2].astype(np.int32) << 2  # 8 -> 10 bit
+        cb = a[:, 0::4].astype(np.int32) << 2
+        cr = a[:, 2::4].astype(np.int32) << 2
+        stream = self.codec.encode_planes([y, cb, cr])
+        out = VideoFrame(
+            desc.with_(color_spec=Codec.APV),
+            [np.frombuffer(stream, np.uint8)],
+        )
+        out.timestamp = frame.timestamp
+        return out
+
+
 register_module("none", LibraryClass.VIDEO_COMPRESS, NoneCompress)
 register_module("cmpto_j2k", LibraryClass.VIDEO_COMPRESS, J2kCompress)
 register_module("j2k", LibraryClass.VIDEO_COMPRESS, J2kCompress)
+register_module("openapv", LibraryClass.VIDEO_COMPRESS, ApvCompress)
+register_module("apv", LibraryClass.VIDEO_COMPRESS, ApvCompress)  # alias
 register_module("jpegxs", LibraryClass.VIDEO_COMPRESS, JpegXsCompress)
 register_module("cineform", LibraryClass.VIDEO_COMPRESS, CineformCompress)
 register_module("h264", LibraryClass.VIDEO_COMPRESS, H264Compress)

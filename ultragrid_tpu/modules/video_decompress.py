@@ -181,6 +181,44 @@ class JpegXsDecompress(VideoDecompress):
 register_module("jpegxs", LibraryClass.VIDEO_DECOMPRESS, JpegXsDecompress)
 
 
+class ApvDecompress(VideoDecompress):
+    """APV-architecture stream -> UYVY (ref role:
+    src/video_decompress/openapv.cpp wrapping liboapv; see ops/apv.py).
+    The coded 10-bit 4:2:2 planes are rounded back to 8-bit UYVY."""
+
+    SUPPORTS = [(Codec.APV, Codec.UYVY)]
+
+    def __init__(self) -> None:
+        from ultragrid_tpu.ops.apv import ApvCodec
+
+        self.codec = ApvCodec()
+
+    def decompress(self, frame: VideoFrame, out_codec: Codec) -> Optional[VideoFrame]:
+        import numpy as np
+
+        if out_codec != Codec.UYVY:
+            return None
+        stream = bytes(np.asarray(frame.data, np.uint8).reshape(-1))
+        planes = self.codec.decode_planes(stream)
+        if len(planes) != 3:
+            log.error("openapv: only 4:2:2/4:4:4 streams map to UYVY")
+            return None
+        y, cb, cr = ((p + 2) >> 2 for p in planes)  # 10 -> 8 bit
+        if cb.shape[1] == y.shape[1]:  # 444 stream: decimate chroma
+            cb, cr = cb[:, ::2], cr[:, ::2]
+        h, w = y.shape
+        out = np.empty((h, 2 * w), np.uint8)
+        out[:, 1::2] = np.clip(y, 0, 255)
+        out[:, 0::4] = np.clip(cb, 0, 255)
+        out[:, 2::4] = np.clip(cr, 0, 255)
+        res = VideoFrame(frame.desc.with_(color_spec=Codec.UYVY), [out])
+        res.timestamp = frame.timestamp
+        return res
+
+
+register_module("openapv", LibraryClass.VIDEO_DECOMPRESS, ApvDecompress)
+
+
 class CineformDecompress(VideoDecompress):
     """CineForm-architecture stream -> UYVY (ref role:
     src/video_decompress/cineform.cpp; see ops/cineform.py).  Own UCF1
@@ -273,7 +311,7 @@ class J2kDecompress(VideoDecompress):
 register_module("cmpto_j2k", LibraryClass.VIDEO_DECOMPRESS, J2kDecompress)
 
 _ALL = [DxtDecompress, I420Decompress, JpegDecompress, JpegToDxtDecompress,
-        JpegXsDecompress, CineformDecompress, J2kDecompress]
+        JpegXsDecompress, ApvDecompress, CineformDecompress, J2kDecompress]
 
 
 def decompress_init(in_codec: Codec, out_candidates: List[Codec]):
