@@ -40,6 +40,12 @@ class MockXServer(threading.Thread):
         self.fb_rgb = rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
         self.cursor = cursor  # (x, y, w, h, xhot, yhot, argb_np [h,w] u32)
         self.auth_seen = None
+        # display-side state (CreateWindow/PutImage from the x11 display)
+        self.windows = {}  # wid -> np [h, w, 3] RGB contents
+        self.mapped = set()
+        self.titles = {}
+        self.gcs = set()
+        self.put_count = 0
         self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self.sock.bind(path)
         self.sock.listen(2)
@@ -108,6 +114,37 @@ class MockXServer(threading.Thread):
                     bgrx[:, :, 2] = region[:, :, 0]
                     raw = bgrx.tobytes()
                     conn.sendall(struct.pack("<BBHII20x", 1, 24, seq, len(raw) // 4, 0x21) + raw)
+                elif opcode == 1:  # CreateWindow
+                    wid, parent, x, y, w, h = struct.unpack("<IIhhHH", rest[:16])
+                    self.windows[wid] = np.zeros((h, w, 3), np.uint8)
+                elif opcode == 8:  # MapWindow
+                    (wid,) = struct.unpack("<I", rest[:4])
+                    self.mapped.add(wid)
+                elif opcode == 4:  # DestroyWindow
+                    (wid,) = struct.unpack("<I", rest[:4])
+                    self.windows.pop(wid, None)
+                    self.mapped.discard(wid)
+                elif opcode == 18:  # ChangeProperty (WM_NAME)
+                    wid, prop, ptype = struct.unpack("<III", rest[:12])
+                    (nlen,) = struct.unpack("<I", rest[16:20])
+                    if prop == 39:
+                        self.titles[wid] = rest[20 : 20 + nlen].decode()
+                elif opcode == 55:  # CreateGC
+                    (gc,) = struct.unpack("<I", rest[:4])
+                    self.gcs.add(gc)
+                elif opcode == 72:  # PutImage (ZPixmap, bpp 32)
+                    drawable, gc, w, h, dx, dy = struct.unpack("<IIHHhh", rest[:16])
+                    raw = np.frombuffer(rest[20 : 20 + w * h * 4], np.uint8)
+                    px = raw.reshape(h, w, 4)
+                    fb = self.windows.get(drawable)
+                    if fb is not None:
+                        # LSB-first BGRX -> RGB
+                        fb[dy : dy + h, dx : dx + w, 0] = px[:, :, 2]
+                        fb[dy : dy + h, dx : dx + w, 1] = px[:, :, 1]
+                        fb[dy : dy + h, dx : dx + w, 2] = px[:, :, 0]
+                    self.put_count += 1
+                elif opcode == 43:  # GetInputFocus (sync barrier)
+                    conn.sendall(struct.pack("<BBHII20x", 1, 0, seq, 0, 0))
                 elif opcode == XFIXES_OP and detail == 0:  # XFixesQueryVersion
                     conn.sendall(struct.pack("<BxHIII16x", 1, seq, 0, 4, 0))
                 elif opcode == XFIXES_OP and detail == 4:  # GetCursorImage

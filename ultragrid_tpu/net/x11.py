@@ -162,6 +162,9 @@ class X11Connection:
             minkc,
             maxkc,
         ) = struct.unpack("<IIIIHHBBBBBBBB", body[:28])
+        self._rid_base, self._rid_mask = rid_base, rid_mask
+        self._rid_next = 0
+        self.max_req_bytes = max_req * 4
         pos = 32 + len(_pad4(b"\x00" * vendor_len))
         self.formats = {}
         for _ in range(nformats):
@@ -208,6 +211,69 @@ class X11Connection:
         visual = struct.unpack("<I", rep[8:12])[0]
         bpp = self.formats.get(depth, (32, 32))[0]
         return depth, bpp, rep[32:], visual
+
+    # -- display-side requests (window + PutImage; ref role:
+    # src/video_display/{sdl3,gl}.cpp present a frame in a window — here
+    # the core protocol is spoken directly, no SDL/GL libs needed) ------
+
+    def gen_id(self) -> int:
+        """Allocate a fresh resource id from the server's RID range."""
+        rid = self._rid_base | (self._rid_next & self._rid_mask)
+        self._rid_next += 1
+        return rid
+
+    def create_window(self, w: int, h: int, title: str = "ultragrid_tpu") -> int:
+        """CreateWindow (opcode 1) + WM_NAME + MapWindow (opcode 8)."""
+        wid = self.gen_id()
+        # value-mask: background-pixel (0x2) black so resize gaps are not garbage
+        req = struct.pack(
+            "<BBHIIhhHHHHII",
+            1, self.screen["root_depth"], 9, wid, self.root,
+            0, 0, w, h, 0, 1,  # border 0, class InputOutput
+            self.screen["root_visual"], 0x2,
+        ) + struct.pack("<I", 0)
+        self._request(req)
+        name = title.encode()
+        # ChangeProperty(18) Replace WM_NAME(39) type STRING(31) format 8
+        self._request(
+            struct.pack("<BBHIIIBxxxI", 18, 0, 6 + len(_pad4(name)) // 4,
+                        wid, 39, 31, 8, len(name)) + _pad4(name)
+        )
+        self._request(struct.pack("<BxHI", 8, 2, wid))  # MapWindow
+        return wid
+
+    def destroy_window(self, wid: int) -> None:
+        self._request(struct.pack("<BxHI", 4, 2, wid))
+
+    def create_gc(self, drawable: int) -> int:
+        gc = self.gen_id()
+        self._request(struct.pack("<BxHIII", 55, 4, gc, drawable, 0))
+        return gc
+
+    def put_image(self, drawable: int, gc: int, x: int, y: int,
+                  w: int, h: int, bgrx: bytes) -> None:
+        """PutImage (opcode 72, ZPixmap, bpp 32) with row chunking so each
+        request stays under the server's max-request-length."""
+        row = w * 4
+        max_rows = max(1, (self.max_req_bytes - 24) // max(row, 1))
+        sent = 0
+        while sent < h:
+            n = min(max_rows, h - sent)
+            chunk = bgrx[sent * row : (sent + n) * row]
+            self._request(
+                struct.pack(
+                    "<BBHIIHHhhBBH", 72, 2, 6 + (len(chunk) + 3) // 4,
+                    drawable, gc, w, n, x, y + sent, 0,
+                    self.screen["root_depth"], 0,
+                ) + _pad4(chunk)
+            )
+            sent += n
+
+    def sync(self) -> None:
+        """Round-trip barrier: GetInputFocus (opcode 43) reply drains any
+        pending async error for the fire-and-forget requests above."""
+        self._request(struct.pack("<BxH", 43, 1))
+        self._reply()
 
     # -- XFIXES cursor --------------------------------------------------
 
