@@ -119,13 +119,17 @@ def _size_of_i32(v):
     return jnp.where(a == 0, 0, 32 - jax.lax.clz(a))
 
 
-def make_fused_encode(enc, wwords: int, interpret: bool = False):
+def make_fused_encode(enc, wwords: int, interpret: bool = False,
+                      _stop_after: str | None = None):
     """Build the jitted fused encode for a JpegEncoder, or None if unsupported.
 
     Returns fn(frame) -> (ys, ybits, us, ubits, vs, vbits, overflow) with
     shapes/dtypes identical to JpegEncoder._make_encode's encode_fn.
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU test
     coverage of the kernel logic; production path is compiled on TPU).
+    ``_stop_after`` is a perf-ablation debug knob ("front"|"dc"|"ac"|"sym")
+    that truncates the kernel after that stage and emits garbage outputs;
+    never set in production.
     """
     if not supports(enc):
         return None
@@ -228,6 +232,24 @@ def make_fused_encode(enc, wwords: int, interpret: bool = False):
         )
         q = jnp.round(f - c_ref[0][None, :]).astype(jnp.int32)  # [nmcux, nlanes]
 
+        def _truncate(live_i32):
+            # ablation-only: reduce the live intermediate into the bits
+            # outputs (so Mosaic cannot DCE the stages run so far), zero the
+            # slot outputs, and stop.
+            red = jnp.sum(live_i32.astype(jnp.int32), axis=1, keepdims=True)
+            zeros = jnp.zeros((live_i32.shape[0], wwords), jnp.uint32)
+            for g in range(n_y):
+                ys_ref[0, :, g, :] = zeros
+            yb_ref[0] = jnp.broadcast_to(red, (red.shape[0], n_y))
+            us_ref[0] = zeros
+            ub_ref[0] = red
+            vs_ref[0] = zeros
+            vb_ref[0] = red
+
+        if _stop_after == "front":
+            _truncate(q)
+            return
+
         lane_j = jax.lax.broadcasted_iota(jnp.int32, (1, nlanes), 1) % 64
         seg = (jax.lax.broadcasted_iota(jnp.int32, (cx, 1), 0) % ri) == 0
 
@@ -258,6 +280,10 @@ def make_fused_encode(enc, wwords: int, interpret: bool = False):
         dc_len = (dc_tab & 0x1F).astype(jnp.int32) + 1
         dc_val = (dc_code << s_dc.astype(jnp.uint32)) | amp_dc  # [nmcux, bpm]
         dc_vlen = dc_len + s_dc
+
+        if _stop_after == "dc":
+            _truncate(dc_vlen + dc_val.astype(jnp.int32))
+            return
 
         # ---- AC run/size symbols over the full tile ----
         nz = (q != 0) & (lane_j != 0)
@@ -295,6 +321,10 @@ def make_fused_encode(enc, wwords: int, interpret: bool = False):
 
         val = (ac_code << s_ac.astype(jnp.uint32)) | amp
         vlen = ac_len + s_ac
+
+        if _stop_after == "ac":
+            _truncate(vlen + val.astype(jnp.int32) + dc_vlen[:, 0:1])
+            return
 
         # ZRL redistribution (see jpeg._encode_component_symbols)
         kn = jnp.where(nz, k_zrl, 0)
@@ -336,12 +366,19 @@ def make_fused_encode(enc, wwords: int, interpret: bool = False):
             pieces.append(vlen[:, 64 * g + 1 : 64 * (g + 1)])
         vlen = jnp.concatenate(pieces, axis=1)
 
+        if _stop_after == "sym":
+            _truncate(vlen + val.astype(jnp.int32))
+            return
+
         # ---- pack: per-block bit offsets + disjoint-bit add reduction ----
         cum = jnp.dot(
             vlen.astype(jnp.bfloat16),
             tri_ref[:].astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32)
+        if _stop_after == "cum":
+            _truncate(cum + val.astype(jnp.int32))
+            return
         off = cum - vlen
         t = (off & 31).astype(jnp.int32)
         w0 = off >> 5
@@ -354,6 +391,10 @@ def make_fused_encode(enc, wwords: int, interpret: bool = False):
             val << ((jnp.uint32(32) - du) & 31),
         )
         x1 = jnp.where(spans, val << jnp.where(spans, jnp.uint32(64) - du, 0), jnp.uint32(0))
+
+        if _stop_after == "shift":
+            _truncate(w0 + x0.astype(jnp.int32) + x1.astype(jnp.int32))
+            return
 
         slot_cols = [[] for _ in range(bpm)]
         for w in range(wwords):
