@@ -58,10 +58,11 @@ def _make_display_stub(name: str):
 
 
 # "screen" has a real implementation now (modules/screen_capture.py — pure
-# wire-protocol X11 client); only the SDK-bound cards remain stubs.
+# wire-protocol X11 client), and "gl" renders through EGL-surfaceless Mesa
+# (modules/gl_display.py); only the SDK-bound cards remain stubs.
 for _name in ("decklink", "ndi", "aja"):
     register_module(_name, LibraryClass.VIDEO_CAPTURE, _make_capture_stub(_name))
-for _name in ("decklink", "ndi", "sdl", "gl"):
+for _name in ("decklink", "ndi", "sdl"):
     register_module(_name, LibraryClass.VIDEO_DISPLAY, _make_display_stub(_name))
 
 

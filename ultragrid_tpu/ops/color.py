@@ -124,6 +124,10 @@ def set_default_cs(cs: Colorspace) -> None:
     _DEFAULT_CS = cs
 
 
+def get_default_cs() -> Colorspace:
+    return _DEFAULT_CS
+
+
 def get_color_coeffs(cs: Colorspace, ycbcr_bit_depth: int) -> ColorCoeffs:
     """BT.601 or BT.709 coefficients at the given limited-range depth.
 
