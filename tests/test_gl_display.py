@@ -116,6 +116,19 @@ def test_dxt5_ycocg_shader_matches_own_decoder():
     assert np.max(np.abs(out.astype(int) - want.astype(int))) <= 6
 
 
+def test_deinterlace_pass():
+    """gl:deinterlace blends each line with the one below (ref:
+    deinterlace_fp, gl.c:104-116)."""
+    w, h = 16, 8
+    rgb = np.zeros((h, w, 3), np.uint8)
+    rgb[0::2] = 200  # even lines bright, odd lines black
+    out = _render(Codec.RGB, w, h, rgb.reshape(h, -1), cfg="deinterlace")
+    want = ((rgb[:, :, 0].astype(np.float32)
+             + rgb[np.minimum(np.arange(h) + 1, h - 1), :, 0]) / 2.0)
+    assert np.max(np.abs(out[:, :, 0].astype(np.float32) - want)) <= 1.0
+    assert np.all(out[0] == out[1])  # fully blended pairs match
+
+
 def test_windowed_presentation(tmp_path):
     """gl:window blits the rendered RGB through the X11 wire client."""
     from tests.test_screen_capture import MockXServer

@@ -70,6 +70,21 @@ out vec4 frag;
 void main() { frag = vec4(texture(image, uv).rgb, 1.0); }
 """
 
+# second pass over the converted RGB: blend each line with the next
+# (ref: deinterlace_fp, gl.c:104-116 — same (pix + pix_down)/2 average).
+_FRAG_DEINT = """#version 330 core
+uniform sampler2D image;
+in vec2 uv;
+out vec4 frag;
+void main() {
+    ivec2 sz = textureSize(image, 0);
+    ivec2 p = ivec2(int(uv.x * float(sz.x)), int(uv.y * float(sz.y)));
+    vec4 a = texelFetch(image, p, 0);
+    vec4 b = texelFetch(image, ivec2(p.x, min(p.y + 1, sz.y - 1)), 0);
+    frag = (a + b) / 2.0;
+}
+"""
+
 # S3TC texture holds YUV in RGB channels (ref: fp_display_dxt1_yuv,
 # gl.c:277-294 — constants there are hardwired 709; here they ride the
 # same uniforms as UYVY).
@@ -134,6 +149,7 @@ class GlDisplay(VideoDisplay):
         self.windowed = False
         self.display_name: Optional[str] = None
         self.title = "ultragrid_tpu"
+        self.deinterlace = False
         for tok in filter(None, cfg.split(":")):
             if tok == "window":
                 self.windowed = True
@@ -142,6 +158,8 @@ class GlDisplay(VideoDisplay):
                 self.windowed = True
             elif tok.startswith("title="):
                 self.title = tok[6:]
+            elif tok in ("deinterlace", "d"):  # ref: gl.c "d" option
+                self.deinterlace = True
             elif tok == "help":
                 raise SystemExit(self.usage())
         from ultragrid_tpu.utils.glctx import GLContext, GLError
@@ -155,6 +173,8 @@ class GlDisplay(VideoDisplay):
         self._tex = 0
         self._fbo = 0
         self._fbo_tex = 0
+        self._fbo2 = 0
+        self._fbo2_tex = 0
         self._last_rgb: Optional[np.ndarray] = None
         self.x11 = None
         self.win = None
@@ -167,7 +187,8 @@ class GlDisplay(VideoDisplay):
     @staticmethod
     def usage() -> str:
         return ("gl display (EGL surfaceless + GLSL conversions)\n"
-                "usage: -d gl[:window][:display=<DISPLAY>][:title=<t>]")
+                "usage: -d gl[:window][:display=<DISPLAY>][:title=<t>]"
+                "[:deinterlace]")
 
     def get_property_codecs(self) -> List[Codec]:
         codecs = [Codec.UYVY, Codec.RGBA, Codec.RGB]
@@ -218,6 +239,13 @@ class GlDisplay(VideoDisplay):
             gl.glDeleteFramebuffers(1, ctypes.byref(ctypes.c_uint(self._fbo)))
             gl.glDeleteTextures(1, ctypes.byref(ctypes.c_uint(self._fbo_tex)))
         self._fbo, self._fbo_tex = gl.make_fbo_texture(w, h)
+        if self.deinterlace:
+            if getattr(self, "_fbo2", 0):
+                gl.glDeleteFramebuffers(1, ctypes.byref(ctypes.c_uint(self._fbo2)))
+                gl.glDeleteTextures(1, ctypes.byref(ctypes.c_uint(self._fbo2_tex)))
+            self._fbo2, self._fbo2_tex = gl.make_fbo_texture(w, h)
+            if "deint" not in self._programs:
+                self._programs["deint"] = gl.compile_program(_VERT, _FRAG_DEINT)
         gl.glViewport(0, 0, w, h)
 
         key = cs
@@ -281,6 +309,13 @@ class GlDisplay(VideoDisplay):
                 data.ctypes.data_as(ctypes.c_void_p))
         gl.glBindFramebuffer(GL.FRAMEBUFFER, self._fbo)
         gl.glDrawArrays(GL.TRIANGLES, 0, 3)
+        if self.deinterlace:
+            prog = self._programs[cs]
+            gl.glUseProgram(self._programs["deint"])
+            gl.glBindTexture(GL.TEXTURE_2D, self._fbo_tex)
+            gl.glBindFramebuffer(GL.FRAMEBUFFER, self._fbo2)
+            gl.glDrawArrays(GL.TRIANGLES, 0, 3)
+            gl.glUseProgram(prog)
         gl.glFinish()
         gl.check("render")
 
