@@ -265,3 +265,80 @@ def test_own_decoder_decodes_foreign_x264_streams():
             f"luma mismatch {w}x{h} qp{qp}"
         assert np.array_equal(uy[0::2, 0::4].astype(np.int64), cb.astype(np.int64))
         assert np.array_equal(uy[0::2, 2::4].astype(np.int64), cr.astype(np.int64))
+
+
+def test_cbp_intra_table_matches_decoder():
+    from ultragrid_tpu.ops.h264 import _CBP_INTRA_TAB
+    from ultragrid_tpu.ops.h264_dec import _CBP_INTRA
+
+    assert _CBP_INTRA_TAB == _CBP_INTRA
+
+
+@pytest.mark.parametrize("qp", [10, 26, 40])
+def test_intra4x4_conformance_matrix(qp):
+    """I_NxN streams (directional source-neighbour prediction) must decode
+    cleanly in libavcodec at QP-appropriate PSNR."""
+    import math
+
+    from ultragrid_tpu.ops.h264 import Intra4x4Encoder, uyvy_to_i420
+
+    w, h = 96, 64
+    rng = np.random.default_rng(11)
+    frames = [
+        rng.integers(0, 256, (h, 2 * w), dtype=np.uint8),
+        (np.mgrid[0:h, 0 : 2 * w][1] % 220 + 10).astype(np.uint8),
+        (np.mgrid[0:h, 0 : 2 * w][0] * 3 % 200 + 20).astype(np.uint8),
+    ]
+    floor = {10: 40.0, 26: 30.0, 40: 18.0}[qp]
+    for frame in frames:
+        bs = Intra4x4Encoder(w, h, qp=qp).encode_uyvy(frame)
+        got = _lavc_decode(bytes(bs), w, h)
+        y0, _, _ = uyvy_to_i420(frame, w, h)
+        gy = got[:, 1::2].astype(np.float64)
+        mse = ((gy - y0.astype(np.float64)) ** 2).mean()
+        psnr = 10 * math.log10(255 * 255 / max(mse, 1e-9))
+        assert psnr > floor, (qp, psnr)
+        assert len(bs) < frame.nbytes
+
+
+def test_intra4x4_beats_i16_on_directional_content():
+    """Vertical/horizontal prediction should code directional content
+    smaller than I_16x16 DC at the same QP."""
+    from ultragrid_tpu.ops.h264 import Intra4x4Encoder, Intra16Encoder
+
+    w, h = 96, 64
+    # strong vertical edges: columns of alternating ramps
+    frame = ((np.mgrid[0:h, 0 : 2 * w][1] * 7) % 256).astype(np.uint8)
+    b16 = Intra16Encoder(w, h, qp=26).encode_uyvy(frame)
+    b4 = Intra4x4Encoder(w, h, qp=26).encode_uyvy(frame)
+    assert len(b4) < len(b16), (len(b4), len(b16))
+
+
+def test_intra4x4_own_decoder_roundtrip():
+    """Our own decoder must reconstruct the I_NxN stream identically to
+    libavcodec (sample-exact cross-check)."""
+    from ultragrid_tpu.ops.h264 import Intra4x4Encoder
+    from ultragrid_tpu.ops.h264_dec import IntraDecoder
+
+    w, h = 64, 48
+    rng = np.random.default_rng(13)
+    frame = rng.integers(0, 256, (h, 2 * w), dtype=np.uint8)
+    bs = bytes(Intra4x4Encoder(w, h, qp=26).encode_uyvy(frame))
+    y_own, cb_own, cr_own = IntraDecoder().decode(bs)
+    got = _lavc_decode(bs, w, h)
+    assert (got[:, 1::2] == np.asarray(y_own)[:h, :w]).all()
+
+
+def test_h264_compress_module_i4_mode():
+    from ultragrid_tpu.modules.video_compress import H264Compress
+
+    w, h = 64, 48
+    comp = H264Compress("qp=26:mode=i4")
+    frame = VideoFrame(
+        VideoDesc(w, h, Codec.UYVY, 30.0),
+        [np.random.default_rng(17).integers(0, 256, (h, 2 * w), dtype=np.uint8)],
+    )
+    out = comp.compress(frame)
+    assert out is not None and out.desc.color_spec == Codec.H264
+    got = _lavc_decode(bytes(np.asarray(out.data)), w, h)
+    assert got.shape == (h, 2 * w)

@@ -171,7 +171,7 @@ class JpegCompress(VideoCompress):
 class H264Compress(VideoCompress):
     """This framework's OWN H.264 intra encoder (no FFmpeg; see ops/h264.py).
 
-    ``h264[:qp=<0-51>][:mode=i16|pcm]`` — produces self-contained Annex-B
+    ``h264[:qp=<0-51>][:mode=i16|i4|pcm]`` — produces self-contained Annex-B
     IDR access units (SPS/PPS prepended), decodable by any AVC decoder and
     carried by the RFC 6184 packetizer.  ``mode=pcm`` selects the lossless
     I_PCM path.  For live libx264-class rates use ``libavcodec:codec=H.264``;
@@ -193,7 +193,7 @@ class H264Compress(VideoCompress):
             elif key == "accel":
                 self.accel = val  # host | device (device jit-compiles once)
             elif key == "help":
-                print("h264 (own encoder): h264[:qp=<0-51>][:mode=i16|pcm][:accel=host|device]")
+                print("h264 (own encoder): h264[:qp=<0-51>][:mode=i16|i4|pcm][:accel=host|device]")
         self._enc = None
         self._geom = None
 
@@ -215,6 +215,9 @@ class H264Compress(VideoCompress):
         if self._geom != geom:
             if self.mode == "pcm":
                 self._enc = h264_ops.PcmEncoder(desc.width, desc.height)
+            elif self.mode == "i4":
+                # per-4x4 directional prediction: better compression, host path
+                self._enc = h264_ops.Intra4x4Encoder(desc.width, desc.height, qp=self.qp)
             elif self.accel == "device":
                 from ultragrid_tpu.ops.h264_tpu import Intra16EncoderTpu
 

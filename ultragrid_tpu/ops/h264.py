@@ -718,6 +718,188 @@ class Intra16Encoder:
         return self.encode_planes(y, cb, cr)
 
 
+# coded_block_pattern me(v) intra mapping, codeNum -> cbp (spec Table 9-4;
+# the decoder holds the same list as ops/h264_dec.py:_CBP_INTRA — consistency
+# is asserted in tests/test_h264.py)
+_CBP_INTRA_TAB = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+]
+_CBP_INTRA_FWD = {cbp: i for i, cbp in enumerate(_CBP_INTRA_TAB)}
+
+
+class Intra4x4Encoder(Intra16Encoder):
+    """I_NxN (Intra_4x4) encoder: per-4x4 directional prediction
+    (vertical / horizontal / DC, SAD + mode-bit-cost decision) with full
+    16-coefficient CAVLC blocks — better compression than I_16x16 DC on
+    directional content at the same QP.
+
+    Unlike the base class, luma prediction here reads RECONSTRUCTED
+    neighbours (the decoder's own dequant/itransform is reused, so encoder
+    and decoder reconstructions are bit-equal and there is no drift): at
+    4x4 granularity the source-neighbour trade compounds V/H copy errors
+    across whole block chains, which is unacceptable above low QPs.  The
+    recurrence makes this the quality-first host path; the real-time
+    device path stays I_16x16 (mode=i16).  Reference role: the I_4x4 side
+    of libx264's intra analysis (src/video_compress/libavcodec.cpp wraps
+    it).
+    """
+
+    def encode_planes(self, y, cb, cr) -> bytes:
+        # decoder internals for exact in-loop reconstruction (runtime import:
+        # h264_dec imports this module at load, so a top-level import cycles)
+        from ultragrid_tpu.ops.h264_dec import _dezigzag, _itransform4, _vmat
+
+        y, cb, cr = _pad_to_mb(y, cb, cr)
+        qp = self.qp
+        qpc = chroma_qp(qp)
+        vy = _vmat(qp)
+        mbw, mbh = self.mb_w, self.mb_h
+        w = BitWriter()
+        _slice_header(w, 0, 0, 0, disable_deblock=True)
+        nnz_l = np.zeros((mbh * 4, mbw * 4), np.int32)
+        nnz_c = [np.zeros((mbh * 2, mbw * 2), np.int32) for _ in range(2)]
+        i4mode = np.full((mbh * 4, mbw * 4), -1, np.int32)  # -1 = unavailable
+        yr = np.zeros_like(y, np.int64)  # reconstructed luma (decoder-equal)
+
+        def nc_of(nn, bx, by, left_avail, top_avail):
+            na = nn[by, bx - 1] if left_avail else None
+            nb = nn[by - 1, bx] if top_avail else None
+            if na is not None and nb is not None:
+                return (int(na) + int(nb) + 1) >> 1
+            if na is not None:
+                return int(na)
+            if nb is not None:
+                return int(nb)
+            return 0
+
+        for my in range(mbh):
+            for mx in range(mbw):
+                left_mb = mx > 0
+                top_mb = my > 0
+                # ---- luma: per-4x4 mode decision + transform/quant ----
+                modes = np.zeros(16, np.int32)
+                zzs: list = [None] * 16
+                counts = np.zeros(16, np.int32)
+                for bi, (bx, by) in enumerate(_BLK_ORDER):
+                    gx, gy = mx * 4 + bx, my * 4 + by
+                    px, py = gx * 4, gy * 4
+                    top = yr[py - 1, px : px + 4].astype(np.int32) if gy > 0 else None
+                    left = yr[py : py + 4, px - 1].astype(np.int32) if gx > 0 else None
+                    blk = y[py : py + 4, px : px + 4].astype(np.int32)
+                    if top is not None and left is not None:
+                        dcv = (int(top.sum()) + int(left.sum()) + 4) >> 3
+                    elif top is not None:
+                        dcv = (int(top.sum()) + 2) >> 2
+                    elif left is not None:
+                        dcv = (int(left.sum()) + 2) >> 2
+                    else:
+                        dcv = 128
+                    cands = [(2, np.full((4, 4), dcv, np.int32))]
+                    if top is not None:
+                        cands.append((0, np.repeat(top[None, :], 4, axis=0)))
+                    if left is not None:
+                        cands.append((1, np.repeat(left[:, None], 4, axis=1)))
+                    ma = int(i4mode[gy, gx - 1]) if gx > 0 else -1
+                    mb_ = int(i4mode[gy - 1, gx]) if gy > 0 else -1
+                    pm = 2 if (ma < 0 or mb_ < 0) else min(ma, mb_)
+                    best = None
+                    for mode, pred in cands:
+                        sad = int(np.abs(blk - pred).sum())
+                        cost = sad + (0 if mode == pm else qp)  # 1 vs 4 bits
+                        if best is None or cost < best[0]:
+                            best = (cost, mode, pred)
+                    _, mode, pred = best
+                    modes[bi] = mode
+                    i4mode[gy, gx] = mode
+                    zz = _zigzag16(_quant(_fwd4(blk - pred), qp))
+                    zzs[bi] = zz
+                    counts[bi] = int(np.count_nonzero(zz))
+                    # reconstruct exactly as the decoder (residual4 semantics)
+                    d = _dezigzag(np.asarray(zz, np.int64)) * vy << (qp // 6)
+                    res = (_itransform4(d) + 32) >> 6
+                    yr[py : py + 4, px : px + 4] = np.clip(pred + res, 0, 255)
+                cbp_luma = 0
+                for g in range(4):
+                    if counts[4 * g : 4 * g + 4].any():
+                        cbp_luma |= 1 << g
+
+                # ---- chroma (same DC-pred scheme as I_16x16) ----
+                cdc_lv = []
+                cac_lv = []
+                for ci, plane in enumerate((cb, cr)):
+                    cpred = np.zeros((8, 8), np.int32)
+                    for by in range(2):
+                        for bx in range(2):
+                            cpred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = \
+                                self._pred_dc_chroma4(plane, mx, my, bx, by)
+                    cres = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].astype(np.int32) - cpred
+                    cc = np.zeros((2, 2, 4, 4), np.int64)
+                    for by in range(2):
+                        for bx in range(2):
+                            cc[by, bx] = _fwd4(cres[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4])
+                    cdc_lv.append(_quant_dc(_H2 @ cc[:, :, 0, 0] @ _H2, qpc))
+                    acs = np.zeros((2, 2, 4, 4), np.int32)
+                    for by in range(2):
+                        for bx in range(2):
+                            q = _quant(cc[by, bx], qpc)
+                            q[0, 0] = 0
+                            acs[by, bx] = q
+                    cac_lv.append(acs)
+                any_cac = any(np.any(a) for a in cac_lv)
+                any_cdc = any(np.any(d) for d in cdc_lv)
+                cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
+                cbp = cbp_luma | (cbp_chroma << 4)
+
+                # ---- write macroblock (syntax mirrored by h264_dec.py) ----
+                w.ue(0)  # mb_type I_NxN
+                for bi, (bx, by) in enumerate(_BLK_ORDER):
+                    gx, gy = mx * 4 + bx, my * 4 + by
+                    ma = int(i4mode[gy, gx - 1]) if gx > 0 else -1
+                    # within this MB all modes are set; above-row from prior MBs
+                    mb_ = int(i4mode[gy - 1, gx]) if gy > 0 else -1
+                    pm = 2 if (ma < 0 or mb_ < 0) else min(ma, mb_)
+                    mode = int(modes[bi])
+                    if mode == pm:
+                        w.u(1, 1)  # prev_intra4x4_pred_mode_flag
+                    else:
+                        w.u(0, 1)
+                        w.u(mode if mode < pm else mode - 1, 3)
+                w.ue(0)  # intra_chroma_pred_mode: DC
+                w.ue(_CBP_INTRA_FWD[cbp])
+                if cbp:
+                    w.se(0)  # mb_qp_delta
+                for bi, (bx, by) in enumerate(_BLK_ORDER):
+                    gx, gy = mx * 4 + bx, my * 4 + by
+                    if not (cbp_luma & (1 << (bi // 4))):
+                        nnz_l[gy, gx] = 0
+                        continue
+                    la = (gx % 4 > 0) or left_mb
+                    ta = (gy % 4 > 0) or top_mb
+                    nc = nc_of(nnz_l, gx, gy, la, ta)
+                    tc = cavlc_block(w, zzs[bi], nc)
+                    nnz_l[gy, gx] = tc
+                if cbp_chroma:
+                    for ci in range(2):
+                        d = cdc_lv[ci]
+                        cavlc_block(
+                            w, [int(d[0, 0]), int(d[0, 1]), int(d[1, 0]), int(d[1, 1])], -1)
+                if cbp_chroma == 2:
+                    for ci in range(2):
+                        for by in range(2):
+                            for bx in range(2):
+                                gx, gy = mx * 2 + bx, my * 2 + by
+                                la = (gx % 2 > 0) or left_mb
+                                ta = (gy % 2 > 0) or top_mb
+                                nc = nc_of(nnz_c[ci], gx, gy, la, ta)
+                                zz = _zigzag16(cac_lv[ci][by, bx])[1:]
+                                tc = cavlc_block(w, zz, nc)
+                                nnz_c[ci][gy, gx] = tc
+        w.rbsp_trailing()
+        return self.headers + nal(3, 5, w.rbsp())
+
+
 # ---------------------------------------------------------------------------
 # Stage C: vectorized encoder (whole-frame numpy; device-mappable layout)
 # ---------------------------------------------------------------------------
