@@ -342,3 +342,22 @@ def test_h264_compress_module_i4_mode():
     assert out is not None and out.desc.color_spec == Codec.H264
     got = _lavc_decode(bytes(np.asarray(out.data)), w, h)
     assert got.shape == (h, 2 * w)
+
+
+def test_intra4x4_uses_diagonal_modes_and_stays_exact():
+    """Diagonal content should select modes beyond V/H/DC, and the stream
+    must still reconstruct identically in libavcodec and our decoder."""
+    from ultragrid_tpu.ops.h264 import Intra4x4Encoder
+    from ultragrid_tpu.ops.h264_dec import IntraDecoder
+
+    w, h = 64, 48
+    gy_, gx_ = np.mgrid[0:h, 0 : 2 * w]
+    frame = ((gx_ + 2 * gy_) * 5 % 256).astype(np.uint8)  # diagonal ramp
+    bs = bytes(Intra4x4Encoder(w, h, qp=20).encode_uyvy(frame))
+    dec = IntraDecoder()
+    dec.trace = []
+    y_own, _, _ = dec.decode(bs)
+    modes_used = {m for (_, _, m) in dec.trace}
+    assert modes_used - {0, 1, 2}, modes_used  # some diagonal mode chosen
+    got = _lavc_decode(bs, w, h)
+    assert (got[:, 1::2] == np.asarray(y_own)[:h, :w]).all()

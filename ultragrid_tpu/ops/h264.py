@@ -730,10 +730,10 @@ _CBP_INTRA_FWD = {cbp: i for i, cbp in enumerate(_CBP_INTRA_TAB)}
 
 
 class Intra4x4Encoder(Intra16Encoder):
-    """I_NxN (Intra_4x4) encoder: per-4x4 directional prediction
-    (vertical / horizontal / DC, SAD + mode-bit-cost decision) with full
-    16-coefficient CAVLC blocks — better compression than I_16x16 DC on
-    directional content at the same QP.
+    """I_NxN (Intra_4x4) encoder: per-4x4 directional prediction (all nine
+    spec modes, SAD + mode-bit-cost decision) with full 16-coefficient
+    CAVLC blocks — better compression than I_16x16 DC on directional
+    content at the same QP.
 
     Unlike the base class, luma prediction here reads RECONSTRUCTED
     neighbours (the decoder's own dequant/itransform is reused, so encoder
@@ -749,7 +749,8 @@ class Intra4x4Encoder(Intra16Encoder):
     def encode_planes(self, y, cb, cr) -> bytes:
         # decoder internals for exact in-loop reconstruction (runtime import:
         # h264_dec imports this module at load, so a top-level import cycles)
-        from ultragrid_tpu.ops.h264_dec import _dezigzag, _itransform4, _vmat
+        from ultragrid_tpu.ops.h264_dec import (_dezigzag, _itransform4,
+                                                _pred4x4, _vmat)
 
         y, cb, cr = _pad_to_mb(y, cb, cr)
         qp = self.qp
@@ -762,6 +763,7 @@ class Intra4x4Encoder(Intra16Encoder):
         nnz_c = [np.zeros((mbh * 2, mbw * 2), np.int32) for _ in range(2)]
         i4mode = np.full((mbh * 4, mbw * 4), -1, np.int32)  # -1 = unavailable
         yr = np.zeros_like(y, np.int64)  # reconstructed luma (decoder-equal)
+        done4 = np.zeros((mbh * 4, mbw * 4), bool)  # decode-order causality
 
         def nc_of(nn, bx, by, left_avail, top_avail):
             na = nn[by, bx - 1] if left_avail else None
@@ -785,22 +787,29 @@ class Intra4x4Encoder(Intra16Encoder):
                 for bi, (bx, by) in enumerate(_BLK_ORDER):
                     gx, gy = mx * 4 + bx, my * 4 + by
                     px, py = gx * 4, gy * 4
-                    top = yr[py - 1, px : px + 4].astype(np.int32) if gy > 0 else None
-                    left = yr[py : py + 4, px - 1].astype(np.int32) if gx > 0 else None
-                    blk = y[py : py + 4, px : px + 4].astype(np.int32)
-                    if top is not None and left is not None:
-                        dcv = (int(top.sum()) + int(left.sum()) + 4) >> 3
-                    elif top is not None:
-                        dcv = (int(top.sum()) + 2) >> 2
-                    elif left is not None:
-                        dcv = (int(left.sum()) + 2) >> 2
-                    else:
-                        dcv = 128
-                    cands = [(2, np.full((4, 4), dcv, np.int32))]
-                    if top is not None:
-                        cands.append((0, np.repeat(top[None, :], 4, axis=0)))
+                    blk = y[py : py + 4, px : px + 4].astype(np.int64)
+                    # neighbour samples exactly as the decoder's
+                    # luma_neighbors(): availability follows decode order
+                    t8 = None
+                    if gy > 0 and done4[gy - 1, gx]:
+                        t8 = np.empty(8, np.int64)
+                        t8[:4] = yr[py - 1, px : px + 4]
+                        if gx + 1 < mbw * 4 and done4[gy - 1, gx + 1]:
+                            t8[4:] = yr[py - 1, px + 4 : px + 8]
+                        else:
+                            t8[4:] = yr[py - 1, px + 3]
+                    left = (yr[py : py + 4, px - 1].astype(np.int64)
+                            if gx > 0 and done4[gy, gx - 1] else None)
+                    tl = (int(yr[py - 1, px - 1])
+                          if t8 is not None and left is not None else None)
+                    avail = [2]
+                    if t8 is not None:
+                        avail += [0, 3, 7]
                     if left is not None:
-                        cands.append((1, np.repeat(left[:, None], 4, axis=1)))
+                        avail += [1, 8]
+                    if t8 is not None and left is not None and tl is not None:
+                        avail += [4, 5, 6]
+                    cands = [(m, _pred4x4(m, t8, left, tl)) for m in avail]
                     ma = int(i4mode[gy, gx - 1]) if gx > 0 else -1
                     mb_ = int(i4mode[gy - 1, gx]) if gy > 0 else -1
                     pm = 2 if (ma < 0 or mb_ < 0) else min(ma, mb_)
@@ -820,6 +829,7 @@ class Intra4x4Encoder(Intra16Encoder):
                     d = _dezigzag(np.asarray(zz, np.int64)) * vy << (qp // 6)
                     res = (_itransform4(d) + 32) >> 6
                     yr[py : py + 4, px : px + 4] = np.clip(pred + res, 0, 255)
+                    done4[gy, gx] = True
                 cbp_luma = 0
                 for g in range(4):
                     if counts[4 * g : 4 * g + 4].any():
