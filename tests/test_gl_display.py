@@ -150,6 +150,30 @@ def test_windowed_presentation(tmp_path):
         srv.close()
 
 
+@pytest.mark.skipif(not _HAS_S3TC, reason="driver lacks S3TC")
+def test_dxt1_rtp_native_display_passthrough():
+    """DXT1 over RTP lands in the gl display as a compressed texture —
+    no CPU decompression stage (ref: the RTDXT -> gl display flow)."""
+    import threading
+
+    from ultragrid_tpu.pipeline.receiver import VideoReceiver
+    from ultragrid_tpu.pipeline.sender import VideoSender
+
+    port = 23492
+    recv = VideoReceiver("gl", rx_port=port, frame_limit=2, timeout=60.0)
+    t = threading.Thread(target=recv.run, daemon=True)
+    t.start()
+    VideoSender(
+        "testcard:64:48:30:UYVY", "127.0.0.1", compress_spec="dxt",
+        tx_port=port, frame_limit=4,
+    ).run()
+    t.join(timeout=60)
+    assert recv.frames_displayed >= 1
+    assert recv._decompress is None  # native passthrough, no decode stage
+    assert recv.display.desc.color_spec == Codec.DXT1
+    assert recv.display.last_rgb() is not None
+
+
 def test_pipeline_e2e_testcard_to_gl():
     """testcard -> gl display through the loopback pipeline (negotiation
     picks a codec the display accepts natively)."""

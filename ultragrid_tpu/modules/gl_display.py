@@ -202,6 +202,7 @@ class GlDisplay(VideoDisplay):
         gl = self.ctx
         from ultragrid_tpu.utils.glctx import GL
 
+        gl.ensure_current()
         self.desc = desc
         w, h = desc.width, desc.height
         if self._tex:
@@ -283,6 +284,7 @@ class GlDisplay(VideoDisplay):
         gl = self.ctx
         from ultragrid_tpu.utils.glctx import GL
 
+        gl.ensure_current()
         desc = self.desc
         w, h = desc.width, desc.height
         cs = desc.color_spec

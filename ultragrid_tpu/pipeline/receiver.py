@@ -200,8 +200,11 @@ class VideoReceiver:
             else:
                 # mode unknown: merge as a horizontal strip
                 frame = vf_merge_tiles(frame, frame.desc.tile_count, 1)
-        # decompress if the codec is opaque (JPEG/DXT...)
-        if is_codec_opaque(frame.desc.color_spec):
+        # decompress if the codec is opaque (JPEG/DXT...) — unless the
+        # display takes it natively (ref: RTDXT -> gl display renders DXT
+        # as compressed textures without a CPU decode)
+        if (is_codec_opaque(frame.desc.color_spec)
+                and frame.desc.color_spec not in self.display.get_property_codecs()):
             if self._decompress is None or frame.desc.color_spec != getattr(self, "_comp_codec", None):
                 codecs = self.display.get_property_codecs()
                 self._decompress, self._decomp_out = decompress_init(

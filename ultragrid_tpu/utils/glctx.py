@@ -17,6 +17,7 @@ anything else on demand.
 from __future__ import annotations
 
 import ctypes
+import threading
 from typing import Optional
 
 __all__ = ["GLError", "GLContext", "GL"]
@@ -184,6 +185,23 @@ class GLContext:
         self.glGenVertexArrays(1, ctypes.byref(vao))
         self.glBindVertexArray(vao.value)
         self._vao = vao
+        # EGL contexts are thread-bound; release now and re-bind lazily on
+        # whichever (single) thread drives the display — the pipeline's
+        # decode thread is not the constructing thread.
+        egl.eglMakeCurrent(_P(self._dpy), None, None, None)
+        self._bound_tid: Optional[int] = None
+
+    def ensure_current(self) -> None:
+        """Bind the context on the calling thread (idempotent per thread).
+        One thread at a time may drive GL — same contract as the
+        reference's GL display thread."""
+        tid = threading.get_ident()
+        if tid == self._bound_tid:
+            return
+        if not self._egl.eglMakeCurrent(_P(self._dpy), None, None, _P(self._ctx)):
+            raise GLError("gl: context is bound to another thread")
+        self._bound_tid = tid
+        self.glBindVertexArray(self._vao.value)
 
     def _resolve(self, name: str, restype, argtypes):
         ptr = self._egl.eglGetProcAddress(name.encode())
