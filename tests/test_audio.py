@@ -435,3 +435,66 @@ def test_encrypted_audio_round_trip():
         pb2.decode(time.monotonic() + 100, lambda n: bad.append(stbad.decode_frame(n)) or True)
         assert all(f is None for f in bad)
     rx.close(); tx_sess.close()
+
+
+def test_audio_filter_factory_and_chain():
+    from ultragrid_tpu.audio.filters import (ControlPortStats, DelayFilter,
+                                             DiscardFilter, GainFilter,
+                                             make_audio_filter_chain)
+
+    chain = make_audio_filter_chain("gain:-6#delay:480#discard#controlport_stats")
+    assert isinstance(chain[0], GainFilter) and chain[0].gain_db == -6.0
+    assert isinstance(chain[1], DelayFilter) and chain[1].samples == 480
+    assert isinstance(chain[2], DiscardFilter)
+    assert isinstance(chain[3], ControlPortStats)
+    with pytest.raises(ValueError):
+        make_audio_filter_chain("nosuchfilter")
+
+
+def test_audio_filter_discard_and_stats():
+    from ultragrid_tpu.audio.filters import ControlPortStats, DiscardFilter
+    from ultragrid_tpu.audio.volume import parse_stats_line
+
+    cap = TestcardAudioCapture()
+    frame = cap.read(4800)
+    assert DiscardFilter().apply(frame) is None
+
+    class FakeControl:
+        lines = []
+
+        def report_stats(self, line):
+            self.lines.append(line)
+
+    ctl = FakeControl()
+    f = ControlPortStats(ctl)
+    out = f.apply(frame)
+    assert out is frame  # pass-through
+    stats = parse_stats_line(ctl.lines[-1].replace("stats ", "stats ", 1))
+    assert stats and 0 in stats  # per-channel (rms, peak) present
+
+
+def test_sender_audio_filter_chain_applied(tmp_path):
+    """--audio-filter silence zeroes the stream end to end (received WAV
+    must be all-zero samples)."""
+    import threading
+    import wave
+
+    from ultragrid_tpu.pipeline.receiver import VideoReceiver
+    from ultragrid_tpu.pipeline.sender import VideoSender
+
+    port = 23960
+    wav_path = str(tmp_path / "rx.wav")
+    recv = VideoReceiver("dummy", rx_port=port, frame_limit=2, timeout=30.0,
+                         audio_playback=f"wav:{wav_path}")
+    t = threading.Thread(target=recv.run, daemon=True)
+    t.start()
+    VideoSender(
+        "testcard:64:48:30:UYVY", "127.0.0.1", tx_port=port, frame_limit=4,
+        audio_capture="testcard", audio_filter="gain:0#silence",
+    ).run()
+    t.join(timeout=30)
+    with wave.open(wav_path, "rb") as wf:
+        n = wf.getnframes()
+        assert n > 0
+        data = np.frombuffer(wf.readframes(n), np.int16)
+    assert np.abs(data).max() == 0

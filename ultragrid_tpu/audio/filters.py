@@ -89,6 +89,57 @@ class ChannelRemap(AudioFilter):
         return res
 
 
+class DiscardFilter(AudioFilter):
+    """Drops every frame (ref: audio/filter/discard.cpp — mutes a chain
+    without reconfiguring downstream)."""
+
+    def apply(self, frame):
+        return None
+
+
+class ControlPortStats(AudioFilter):
+    """Reports per-channel RMS/peak through the control socket in the
+    astat-parsable layout (ref: audio/filter/controlport_stats.cpp)."""
+
+    def __init__(self, control=None, prefix: str = "AFILTER"):
+        self.control = control
+        self.prefix = prefix
+        self.last_line: Optional[str] = None  # introspection/tests
+
+    def apply(self, frame):
+        from ultragrid_tpu.audio.volume import format_stats_line
+
+        self.last_line = format_stats_line(self.prefix, frame)
+        if self.control is not None:
+            self.control.report_stats(self.last_line)
+        return frame
+
+
+def make_audio_filter(spec: str, control=None) -> AudioFilter:
+    """One ``<filter>[:<config>]`` element of the --audio-filter grammar
+    (ref: main.cpp:271)."""
+    name, _, cfg = spec.partition(":")
+    if name == "gain":
+        return GainFilter(float(cfg) if cfg else 0.0)
+    if name == "delay":
+        return DelayFilter(int(cfg) if cfg else 0)
+    if name == "silence":
+        return SilenceFilter()
+    if name == "discard":
+        return DiscardFilter()
+    if name == "channel_remap":
+        return ChannelRemap(cfg)
+    if name == "controlport_stats":
+        return ControlPortStats(control)
+    raise ValueError(f"unknown audio filter {name!r} "
+                     "(gain/delay/silence/discard/channel_remap/controlport_stats)")
+
+
+def make_audio_filter_chain(spec: str, control=None) -> List[AudioFilter]:
+    """``<filter>[:<config>][#<filter>...]`` -> filter list."""
+    return [make_audio_filter(part, control) for part in spec.split("#") if part]
+
+
 class AudioMixer:
     """Conference mixer: sums per-participant streams (ref: audio/mixer.cpp)."""
 

@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force IPv6 resolution")
     p.add_argument("-U", "--audio-channel-map", default=None,
                    help="src:dst[,src:dst...] audio channel remap")
+    p.add_argument("--audio-filter", default=None,
+                   help="<filter>[:<config>][#<filter>...] — gain/delay/"
+                        "silence/discard/channel_remap/controlport_stats "
+                        "(ref: main.cpp:271)")
     p.add_argument("--mcast-if", default=None, metavar="IFADDR",
                    help="IPv4 address of the interface for multicast "
                         "(ref: --mcast-if, main.cpp:892)")

@@ -50,6 +50,7 @@ class VideoSender:
         control_port: Optional[int] = None,
         audio_fec: str = "none",
         audio_channel_map: Optional[str] = None,
+        audio_filter: Optional[str] = None,
         bitrate: int = RATE_AUTO,
         bitrate_fixed: bool = False,
         ttl: int = 255,
@@ -71,11 +72,16 @@ class VideoSender:
         self.audio = None
         self.audio_codec_name = audio_codec
         self.audio_fec = audio_fec
-        self.audio_remap = None
-        if audio_channel_map:
-            from ultragrid_tpu.audio.filters import ChannelRemap
+        # audio filter chain: -U remap first, then --audio-filter elements
+        # (ref: --audio-filter grammar, main.cpp:271)
+        from ultragrid_tpu.audio.filters import (ChannelRemap,
+                                                 make_audio_filter_chain)
 
-            self.audio_remap = ChannelRemap(audio_channel_map)
+        self.audio_filters = []
+        if audio_channel_map:
+            self.audio_filters.append(ChannelRemap(audio_channel_map))
+        if audio_filter:
+            self.audio_filters.extend(make_audio_filter_chain(audio_filter))
         # "embedded" = audio rides along with video capture grabs
         # (ref: audio_sdi_send, main.cpp:365)
         self.audio_embedded = audio_capture == "embedded"
@@ -158,6 +164,11 @@ class VideoSender:
             try:
                 self.control = ControlServer(self.root, control_port)
                 log.notice(f"control socket on 127.0.0.1:{self.control.port}")
+                from ultragrid_tpu.audio.filters import ControlPortStats
+
+                for flt in self.audio_filters:
+                    if isinstance(flt, ControlPortStats) and flt.control is None:
+                        flt.control = self.control
             except OSError as e:
                 log.warning(f"control socket unavailable: {e}")
         self._bytes_since_report = 0
@@ -220,12 +231,15 @@ class VideoSender:
                 if self.audio_embedded and audio is not None:
                     # embedded (SDI-style) audio rides the capture cadence
                     # (ref: audio_sdi_send, main.cpp:365)
-                    if self.audio_remap is not None:
-                        audio = self.audio_remap.apply(audio)
-                    comp = self.audio_codec.compress(audio)
-                    self.audio_tx.send_audio(self.audio_session, comp,
-                                             self.audio_codec_name,
-                                             fec_spec=self.audio_fec)
+                    for flt in self.audio_filters:
+                        audio = flt.apply(audio)
+                        if audio is None:
+                            break
+                    if audio is not None:
+                        comp = self.audio_codec.compress(audio)
+                        self.audio_tx.send_audio(self.audio_session, comp,
+                                                 self.audio_codec_name,
+                                                 fec_spec=self.audio_fec)
                 if frame is not None:
                     with profiler.zone("capture.filter"):
                         frame = self.capture_chain.apply(frame)
@@ -261,13 +275,17 @@ class VideoSender:
             frame = self.audio.read(chunk)
             if frame is None:
                 break
-            if self.audio_remap is not None:
-                frame = self.audio_remap.apply(frame)
-            comp = self.audio_codec.compress(frame)
-            self.audio_tx.send_audio(self.audio_session, comp,
-                                     self.audio_codec_name,
-                                     fec_spec=self.audio_fec)
+            # pacing advances by CAPTURED samples even if a filter drops
             nsamples = frame.channels[0].size // frame.desc.bps
+            for flt in self.audio_filters:
+                frame = flt.apply(frame)
+                if frame is None:
+                    break
+            if frame is not None:
+                comp = self.audio_codec.compress(frame)
+                self.audio_tx.send_audio(self.audio_session, comp,
+                                         self.audio_codec_name,
+                                         fec_spec=self.audio_fec)
             samples_sent += nsamples
             deadline = start + samples_sent / frame.desc.sample_rate
             delay = deadline - time.monotonic()
@@ -345,6 +363,7 @@ def run_sender(args) -> int:
         control_port=getattr(args, "control_port", None),
         audio_fec=getattr(args, "audio_fec", "none"),
         audio_channel_map=getattr(args, "audio_channel_map", None),
+        audio_filter=getattr(args, "audio_filter", None),
         bitrate=bitrate,
         bitrate_fixed=bitrate_fixed,
         ttl=getattr(args, "ttl", -1) if getattr(args, "ttl", -1) >= 0 else 255,
