@@ -498,3 +498,18 @@ def test_sender_audio_filter_chain_applied(tmp_path):
         assert n > 0
         data = np.frombuffer(wf.readframes(n), np.int16)
     assert np.abs(data).max() == 0
+
+
+def test_audio_delay_maps_to_playout_offsets():
+    """--audio-delay: positive pads the audio playout delay, negative pads
+    video (ref: set_audio_delay -> per-medium offsets, host.cpp:1019)."""
+    from ultragrid_tpu.pipeline.receiver import VideoReceiver
+
+    r = VideoReceiver("dummy", rx_port=23971, audio_playback="dummy",
+                      audio_delay_ms=200)
+    assert abs(r.audio_pbuf.playout_delay - 0.232) < 1e-9
+    assert abs(r.pbuf.playout_delay - 0.032) < 1e-9
+    r2 = VideoReceiver("dummy", rx_port=23973, audio_playback="dummy",
+                       audio_delay_ms=-100)
+    assert abs(r2.audio_pbuf.playout_delay - 0.032) < 1e-9
+    assert abs(r2.pbuf.playout_delay - 0.132) < 1e-9

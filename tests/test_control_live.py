@@ -164,3 +164,29 @@ def test_live_receiver_postprocess_change():
     rx_thread.join(timeout=10)
     tx_thread.join(timeout=10)
     ctl.close()
+
+
+def test_start_paused_then_play():
+    """--start-paused: no frames flow until 'play' arrives over the
+    control socket."""
+    import time
+
+    sender = VideoSender(
+        "testcard:s=128x96:f=30:c=UYVY:still=1",
+        "127.0.0.1",
+        compress_spec="none",
+        tx_port=PORT + 10,
+        rx_port=0,
+        frame_limit=3,
+        control_port=0,
+        start_paused=True,
+    )
+    tx_thread = threading.Thread(target=sender.run, daemon=True)
+    tx_thread.start()
+    time.sleep(0.5)
+    assert sender.paused.is_set()
+    assert not tx_thread.join(timeout=0.2)  # still alive, producing nothing
+    with socket.create_connection(("127.0.0.1", sender.control.port), timeout=5) as c:
+        assert _ctl(c, "play").startswith("200")
+    tx_thread.join(timeout=15)
+    assert not tx_thread.is_alive()  # frame_limit reached after unpause

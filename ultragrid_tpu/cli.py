@@ -62,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force IPv6 resolution")
     p.add_argument("-U", "--audio-channel-map", default=None,
                    help="src:dst[,src:dst...] audio channel remap")
+    p.add_argument("--audio-delay", type=int, default=0,
+                   help="ms to delay audio against video (negative delays "
+                        "video; ref: set_audio_delay, host.cpp:1019)")
+    p.add_argument("--start-paused", action="store_true",
+                   help="start the sender paused; unpause with the control "
+                        "socket's 'play' (the reference reaches the same "
+                        "state via control_socket.c 'pause')")
     p.add_argument("--audio-filter", default=None,
                    help="<filter>[:<config>][#<filter>...] — gain/delay/"
                         "silence/discard/channel_remap/controlport_stats "

@@ -32,6 +32,7 @@ class VideoReceiver:
         frame_limit: Optional[int] = None,
         timeout: Optional[float] = None,
         playout_delay: float = 0.032,
+        audio_delay_ms: int = 0,
         postprocess: str = "",
         audio_playback: Optional[str] = None,
         encryption: Optional[str] = None,
@@ -93,10 +94,15 @@ class VideoReceiver:
             self.audio_session = RtpSession(addr=mcast_addr, rx_port=rx_port + 2,
                                             tx_port=0,
                                             force_ip_version=force_ip_version)
-            self.audio_pbuf = PlayoutBuffer(playout_delay)
+            # --audio-delay: positive delays audio, negative delays video
+            # (ref: set_audio_delay host.cpp:1019-1024 -> per-medium playout
+            # offsets, rtp_common.c:320-321)
+            self.audio_pbuf = PlayoutBuffer(
+                playout_delay + max(audio_delay_ms, 0) / 1000.0)
             self.audio_rx = AudioRxState()
             self._audio_desc = None
-        self.pbuf = PlayoutBuffer(playout_delay)
+        self.pbuf = PlayoutBuffer(
+            playout_delay + max(-audio_delay_ms, 0) / 1000.0)
         crypto = None
         if encryption:
             from ultragrid_tpu.utils.crypto import PacketCrypto
@@ -357,6 +363,7 @@ def run_receiver(args) -> int:
         force_ip_version=getattr(args, "force_ip_version", 0),
         root=root,
         mcast_if=getattr(args, "mcast_if", None),
+        audio_delay_ms=getattr(args, "audio_delay", 0) or 0,
     )
     from ultragrid_tpu.utils.keyboard import KeyboardControl
 

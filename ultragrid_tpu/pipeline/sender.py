@@ -51,6 +51,7 @@ class VideoSender:
         audio_fec: str = "none",
         audio_channel_map: Optional[str] = None,
         audio_filter: Optional[str] = None,
+        start_paused: bool = False,
         bitrate: int = RATE_AUTO,
         bitrate_fixed: bool = False,
         ttl: int = 255,
@@ -112,6 +113,8 @@ class VideoSender:
         self.sender_module = Module("sender", self.root)
         self.sender_module.msg_callback = self._on_sender_message
         self.paused = threading.Event()
+        if start_paused:
+            self.paused.set()
         self.compress = CompressDriver(compress_spec, self.sender_module)
         crypto = None
         if encryption:
@@ -364,6 +367,7 @@ def run_sender(args) -> int:
         audio_fec=getattr(args, "audio_fec", "none"),
         audio_channel_map=getattr(args, "audio_channel_map", None),
         audio_filter=getattr(args, "audio_filter", None),
+        start_paused=getattr(args, "start_paused", False),
         bitrate=bitrate,
         bitrate_fixed=bitrate_fixed,
         ttl=getattr(args, "ttl", -1) if getattr(args, "ttl", -1) >= 0 else 255,
