@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 import queue
 import random
+from collections import deque
 import socket
 import struct
 import threading
@@ -167,6 +168,7 @@ class RtpSession:
         self.packets_received = 0
         self._closed = False
         self._recv_thread = None
+        self._pending: deque = deque()
         self._recv_queue: Optional["queue.Queue"] = None
         self._rx_buf = None
         self._rx_lens = None
@@ -366,10 +368,14 @@ class RtpSession:
     def recv(self, timeout: float = 0.0001) -> Optional[RtpPacket]:
         """ref: rtp_recv_r with timeout (ultragrid_rtp.c:422)."""
         if self._recv_thread is not None:
+            if self._pending:
+                return self._pending.popleft()
             try:
-                return self._recv_queue.get(timeout=timeout)
+                batch = self._recv_queue.get(timeout=timeout)
             except queue.Empty:
                 return None
+            self._pending.extend(batch)
+            return self._pending.popleft()
         self.sock.settimeout(timeout)
         try:
             data, _src = self.sock.recvfrom(RTP_MAX_PACKET_LEN)
@@ -447,10 +453,16 @@ class RtpSession:
     def start_recv_thread(self, queue_size: int = 8192) -> None:
         """Dedicated receive thread feeding an internal queue (ref: the
         reference's udp_reader thread, net_udp.c:163-187): recv() then pops
-        from the queue so the decode loop never blocks in the syscall."""
+        from the queue so the decode loop never blocks in the syscall.
+
+        The queue carries whole recvmmsg BATCHES (lists), not single
+        packets: per-packet queue.put/get costs ~5-10 us each under GIL
+        contention, which alone caps a 1080p uncompressed stream (~540
+        pkts/frame) — batching makes the handoff O(batches)."""
         if self._recv_thread is not None:
             return
-        self._recv_queue = queue.Queue(maxsize=queue_size)
+        self._recv_queue = queue.Queue(maxsize=max(queue_size // 64, 64))
+        self._pending: deque = deque()
 
         def worker():
             while not self._closed:
@@ -458,14 +470,35 @@ class RtpSession:
                     pkts = self.recv_batch(timeout=0.05)
                 except OSError:
                     return
-                for p in pkts:
+                if pkts:
                     try:
-                        self._recv_queue.put_nowait(p)
+                        self._recv_queue.put_nowait(pkts)
                     except queue.Full:
                         pass  # overrun: drop (the socket buffer smooths bursts)
 
         self._recv_thread = threading.Thread(target=worker, name="rtp-recv", daemon=True)
         self._recv_thread.start()
+
+    def recv_many(self, timeout: float = 0.0001, max_pkts: int = 512) -> List[RtpPacket]:
+        """Drain up to max_pkts received packets in batch granularity (the
+        decode loop's preferred entry; one queue op per recvmmsg batch)."""
+        if self._recv_thread is None:
+            return self.recv_batch(timeout=timeout, max_pkts=max_pkts)
+        out: List[RtpPacket] = []
+        pending = self._pending
+        while pending and len(out) < max_pkts:
+            out.append(pending.popleft())
+        block = timeout
+        while len(out) < max_pkts:
+            try:
+                batch = self._recv_queue.get(timeout=block)
+            except queue.Empty:
+                break
+            block = 0.0  # only the first get may wait
+            room = max_pkts - len(out)
+            out.extend(batch[:room])
+            pending.extend(batch[room:])
+        return out
 
     def close(self) -> None:
         if self._closed:

@@ -300,16 +300,15 @@ class VideoReceiver:
                 break
             if self.timeout is not None and time.monotonic() - start > self.timeout:
                 break
-            pkt = self.session.recv(timeout=0.0001)
+            # batch-granularity drain: one queue op per recvmmsg batch
+            pkts = self.session.recv_many(timeout=0.0001, max_pkts=512)
             now = time.monotonic()
-            ndrained = 0
-            while pkt is not None:
-                self.pbuf.insert(pkt)
+            insert = self.pbuf.insert
+            for pkt in pkts:
+                insert(pkt)
+            if pkts:
                 idle_since = now
-                ndrained += 1
-                if ndrained >= 512:
-                    break
-                pkt = self.session.recv(timeout=0.0)
+            pkt = pkts[-1] if pkts else None  # idle detection below
             self.pbuf.decode(now, self._reassemble_cb)
             self.pbuf.remove_old(now)
             if self.audio_playback is not None:
