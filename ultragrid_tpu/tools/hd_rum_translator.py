@@ -118,9 +118,9 @@ class HdRumTranslator:
                 break
             if timeout is not None and time.monotonic() - start > timeout:
                 break
-            pkt = self.session.recv(timeout=0.0001)
+            pkts = self.session.recv_many(timeout=0.0001, max_pkts=256)
             now = time.monotonic()
-            if pkt is not None:
+            for pkt in pkts:
                 self.pbuf.insert(pkt)
             self.pbuf.decode(now, self._handle)
             self.pbuf.remove_old(now)
