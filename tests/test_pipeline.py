@@ -539,3 +539,30 @@ def test_batched_jpeg_ldgm_parity_matches_single_frame():
         np.testing.assert_array_equal(pars[i], np.asarray(ref[6]))
         np.testing.assert_array_equal(ys[i * npm * 2:(i + 1) * npm * 2],
                                       np.asarray(ref[0]))
+
+
+def test_uncompressed_1080p_loopback_throughput_smoke():
+    """Regression guard for the batched receive path: 1080p uncompressed
+    loopback must sustain at least an order-of-magnitude below the
+    measured 60 fps (suite runs share one core; see PERF.md receive-path
+    table for the real numbers)."""
+    import threading
+    import time as _time
+
+    from ultragrid_tpu.pipeline.receiver import VideoReceiver
+    from ultragrid_tpu.pipeline.sender import VideoSender
+
+    port = 24931
+    N = 20
+    recv = VideoReceiver("dummy", rx_port=port, frame_limit=N, timeout=20.0)
+    t = threading.Thread(target=recv.run, daemon=True)
+    t.start()
+    _time.sleep(0.2)
+    t0 = _time.perf_counter()
+    VideoSender("testcard:s=1920x1080:f=60:c=UYVY:still=1", "127.0.0.1",
+                compress_spec="none", tx_port=port, frame_limit=N + 15,
+                mtu=8192).run()
+    t.join(timeout=25)
+    dt = _time.perf_counter() - t0
+    assert recv.frames_displayed >= N // 2  # >= 10 frames made it
+    assert recv.frames_displayed / dt > 5.0  # fps floor (measured: 60)
