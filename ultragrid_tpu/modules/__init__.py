@@ -31,3 +31,6 @@ import ultragrid_tpu.modules.extra_displays  # noqa: E402,F401
 import ultragrid_tpu.modules.ug_input  # noqa: E402,F401
 import ultragrid_tpu.modules.stitch  # noqa: E402,F401
 import ultragrid_tpu.utils.export  # noqa: E402,F401  (registers the 'import' capture device)
+import ultragrid_tpu.audio.capture  # noqa: E402,F401  (testcard/wav/none audio)
+import ultragrid_tpu.audio.playback  # noqa: E402,F401  (dummy/wav playback)
+import ultragrid_tpu.audio.aes67  # noqa: E402,F401  (AES67 SAP/SDP capture)
