@@ -121,3 +121,31 @@ def test_multislice_decodes_with_own_decoder():
     for y in (y1, y3):
         mse = ((y.astype(np.float64) - src) ** 2).mean()
         assert mse < 400  # > 22 dB on noise at qp30
+
+
+def test_sharded_jpeg_decode_bit_identical():
+    """ShardedJpegDecoder over the 8-device CPU mesh must reproduce the
+    single-device reverse mega-matmul decode byte for byte."""
+    import numpy as np
+
+    from ultragrid_tpu.ops.jpeg import JpegDecoder, JpegEncoder
+    from ultragrid_tpu.parallel.mesh import make_mesh
+    from ultragrid_tpu.parallel.sharded_jpeg import ShardedJpegDecoder
+    from ultragrid_tpu.types import Codec
+
+    w, h = 256, 128  # nmcuy = 16 -> splits over 8 shards
+    rng = np.random.default_rng(5)
+    frame = (np.linspace(16, 235, 2 * w, dtype=np.float32)[None, :]
+             + rng.normal(0, 6, (h, 2 * w))).clip(16, 235).astype(np.uint8)
+    enc = JpegEncoder(w, h, in_codec=Codec.UYVY, quality=85)
+    jpeg = bytes(enc.encode(frame))
+
+    single = JpegDecoder().decode_to_uyvy(jpeg)
+    assert single is not None
+    mesh = make_mesh()
+    sharded = ShardedJpegDecoder(mesh).decode_to_uyvy(jpeg)
+    assert sharded is not None
+    a = np.asarray(single[0])
+    b = np.asarray(sharded[0])
+    assert a.shape == b.shape
+    assert np.array_equal(a, b)

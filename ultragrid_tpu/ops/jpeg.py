@@ -1321,6 +1321,54 @@ def _parse_headers(data: bytes):
 _EXC_CAP = 4096
 
 
+def entropy_decode_422(data: bytes):
+    """Host half of the split JPEG decoder for 4:2:2 3-component streams:
+    C scan decode (restart segments across host cores) into per-component
+    coefficient blocks ordered by MCU.
+
+    Returns (hdr, [cy, cu, cv] int16 [nblocks, 64], nmcux, nmcuy) or None
+    when the stream shape/library is unsupported.  Shared by JpegDecoder
+    and the mesh-sharded decoder (parallel/sharded_jpeg.py) — MCU ordering
+    means a per-MCU-row shard is a contiguous row slice of each array."""
+    from ultragrid_tpu.native import jpeg_scan_decode_lib
+
+    hdr = _parse_headers(data)
+    scan = hdr["scan"]
+    if len(scan) != 3 or [(c["h"], c["v"]) for c in scan] != [(2, 1), (1, 1), (1, 1)]:
+        return None
+    lib = jpeg_scan_decode_lib()
+    if lib is None:
+        return None
+    h_img, w_img, ri = hdr["h"], hdr["w"], hdr["ri"]
+    nmcux = (w_img + 15) // 16
+    nmcuy = (h_img + 7) // 8
+    nmcu = nmcux * nmcuy
+    tables = np.zeros((4, 272), np.uint8)
+    for (tc, th), (bits, vals) in hdr["htabs"].items():
+        slot = th * 2 + tc
+        tables[slot, :16] = np.frombuffer(bits, np.uint8)
+        tables[slot, 16 : 16 + len(vals)] = np.frombuffer(vals, np.uint8)
+    comp_ntab = np.array([c["td"] for c in scan], np.int32)
+    comp_nblocks = np.array([c["h"] * c["v"] for c in scan], np.int32)
+    outs = [np.zeros((nmcu * int(nb), 64), np.int16) for nb in comp_nblocks]
+    import ctypes
+    import os as _os
+
+    ptr_arr = (ctypes.POINTER(ctypes.c_int16) * len(outs))(
+        *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)) for o in outs]
+    )
+    body_arr = np.frombuffer(data[hdr["scan_start"] :], np.uint8)
+    done = lib.jpeg_scan_decode_mt(
+        body_arr.ctypes.data, body_arr.size, tables.ctypes.data,
+        len(scan), comp_ntab.ctypes.data, comp_nblocks.ctypes.data,
+        nmcu, ri, ctypes.cast(ptr_arr, ctypes.c_void_p),
+        min(_os.cpu_count() or 1, 16),
+    )
+    if done != nmcu:
+        raise ValueError(f"scan decode stopped at MCU {done}/{nmcu}")
+    return hdr, outs, nmcux, nmcuy
+
+
 class JpegDecoder:
     """JPEG -> pixels: C scan decode (native/jpeg_scan_decode.c) + device
     dequant/IDCT/pack.  Geometry-specialized jit like the encoder."""
@@ -1391,42 +1439,13 @@ class JpegDecoder:
 
         Returns (uyvy [H, 2*Wpix] uint8 device array, h, w) or None if the
         stream is not 4:2:2 3-component."""
-        from ultragrid_tpu.native import jpeg_scan_decode_lib
-
-        hdr = _parse_headers(data)
+        decoded = entropy_decode_422(data)
+        if decoded is None:
+            return None
+        hdr, outs, nmcux, nmcuy = decoded
         scan = hdr["scan"]
-        if len(scan) != 3 or [(c["h"], c["v"]) for c in scan] != [(2, 1), (1, 1), (1, 1)]:
-            return None
-        lib = jpeg_scan_decode_lib()
-        if lib is None:
-            return None
-        h_img, w_img, ri = hdr["h"], hdr["w"], hdr["ri"]
-        nmcux = (w_img + 15) // 16
-        nmcuy = (h_img + 7) // 8
+        h_img, w_img = hdr["h"], hdr["w"]
         nmcu = nmcux * nmcuy
-        tables = np.zeros((4, 272), np.uint8)
-        for (tc, th), (bits, vals) in hdr["htabs"].items():
-            slot = th * 2 + tc
-            tables[slot, :16] = np.frombuffer(bits, np.uint8)
-            tables[slot, 16 : 16 + len(vals)] = np.frombuffer(vals, np.uint8)
-        comp_ntab = np.array([c["td"] for c in scan], np.int32)
-        comp_nblocks = np.array([c["h"] * c["v"] for c in scan], np.int32)
-        outs = [np.zeros((nmcu * int(nb), 64), np.int16) for nb in comp_nblocks]
-        import ctypes
-        import os as _os
-
-        ptr_arr = (ctypes.POINTER(ctypes.c_int16) * len(outs))(
-            *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)) for o in outs]
-        )
-        body_arr = np.frombuffer(data[hdr["scan_start"] :], np.uint8)
-        done = lib.jpeg_scan_decode_mt(
-            body_arr.ctypes.data, body_arr.size, tables.ctypes.data,
-            len(scan), comp_ntab.ctypes.data, comp_nblocks.ctypes.data,
-            nmcu, ri, ctypes.cast(ptr_arr, ctypes.c_void_p),
-            min(_os.cpu_count() or 1, 16),
-        )
-        if done != nmcu:
-            raise ValueError(f"scan decode stopped at MCU {done}/{nmcu}")
         # Range-pack the coefficient upload: post-quant AC values almost
         # always fit int8 at streaming qualities (DCs do NOT — flat content
         # has large DC — so DCs ship as a small separate int16 array), plus

@@ -122,3 +122,62 @@ class ShardedJpegEncoder:
                 np.frombuffer(b"\xff\xd9", dtype=np.uint8),
             ]
         )
+
+
+class ShardedJpegDecoder:
+    """Receive-side twin of ShardedJpegEncoder: the host C entropy decode
+    fills per-MCU coefficient blocks, which shard over the mesh's 'spatial'
+    axis (MCU rows are independent), and the reverse mega-matmul
+    (ops/jpeg.py JpegDecoder._make_mega_uyvy_fn) runs per shard under
+    shard_map.  Output is bit-identical to the single-device decode.
+    Multi-chip analogue of the reference's per-GPU tile decompress
+    (src/video_decompress/gpujpeg.c; tiles over CUDA devices, src/host.h:98).
+    """
+
+    def __init__(self, mesh: Mesh):
+        from ultragrid_tpu.ops.jpeg import JpegDecoder
+
+        self.mesh = mesh
+        self.nshards = mesh.shape["spatial"]
+        self._single = JpegDecoder()
+        self._fns = {}
+
+    def decode_to_uyvy(self, data: bytes):
+        """Returns (uyvy [H, 2W] uint8, h, w) — sharded over 'spatial' when
+        the geometry splits, else the single-device fast path."""
+        from ultragrid_tpu.ops.jpeg import entropy_decode_422
+
+        decoded = entropy_decode_422(data)
+        if decoded is None:
+            return self._single.decode_to_uyvy(data)
+        hdr, outs, nmcux, nmcuy = decoded
+        ns = self.nshards
+        if nmcuy % ns:
+            return self._single.decode_to_uyvy(data)
+        scan = hdr["scan"]
+        stacked = [
+            jax.device_put(
+                o.reshape(ns, -1, 64),
+                NamedSharding(self.mesh, P("spatial", None, None)),
+            )
+            for o in outs
+        ]
+        qsig = tuple(hdr["qtabs"][c["tq"]].tobytes() for c in scan)
+        key = (hdr["h"], hdr["w"], qsig)
+        fn = self._fns.get(key)
+        if fn is None:
+            local = self._single._make_mega_uyvy_fn(hdr, nmcux, nmcuy // ns)
+
+            def wrapped(cy, cu, cv):
+                return local(cy[0], cu[0], cv[0])
+
+            fn = self._fns[key] = jax.jit(
+                shard_map(
+                    wrapped,
+                    mesh=self.mesh,
+                    in_specs=(P("spatial", None, None),) * 3,
+                    out_specs=P("spatial", None),
+                )
+            )
+        uyvy = fn(*stacked)
+        return uyvy, hdr["h"], hdr["w"]
