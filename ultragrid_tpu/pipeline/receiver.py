@@ -312,9 +312,10 @@ class VideoReceiver:
             self.pbuf.decode(now, self._reassemble_cb)
             self.pbuf.remove_old(now)
             if self.audio_playback is not None:
-                apkt = self.audio_session.recv(timeout=0.0001)
-                if apkt is not None:
+                apkts = self.audio_session.recv_many(timeout=0.0001, max_pkts=64)
+                for apkt in apkts:
                     self.audio_pbuf.insert(apkt)
+                if apkts:
                     idle_since = now
                 self.audio_pbuf.decode(now, self._handle_audio)
                 self.audio_pbuf.remove_old(now)
