@@ -106,3 +106,9 @@ def initialize_audio_capture(spec: str) -> AudioCapture:
     if cls is None:
         raise ValueError(f"unknown audio capture {name!r}")
     return cls(cfg)
+
+
+# sibling devices register whenever capture is imported first (the package
+# __init__'s guarded imports skip them in that cycle; see modules/__init__.py)
+import ultragrid_tpu.audio.aes67  # noqa: E402,F401
+import ultragrid_tpu.audio.playback  # noqa: E402,F401

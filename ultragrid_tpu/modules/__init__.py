@@ -31,6 +31,13 @@ import ultragrid_tpu.modules.extra_displays  # noqa: E402,F401
 import ultragrid_tpu.modules.ug_input  # noqa: E402,F401
 import ultragrid_tpu.modules.stitch  # noqa: E402,F401
 import ultragrid_tpu.utils.export  # noqa: E402,F401  (registers the 'import' capture device)
-import ultragrid_tpu.audio.capture  # noqa: E402,F401  (testcard/wav/none audio)
-import ultragrid_tpu.audio.playback  # noqa: E402,F401  (dummy/wav playback)
-import ultragrid_tpu.audio.aes67  # noqa: E402,F401  (AES67 SAP/SDP capture)
+# audio devices register too, so --list-modules / --capabilities see them.
+# Guarded: when python's entry import IS ultragrid_tpu.audio.capture, that
+# module triggers this package __init__ mid-definition (registry import) and
+# these would cycle; audio/capture.py end-imports its siblings instead.
+try:
+    import ultragrid_tpu.audio.capture  # noqa: E402,F401
+    import ultragrid_tpu.audio.playback  # noqa: E402,F401
+    import ultragrid_tpu.audio.aes67  # noqa: E402,F401
+except ImportError:  # circular entry via audio.capture; see above
+    pass
