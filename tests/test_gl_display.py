@@ -116,6 +116,24 @@ def test_dxt5_ycocg_shader_matches_own_decoder():
     assert np.max(np.abs(out.astype(int) - want.astype(int))) <= 6
 
 
+@pytest.mark.skipif(not _HAS_S3TC, reason="driver lacks S3TC")
+def test_dxt1_yuv_shader_close_to_direct_conversion():
+    """DXT1_YUV: S3TC texture holds YUV; the shader converts to RGB
+    (ref: fp_display_dxt1_yuv, gl.c:277-294).  On flat bars the DXT
+    quantization is small, so the render must track the repo's direct
+    UYVY->RGB conversion."""
+    from ultragrid_tpu.ops.convs_yuv import uyvy_to_rgb
+    from ultragrid_tpu.ops.dxt import dxt1_yuv_encode_uyvy
+
+    w, h = 64, 32
+    uyvy = generate_pattern(w, h, Codec.UYVY, "bars")
+    comp = np.asarray(dxt1_yuv_encode_uyvy(uyvy.reshape(h, -1), w))
+    out = _render(Codec.DXT1_YUV, w, h, comp)
+    want = np.asarray(uyvy_to_rgb(uyvy.reshape(h, -1), w)).reshape(h, w, 3)
+    # interior of each bar (block-aligned) must match closely
+    assert np.median(np.abs(out.astype(int) - want.astype(int))) <= 4
+
+
 def test_deinterlace_pass():
     """gl:deinterlace blends each line with the one below (ref:
     deinterlace_fp, gl.c:104-116)."""
