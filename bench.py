@@ -14,14 +14,58 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import socket
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ugtpu_jaxcache")
 
+BASELINE_4K_FPS = 240.0
+
+
+def _fail(reason: str) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": "4K UYVY->JPEG device encode fps/chip",
+                "value": 0,
+                "unit": "frames/s",
+                "vs_baseline": 0,
+                "error": reason,
+            }
+        )
+    )
+    sys.stdout.flush()
+    os._exit(0)
+
+
+def _guard_axon_tunnel() -> None:
+    """A dead axon relay makes jax sleep-poll forever; fail fast and honestly
+    instead of hanging the driver (relay cannot be restarted from inside)."""
+    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+        return
+    for port in (8082, 8092, 8102, 8112):
+        try:
+            socket.create_connection(("127.0.0.1", port), timeout=2).close()
+            return  # at least one relay listener is up
+        except OSError:
+            continue
+    _fail("axon tunnel relay not listening; device bench impossible this run")
+
+
+def _watchdog(seconds: int = 900) -> None:
+    def _onalarm(signum, frame):  # noqa: ARG001
+        _fail(f"bench exceeded {seconds}s (tunnel wedge?)")
+
+    signal.signal(signal.SIGALRM, _onalarm)
+    signal.alarm(seconds)
+
+
+_guard_axon_tunnel()
+
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
-
-BASELINE_4K_FPS = 240.0
 
 
 def bench_jpeg_4k(n_iters: int = 20, batches: int = 7, nframes: int = 8) -> float:
@@ -65,7 +109,9 @@ def bench_jpeg_4k(n_iters: int = 20, batches: int = 7, nframes: int = 8) -> floa
 
 
 def main() -> None:
+    _watchdog(900)
     fps = bench_jpeg_4k()
+    signal.alarm(0)
     print(
         json.dumps(
             {
