@@ -26,6 +26,7 @@ import ultragrid_tpu.modules.v4l2_capture  # noqa: E402,F401
 import ultragrid_tpu.modules.screen_capture  # noqa: E402,F401
 import ultragrid_tpu.modules.x11_display  # noqa: E402,F401
 import ultragrid_tpu.modules.gl_display  # noqa: E402,F401
+import ultragrid_tpu.modules.drm_display  # noqa: E402,F401
 import ultragrid_tpu.modules.hw_stubs  # noqa: E402,F401
 import ultragrid_tpu.modules.extra_displays  # noqa: E402,F401
 import ultragrid_tpu.modules.ug_input  # noqa: E402,F401
