@@ -99,6 +99,7 @@ def initialize_audio_capture(spec: str) -> AudioCapture:
     from ultragrid_tpu.modules.registry import load_library
 
     import ultragrid_tpu.audio.aes67  # noqa: F401 - self-registers
+    import ultragrid_tpu.audio.alsa  # noqa: F401 - self-registers
     import ultragrid_tpu.audio.midi_synth  # noqa: F401 - self-registers
 
     name, _, cfg = spec.partition(":")
@@ -111,4 +112,5 @@ def initialize_audio_capture(spec: str) -> AudioCapture:
 # sibling devices register whenever capture is imported first (the package
 # __init__'s guarded imports skip them in that cycle; see modules/__init__.py)
 import ultragrid_tpu.audio.aes67  # noqa: E402,F401
+import ultragrid_tpu.audio.alsa  # noqa: E402,F401
 import ultragrid_tpu.audio.playback  # noqa: E402,F401

@@ -80,6 +80,8 @@ register_module("wav", LibraryClass.AUDIO_PLAYBACK, WavAudioPlayback)
 def initialize_audio_playback(spec: str) -> AudioPlayback:
     from ultragrid_tpu.modules.registry import load_library
 
+    import ultragrid_tpu.audio.alsa  # noqa: F401 - self-registers
+
     name, _, cfg = spec.partition(":")
     cls = load_library(name, LibraryClass.AUDIO_PLAYBACK)
     if cls is None:
