@@ -232,6 +232,15 @@ def main(argv=None) -> int:
         n = lb.run()
         print(f"{n} frames processed (loopback)")
         return 0
+    if (args.capture and args.host and args.display
+            and args.protocol == "ultragrid_rtp"
+            and not getattr(args, "rtsp", False)):
+        # full-duplex videoconferencing mode: -t ... -d ... <peer> sends AND
+        # receives in one process (ref: capture thread + receiver thread,
+        # main.cpp:347-397 / rxtx.cpp:153)
+        from ultragrid_tpu.pipeline.duplex import run_duplex
+
+        return run_duplex(args)
     if args.capture and (args.host or getattr(args, "rtsp", False)):
         # --rtsp without a host: serve and wait for clients to PLAY
         if getattr(args, "rtsp", False):
