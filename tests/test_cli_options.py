@@ -146,3 +146,80 @@ def test_audio_send_pacing_is_timestamp_driven():
     sender.should_exit.set()
     sender.session.close()
     sender.audio_session.close()
+
+
+def test_short_aliases_and_new_flags():
+    p = build_parser()
+    a = p.parse_args([
+        "-t", "testcard", "-e", "pass:cipher=gcm", "-A", "Opus",
+        "-F", "mirror", "-n", "0", "-x", "loopback", "-i", "gain:2",
+        "-a", "channels=1:sample_rate=16000", "--audio-scale", "0.5",
+        "--audio-host", "10.0.0.9", "--window-title", "demo",
+        "--conv-policy", "cds", "-N", "upnp",
+    ])
+    assert a.encryption == "pass:cipher=gcm"
+    assert a.audio_codec == "Opus"
+    assert a.capture_filter == "mirror"
+    assert a.control_port == 0
+    assert a.protocol == "loopback"
+    assert a.audio_filter == "gain:2"
+    assert a.audio_capture_format == "channels=1:sample_rate=16000"
+    assert a.audio_scale == "0.5"
+    assert a.audio_host == "10.0.0.9"
+    assert a.window_title == "demo"
+    assert a.conv_policy == "cds"
+    assert a.nat_traverse == "upnp"
+    # -N without a mode defaults to auto
+    a2 = p.parse_args(["-N", "-t", "testcard"])
+    assert a2.nat_traverse == "auto"
+
+
+def test_audio_capture_format_overrides():
+    from ultragrid_tpu.audio import capture as ac
+
+    saved = dict(ac._capture_format)
+    try:
+        ac.set_audio_capture_format("channels=1:bps=32:sample_rate=16k")
+        d = ac.default_capture_desc()
+        assert (d.ch_count, d.bps, d.sample_rate) == (1, 4, 16000)
+        cap = ac.TestcardAudioCapture("")
+        assert cap.desc.sample_rate == 16000 and cap.desc.ch_count == 1
+        f = cap.read(160)
+        assert f.sample_count == 160 and len(f.channels) == 1
+        with pytest.raises(ValueError):
+            ac.set_audio_capture_format("bps=7")
+        with pytest.raises(ValueError):
+            ac.set_audio_capture_format("bogus=1")
+    finally:
+        ac._capture_format.clear()
+        ac._capture_format.update(saved)
+
+
+def test_conv_policy_setter():
+    from ultragrid_tpu.ops import pixfmt
+
+    saved = pixfmt.PIXFMT_CONV_PREF
+    try:
+        pixfmt.set_pixfmt_conv_policy("cds")
+        assert pixfmt.PIXFMT_CONV_PREF == "cds"
+        with pytest.raises(ValueError):
+            pixfmt.set_pixfmt_conv_policy("dd")
+        with pytest.raises(ValueError):
+            pixfmt.set_pixfmt_conv_policy("abc")
+    finally:
+        pixfmt.PIXFMT_CONV_PREF = saved
+
+
+def test_audio_scale_factor():
+    from ultragrid_tpu.audio.types import AudioDesc, AudioFrame
+    from ultragrid_tpu.pipeline.receiver import VideoReceiver
+
+    r = VideoReceiver.__new__(VideoReceiver)  # no sockets needed
+    r.audio_scale = "0.5"
+    desc = AudioDesc(bps=2, sample_rate=48000, ch_count=1)
+    loud = AudioFrame.from_float(desc, np.full((1, 64), 0.8))
+    scaled = r._scale_audio(loud)
+    peak = np.abs(scaled.samples_float()).max()
+    assert 0.35 <= peak <= 0.45
+    r.audio_scale = "none"
+    assert r._scale_audio(loud) is loud

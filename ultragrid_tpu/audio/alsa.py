@@ -292,7 +292,11 @@ class AlsaAudioCapture:
 
     def __init__(self, cfg: str = "", desc: Optional[AudioDesc] = None):
         dev, frames = _parse_cfg(cfg)
-        d = desc or AudioDesc()
+        if desc is None:  # honor -a/--audio-capture-format overrides
+            from ultragrid_tpu.audio.capture import default_capture_desc
+
+            desc = default_capture_desc()
+        d = desc
         self.pcm = AlsaPcm(dev, "c", d.sample_rate, d.ch_count, d.bps, frames)
         self.desc = AudioDesc(bps=d.bps, sample_rate=self.pcm.rate,
                               ch_count=d.ch_count)

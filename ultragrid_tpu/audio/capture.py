@@ -23,10 +23,51 @@ ALEN_PATTERNS = {
 }
 
 
+# -a/--audio-capture-format overrides, applied by captures that synthesize
+# their own format (ref: audio_capture_{bps,channels,sample_rate} globals,
+# host.cpp:330-342)
+_capture_format: dict = {}
+
+
+def set_audio_capture_format(spec: str) -> None:
+    """``{channels=<num>|bps=<bits>|sample_rate=<rate>}[:,...]``
+    (ref: parse_audio_format, audio/utils.cpp:720-770)."""
+    import re
+
+    out = dict(_capture_format)
+    for item in re.split("[:,]", spec):
+        if not item:
+            continue
+        key, _, val = item.partition("=")
+        if key and "channels".startswith(key):
+            n = int(val)
+            if not 1 <= n <= 64:
+                raise ValueError(f"invalid channel count {n} (1-64)")
+            out["ch_count"] = n
+        elif key and "bps".startswith(key):
+            bits = int(val)
+            if bits % 8 or not 0 < bits <= 32:
+                raise ValueError(f"bps must be a multiple of 8 in 8-32, got {bits}")
+            out["bps"] = bits // 8
+        elif key and "sample_rate".startswith(key):
+            mult = 1000 if val.lower().endswith("k") else 1
+            out["sample_rate"] = int(float(val.rstrip("kK")) * mult)
+        else:
+            raise ValueError(f"unknown audio format item {item!r}")
+    _capture_format.clear()
+    _capture_format.update(out)
+
+
+def default_capture_desc() -> AudioDesc:
+    """Defaults with any -a/--audio-capture-format overrides applied."""
+    return AudioDesc(**{**dict(bps=2, sample_rate=48000, ch_count=2,
+                               codec="PCM"), **_capture_format})
+
+
 class AudioCapture:
     def __init__(self, cfg: str):
         self.cfg = cfg
-        self.desc = AudioDesc()
+        self.desc = default_capture_desc()
 
     def read(self, nsamples: int) -> Optional[AudioFrame]:
         raise NotImplementedError
@@ -40,9 +81,19 @@ class TestcardAudioCapture(AudioCapture):
 
     def __init__(self, cfg: str = "", frequency: int = 1000, volume: float = 0.25):
         super().__init__(cfg)
-        self.desc = AudioDesc(bps=2, sample_rate=48000, ch_count=2, codec="PCM")
+        self.desc = default_capture_desc()
         self.frequency = frequency
         self.volume = volume
+        for tok in filter(None, (cfg or "").split(":")):
+            key, _, val = tok.partition("=")
+            if key in ("rate", "sample_rate"):
+                self.desc = self.desc.with_(sample_rate=int(val))
+            elif key in ("frequency", "freq"):
+                self.frequency = int(val)
+            elif key == "channels":
+                self.desc = self.desc.with_(ch_count=int(val))
+            elif key == "volume":
+                self.volume = float(val)
         self.pos = 0
 
     def read(self, nsamples: int) -> AudioFrame:
@@ -83,7 +134,7 @@ class WavAudioCapture(AudioCapture):
 class SilenceAudioCapture(AudioCapture):
     def __init__(self, cfg: str = ""):
         super().__init__(cfg)
-        self.desc = AudioDesc()
+        self.desc = default_capture_desc()
 
     def read(self, nsamples: int) -> AudioFrame:
         chans = [np.zeros(nsamples * self.desc.bps, np.uint8) for _ in range(self.desc.ch_count)]

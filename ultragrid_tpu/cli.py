@@ -69,7 +69,40 @@ def build_parser() -> argparse.ArgumentParser:
                    help="start the sender paused; unpause with the control "
                         "socket's 'play' (the reference reaches the same "
                         "state via control_socket.c 'pause')")
-    p.add_argument("--audio-filter", default=None,
+    p.add_argument("-a", "--audio-capture-format", default=None,
+                   help="{channels=<num>|bps=<bits>|sample_rate=<rate>}"
+                        "[:...] capture format overrides (ref: -a, "
+                        "parse_audio_format audio/utils.cpp:720)")
+    p.add_argument("--audio-capture-channels", type=int, default=None,
+                   help="shorthand for -a channels=N (ref: main.cpp:725)")
+    p.add_argument("--audio-scale", default="none",
+                   help="<factor>|auto|none — received-audio scaling "
+                        "(ref: OPT_AUDIO_SCALE, main.cpp:858)")
+    p.add_argument("--audio-host", default=None,
+                   help="send audio to a different address than video "
+                        "(ref: OPT_AUDIO_HOST, main.cpp:895)")
+    p.add_argument("--echo-cancellation", action="store_true",
+                   help="cancel playback echo from captured audio in duplex "
+                        "sessions (ref: --echo-cancellation, audio/echo.cpp)")
+    p.add_argument("--window-title", default=None,
+                   help="window title for windowed displays (ref: "
+                        "OPT_WINDOW_TITLE)")
+    p.add_argument("--conv-policy", default=None, metavar="dsc",
+                   help="pixfmt conversion preference order: permutation of "
+                        "d(epth) s(ubsampling) c(olor) (ref: host.cpp:344)")
+    p.add_argument("-N", "--nat-traverse", nargs="?", const="auto",
+                   default=None, metavar="MODE",
+                   help="map RTP ports at the NAT: auto|pcp|natpmp|upnp "
+                        "(ref: -N/--nat-traverse, utils/nat.c)")
+    p.add_argument("--pix-fmts", action="store_true",
+                   help="list supported pixel formats (ref: OPT_PIX_FMTS)")
+    p.add_argument("--video-codecs", action="store_true",
+                   help="list video codecs (ref: OPT_VIDEO_CODECS)")
+    p.add_argument("-v", "--version", action="store_true",
+                   help="print version and exit")
+    p.add_argument("-H", "--fullhelp", action="store_true",
+                   help="extended module listing (alias of --list-modules)")
+    p.add_argument("-i", "--audio-filter", default=None,
                    help="<filter>[:<config>][#<filter>...] — gain/delay/"
                         "silence/discard/channel_remap/controlport_stats "
                         "(ref: main.cpp:271)")
@@ -80,12 +113,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-m", "--mtu", type=int, default=1500)
     p.add_argument("-M", "--mode", default="normal",
                    help="video mode: normal|dual-link|3D|tiled-2x2|3x1")
-    p.add_argument("--encryption", default=None, help="AES passphrase[:cipher=gcm|cbc|ctr|cfb]")
+    p.add_argument("-e", "--encryption", default=None, help="AES passphrase[:cipher=gcm|cbc|ctr|cfb]")
     p.add_argument("-E", "--record", nargs="?", const="", default=None,
                    help="export the session to DIR (default auto-named)")
     p.add_argument("-V", "--verbose", action="count", default=0)
     p.add_argument("--param", action="append", default=[], help="key=value tuning params")
-    p.add_argument("--control-port", type=int, default=5054,
+    p.add_argument("-n", "--control-port", type=int, default=5054,
                    help="runtime control TCP port (0 = ephemeral; "
                         "ref: control_socket.c:178, default 5054)")
     p.add_argument(
@@ -100,16 +133,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("-s", "--audio-capture", default=None, help="audio capture (testcard, wav:FILE, none)")
     p.add_argument("-r", "--audio-playback", default=None, help="audio playback (dummy, wav:FILE)")
-    p.add_argument("--audio-codec", default="PCM", help="audio codec: PCM|alaw|ulaw|Opus|G722|MP3|AAC|FLAC")
-    p.add_argument("--capture-filter", default="", help="comma-separated capture filter chain")
+    p.add_argument("-A", "--audio-codec", default="PCM", help="audio codec: PCM|alaw|ulaw|Opus|G722|MP3|AAC|FLAC")
+    p.add_argument("-F", "--capture-filter", default="", help="comma-separated capture filter chain")
     p.add_argument("-p", "--postprocess", default="", help="display postprocess chain")
     p.add_argument("--frames", type=int, default=None, help="stop after N frames")
-    p.add_argument("--protocol", default="ultragrid_rtp",
+    p.add_argument("-x", "--protocol", default="ultragrid_rtp",
                    help="rxtx protocol: ultragrid_rtp | loopback | mpegts | "
                         "ihdtv (sage/omt need their SDKs, absent here; "
                         "ref: --protocol)")
-    p.add_argument("--list-modules", action="store_true")
-    p.add_argument("--capabilities", action="store_true",
+    p.add_argument("-L", "--list-modules", action="store_true")
+    p.add_argument("-b", "--capabilities", action="store_true",
                    help="print machine-readable capabilities JSON (GUI contract)")
     p.add_argument("host", nargs="?", default=None, help="receiver address (sender mode)")
     return p
@@ -123,6 +156,60 @@ def main(argv=None) -> int:
     from ultragrid_tpu.utils.crash import install_crash_handler
 
     install_crash_handler()
+
+    if args.version:
+        from ultragrid_tpu import __version__
+
+        print(f"ultragrid-tpu {__version__} (TPU-native, JAX/XLA/Pallas)")
+        return 0
+
+    if args.pix_fmts or args.video_codecs:
+        from ultragrid_tpu.types import Codec, get_codec_info
+
+        for c in Codec:
+            info = get_codec_info(c)
+            if c == Codec.NONE:
+                continue
+            is_pixfmt = not info.opaque
+            if (args.pix_fmts and is_pixfmt) or (args.video_codecs and not is_pixfmt):
+                attrs = []
+                if is_pixfmt:
+                    attrs.append(f"{info.bits_per_channel}b")
+                    attrs.append("rgb" if info.rgb else "yuv")
+                from ultragrid_tpu.types import VCF_INTERFRAME
+
+                if info.flags & VCF_INTERFRAME:
+                    attrs.append("interframe")
+                print(f"{c.name:12s} {' '.join(attrs)}")
+        return 0
+
+    if args.audio_capture_format:
+        from ultragrid_tpu.audio.capture import set_audio_capture_format
+
+        try:
+            set_audio_capture_format(args.audio_capture_format)
+        except ValueError as e:
+            print(f"-a: {e}", file=sys.stderr)
+            return 1
+    if args.audio_capture_channels:
+        from ultragrid_tpu.audio.capture import set_audio_capture_format
+
+        set_audio_capture_format(f"channels={args.audio_capture_channels}")
+
+    if args.conv_policy:
+        from ultragrid_tpu.ops.pixfmt import set_pixfmt_conv_policy
+
+        try:
+            set_pixfmt_conv_policy(args.conv_policy)
+        except ValueError as e:
+            print(f"--conv-policy: {e}", file=sys.stderr)
+            return 1
+
+    if args.window_title:
+        set_commandline_param("window-title", args.window_title)
+
+    if args.fullhelp:
+        args.list_modules = True
 
     if args.capabilities:
         from ultragrid_tpu.utils.capabilities import print_capabilities
@@ -182,6 +269,21 @@ def main(argv=None) -> int:
             )
     if args.display:
         args.display, _ = cf.resolve_device("display", args.display)
+
+    if args.nat_traverse:
+        # map the RTP rx ports at the NAT before any socket binds
+        # (ref: start_nat_traverse, main.cpp:1300; utils/nat.c order)
+        from ultragrid_tpu.net.nat import setup_nat_traverse
+
+        rx = int(str(args.ports).split(":")[0])
+        audio_rx = rx + 2 if (args.audio_playback or args.audio_capture) else 0
+        res = setup_nat_traverse(rx, audio_rx, mode=args.nat_traverse)
+        if res["mode"]:
+            print(f"NAT: mapped via {res['mode']}: {res['mappings']}",
+                  file=sys.stderr)
+        else:
+            print("NAT traversal failed (no PCP/NAT-PMP/UPnP gateway "
+                  "reachable)", file=sys.stderr)
 
     if args.protocol in ("sage", "omt"):
         # the reference gates these modules behind the SAGE / Open Media

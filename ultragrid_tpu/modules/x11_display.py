@@ -50,8 +50,11 @@ class X11Display(VideoDisplay):
 
     def __init__(self, cfg: str):
         super().__init__(cfg)
+        from ultragrid_tpu.utils.params import get_commandline_param
+
         self.display_name: Optional[str] = None
-        self.title = "ultragrid_tpu"
+        # --window-title overrides the default (ref: OPT_WINDOW_TITLE)
+        self.title = get_commandline_param("window-title") or "ultragrid_tpu"
         for tok in filter(None, cfg.split(":")):
             if tok.startswith("display="):
                 self.display_name = tok[8:]

@@ -37,6 +37,17 @@ _DECODERS: Dict[Tuple[Codec, Codec], ConvFn] = {}
 PIXFMT_CONV_PREF = "dsc"
 
 
+def set_pixfmt_conv_policy(policy: str) -> None:
+    """--conv-policy: permutation of 'dsc' ordering depth/subsampling/color
+    preference in conversion ranking (ref: set_pixfmt_conv_policy,
+    host.cpp:344-367)."""
+    global PIXFMT_CONV_PREF
+    if sorted(policy) != ["c", "d", "s"]:
+        raise ValueError(
+            f"conv-policy must be a permutation of 'dsc', got {policy!r}")
+    PIXFMT_CONV_PREF = policy
+
+
 def register(in_codec: Codec, out_codec: Codec):
     def deco(fn: ConvFn) -> ConvFn:
         _DECODERS[(in_codec, out_codec)] = fn

@@ -53,6 +53,7 @@ def run_duplex(args) -> int:
         ttl=getattr(args, "ttl", -1) if getattr(args, "ttl", -1) >= 0 else 255,
         force_ip_version=getattr(args, "force_ip_version", 0),
         mcast_if=getattr(args, "mcast_if", None),
+        audio_host=getattr(args, "audio_host", None),
     )
     receiver = VideoReceiver(
         display_spec=args.display,
@@ -67,7 +68,20 @@ def run_duplex(args) -> int:
         root=sender.root,  # shared module tree: runtime msgs reach both
         mcast_if=getattr(args, "mcast_if", None),
         audio_delay_ms=getattr(args, "audio_delay", 0) or 0,
+        audio_scale=getattr(args, "audio_scale", None),
     )
+
+    if (getattr(args, "echo_cancellation", False)
+            and sender.audio is not None
+            and receiver.audio_playback is not None):
+        # AEC: receiver playback = far end, sender capture = near end
+        # (ref: echo_play/echo_cancel, src/audio/echo.cpp)
+        from ultragrid_tpu.audio.echo import EchoCanceller
+
+        ec = EchoCanceller()
+        sender.echo = ec
+        receiver.echo = ec
+        log.notice("echo cancellation active")
 
     rx_thread = threading.Thread(target=receiver.run, name="rx-pipeline",
                                  daemon=True)

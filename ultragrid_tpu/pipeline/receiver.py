@@ -42,7 +42,11 @@ class VideoReceiver:
         force_ip_version: int = 0,
         root=None,
         mcast_if: Optional[str] = None,
+        audio_scale: Optional[str] = None,
     ):
+        self.audio_scale = audio_scale
+        # --echo-cancellation: assigned by the duplex runner (far-end feed)
+        self.echo = None
         from ultragrid_tpu.utils.tiling import VideoMode
 
         self.control = control
@@ -273,8 +277,34 @@ class VideoReceiver:
             from ultragrid_tpu.audio.volume import format_stats_line
 
             self.control.report_stats(format_stats_line("ARECV", frame))
+        frame = self._scale_audio(frame)
+        if self.echo is not None:  # far-end feed for AEC (ref: echo_play)
+            self.echo.play(frame)
         self.audio_playback.put_frame(frame)
         return True
+
+    def _scale_audio(self, frame):
+        """--audio-scale factor|auto|none (ref: OPT_AUDIO_SCALE, scaling in
+        audio_decoders.cpp)."""
+        if self.audio_scale in (None, "", "none"):
+            return frame
+        import numpy as np
+
+        samples = frame.samples_float()
+        if self.audio_scale == "auto":
+            peak = float(np.abs(samples).max()) or 1.0
+            # follow the running peak toward full scale, limited slew
+            self._agc_gain = min(
+                getattr(self, "_agc_gain", 1.0) * 1.02, 0.95 / peak)
+            gain = self._agc_gain
+        else:
+            gain = float(self.audio_scale)
+        from ultragrid_tpu.audio.types import AudioFrame
+
+        out = AudioFrame.from_float(frame.desc,
+                                    np.clip(samples * gain, -1.0, 1.0))
+        out.timestamp = getattr(frame, "timestamp", None)
+        return out
 
     def run(self) -> int:
         """Receiver as the reference's 3-stage pipeline: rx thread (packet
@@ -364,6 +394,7 @@ def run_receiver(args) -> int:
         root=root,
         mcast_if=getattr(args, "mcast_if", None),
         audio_delay_ms=getattr(args, "audio_delay", 0) or 0,
+        audio_scale=getattr(args, "audio_scale", None),
     )
     from ultragrid_tpu.utils.keyboard import KeyboardControl
 

@@ -57,6 +57,7 @@ class VideoSender:
         ttl: int = 255,
         force_ip_version: int = 0,
         mcast_if=None,
+        audio_host: Optional[str] = None,
     ):
         from ultragrid_tpu.utils.tiling import VideoMode
 
@@ -90,7 +91,7 @@ class VideoSender:
             from ultragrid_tpu.audio.codecs import get_audio_codec
 
             self.audio_codec = get_audio_codec(audio_codec)
-            self.audio_session = RtpSession(addr=host, rx_port=0,
+            self.audio_session = RtpSession(addr=audio_host or host, rx_port=0,
                                             tx_port=tx_port + 2, mtu=mtu,
                                             ttl=ttl,
                                             force_ip_version=force_ip_version)
@@ -101,8 +102,9 @@ class VideoSender:
 
             self.audio = initialize_audio_capture(audio_capture)
             self.audio_codec = get_audio_codec(audio_codec)
-            # audio ports = base + 2 (ref: src/main.cpp:592-628)
-            self.audio_session = RtpSession(addr=host, rx_port=0,
+            # audio ports = base + 2 (ref: src/main.cpp:592-628); --audio-host
+            # redirects the audio stream (ref: OPT_AUDIO_HOST, main.cpp:895)
+            self.audio_session = RtpSession(addr=audio_host or host, rx_port=0,
                                             tx_port=tx_port + 2, mtu=mtu,
                                             ttl=ttl,
                                             force_ip_version=force_ip_version)
@@ -158,6 +160,10 @@ class VideoSender:
         self.frame_limit = frame_limit
         self.should_exit = threading.Event()
         self.frames_sent = 0
+        # --echo-cancellation: assigned by the duplex session runner; the
+        # captured (near-end) signal is cleaned before compression
+        # (ref: echo_cancel, audio/echo.cpp)
+        self.echo = None
         # runtime control socket — live sessions always get one like the
         # reference (ref: control_init, main.cpp:1288-1306)
         self.control = None
@@ -280,6 +286,8 @@ class VideoSender:
                 break
             # pacing advances by CAPTURED samples even if a filter drops
             nsamples = frame.channels[0].size // frame.desc.bps
+            if self.echo is not None:
+                frame = self.echo.cancel(frame) or frame
             for flt in self.audio_filters:
                 frame = flt.apply(frame)
                 if frame is None:
@@ -373,6 +381,7 @@ def run_sender(args) -> int:
         ttl=getattr(args, "ttl", -1) if getattr(args, "ttl", -1) >= 0 else 255,
         force_ip_version=getattr(args, "force_ip_version", 0),
         mcast_if=getattr(args, "mcast_if", None),
+        audio_host=getattr(args, "audio_host", None),
         capture_spec=args.capture,
         host=args.host,
         compress_spec=args.compress,
