@@ -149,3 +149,30 @@ def test_sharded_jpeg_decode_bit_identical():
     b = np.asarray(sharded[0])
     assert a.shape == b.shape
     assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("kind", ["blend", "linear"])
+@pytest.mark.parametrize("codec", [Codec.UYVY, Codec.v210, Codec.RG48])
+def test_sharded_deinterlace_bit_identical(kind, codec):
+    """Halo-exchange deinterlace over 8 shards == single-device op."""
+    from ultragrid_tpu.ops.postprocess import deinterlace_blend, deinterlace_linear
+    from ultragrid_tpu.parallel.sharded_post import sharded_deinterlace
+
+    mesh = make_mesh(8, data=1)
+    w, h = 96, 8 * 4  # 4 rows per shard (even)
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 256, (h, vc_get_linesize(w, codec)), dtype=np.uint8)
+
+    host = deinterlace_blend(frame, codec) if kind == "blend" else \
+        deinterlace_linear(frame, codec)
+    out = sharded_deinterlace(frame, codec, mesh, kind=kind)
+    np.testing.assert_array_equal(out, np.asarray(host))
+
+
+def test_sharded_deinterlace_rejects_odd_blocks():
+    from ultragrid_tpu.parallel.sharded_post import sharded_deinterlace
+
+    mesh = make_mesh(8, data=1)
+    frame = np.zeros((8 * 3, 64), np.uint8)  # 3 rows/shard: odd
+    with pytest.raises(ValueError, match="even-height"):
+        sharded_deinterlace(frame, Codec.UYVY, mesh)
