@@ -223,3 +223,24 @@ def test_audio_scale_factor():
     assert 0.35 <= peak <= 0.45
     r.audio_scale = "none"
     assert r._scale_audio(loud) is loud
+
+
+def test_pbuf_delay_param():
+    from ultragrid_tpu.utils.params import reset_params, set_commandline_param
+    from ultragrid_tpu.pipeline.receiver import VideoReceiver
+
+    set_commandline_param("pbuf-delay", "100")
+    try:
+        r = VideoReceiver("dummy", rx_port=24970)
+        assert abs(r.pbuf.playout_delay - 0.100) < 1e-9
+        r.session.close()
+    finally:
+        reset_params()
+
+
+def test_separate_protocols_rejected(capsys):
+    import ultragrid_tpu.cli as cli
+
+    rc = cli.main(["-t", "testcard", "--audio-protocol", "rtsp"])
+    assert rc == 1
+    assert "no longer available" in capsys.readouterr().err

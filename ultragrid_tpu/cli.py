@@ -94,6 +94,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None, metavar="MODE",
                    help="map RTP ports at the NAT: auto|pcp|natpmp|upnp "
                         "(ref: -N/--nat-traverse, utils/nat.c)")
+    p.add_argument("--audio-protocol", default=None, help=argparse.SUPPRESS)
+    p.add_argument("--video-protocol", default=None, help=argparse.SUPPRESS)
     p.add_argument("--pix-fmts", action="store_true",
                    help="list supported pixel formats (ref: OPT_PIX_FMTS)")
     p.add_argument("--video-codecs", action="store_true",
@@ -269,6 +271,12 @@ def main(argv=None) -> int:
             )
     if args.display:
         args.display, _ = cf.resolve_device("display", args.display)
+
+    if args.audio_protocol or args.video_protocol:
+        # the reference removed per-medium protocols too (main.cpp:630-636)
+        print("Separate audio and video protocol setting no longer "
+              "available!", file=sys.stderr)
+        return 1
 
     if args.nat_traverse:
         # map the RTP rx ports at the NAT before any socket binds

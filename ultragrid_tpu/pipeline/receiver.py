@@ -14,6 +14,11 @@ from typing import Optional
 from ultragrid_tpu.modules.video_decompress import decompress_init
 from ultragrid_tpu.modules.video_display import initialize_video_display
 from ultragrid_tpu.net.pbuf import PlayoutBuffer
+from ultragrid_tpu.utils.params import add_to_param
+
+add_to_param("pbuf-delay",
+             "<ms> playout (jitter) buffer delay, default 32 "
+             "(ref: --param pbuf-delay, pbuf.c:191)")
 from ultragrid_tpu.net.rtp import RtpSession
 from ultragrid_tpu.net.video_rx import VideoRxState
 from ultragrid_tpu.ops import pixfmt
@@ -105,6 +110,16 @@ class VideoReceiver:
                 playout_delay + max(audio_delay_ms, 0) / 1000.0)
             self.audio_rx = AudioRxState()
             self._audio_desc = None
+        # --param pbuf-delay=<ms> overrides the 32 ms default
+        # (ref: pbuf.c:191 + the pbuf-delay param)
+        from ultragrid_tpu.utils.params import get_commandline_param
+
+        pd = get_commandline_param("pbuf-delay")
+        if pd is not None:
+            playout_delay = float(pd) / 1000.0
+            if self.audio_playback is not None:
+                self.audio_pbuf.playout_delay = (
+                    playout_delay + max(audio_delay_ms, 0) / 1000.0)
         self.pbuf = PlayoutBuffer(
             playout_delay + max(-audio_delay_ms, 0) / 1000.0)
         crypto = None

@@ -28,7 +28,7 @@ def install_crash_handler() -> None:
     crash_signal_handler backtrace."""
     try:
         faulthandler.enable(all_threads=True)
-    except (RuntimeError, AttributeError):
+    except Exception:  # noqa: BLE001 - e.g. stderr without fileno (embedders)
         return
 
     def _report(sig, frame):  # SIGTERM/SIGHUP: report, then default action
