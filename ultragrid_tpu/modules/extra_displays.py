@@ -337,6 +337,8 @@ class BlendDisplay(VideoDisplay):
     previous source.
     """
 
+    retains_frames = True  # holds put frames/views past put_frame
+
     TRANSITION_FRAMES = 10
 
     def __init__(self, cfg: str):

@@ -144,6 +144,8 @@ def _shader_coeffs(height: int):
 class GlDisplay(VideoDisplay):
     """Shader-converting GL display; offscreen FBO, optional X11 window."""
 
+    retains_frames = True  # holds put frames/views past put_frame
+
     def __init__(self, cfg: str):
         super().__init__(cfg)
         self.windowed = False

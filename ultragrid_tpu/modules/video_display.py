@@ -24,12 +24,17 @@ log = Logger("display")
 
 
 class VideoDisplay:
+    # displays that hold a reference to a put frame (or a view of its data)
+    # past put_frame's return set this; their frames are never pooled
+    retains_frames = False
+
     def __init__(self, cfg: str):
         self.cfg = cfg
         self.desc: Optional[VideoDesc] = None
         self.frames_shown = 0
         self._fps_t0 = time.monotonic()
         self._fps_count = 0
+        self._pool: List[VideoFrame] = []
 
     def get_property_codecs(self) -> List[Codec]:
         """Codecs the display accepts natively (ref: DISPLAY_PROPERTY_CODECS)."""
@@ -37,11 +42,31 @@ class VideoDisplay:
 
     def reconfigure(self, desc: VideoDesc) -> bool:
         self.desc = desc
+        self._pool.clear()
         return True
 
     def get_frame(self) -> VideoFrame:
+        """Display-owned framebuffer, recycled like the reference's
+        video_frame_pool (ref: display_get_frame semantics,
+        src/video_display.h:185; pool src/utils/video_frame_pool.h:49)."""
         assert self.desc is not None
+        while self._pool:
+            f = self._pool.pop()
+            if f.desc == self.desc:
+                return f
         return VideoFrame.alloc(self.desc)
+
+    def recycle(self, frame: Optional[VideoFrame]) -> None:
+        """Return a frame whose presentation finished to the pool.  Callers
+        (the receiver) invoke this after put_frame returns; no-op for
+        displays that retain frames or for non-writable (device) buffers."""
+        if (self.retains_frames or frame is None or len(self._pool) >= 4
+                or frame.desc != self.desc or len(frame.tiles) != 1):
+            return
+        data = frame.tiles[0]
+        if isinstance(data, np.ndarray) and data.flags.writeable:
+            frame.callbacks.clear()
+            self._pool.append(frame)
 
     def put_frame(self, frame: Optional[VideoFrame], blocking: bool = True) -> None:
         """None frame = poison pill/flush (ref: display_put_frame semantics)."""
@@ -148,6 +173,8 @@ class ConferenceDisplay(VideoDisplay):
     and the composite goes to a child dummy/file display... here the
     composite frame is exposed via .composite and the usual stats path.
     """
+
+    retains_frames = True  # holds put frames/views past put_frame
 
     def __init__(self, cfg: str):
         super().__init__(cfg)

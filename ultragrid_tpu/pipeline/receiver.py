@@ -277,6 +277,9 @@ class VideoReceiver:
                 self._display_desc = fr.desc
             with profiler.zone("rx.display"):
                 self.display.put_frame(fr)
+            # presentation done: hand the buffer back to the display pool
+            # (ref: vf_recycle + frame pool, video_frame_pool.h:49)
+            self.display.recycle(fr)
             self.frames_displayed += 1
         return True
 
