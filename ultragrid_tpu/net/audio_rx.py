@@ -48,8 +48,8 @@ class AudioRxState:
         for pkt in node.packets:
             if getattr(pkt, "_decrypted", False):
                 continue
-            hdr = pkt.payload[: rt.AUDIO_PAYLOAD_HDR_LEN]
-            body = pkt.payload[rt.AUDIO_PAYLOAD_HDR_LEN + 4 :]  # skip crypto word
+            hdr = bytes(pkt.payload[: rt.AUDIO_PAYLOAD_HDR_LEN])  # may be a view
+            body = bytes(pkt.payload[rt.AUDIO_PAYLOAD_HDR_LEN + 4 :])
             data = self.decryption.decrypt(body, hdr)
             if data is None:
                 return False

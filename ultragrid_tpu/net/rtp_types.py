@@ -79,16 +79,27 @@ def pack_video_header(
     return struct.pack("!IIII", w0, offset, frame_len, w3) + struct.pack("<I", w4) + struct.pack("!I", w5)
 
 
+# every packet of a stream carries identical format words (w3/w4/w5); cache
+# the decoded VideoDesc so the per-packet hot loop does one dict hit instead
+# of fourcc lookup + fps decode + dataclass construction
+_desc_cache: dict = {}
+
+
 def parse_video_header(data: bytes):
     w0, offset, frame_len, w3 = struct.unpack("!IIII", data[:16])
-    (w4,) = struct.unpack("<I", data[16:20])
-    (w5,) = struct.unpack("!I", data[20:24])
     substream = w0 >> 22
     buffer_idx = w0 & 0x3FFFFF
-    width, height = w3 >> 16, w3 & 0xFFFF
-    codec = get_codec_from_fourcc(w4)
-    interl, fps = parse_interl_fps_word(w5)
-    desc = VideoDesc(width, height, codec, fps, interl)
+    fmt = bytes(data[12:24])  # w3 | w4 | w5
+    desc = _desc_cache.get(fmt)
+    if desc is None:
+        (w4,) = struct.unpack("<I", data[16:20])
+        (w5,) = struct.unpack("!I", data[20:24])
+        width, height = w3 >> 16, w3 & 0xFFFF
+        codec = get_codec_from_fourcc(w4)
+        interl, fps = parse_interl_fps_word(w5)
+        desc = VideoDesc(width, height, codec, fps, interl)
+        if len(_desc_cache) < 512:
+            _desc_cache[fmt] = desc
     return substream, buffer_idx, offset, frame_len, desc
 
 

@@ -78,8 +78,8 @@ class VideoRxState:
         for pkt in node.packets:
             if getattr(pkt, "_decrypted", False):
                 continue
-            hdr = pkt.payload[:hdr_len]
-            body = pkt.payload[hdr_len + 4 :]  # skip crypto hdr word
+            hdr = bytes(pkt.payload[:hdr_len])  # payload may be a memoryview
+            body = bytes(pkt.payload[hdr_len + 4 :])  # skip crypto hdr word
             data = self.decryption.decrypt(body, hdr)
             if data is None:
                 return None
@@ -149,7 +149,7 @@ class VideoRxState:
         jpeg = None
         pkts = sorted(node.packets, key=lambda p: p.seq)
         for i, pkt in enumerate(pkts):
-            jpeg = dep.feed(pkt.payload, marker=bool(pkt.m) or i == len(pkts) - 1)
+            jpeg = dep.feed(bytes(pkt.payload), marker=bool(pkt.m) or i == len(pkts) - 1)
             if jpeg is not None:
                 break
         if jpeg is None:
@@ -178,7 +178,7 @@ class VideoRxState:
         au = None
         pkts = sorted(node.packets, key=lambda p: p.seq)
         for i, pkt in enumerate(pkts):
-            au = dep.feed(pkt.payload, marker=bool(pkt.m) or i == len(pkts) - 1)
+            au = dep.feed(bytes(pkt.payload), marker=bool(pkt.m) or i == len(pkts) - 1)
         if au is None:
             self.frames_missing_data += 1
             return None
