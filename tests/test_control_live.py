@@ -190,3 +190,46 @@ def test_start_paused_then_play():
         assert _ctl(c, "play").startswith("200")
     tx_thread.join(timeout=15)
     assert not tx_thread.is_alive()  # frame_limit reached after unpause
+
+
+def test_volume_avdelay_help_noop():
+    """volume/mute/av-delay/help/noop control commands (ref:
+    control_socket.c:530-660 command set)."""
+    import socket as _socket
+    import time as _time
+
+    from ultragrid_tpu.modules.messaging import Module
+    from ultragrid_tpu.pipeline.receiver import VideoReceiver
+    from ultragrid_tpu.utils.control_socket import ControlServer
+
+    root = Module("root")
+    ctl = ControlServer(root, 0)
+    recv = VideoReceiver("null", rx_port=24980, control=ctl, root=root,
+                         audio_playback=None)
+    try:
+        s = _socket.create_connection(("127.0.0.1", ctl.port), timeout=5)
+        f = s.makefile("rw", newline="\r\n")
+
+        def cmd(c):
+            f.write(c + "\r\n"); f.flush()
+            return f.readline().strip()
+
+        assert cmd("noop").startswith("200")
+        assert "volume" in cmd("help")
+        assert cmd("volume 0.5").startswith("200")
+        assert abs(recv.volume - 0.5) < 1e-9
+        assert cmd("volume up").startswith("200")
+        assert recv.volume > 0.5
+        assert cmd("mute").startswith("200") and recv.muted
+        assert cmd("unmute").startswith("200") and not recv.muted
+        assert cmd("av-delay 50").startswith("200")
+        assert abs(recv.pbuf.playout_delay - recv._base_playout) < 1e-9
+        assert cmd("av-delay -40").startswith("200")
+        assert abs(recv.pbuf.playout_delay
+                   - (recv._base_playout + 0.040)) < 1e-9
+        assert cmd("volume bogus").startswith("400")
+        s.close()
+    finally:
+        recv.should_exit = True
+        recv.session.close()
+        ctl.close()

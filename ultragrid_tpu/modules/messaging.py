@@ -75,6 +75,9 @@ class MsgSender(Message):
 class MsgReceiver(Message):
     port: Optional[int] = None
     postprocess: Optional[str] = None
+    # audio playback control (ref: control_socket.c volume/mute commands)
+    volume: Optional[str] = None  # "up" | "down" | "mute" | "unmute" | float
+    av_delay_ms: Optional[int] = None  # ref: av-delay command
 
 
 class Module:

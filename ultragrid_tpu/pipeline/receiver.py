@@ -80,6 +80,34 @@ class VideoReceiver:
                         self.postprocess_chain = chain  # atomic swap
                         log.notice(f"postprocess changed to "
                                    f"{msg.postprocess or 'none'}")
+                    if msg.volume is not None:
+                        # ref: volume/mute control commands + keyboard keys
+                        v = msg.volume
+                        if v == "mute":
+                            self.muted = True
+                        elif v == "unmute":
+                            self.muted = False
+                        elif v == "up":
+                            self.volume *= 10 ** (1 / 20)  # +1 dB
+                        elif v == "down":
+                            self.volume /= 10 ** (1 / 20)
+                        else:
+                            try:
+                                self.volume = float(v)
+                            except ValueError:
+                                return Response(RESPONSE_BAD_REQUEST,
+                                                f"bad volume {v!r}")
+                        log.notice(f"volume {self.volume:.3f}"
+                                   f"{' (muted)' if self.muted else ''}")
+                    if msg.av_delay_ms is not None:
+                        # ref: av-delay command -> per-medium playout offsets
+                        d = msg.av_delay_ms
+                        self.pbuf.playout_delay = (
+                            self._base_playout + max(-d, 0) / 1000.0)
+                        if self.audio_playback is not None:
+                            self.audio_pbuf.playout_delay = (
+                                self._base_playout + max(d, 0) / 1000.0)
+                        log.notice(f"av-delay {d} ms")
                     return Response(RESPONSE_OK)
                 return Response(RESPONSE_BAD_REQUEST, "unsupported message")
 
@@ -120,6 +148,9 @@ class VideoReceiver:
             if self.audio_playback is not None:
                 self.audio_pbuf.playout_delay = (
                     playout_delay + max(audio_delay_ms, 0) / 1000.0)
+        self._base_playout = playout_delay
+        self.volume = 1.0  # runtime audio gain (control socket / keyboard)
+        self.muted = False
         self.pbuf = PlayoutBuffer(
             playout_delay + max(-audio_delay_ms, 0) / 1000.0)
         crypto = None
@@ -302,9 +333,10 @@ class VideoReceiver:
         return True
 
     def _scale_audio(self, frame):
-        """--audio-scale factor|auto|none (ref: OPT_AUDIO_SCALE, scaling in
-        audio_decoders.cpp)."""
-        if self.audio_scale in (None, "", "none"):
+        """--audio-scale factor|auto|none plus runtime volume/mute
+        (ref: OPT_AUDIO_SCALE + volume control commands)."""
+        vol = 0.0 if self.muted else self.volume
+        if self.audio_scale in (None, "", "none") and vol == 1.0:
             return frame
         import numpy as np
 
@@ -315,8 +347,11 @@ class VideoReceiver:
             self._agc_gain = min(
                 getattr(self, "_agc_gain", 1.0) * 1.02, 0.95 / peak)
             gain = self._agc_gain
+        elif self.audio_scale in (None, "", "none"):
+            gain = 1.0
         else:
             gain = float(self.audio_scale)
+        gain *= vol
         from ultragrid_tpu.audio.types import AudioFrame
 
         out = AudioFrame.from_float(frame.desc,

@@ -19,7 +19,6 @@ from ultragrid_tpu.modules.messaging import (
     MsgChangeFec,
     MsgReceiver,
     MsgSender,
-    MsgUniversal,
     RESPONSE_BAD_REQUEST,
     RESPONSE_NOT_FOUND,
     RESPONSE_OK,
@@ -77,8 +76,22 @@ class ControlServer:
             # (ref: postprocess message, control_socket.c command set)
             return send_message(self.root, "receiver",
                                 MsgReceiver(postprocess="" if arg == "none" else arg))
-        if cmd in ("mute", "unmute", "volume"):
-            return send_message(self.root, "audio", MsgUniversal(line.strip()))
+        if cmd in ("mute", "unmute"):
+            return send_message(self.root, "receiver", MsgReceiver(volume=cmd))
+        if cmd == "volume":
+            return send_message(self.root, "receiver", MsgReceiver(volume=arg))
+        if cmd == "av-delay":
+            try:
+                return send_message(self.root, "receiver",
+                                    MsgReceiver(av_delay_ms=int(arg)))
+            except ValueError:
+                return Response(RESPONSE_BAD_REQUEST, "bad delay")
+        if cmd == "noop":
+            return Response(RESPONSE_OK)
+        if cmd == "help":
+            return Response(RESPONSE_OK,
+                            "compress fec receiver port pause play postprocess "
+                            "volume mute unmute av-delay stats noop help bye quit")
         return Response(RESPONSE_NOT_FOUND, f"unknown command {cmd}")
 
     # -- networking -----------------------------------------------------
@@ -122,7 +135,7 @@ class ControlServer:
                                 self._stats_clients.remove(conn)
                         self._reply(conn, Response(RESPONSE_OK))
                         continue
-                    if text in ("quit", "exit"):
+                    if text in ("quit", "exit", "bye"):
                         conn.close()
                         return
                     self._reply(conn, self._dispatch(text))
