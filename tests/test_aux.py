@@ -180,35 +180,36 @@ def test_hd_rum_reflector():
 
 
 def test_keyboard_control_keys():
-    from ultragrid_tpu.modules.messaging import Module, MsgUniversal, RESPONSE_OK, Response
+    from ultragrid_tpu.modules.messaging import Module, MsgReceiver, RESPONSE_OK, Response
     from ultragrid_tpu.utils.keyboard import KeyboardControl
 
     root = Module("root")
-    audio = Module("audio", root)
+    receiver = Module("receiver", root)
     got = []
-    audio.msg_callback = lambda m: (got.append(m), Response(RESPONSE_OK))[1]
+    receiver.msg_callback = lambda m: (got.append(m), Response(RESPONSE_OK))[1]
     kc = KeyboardControl(root)
     assert kc.handle_key("m") is True
-    assert isinstance(got[0], MsgUniversal) and got[0].text == "mute"
+    assert isinstance(got[0], MsgReceiver) and got[0].volume == "toggle-mute"
     kc.handle_key("+")
-    assert got[1].text == "volume +"
+    assert got[1].volume == "up"
     assert kc.handle_key("q") is False
     assert kc.should_exit.is_set()
 
 
 def test_keyboard_keymap_file(tmp_path):
+    """Keymap entries run through the same router as the control socket."""
     from ultragrid_tpu.modules.messaging import Module, RESPONSE_OK, Response
     from ultragrid_tpu.utils.keyboard import KeyboardControl
 
     path = tmp_path / "ug-key-map.txt"
-    path.write_text("x:volume +\n# comment\n")
+    path.write_text("x:volume 0.25\n# comment\n")
     root = Module("root")
-    audio = Module("audio", root)
+    receiver = Module("receiver", root)
     got = []
-    audio.msg_callback = lambda m: (got.append(m), Response(RESPONSE_OK))[1]
+    receiver.msg_callback = lambda m: (got.append(m), Response(RESPONSE_OK))[1]
     kc = KeyboardControl(root, keymap_path=str(path))
     kc.handle_key("x")
-    assert got and got[0].text == "volume +"
+    assert got and got[0].volume == "0.25"
 
 
 def test_capabilities_json():

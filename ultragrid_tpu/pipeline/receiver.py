@@ -87,6 +87,8 @@ class VideoReceiver:
                             self.muted = True
                         elif v == "unmute":
                             self.muted = False
+                        elif v == "toggle-mute":  # keyboard 'm'
+                            self.muted = not self.muted
                         elif v == "up":
                             self.volume *= 10 ** (1 / 20)  # +1 dB
                         elif v == "down":

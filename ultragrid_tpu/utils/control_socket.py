@@ -32,6 +32,54 @@ log = Logger("control")
 DEFAULT_CONTROL_PORT = 5054  # ref: control_socket.c:178
 
 
+def dispatch_command(root: Module, line: str) -> Response:
+    """Route one control command onto the message bus (shared by the TCP
+    server and keyboard keymap entries; ref: process_msg,
+    control_socket.c:423-660)."""
+    parts = line.strip().split(None, 1)
+    if not parts:
+        return Response(RESPONSE_BAD_REQUEST, "empty command")
+    cmd = parts[0]
+    arg = parts[1] if len(parts) > 1 else ""
+    if cmd == "compress":
+        return send_message(root, "sender.compress", MsgChangeCompress(arg))
+    if cmd == "fec":
+        return send_message(root, "sender", MsgChangeFec(arg))
+    if cmd == "receiver":
+        return send_message(root, "sender", MsgSender(receiver=arg))
+    if cmd == "port":
+        try:
+            return send_message(root, "sender", MsgSender(port=int(arg)))
+        except ValueError:
+            return Response(RESPONSE_BAD_REQUEST, "bad port")
+    if cmd == "pause":
+        return send_message(root, "sender", MsgSender(paused=True))
+    if cmd == "play":
+        return send_message(root, "sender", MsgSender(paused=False))
+    if cmd == "postprocess":
+        # runtime display-postprocess swap on the receiver
+        # (ref: postprocess message, control_socket.c command set)
+        return send_message(root, "receiver",
+                            MsgReceiver(postprocess="" if arg == "none" else arg))
+    if cmd in ("mute", "unmute"):
+        return send_message(root, "receiver", MsgReceiver(volume=cmd))
+    if cmd == "volume":
+        return send_message(root, "receiver", MsgReceiver(volume=arg))
+    if cmd == "av-delay":
+        try:
+            return send_message(root, "receiver",
+                                MsgReceiver(av_delay_ms=int(arg)))
+        except ValueError:
+            return Response(RESPONSE_BAD_REQUEST, "bad delay")
+    if cmd == "noop":
+        return Response(RESPONSE_OK)
+    if cmd == "help":
+        return Response(RESPONSE_OK,
+                        "compress fec receiver port pause play postprocess "
+                        "volume mute unmute av-delay stats noop help bye quit")
+    return Response(RESPONSE_NOT_FOUND, f"unknown command {cmd}")
+
+
 class ControlServer:
     def __init__(self, root: Module, port: int = DEFAULT_CONTROL_PORT):
         self.root = root
@@ -51,48 +99,7 @@ class ControlServer:
     # -- command dispatch ----------------------------------------------
 
     def _dispatch(self, line: str) -> Response:
-        parts = line.strip().split(None, 1)
-        if not parts:
-            return Response(RESPONSE_BAD_REQUEST, "empty command")
-        cmd = parts[0]
-        arg = parts[1] if len(parts) > 1 else ""
-        if cmd == "compress":
-            return send_message(self.root, "sender.compress", MsgChangeCompress(arg))
-        if cmd == "fec":
-            return send_message(self.root, "sender", MsgChangeFec(arg))
-        if cmd == "receiver":
-            return send_message(self.root, "sender", MsgSender(receiver=arg))
-        if cmd == "port":
-            try:
-                return send_message(self.root, "sender", MsgSender(port=int(arg)))
-            except ValueError:
-                return Response(RESPONSE_BAD_REQUEST, "bad port")
-        if cmd == "pause":
-            return send_message(self.root, "sender", MsgSender(paused=True))
-        if cmd == "play":
-            return send_message(self.root, "sender", MsgSender(paused=False))
-        if cmd == "postprocess":
-            # runtime display-postprocess swap on the receiver
-            # (ref: postprocess message, control_socket.c command set)
-            return send_message(self.root, "receiver",
-                                MsgReceiver(postprocess="" if arg == "none" else arg))
-        if cmd in ("mute", "unmute"):
-            return send_message(self.root, "receiver", MsgReceiver(volume=cmd))
-        if cmd == "volume":
-            return send_message(self.root, "receiver", MsgReceiver(volume=arg))
-        if cmd == "av-delay":
-            try:
-                return send_message(self.root, "receiver",
-                                    MsgReceiver(av_delay_ms=int(arg)))
-            except ValueError:
-                return Response(RESPONSE_BAD_REQUEST, "bad delay")
-        if cmd == "noop":
-            return Response(RESPONSE_OK)
-        if cmd == "help":
-            return Response(RESPONSE_OK,
-                            "compress fec receiver port pause play postprocess "
-                            "volume mute unmute av-delay stats noop help bye quit")
-        return Response(RESPONSE_NOT_FOUND, f"unknown command {cmd}")
+        return dispatch_command(self.root, line)
 
     # -- networking -----------------------------------------------------
 

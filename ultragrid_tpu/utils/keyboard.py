@@ -13,7 +13,7 @@ import sys
 import threading
 from typing import Callable, Dict, Optional
 
-from ultragrid_tpu.modules.messaging import Module, MsgSender, MsgUniversal, send_message
+from ultragrid_tpu.modules.messaging import Module, MsgSender, send_message
 from ultragrid_tpu.utils import log as _log
 from ultragrid_tpu.utils.log import Logger
 
@@ -47,18 +47,11 @@ class KeyboardControl:
     def handle_key(self, key: str) -> bool:
         """Process one key; returns False to request exit."""
         if key in self.keymap:
-            # mapped keys dispatch control-socket-style commands
-            from ultragrid_tpu.utils.control_socket import ControlServer
+            # mapped keys dispatch control-socket commands (same router as
+            # the TCP server; ref: keyboard_control.cpp keymap execution)
+            from ultragrid_tpu.utils.control_socket import dispatch_command
 
-            parts = self.keymap[key].split(None, 1)
-            cmd = parts[0] if parts else ""
-            arg = parts[1] if len(parts) > 1 else ""
-            if cmd == "compress":
-                from ultragrid_tpu.modules.messaging import MsgChangeCompress
-
-                send_message(self.root, "sender.compress", MsgChangeCompress(arg))
-            else:
-                send_message(self.root, "audio", MsgUniversal(self.keymap[key]))
+            dispatch_command(self.root, self.keymap[key])
             return True
         if key == "q":
             self.should_exit.set()
@@ -66,11 +59,18 @@ class KeyboardControl:
                 self.on_exit()
             return False
         if key == "m":
-            send_message(self.root, "audio", MsgUniversal("mute"))
+            # toggle handled receiver-side (ref: keyboard_control.cpp 'm')
+            from ultragrid_tpu.modules.messaging import MsgReceiver
+
+            send_message(self.root, "receiver", MsgReceiver(volume="toggle-mute"))
         elif key == "+":
-            send_message(self.root, "audio", MsgUniversal("volume +"))
+            from ultragrid_tpu.modules.messaging import MsgReceiver
+
+            send_message(self.root, "receiver", MsgReceiver(volume="up"))
         elif key == "-":
-            send_message(self.root, "audio", MsgUniversal("volume -"))
+            from ultragrid_tpu.modules.messaging import MsgReceiver
+
+            send_message(self.root, "receiver", MsgReceiver(volume="down"))
         elif key == "p":
             send_message(self.root, "sender", MsgSender(paused=True))
         elif key == " ":
