@@ -222,8 +222,12 @@ class AlsaPcm:
             boundary *= 2
         sw.boundary = boundary
         sw.xfer_align = 1
-        _ioctl(self.fd, SNDRV_PCM_IOCTL_SW_PARAMS, sw)
-        _ioctl(self.fd, SNDRV_PCM_IOCTL_PREPARE)
+        try:
+            _ioctl(self.fd, SNDRV_PCM_IOCTL_SW_PARAMS, sw)
+            _ioctl(self.fd, SNDRV_PCM_IOCTL_PREPARE)
+        except OSError:
+            os.close(self.fd)
+            raise
         log.notice(f"{path}: {self.rate} Hz, {channels} ch, {bps * 8}-bit, "
                    f"period {self.period_size}")
 

@@ -290,8 +290,11 @@ def main(argv=None) -> int:
             print(f"NAT: mapped via {res['mode']}: {res['mappings']}",
                   file=sys.stderr)
         else:
+            # the reference aborts on a failed -N mapping (main.cpp
+            # start_nat_traverse failure -> exit_uv) so scripts can detect it
             print("NAT traversal failed (no PCP/NAT-PMP/UPnP gateway "
                   "reachable)", file=sys.stderr)
+            return 1
 
     if args.protocol in ("sage", "omt"):
         # the reference gates these modules behind the SAGE / Open Media

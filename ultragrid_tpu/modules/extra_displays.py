@@ -262,6 +262,8 @@ def register_pipe_delegate(key: str, fn: Callable[[Optional[VideoFrame]], None])
 
 
 class PipeDisplay(VideoDisplay):
+    retains_frames = True  # the delegate may keep the frame
+
     """``pipe:<delegate-key>`` — frames go to an in-process callable
     registered via :func:`register_pipe_delegate` (ref:
     src/video_display/pipe.c's ``pipe_frame_recv_delegate``; the reference
@@ -293,6 +295,7 @@ class AggregateDisplay(VideoDisplay):
         self.children = [initialize_video_display(s) for s in cfg.split("#") if s]
         if not self.children:
             raise ValueError("aggregate: needs at least one child display")
+        self.retains_frames = any(c.retains_frames for c in self.children)
 
     def get_property_codecs(self) -> List[Codec]:
         codecs = None

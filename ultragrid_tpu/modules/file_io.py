@@ -208,6 +208,8 @@ class MultiplierDisplay(VideoDisplay):
         from ultragrid_tpu.modules.video_display import initialize_video_display
 
         self.children = [initialize_video_display(spec) for spec in cfg.split("#") if spec]
+        # a pooled frame handed to any retaining child must not be recycled
+        self.retains_frames = any(c.retains_frames for c in self.children)
 
     def get_property_codecs(self):
         codecs = None

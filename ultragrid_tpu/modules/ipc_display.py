@@ -111,6 +111,8 @@ class IpcFrameReader:
 
 
 class UnixSockDisplay(VideoDisplay):
+    retains_frames = True  # frames are queued to the sender worker thread
+
     """-d unix_socket[:path=<p>][:key=<k>][:target_size=<w>x<h>]"""
 
     is_preview = False

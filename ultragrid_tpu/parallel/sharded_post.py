@@ -61,6 +61,10 @@ def _linear_block(blk: jnp.ndarray, codec: Codec, axis: str) -> jnp.ndarray:
 _KINDS = {"blend": _blend_block, "linear": _linear_block}
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
 def make_sharded_deinterlace(mesh: Mesh, codec: Codec, kind: str = "blend"):
     """Jitted [H, linesize] -> [H, linesize] deinterlace, rows sharded over
     the mesh's 'spatial' axis with a one-row ppermute halo exchange."""

@@ -30,6 +30,12 @@ log = Logger("receiver")
 
 
 class VideoReceiver:
+    # class-level defaults so partially-constructed receivers (tests,
+    # embedders) and early message handlers see sane values
+    volume = 1.0
+    muted = False
+    audio_scale = None
+
     def __init__(
         self,
         display_spec: str,
@@ -49,6 +55,8 @@ class VideoReceiver:
         mcast_if: Optional[str] = None,
         audio_scale: Optional[str] = None,
     ):
+        if audio_scale not in (None, "", "none", "auto"):
+            float(audio_scale)  # fail fast on '--audio-scale 50%' typos
         self.audio_scale = audio_scale
         # --echo-cancellation: assigned by the duplex runner (far-end feed)
         self.echo = None
@@ -245,9 +253,14 @@ class VideoReceiver:
     def _handle_frame(self, frame) -> bool:
         if frame.callbacks.get("display_owned"):
             # LINE_DECODER fast path: packets were written straight into
-            # this display-owned buffer; show it as-is
+            # this display-owned buffer; show it as-is.  Holes from lost
+            # packets keep the previous frame's pixels — exactly the
+            # reference's LINE_DECODER, which zero-fills only the buffered
+            # path (video_decoders.cpp:1828: `if (decoder_type !=
+            # LINE_DECODER)`)
             with profiler.zone("rx.display"):
                 self.display.put_frame(frame)
+            self.display.recycle(frame)
             self.frames_displayed += 1
             return True
         if frame.desc.tile_count > 1:

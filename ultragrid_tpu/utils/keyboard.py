@@ -51,7 +51,10 @@ class KeyboardControl:
             # the TCP server; ref: keyboard_control.cpp keymap execution)
             from ultragrid_tpu.utils.control_socket import dispatch_command
 
-            dispatch_command(self.root, self.keymap[key])
+            resp = dispatch_command(self.root, self.keymap[key])
+            if resp.code != 200:
+                log.warning(f"key {key!r} -> {self.keymap[key]!r}: "
+                            f"{resp.code} {resp.text or ''}")
             return True
         if key == "q":
             self.should_exit.set()
