@@ -233,3 +233,33 @@ def test_volume_avdelay_help_noop():
         recv.should_exit = True
         recv.session.close()
         ctl.close()
+
+
+def test_adaptive_fec_from_rr_loss():
+    """--param fec-adaptive: sender raises LDGM protection from RTCP RR
+    loss and decays it when the path recovers."""
+    from ultragrid_tpu.pipeline.sender import VideoSender
+    from ultragrid_tpu.utils.params import reset_params, set_commandline_param
+
+    set_commandline_param("fec-adaptive", "40")
+    sender = VideoSender("testcard:s=64x48", "127.0.0.1", tx_port=24990,
+                         compress_spec="none", frame_limit=0)
+    try:
+        assert sender.tx.fec_spec == "none"
+        sender.session.rtcp.remote_reports[0x1234] = {
+            "type": "RR", "fraction_lost": 0.10, "lost": 50, "jitter": 0}
+        sender._maybe_adapt_fec()
+        assert sender.tx.fec_spec == "ldgm:20%"  # 2x the 10% loss
+        # loss clears: protection decays, never negative
+        sender.session.rtcp.remote_reports[0x1234]["fraction_lost"] = 0.0
+        for _ in range(60):
+            sender._maybe_adapt_fec()
+        assert sender.tx.fec_spec in ("none", "ldgm:1%")
+        # max_pct caps the ladder
+        sender.session.rtcp.remote_reports[0x1234]["fraction_lost"] = 0.9
+        sender._maybe_adapt_fec()
+        assert sender.tx.fec_spec == "ldgm:40%"
+    finally:
+        reset_params()
+        sender.should_exit.set()
+        sender.session.close()

@@ -96,3 +96,30 @@ def test_rtcp_reports():
     assert rx.rtcp.sources and list(rx.rtcp.sources.values())[0].received >= 15
     tx.close()
     rx.close()
+
+
+def test_live_session_rr_roundtrip():
+    """Live sender/receiver pipelines exchange RTCP: the receive-only side
+    learns the sender from its SRs and RRs flow back into
+    sender.session.rtcp.remote_reports (ref: rtp.c:160-201)."""
+    import threading
+    import time
+
+    from ultragrid_tpu.pipeline.receiver import VideoReceiver
+    from ultragrid_tpu.pipeline.sender import VideoSender
+
+    recv = VideoReceiver("null", rx_port=24412, control=None)
+    recv.session.rtcp.interval = 0.2
+    t = threading.Thread(target=recv.run, daemon=True)
+    t.start()
+    time.sleep(0.3)
+    sender = VideoSender("testcard:s=64x48:f=60", "127.0.0.1", tx_port=24412,
+                         compress_spec="none", frame_limit=150)
+    sender.session.rtcp.interval = 0.2
+    sender.run()
+    time.sleep(0.5)
+    recv.should_exit = True
+    t.join(timeout=5)
+    rrs = [r for r in sender.session.rtcp.remote_reports.values()
+           if r.get("type") == "RR"]
+    assert rrs, "sender never received an RR from the live receiver"

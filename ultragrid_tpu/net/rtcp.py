@@ -216,6 +216,11 @@ class RtcpSession:
             try:
                 data, src = self.sock.recvfrom(4096)
                 self._parse(data)
+                if self._dest is None:
+                    # receive-only session: learn the peer from its SRs so
+                    # RRs flow back (symmetric RTCP; the reference's member
+                    # database serves this role, rtp.c source tracking)
+                    self._dest = src
             except socket.timeout:
                 pass
             except OSError:

@@ -130,6 +130,7 @@ class VideoReceiver:
         # a multicast session address makes the receiver join the group
         # (ref: session addr semantics, net_udp.c udp_join_mcast_grp)
         self.session = RtpSession(addr=mcast_addr, rx_port=rx_port, tx_port=0,
+                                  rtcp=True,  # RR feedback to the sender
                                   force_ip_version=force_ip_version,
                                   mcast_if=mcast_if)
         self.audio_playback = None

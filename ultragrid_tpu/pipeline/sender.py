@@ -24,6 +24,12 @@ from ultragrid_tpu.net.rtp import RtpSession
 from ultragrid_tpu.net.transmit import RATE_AUTO, Tx
 from ultragrid_tpu.utils import profiler
 from ultragrid_tpu.utils.log import Logger
+from ultragrid_tpu.utils.params import add_to_param
+
+add_to_param("fec-adaptive",
+             "[=max_pct] adapt LDGM protection to RTCP-RR receiver loss "
+             "(2x worst loss, decay when clean; sender-side, beyond the "
+             "reference's display-only RR use, rtp.c:160-201)")
 
 log = Logger("sender")
 
@@ -126,8 +132,10 @@ class VideoSender:
         if crypto is not None and (self.audio is not None or self.audio_embedded):
             # audio rides the same per-packet AES (PT 25/36)
             self.audio_tx.encryption = crypto
+        # RTCP always on like the reference (rtp_init starts RTCP on the
+        # odd port; RR feedback feeds stats + adaptive FEC)
         self.session = RtpSession(addr=host, rx_port=rx_port, tx_port=tx_port,
-                                  mtu=mtu, ttl=ttl,
+                                  mtu=mtu, ttl=ttl, rtcp=True,
                                   force_ip_version=force_ip_version,
                                   mcast_if=mcast_if)
         self.tx = Tx(mtu=mtu, fec_spec=fec_spec, bitrate=bitrate,
@@ -182,6 +190,46 @@ class VideoSender:
                 log.warning(f"control socket unavailable: {e}")
         self._bytes_since_report = 0
         self._last_report = time.monotonic()
+
+    def _maybe_adapt_fec(self) -> None:
+        """Loss-adaptive LDGM protection driven by RTCP RR feedback
+        (opt-in via ``--param fec-adaptive[=max_pct]``).  The reference only
+        *displays* RR loss (rtp.c:160-201); here the sender raises the LDGM
+        percentage toward 2x the worst receiver-reported loss and decays it
+        slowly when the path recovers, swapping Tx atomically like a
+        control-socket ``fec`` command."""
+        from ultragrid_tpu.utils.params import (get_commandline_param,
+                                                param_is_set)
+
+        if not param_is_set("fec-adaptive"):
+            return
+        max_pct = float(get_commandline_param("fec-adaptive") or 50.0)
+        worst = 0.0
+        for rr in self.session.rtcp.remote_reports.values():
+            if rr.get("type") == "RR":
+                worst = max(worst, rr.get("fraction_lost", 0.0))
+        cur = getattr(self, "_adaptive_pct", 0.0)
+        target = min(worst * 100.0 * 2.0, max_pct)
+        if target > cur:
+            new = target  # raise immediately on observed loss
+        else:
+            new = max(target, cur * 0.9)  # decay ~10%/s when clean
+        if new < 1.0:
+            new = 0.0
+        self._adaptive_pct = new
+        applied = getattr(self, "_applied_pct", 0.0)
+        # reswap Tx only on meaningful change (>=2 points or on/off flip)
+        if abs(new - applied) < 2.0 and (new > 0.0) == (applied > 0.0):
+            return
+        self._applied_pct = new
+        spec = f"ldgm:{max(new, 1.0):.0f}%" if new >= 1.0 else "none"
+        self.tx = Tx(mtu=self.tx.mtu, fec_spec=spec, bitrate=self.tx.bitrate,
+                     bitrate_fixed=self.tx.bitrate_fixed,
+                     encryption=self.tx.encryption, rfc2435=self.tx.rfc2435)
+        log.notice(f"adaptive FEC -> {spec} "
+                   f"(worst receiver loss {worst * 100:.1f}%)")
+        if self.control is not None:
+            self.control.report_stats(f"fec_adapt {spec} loss {worst:.4f}")
 
     def _on_sender_message(self, msg) -> Response:
         """Runtime reconfig from the control socket / keyboard
@@ -346,6 +394,7 @@ class VideoSender:
                                 f"receiver {ssrc:x} reports "
                                 f"{rr.get('lost', 0)} lost "
                                 f"({rr.get('fraction_lost', 0.0) * 100:.1f}%)")
+                        self._maybe_adapt_fec()
                     self._last_report = now
                     self._bytes_since_report = 0
         self.should_exit.set()

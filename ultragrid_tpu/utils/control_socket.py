@@ -47,11 +47,15 @@ def dispatch_command(root: Module, line: str) -> Response:
         return send_message(root, "sender", MsgChangeFec(arg))
     if cmd == "receiver":
         return send_message(root, "sender", MsgSender(receiver=arg))
-    if cmd == "port":
+    if cmd in ("port", "sender-port"):
         try:
-            return send_message(root, "sender", MsgSender(port=int(arg)))
+            return send_message(root, "sender",
+                                MsgSender(port=int(arg.split(":")[0])))
         except ValueError:
             return Response(RESPONSE_BAD_REQUEST, "bad port")
+    if cmd in ("receiver-port", "reset-ssrc"):
+        # removed in the reference too (control_socket.c handle_removed_feature)
+        return Response(501, "feature removed")
     if cmd == "pause":
         return send_message(root, "sender", MsgSender(paused=True))
     if cmd == "play":
