@@ -999,3 +999,32 @@ def test_hd_rum_fed_by_multicast_group():
     assert [p.payload[0] for p in got] == list(range(5))
     t.join(timeout=5)
     tx.close(); out_rx.close()
+
+
+def test_holepunch_establish_pairs_and_punches():
+    """Two endpoints pair through a nat-helper room, exchange host
+    candidates, and punch each other's media ports
+    (ref: udp_holepunch.cpp flow via -N holepunch:...)."""
+    import threading
+
+    from ultragrid_tpu.net.nat import holepunch_establish, parse_holepunch_conf
+    from ultragrid_tpu.tools.nat_helper import NatHelperServer
+
+    srv = NatHelperServer(port=0, host="127.0.0.1")
+    srv.start()
+    try:
+        results = {}
+
+        def run(tag, rx_port):
+            conf = parse_holepunch_conf(
+                f"holepunch:room=punchroom:server=127.0.0.1:"
+                f"{srv.port}:client_name={tag}")
+            results[tag] = holepunch_establish(conf, rx_port)
+
+        ta = threading.Thread(target=run, args=("a", 24430))
+        tb = threading.Thread(target=run, args=("b", 24432))
+        ta.start(); tb.start()
+        ta.join(timeout=15); tb.join(timeout=15)
+        assert results["a"][1] == 24432 and results["b"][1] == 24430
+    finally:
+        srv.close()

@@ -278,7 +278,27 @@ def main(argv=None) -> int:
               "available!", file=sys.stderr)
         return 1
 
-    if args.nat_traverse:
+    if args.nat_traverse and args.nat_traverse.startswith("holepunch"):
+        # pair through a nat-helper room + punch, then run the normal
+        # session toward the punched peer (ref: udp_holepunch.cpp +
+        # adjust_params_holepunch, main.cpp:1033-1075)
+        from ultragrid_tpu.net.nat import holepunch_establish, parse_holepunch_conf
+
+        try:
+            conf = parse_holepunch_conf(args.nat_traverse)
+            rx = int(str(args.ports).split(":")[0])
+            peer_host, peer_port = holepunch_establish(conf, rx)
+        except (ValueError, OSError, ConnectionError) as e:
+            print(f"holepunch failed: {e}", file=sys.stderr)
+            return 1
+        args.host = peer_host
+        args.ports = f"{rx}:{peer_port}"
+        # a receive-only invocation still needs a sender for the punched
+        # path to stay open (ref: adjust_params_holepunch testcard:2:2)
+        if not args.capture and args.display:
+            args.capture = "testcard:s=2x2:f=1"
+        print(f"holepunch: session to {peer_host}:{peer_port}", file=sys.stderr)
+    elif args.nat_traverse:
         # map the RTP rx ports at the NAT before any socket binds
         # (ref: start_nat_traverse, main.cpp:1300; utils/nat.c order)
         from ultragrid_tpu.net.nat import setup_nat_traverse

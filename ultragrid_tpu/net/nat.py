@@ -520,3 +520,87 @@ def upnp_unmap(external_port: int, protocol: str = "udp",
         "NewProtocol": protocol.upper(),
     })
     return resp is not None and "DeletePortMappingResponse" in resp
+
+
+# ---------------------------------------------------------------------------
+# Hole-punched session establishment (ref: src/utils/udp_holepunch.cpp —
+# join a nat-helper room, exchange reflexive candidates, punch, then run the
+# normal RTP session through the opened mapping.  -N holepunch:room=...)
+# ---------------------------------------------------------------------------
+
+
+def parse_holepunch_conf(conf: str) -> dict:
+    """``holepunch:room=<room>:server=<host>[:port][:client_name=<n>]
+    [:stun_srv=<host[:port]>][:bind_ip=<addr>]``
+    (ref grammar: main.cpp:439-448 parse_holepunch_conf)."""
+    out = {"room": None, "server": None, "port": 12558,
+           "client_name": None, "stun": None, "bind_ip": ""}
+    toks = [t for t in conf.split(":") if t]
+    i = 1 if toks and toks[0] == "holepunch" else 0
+    while i < len(toks):
+        key, _, val = toks[i].partition("=")
+        if key == "room":
+            out["room"] = val
+        elif key in ("server", "coord_srv"):
+            out["server"] = val
+            if i + 1 < len(toks) and toks[i + 1].isdigit():
+                out["port"] = int(toks[i + 1])
+                i += 1
+        elif key == "client_name":
+            out["client_name"] = val
+        elif key == "stun_srv":
+            host = val
+            port = DEFAULT_STUN_PORT
+            if i + 1 < len(toks) and toks[i + 1].isdigit():
+                port = int(toks[i + 1])
+                i += 1
+            out["stun"] = (host, port)
+        elif key == "bind_ip":
+            out["bind_ip"] = val
+        i += 1
+    if not out["room"] or not out["server"]:
+        raise ValueError(
+            "holepunch needs room=<room> and server=<host> "
+            "(-N holepunch:room=R:server=H[:port][:client_name=N]"
+            "[:stun_srv=H[:P]][:bind_ip=A])")
+    return out
+
+
+def holepunch_establish(conf: dict, rx_port: int) -> Tuple[str, int]:
+    """Open a NAT path for one medium; returns the peer's (host, port).
+
+    The media socket itself is used for STUN + punching so the created NAT
+    mapping is the one RTP will ride; it is closed right before the RTP
+    session rebinds the same local port (the mapping persists — NATs key on
+    the 5-tuple/source port, and RTP traffic resumes the keepalive role).
+    """
+    import platform
+
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    sock.bind((conf.get("bind_ip") or "", rx_port))
+    local_port = sock.getsockname()[1]
+
+    mapped = None
+    if conf.get("stun"):
+        mapped = stun_discover(sock, conf["stun"][0], conf["stun"][1])
+    if mapped is None:
+        # LAN / no STUN: advertise the local address (the reference's ICE
+        # host candidates cover this case)
+        host_ip = socket.gethostbyname(socket.gethostname())
+        mapped = (host_ip, local_port)
+        log.notice(f"holepunch: using host candidate {host_ip}:{local_port}")
+
+    client = NatHelperClient(conf["server"], conf["port"])
+    try:
+        name = conf.get("client_name") or platform.node() or "ug-tpu"
+        desc = f"{mapped[0]}:{mapped[1]}"
+        peer_name, peer_desc = client.join(name, conf["room"], desc)
+        log.notice(f"holepunch: paired with {peer_name!r} at {peer_desc}")
+        ip, _, port_s = peer_desc.rpartition(":")
+        peer = (ip, int(port_s))
+        punch(sock, peer)
+    finally:
+        client.close()
+        sock.close()
+    return peer
