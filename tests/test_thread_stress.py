@@ -30,7 +30,8 @@ def test_rapid_reconfig_under_live_traffic():
     tx_t = threading.Thread(target=sender.run, daemon=True)
     tx_t.start()
 
-    deadline = time.monotonic() + 5
+    # generous under full-suite load: this 1-core host runs everything at once
+    deadline = time.monotonic() + 20
     while recv.frames_displayed < 3 and time.monotonic() < deadline:
         time.sleep(0.02)
     assert recv.frames_displayed >= 3
@@ -44,7 +45,9 @@ def test_rapid_reconfig_under_live_traffic():
         r2 = send_message(sender.root, "sender", MsgChangeFec(fecs[i % len(fecs)]))
         assert r1.ok and r2.ok
     n0 = sender.frames_sent
-    time.sleep(1.0)
+    deadline = time.monotonic() + 10
+    while sender.frames_sent <= n0 and time.monotonic() < deadline:
+        time.sleep(0.05)
     assert sender.frames_sent > n0, "sender stalled during reconfig storm"
     # compress worker thread survived every swap
     assert sender.compress._thread.is_alive()
