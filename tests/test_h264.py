@@ -361,3 +361,143 @@ def test_intra4x4_uses_diagonal_modes_and_stays_exact():
     assert modes_used - {0, 1, 2}, modes_used  # some diagonal mode chosen
     got = _lavc_decode(bs, w, h)
     assert (got[:, 1::2] == np.asarray(y_own)[:h, :w]).all()
+
+
+# ---------------------------------------------------------------------------
+# Inter (P-frame) encoder/decoder
+# ---------------------------------------------------------------------------
+
+
+def _moving_seq(w, h, n, step=2):
+    base = (np.linspace(16, 235, w, dtype=np.float32)[None, :]
+            + np.linspace(0, 40, h, dtype=np.float32)[:, None]).astype(np.uint8)
+    out = []
+    for i in range(n):
+        f = np.zeros((h, 2 * w), np.uint8)
+        f[:, 1::2] = np.roll(base, i * step, axis=1)
+        f[:, 0::2] = 128
+        out.append(f)
+    return out
+
+
+@pytest.mark.parametrize("qp", [20, 28, 36])
+def test_inter_encoder_lavc_sample_exact(qp):
+    """IDR+P GOP decodes in libavcodec sample-exact vs the encoder's own
+    reconstruction loop; P frames are smaller than the IDR."""
+    from ultragrid_tpu.modules.lavc import LavcDecompress
+    from ultragrid_tpu.ops.h264 import InterEncoder
+
+    w, h = 64, 48
+    frames = _moving_seq(w, h, 5)
+    enc = InterEncoder(w, h, qp=qp, gop=10, search=8)
+    dec = LavcDecompress()
+    sizes = []
+    for i, f in enumerate(frames):
+        bs = enc.encode_uyvy(f)
+        sizes.append(len(bs))
+        vf = VideoFrame(VideoDesc(w, h, Codec.H264, 30.0),
+                        [np.frombuffer(bs, np.uint8)])
+        out = dec.decompress(vf, Codec.UYVY)
+        if out is None:
+            pytest.skip("no H.264 decoder available")
+        got = np.asarray(out.data)[:h, : 2 * w]
+        assert (got[:, 1::2] == enc.ref[0][:h, :w]).all(), f"frame {i} luma"
+    assert all(s < sizes[0] for s in sizes[1:]), sizes  # P < IDR
+
+
+def test_inter_own_decoder_sample_exact_with_gop_refresh():
+    from ultragrid_tpu.ops.h264 import InterEncoder
+    from ultragrid_tpu.ops.h264_dec import StreamDecoder
+
+    w, h = 64, 48
+    frames = _moving_seq(w, h, 7)
+    enc = InterEncoder(w, h, qp=24, gop=3, search=8)
+    stream = b""
+    recons = []
+    for f in frames:
+        stream += enc.encode_uyvy(f)
+        recons.append(tuple(p.copy() for p in enc.ref))
+    dec = StreamDecoder()
+    decoded = dec.decode_stream(stream)
+    assert len(decoded) == len(frames)
+    for i, (y, cb, cr) in enumerate(decoded):
+        ry, rcb, rcr = recons[i]
+        assert (y == ry[:h, :w]).all(), f"frame {i} luma"
+        assert (cb == rcb[: h // 2, : w // 2]).all(), f"frame {i} cb"
+        assert (cr == rcr[: h // 2, : w // 2]).all(), f"frame {i} cr"
+
+
+def test_inter_still_content_all_skip():
+    """Static input after the IDR becomes (nearly) all P_Skip — a few
+    dozen bytes per frame."""
+    from ultragrid_tpu.ops.h264 import InterEncoder
+
+    w, h = 96, 64
+    still = np.random.default_rng(2).integers(0, 256, (h, 2 * w), np.uint8)
+    enc = InterEncoder(w, h, qp=26, gop=100, search=8)
+    s0 = len(enc.encode_uyvy(still))
+    s1 = len(enc.encode_uyvy(still))  # corrects the IDR's quant noise
+    s2 = len(enc.encode_uyvy(still))  # reference now matches: all P_Skip
+    assert s1 < s0 / 5, (s0, s1)
+    assert s2 < 40, (s0, s1, s2)
+
+
+def test_inter_scene_change_intra_fallback_conformant():
+    """A scene change mid-GOP (uncorrelated noise) must still decode
+    sample-exact in libavcodec (inter MBs with big residuals and/or
+    skips never desync)."""
+    from ultragrid_tpu.modules.lavc import LavcDecompress
+    from ultragrid_tpu.ops.h264 import InterEncoder
+
+    w, h = 64, 48
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 256, (h, 2 * w), np.uint8)
+    b = rng.integers(0, 256, (h, 2 * w), np.uint8)  # unrelated picture
+    enc = InterEncoder(w, h, qp=30, gop=10, search=4)
+    dec = LavcDecompress()
+    for f in (a, a, b, b):
+        bs = enc.encode_uyvy(f)
+        vf = VideoFrame(VideoDesc(w, h, Codec.H264, 30.0),
+                        [np.frombuffer(bs, np.uint8)])
+        out = dec.decompress(vf, Codec.UYVY)
+        if out is None:
+            pytest.skip("no H.264 decoder available")
+        got = np.asarray(out.data)[:h, : 2 * w]
+        assert (got[:, 1::2] == enc.ref[0][:h, :w]).all()
+
+
+def test_inter_nonaligned_geometry():
+    from ultragrid_tpu.modules.lavc import LavcDecompress
+    from ultragrid_tpu.ops.h264 import InterEncoder
+
+    w, h = 50, 38
+    frames = _moving_seq(w, h, 3)
+    enc = InterEncoder(w, h, qp=26, gop=10, search=4)
+    dec = LavcDecompress()
+    for f in frames:
+        bs = enc.encode_uyvy(f)
+        vf = VideoFrame(VideoDesc(w, h, Codec.H264, 30.0),
+                        [np.frombuffer(bs, np.uint8)])
+        out = dec.decompress(vf, Codec.UYVY)
+        if out is None:
+            pytest.skip("no H.264 decoder available")
+        assert np.asarray(out.data).shape[0] >= h
+
+
+def test_inter_compress_module_e2e():
+    """-c h264:mode=inter through the compress module + own stateful
+    decompress."""
+    from ultragrid_tpu.modules.video_compress import H264Compress
+    from ultragrid_tpu.modules.video_decompress import OwnH264Decompress
+
+    w, h = 64, 48
+    comp = H264Compress("mode=inter:qp=26:gop=4")
+    dec = OwnH264Decompress()
+    frames = _moving_seq(w, h, 5)
+    for i, f in enumerate(frames):
+        vf = VideoFrame(VideoDesc(w, h, Codec.UYVY, 30.0), [f])
+        out = comp.compress(vf)
+        assert out is not None and out.desc.color_spec == Codec.H264
+        shown = dec.decompress(out, Codec.UYVY)
+        assert shown is not None, f"frame {i} failed to decode"
+        assert shown.desc.width == w and shown.desc.height == h

@@ -171,11 +171,13 @@ class JpegCompress(VideoCompress):
 class H264Compress(VideoCompress):
     """This framework's OWN H.264 intra encoder (no FFmpeg; see ops/h264.py).
 
-    ``h264[:qp=<0-51>][:mode=i16|i4|pcm]`` — produces self-contained Annex-B
-    IDR access units (SPS/PPS prepended), decodable by any AVC decoder and
-    carried by the RFC 6184 packetizer.  ``mode=pcm`` selects the lossless
-    I_PCM path.  For live libx264-class rates use ``libavcodec:codec=H.264``;
-    this module is the zero-dependency fallback (reference role:
+    ``h264[:qp=<0-51>][:mode=i16|i4|pcm|inter][:gop=N][:search=N]`` —
+    Annex-B access units decodable by any AVC decoder, carried by the RFC
+    6184 packetizer.  ``mode=pcm`` is lossless I_PCM; ``mode=inter`` runs
+    the IDR+P GOP encoder (P_Skip / P_L0_16x16 integer-pel motion,
+    exact-reconstruction loop — the inter-frame role the reference fills
+    via libavcodec).  For live libx264-class rates use
+    ``libavcodec:codec=H.264`` (reference role:
     src/video_compress/libavcodec.cpp).
     """
 
@@ -184,16 +186,24 @@ class H264Compress(VideoCompress):
         self.qp = 26
         self.mode = "i16"
         self.accel = "host"
+        self.gop = 30
+        self.search = 8
         for tok in [t for t in cfg.split(":") if t]:
             key, _, val = tok.partition("=")
             if key == "qp":
                 self.qp = max(0, min(51, int(val)))
             elif key == "mode":
                 self.mode = val
+            elif key == "gop":
+                self.gop = max(1, int(val))
+            elif key == "search":
+                self.search = max(0, int(val))
             elif key == "accel":
                 self.accel = val  # host | device (device jit-compiles once)
             elif key == "help":
-                print("h264 (own encoder): h264[:qp=<0-51>][:mode=i16|i4|pcm][:accel=host|device]")
+                print("h264 (own encoder): h264[:qp=<0-51>]"
+                      "[:mode=i16|i4|pcm|inter][:gop=N][:search=N]"
+                      "[:accel=host|device]")
         self._enc = None
         self._geom = None
 
@@ -215,6 +225,10 @@ class H264Compress(VideoCompress):
         if self._geom != geom:
             if self.mode == "pcm":
                 self._enc = h264_ops.PcmEncoder(desc.width, desc.height)
+            elif self.mode == "inter":
+                self._enc = h264_ops.InterEncoder(
+                    desc.width, desc.height, qp=self.qp, gop=self.gop,
+                    search=self.search)
             elif self.mode == "i4":
                 # per-4x4 directional prediction: better compression, host path
                 self._enc = h264_ops.Intra4x4Encoder(desc.width, desc.height, qp=self.qp)
@@ -231,6 +245,12 @@ class H264Compress(VideoCompress):
         out = VideoFrame(out_desc, [np.frombuffer(bytes(bs), np.uint8)],
                          timestamp=frame.timestamp)
         out.callbacks.update(frame.callbacks)
+        if self.mode == "inter":
+            # P frames depend on the previous picture; receivers use this
+            # to gate display on intact references (ref: interframe flag)
+            out.callbacks["frame_type"] = (
+                "I" if getattr(self._enc, "_frame_idx", 1) % self.gop == 1
+                or self.gop == 1 else "P")
         return out
 
 

@@ -114,21 +114,28 @@ class JpegToDxtDecompress(VideoDecompress):
 
 
 class OwnH264Decompress(VideoDecompress):
-    """Own H.264 intra decoder (ops/h264_dec.py): decodes the subset the
-    own encoder emits (I_PCM + I_16x16 CAVLC), sample-exact with libavcodec
-    (tested).  Selected as the no-FFmpeg fallback for H.264; raises on
+    """Own H.264 decoder (ops/h264_dec.py): decodes the subset the own
+    encoder emits — intra (I_PCM, I_16x16, I_4x4 CAVLC) and inter pictures
+    (P_Skip / P_L0_16x16 integer-MV GOPs) — sample-exact with libavcodec
+    (tested).  Stateful across access units so P frames find their
+    reference.  Selected as the no-FFmpeg fallback for H.264; raises on
     streams outside the subset, which the driver treats as decode failure.
     """
 
     SUPPORTS = [(Codec.H264, Codec.UYVY)]
 
+    def __init__(self):
+        self._stream = None
+
     def decompress(self, frame: VideoFrame, out_codec: Codec):
         import numpy as np
 
-        from ultragrid_tpu.ops.h264_dec import IntraDecoder, UnsupportedStream
+        from ultragrid_tpu.ops.h264_dec import StreamDecoder, UnsupportedStream
 
+        if self._stream is None:
+            self._stream = StreamDecoder()
         try:
-            y, cb, cr = IntraDecoder().decode(bytes(np.asarray(frame.data)))
+            y, cb, cr = self._stream.decode_au(bytes(np.asarray(frame.data)))
         except (UnsupportedStream, IndexError, KeyError):
             return None
         h, w = y.shape

@@ -104,7 +104,8 @@ def nal(nal_ref_idc: int, nal_unit_type: int, rbsp: bytes, long_start: bool = Tr
 # ---------------------------------------------------------------------------
 
 
-def make_sps(width: int, height: int, level_idc: int = 51) -> bytes:
+def make_sps(width: int, height: int, level_idc: int = 51,
+             num_ref_frames: int = 0) -> bytes:
     """Baseline-profile SPS for a progressive 4:2:0 frame."""
     mb_w = (width + 15) // 16
     mb_h = (height + 15) // 16
@@ -117,7 +118,7 @@ def make_sps(width: int, height: int, level_idc: int = 51) -> bytes:
     w.ue(0)        # sps_id
     w.ue(0)        # log2_max_frame_num_minus4
     w.ue(2)        # pic_order_cnt_type = 2 (display order = decode order)
-    w.ue(0)        # max_num_ref_frames
+    w.ue(num_ref_frames)  # max_num_ref_frames (1 for inter GOPs)
     w.u(0, 1)      # gaps_in_frame_num_value_allowed
     w.ue(mb_w - 1)
     w.ue(mb_h - 1)
@@ -1327,3 +1328,314 @@ class Intra16EncoderV:
     def encode_uyvy(self, frame: np.ndarray) -> bytes:
         y, cb, cr = uyvy_to_i420(frame, self.width, self.height)
         return self.encode_planes(y, cb, cr)
+
+
+# ---------------------------------------------------------------------------
+# Inter (P-frame) encoder: IDR + P GOPs with P_Skip, P_L0_16x16 integer-pel
+# motion, and I_16x16 fallback macroblocks.  Covers the inter-frame role the
+# reference fills via libavcodec (src/video_compress/libavcodec.cpp) with a
+# from-scratch codec; decoded by libavcodec (conformance-tested) and by
+# ops/h264_dec.StreamDecoder.
+# ---------------------------------------------------------------------------
+
+
+def _p_slice_header(w: BitWriter, first_mb: int, frame_num: int,
+                    slice_qp_delta: int = 0) -> None:
+    """P slice header (spec 7.3.3; pic_order_cnt_type=2, one L0 ref,
+    deblocking disabled like the I slices)."""
+    w.ue(first_mb)
+    w.ue(5)            # slice_type: P (all slices in pic)
+    w.ue(0)            # pps_id
+    w.u(frame_num & 15, 4)
+    w.u(0, 1)          # num_ref_idx_active_override_flag
+    w.u(0, 1)          # ref_pic_list_modification_flag_l0
+    w.u(0, 1)          # adaptive_ref_pic_marking_mode_flag (sliding window)
+    w.se(slice_qp_delta)
+    w.ue(1)            # disable_deblocking_filter_idc = 1
+
+
+class InterEncoder:
+    """GOP encoder: IDR (I_16x16, via Intra16Encoder) every ``gop`` frames,
+    P frames in between.  Motion is integer-pel 16x16 (diamond search,
+    range ``search`` pels); reconstruction is exact (decoder transforms) so
+    the prediction loop never drifts."""
+
+    def __init__(self, width: int, height: int, qp: int = 26, gop: int = 30,
+                 search: int = 8):
+        self.width, self.height = width, height
+        self.qp = qp
+        self.gop = max(1, gop)
+        self.search = search
+        self.mb_w = (width + 15) // 16
+        self.mb_h = (height + 15) // 16
+        self.headers = make_sps(width, height, num_ref_frames=1) + make_pps(qp)
+        self._intra = Intra16Encoder(width, height, qp)
+        self._frame_idx = 0
+        self._frame_num = 0
+        self._idr_id = 0
+        self.ref = None  # reconstructed (y, cb, cr) uint8
+
+    # -- reconstruction helpers (decoder-exact) ---------------------------
+
+    @staticmethod
+    def _dequant_res(q_zz: np.ndarray, qp: int) -> np.ndarray:
+        from ultragrid_tpu.ops.h264_dec import _dezigzag, _itransform4, _vmat
+
+        d = _dezigzag(np.asarray(q_zz, np.int64)) * _vmat(qp) << (qp // 6)
+        return (_itransform4(d) + 32) >> 6
+
+    # -- motion estimation -------------------------------------------------
+
+    def _search_mv(self, src_mb, refp, px, py):
+        """Integer-pel diamond search on luma SAD; returns (dx, dy) pels."""
+        from ultragrid_tpu.ops.h264_dec import MC_PAD
+
+        def sad(dx, dy):
+            x0, y0 = px + dx + MC_PAD, py + dy + MC_PAD
+            blk = refp[y0:y0 + 16, x0:x0 + 16].astype(np.int32)
+            return int(np.abs(src_mb - blk).sum())
+
+        best, bx, by = sad(0, 0), 0, 0
+        if self.search:
+            step = 8
+            while step >= 1:
+                improved = True
+                while improved:
+                    improved = False
+                    for dx, dy in ((step, 0), (-step, 0), (0, step), (0, -step)):
+                        nx, ny = bx + dx, by + dy
+                        if abs(nx) > self.search or abs(ny) > self.search:
+                            continue
+                        s = sad(nx, ny)
+                        if s < best:
+                            best, bx, by, improved = s, nx, ny, True
+                step //= 2
+        return bx, by
+
+    # -- frame encode -------------------------------------------------------
+
+    def encode_planes(self, y, cb, cr) -> bytes:
+        if self.ref is None or self._frame_idx % self.gop == 0:
+            bs = self._encode_idr(y, cb, cr)
+        else:
+            bs = self._encode_p(y, cb, cr)
+        self._frame_idx += 1
+        return bs
+
+    def encode_uyvy(self, frame: np.ndarray) -> bytes:
+        y, cb, cr = uyvy_to_i420(frame, self.width, self.height)
+        return self.encode_planes(y, cb, cr)
+
+    def _encode_idr(self, y, cb, cr) -> bytes:
+        from ultragrid_tpu.ops.h264_dec import IntraDecoder
+
+        self._intra.headers = b""  # we prepend our own (num_ref_frames=1)
+        slice_bytes = self._intra.encode_planes(y, cb, cr)
+        bs = self.headers + slice_bytes
+        # reference = what a decoder reconstructs (sample-exact own decoder)
+        ry, rcb, rcr = IntraDecoder().decode(self.headers + slice_bytes)
+        yp, cbp, crp = _pad_to_mb(ry, rcb, rcr)
+        self.ref = (yp, cbp, crp)
+        self._frame_num = 1  # IDR resets frame_num to 0; next ref is 1
+        self._idr_id = (self._idr_id + 1) & 0xFFFF
+        return bs
+
+    def _encode_p(self, y, cb, cr) -> bytes:
+        from ultragrid_tpu.ops.h264_dec import (_CBP_INTER_FWD, mc_chroma,
+                                                mc_luma, mv_pred, pad_ref,
+                                                skip_mv)
+
+        y, cb, cr = _pad_to_mb(y, cb, cr)
+        qp = self.qp
+        qpc = chroma_qp(qp)
+        mbw, mbh = self.mb_w, self.mb_h
+        ry, rcb, rcr = self.ref
+        rpy, rpcb, rpcr = pad_ref(ry), pad_ref(rcb), pad_ref(rcr)
+        # reconstruction planes for THIS frame (become the next reference)
+        ny = np.zeros_like(ry, np.int64)
+        ncb = np.zeros_like(rcb, np.int64)
+        ncr = np.zeros_like(rcr, np.int64)
+
+        w = BitWriter()
+        _p_slice_header(w, 0, self._frame_num)
+        nnz_l = np.zeros((mbh * 4, mbw * 4), np.int32)
+        nnz_c = [np.zeros((mbh * 2, mbw * 2), np.int32) for _ in range(2)]
+        mvs = np.zeros((mbh, mbw, 2), np.int64)
+        refs = np.full((mbh, mbw), -1, np.int64)
+
+        def nc_of(nn, bx, by, left_avail, top_avail):
+            na = nn[by, bx - 1] if left_avail else None
+            nb = nn[by - 1, bx] if top_avail else None
+            if na is not None and nb is not None:
+                return (int(na) + int(nb) + 1) >> 1
+            if na is not None:
+                return int(na)
+            if nb is not None:
+                return int(nb)
+            return 0
+
+        skip_run = 0
+        for my in range(mbh):
+            for mx in range(mbw):
+                px, py = mx * 16, my * 16
+                cx, cy = mx * 8, my * 8
+                src_y = y[py:py + 16, px:px + 16].astype(np.int32)
+
+                dx, dy = self._search_mv(src_y, rpy, px, py)
+                mvx, mvy = dx * 4, dy * 4  # quarter-pel units
+                pred_y = mc_luma(rpy, px, py, mvx, mvy)
+                pred_c = [mc_chroma(rpcb, cx, cy, mvx, mvy),
+                          mc_chroma(rpcr, cx, cy, mvx, mvy)]
+
+                # luma residual: 16 x LumaLevel4x4 (full 16-coeff blocks)
+                res = src_y - pred_y
+                q_l = np.zeros((4, 4, 16), np.int64)
+                for by_ in range(4):
+                    for bx_ in range(4):
+                        c4 = _fwd4(res[by_ * 4:by_ * 4 + 4, bx_ * 4:bx_ * 4 + 4])
+                        q_l[by_, bx_] = _zigzag16(_quant(c4, qp))
+                cbp_luma = 0
+                for g in range(4):
+                    blocks = [q_l[(g // 2) * 2 + i, (g % 2) * 2 + j]
+                              for i in range(2) for j in range(2)]
+                    if any(np.any(b) for b in blocks):
+                        cbp_luma |= 1 << g
+
+                # chroma residual (DC 2x2 + AC), prediction from MC
+                cres = [cb[cy:cy + 8, cx:cx + 8].astype(np.int64) - pred_c[0],
+                        cr[cy:cy + 8, cx:cx + 8].astype(np.int64) - pred_c[1]]
+                cdc_lv, cac_lv = [], []
+                for ci in range(2):
+                    cc = np.zeros((2, 2, 4, 4), np.int64)
+                    for by_ in range(2):
+                        for bx_ in range(2):
+                            cc[by_, bx_] = _fwd4(
+                                cres[ci][by_ * 4:by_ * 4 + 4, bx_ * 4:bx_ * 4 + 4])
+                    dc2 = _H2 @ cc[:, :, 0, 0] @ _H2
+                    cdc_lv.append(_quant_dc(dc2, qpc))
+                    acs = np.zeros((2, 2, 4, 4), np.int64)
+                    for by_ in range(2):
+                        for bx_ in range(2):
+                            q = _quant(cc[by_, bx_], qpc)
+                            q[0, 0] = 0
+                            acs[by_, bx_] = q
+                    cac_lv.append(acs)
+                any_cac = any(np.any(a) for a in cac_lv)
+                any_cdc = any(np.any(d_) for d_ in cdc_lv)
+                cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
+                cbp = cbp_luma | (cbp_chroma << 4)
+
+                smx, smy = skip_mv(mvs, refs, mx, my, mbw, 0)
+                if cbp == 0 and (mvx, mvy) == (smx, smy):
+                    skip_run += 1
+                    mvs[my, mx] = (mvx, mvy)
+                    refs[my, mx] = 0
+                    self._recon_inter(ny, ncb, ncr, px, py, pred_y, pred_c,
+                                      q_l, 0, cdc_lv, cac_lv, 0, qp, qpc)
+                    nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                    for nn in nnz_c:
+                        nn[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+                    continue
+
+                w.ue(skip_run)
+                skip_run = 0
+                pmx, pmy = mv_pred(mvs, refs, mx, my, mbw, 0)
+                w.ue(0)  # mb_type P_L0_16x16
+                w.se(mvx - pmx)
+                w.se(mvy - pmy)
+                mvs[my, mx] = (mvx, mvy)
+                refs[my, mx] = 0
+                w.ue(_CBP_INTER_FWD[cbp])
+                left_mb, top_mb = mx > 0, my > 0
+                if cbp:
+                    w.se(0)  # mb_qp_delta
+                    for bi, (bx_, by_) in enumerate(_BLK_ORDER):
+                        gx, gy = mx * 4 + bx_, my * 4 + by_
+                        if cbp_luma & (1 << (bi // 4)):
+                            la = (gx % 4 > 0) or left_mb
+                            ta = (gy % 4 > 0) or top_mb
+                            nc = nc_of(nnz_l, gx, gy, la, ta)
+                            tc = cavlc_block(w, list(q_l[by_, bx_]), nc)
+                            nnz_l[gy, gx] = tc
+                        else:
+                            nnz_l[gy, gx] = 0
+                    self._write_chroma(w, cbp_chroma, cdc_lv, cac_lv,
+                                       mx, my, left_mb, top_mb, nnz_c, nc_of)
+                else:
+                    nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                    for nn in nnz_c:
+                        nn[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+                self._recon_inter(ny, ncb, ncr, px, py, pred_y, pred_c,
+                                  q_l, cbp_luma, cdc_lv, cac_lv, cbp_chroma,
+                                  qp, qpc)
+        if skip_run:
+            w.ue(skip_run)
+        w.rbsp_trailing()
+        self.ref = (ny.astype(np.uint8), ncb.astype(np.uint8),
+                    ncr.astype(np.uint8))
+        bs = nal(3, 1, w.rbsp())
+        self._frame_num = (self._frame_num + 1) & 15
+        return bs
+
+    def _write_chroma(self, w, cbp_chroma, cdc_lv, cac_lv, mx, my,
+                      left_mb, top_mb, nnz_c, nc_of):
+        if cbp_chroma:
+            for ci in range(2):
+                d = cdc_lv[ci]
+                cavlc_block(w, [int(d[0, 0]), int(d[0, 1]),
+                                int(d[1, 0]), int(d[1, 1])], -1)
+        if cbp_chroma == 2:
+            for ci in range(2):
+                for by_ in range(2):
+                    for bx_ in range(2):
+                        gx, gy = mx * 2 + bx_, my * 2 + by_
+                        la = (gx % 2 > 0) or left_mb
+                        ta = (gy % 2 > 0) or top_mb
+                        nc = nc_of(nnz_c[ci], gx, gy, la, ta)
+                        zz = _zigzag16(cac_lv[ci][by_, bx_])[1:]
+                        tc = cavlc_block(w, zz, nc)
+                        nnz_c[ci][gy, gx] = tc
+        else:
+            for ci in range(2):
+                nnz_c[ci][my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+
+    def _recon_inter(self, ny, ncb, ncr, px, py, pred_y, pred_c,
+                     q_l, cbp_luma, cdc_lv, cac_lv, cbp_chroma, qp, qpc):
+        """Decoder-exact reconstruction of one inter MB."""
+        from ultragrid_tpu.ops.h264_dec import (_dezigzag, _itransform4,
+                                                _vmat)
+
+        for by_ in range(4):
+            for bx_ in range(4):
+                bi = by_ * 4 + bx_  # group index derives from block coords
+                g = (by_ // 2) * 2 + (bx_ // 2)
+                if cbp_luma & (1 << g):
+                    r4 = self._dequant_res(q_l[by_, bx_], qp)
+                else:
+                    r4 = 0
+                ny[py + by_ * 4:py + by_ * 4 + 4,
+                   px + bx_ * 4:px + bx_ * 4 + 4] = np.clip(
+                    pred_y[by_ * 4:by_ * 4 + 4, bx_ * 4:bx_ * 4 + 4] + r4,
+                    0, 255)
+        cx, cy = px // 2, py // 2
+        vc = _vmat(qpc)
+        for ci, plane in enumerate((ncb, ncr)):
+            if cbp_chroma:
+                dcq = np.asarray(cdc_lv[ci], np.int64)
+                fdc = _H2 @ dcq @ _H2
+                dcsc = ((fdc * int(vc[0, 0])) << (qpc // 6)) >> 1
+            else:
+                dcsc = np.zeros((2, 2), np.int64)
+            for by_ in range(2):
+                for bx_ in range(2):
+                    if cbp_chroma == 2:
+                        zz = _zigzag16(cac_lv[ci][by_, bx_])
+                    else:
+                        zz = np.zeros(16, np.int64)
+                    d = _dezigzag(np.asarray(zz, np.int64)) * vc << (qpc // 6)
+                    d[0, 0] = dcsc[by_, bx_]
+                    r4 = (_itransform4(d) + 32) >> 6
+                    plane[cy + by_ * 4:cy + by_ * 4 + 4,
+                          cx + bx_ * 4:cx + bx_ * 4 + 4] = np.clip(
+                        pred_c[ci][by_ * 4:by_ * 4 + 4,
+                                   bx_ * 4:bx_ * 4 + 4] + r4, 0, 255)

@@ -780,3 +780,445 @@ class IntraDecoder:
                     predc + cres[ci], 0, 255
                 )
         return y.astype(np.uint8), cbp_.astype(np.uint8), crp.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Inter (P-slice) support — own-encoder streams: P_Skip + P_L0_16x16 with
+# integer-pel luma motion + I_16x16 fallback macroblocks.
+# (ref role: the decode half of src/video_compress/libavcodec.cpp's
+# inter-frame world, built from scratch like the intra decoder above.)
+# ---------------------------------------------------------------------------
+
+# coded_block_pattern me(v) mapping, codeNum -> cbp, Inter column of spec
+# Table 9-4 (standard constants; validated against libavcodec in tests)
+_CBP_INTER = [
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+]
+_CBP_INTER_FWD = {cbp: i for i, cbp in enumerate(_CBP_INTER)}
+
+MC_PAD = 32  # edge padding around reference planes (covers the MV range)
+
+
+def pad_ref(plane: np.ndarray) -> np.ndarray:
+    return np.pad(np.asarray(plane), MC_PAD, mode="edge")
+
+
+def mc_luma(refp: np.ndarray, px: int, py: int, mvx: int, mvy: int,
+            w: int = 16, h: int = 16) -> np.ndarray:
+    """Luma motion compensation, integer-pel only (mv in quarter units)."""
+    if mvx & 3 or mvy & 3:
+        raise UnsupportedStream("sub-pel luma motion not supported")
+    x0 = px + (mvx >> 2) + MC_PAD
+    y0 = py + (mvy >> 2) + MC_PAD
+    return refp[y0:y0 + h, x0:x0 + w].astype(np.int64)
+
+
+def mc_chroma(refp: np.ndarray, px: int, py: int, mvx: int, mvy: int,
+              w: int = 8, h: int = 8) -> np.ndarray:
+    """Chroma MC per spec 8.4.2.2.2: eighth-sample bilinear (a quarter-luma
+    mv is numerically an eighth-chroma mv in 4:2:0)."""
+    xi, xf = (mvx >> 3), mvx & 7
+    yi, yf = (mvy >> 3), mvy & 7
+    x0 = px + xi + MC_PAD
+    y0 = py + yi + MC_PAD
+    a = refp[y0:y0 + h, x0:x0 + w].astype(np.int64)
+    if not xf and not yf:
+        return a
+    b = refp[y0:y0 + h, x0 + 1:x0 + w + 1].astype(np.int64)
+    c = refp[y0 + 1:y0 + h + 1, x0:x0 + w].astype(np.int64)
+    d = refp[y0 + 1:y0 + h + 1, x0 + 1:x0 + w + 1].astype(np.int64)
+    return ((8 - xf) * (8 - yf) * a + xf * (8 - yf) * b
+            + (8 - xf) * yf * c + xf * yf * d + 32) >> 6
+
+
+def _mv_neighbors(mx: int, my: int, mbw: int, my0: int):
+    """(A, B, C-with-D-fallback) MB coordinates; None = unavailable
+    (spec 8.4.1.3 / 6.4.11 with 16x16 partitions only)."""
+    a = (mx - 1, my) if mx > 0 else None
+    b = (mx, my - 1) if my > my0 else None
+    c = (mx + 1, my - 1) if my > my0 and mx + 1 < mbw else None
+    if c is None:
+        c = (mx - 1, my - 1) if my > my0 and mx > 0 else None
+    return a, b, c
+
+
+def mv_pred(mvs: np.ndarray, refs: np.ndarray, mx: int, my: int,
+            mbw: int, my0: int) -> Tuple[int, int]:
+    """Median MV predictor for P_L0_16x16 (spec 8.4.1.3; JM order: the
+    geometric left-rule first, then the single-matching-ref rule)."""
+    a, b, c = _mv_neighbors(mx, my, mbw, my0)
+
+    def val(n):
+        if n is None:
+            return 0, 0, -1
+        x, y = n
+        return int(mvs[y, x, 0]), int(mvs[y, x, 1]), int(refs[y, x])
+
+    va, vb, vc = val(a), val(b), val(c)
+    if b is None and c is None and a is not None:
+        return va[0], va[1]
+    matches = [v for v in (va, vb, vc) if v[2] == 0]
+    if len(matches) == 1:
+        return matches[0][0], matches[0][1]
+    xs = sorted((va[0], vb[0], vc[0]))
+    ys = sorted((va[1], vb[1], vc[1]))
+    return xs[1], ys[1]
+
+
+def skip_mv(mvs: np.ndarray, refs: np.ndarray, mx: int, my: int,
+            mbw: int, my0: int) -> Tuple[int, int]:
+    """P_Skip motion vector (spec 8.4.1.1)."""
+    a, b, _ = _mv_neighbors(mx, my, mbw, my0)
+    if a is None or b is None:
+        return 0, 0
+    for n in (a, b):
+        x, y = n
+        if refs[y, x] == 0 and mvs[y, x, 0] == 0 and mvs[y, x, 1] == 0:
+            return 0, 0
+    return mv_pred(mvs, refs, mx, my, mbw, my0)
+
+
+class StreamDecoder:
+    """Stateful Annex-B decoder for own-encoder streams: IDR / I pictures
+    (via IntraDecoder's slice machinery) + P pictures (P_Skip, P_L0_16x16
+    integer-MV, I_16x16-in-P).  ``decode_au`` returns one (Y, Cb, Cr)
+    tuple per access unit; ``decode_stream`` splits a whole elementary
+    stream on first_mb_in_slice == 0 boundaries."""
+
+    def __init__(self):
+        self.sps = None
+        self.pps = None
+        self._intra = IntraDecoder()
+        self.ref = None  # (y, cb, cr) uint8 of the previous decoded picture
+        self._refp = None  # padded copies for MC
+
+    # -- bitstream walking -------------------------------------------------
+
+    def decode_stream(self, bs: bytes):
+        frames = []
+        au: list = []
+        for nal_type, rbsp in split_nals(bs):
+            if nal_type in (1, 5):
+                first_mb = BitReader(rbsp).ue()
+                if first_mb == 0 and any(t in (1, 5) for t, _ in au):
+                    frames.append(self._decode_units(au))
+                    au = []
+            au.append((nal_type, rbsp))
+        if any(t in (1, 5) for t, _ in au):
+            frames.append(self._decode_units(au))
+        return frames
+
+    def decode_au(self, bs: bytes):
+        return self._decode_units(list(split_nals(bs)))
+
+    def _decode_units(self, units):
+        state = None
+        kind = None
+        for nal_type, rbsp in units:
+            if nal_type == 7:
+                self.sps = self._intra._parse_sps(rbsp)
+            elif nal_type == 8:
+                self.pps = self._intra._parse_pps(rbsp)
+            elif nal_type in (1, 5):
+                if self.sps is None or self.pps is None:
+                    raise UnsupportedStream("slice before parameter sets")
+                mbw, mbh = self.sps["mb_w"], self.sps["mb_h"]
+                if state is None:
+                    state = (
+                        np.zeros((mbh * 16, mbw * 16), np.int64),
+                        np.zeros((mbh * 8, mbw * 8), np.int64),
+                        np.zeros((mbh * 8, mbw * 8), np.int64),
+                    )
+                st = BitReader(rbsp)
+                st.ue()  # first_mb
+                slice_type = st.ue()
+                if slice_type % 5 == 2:  # I slice
+                    if nal_type != 5:
+                        # the intra slice parser assumes the IDR header shape
+                        raise UnsupportedStream("non-IDR I slice")
+                    kind = "I"
+                    self._intra._decode_slice(rbsp, self.sps, self.pps, state)
+                elif slice_type % 5 == 0:  # P slice
+                    if self.ref is None:
+                        raise UnsupportedStream("P slice without a reference")
+                    kind = "P"
+                    self._decode_slice_p(rbsp, state)
+                else:
+                    raise UnsupportedStream(f"slice type {slice_type}")
+        if kind is None:
+            raise UnsupportedStream("no slice in access unit")
+        y, cb, cr = (p.astype(np.uint8) for p in state)
+        self.ref = (y, cb, cr)
+        self._refp = None  # lazily re-padded on next P
+        w, h = self.sps["width"], self.sps["height"]
+        return (y[:h, :w], cb[:(h + 1) // 2, :(w + 1) // 2],
+                cr[:(h + 1) // 2, :(w + 1) // 2])
+
+    # -- P slice -----------------------------------------------------------
+
+    def _decode_slice_p(self, rbsp: bytes, state):
+        sps, pps = self.sps, self.pps
+        if self._refp is None:
+            self._refp = tuple(pad_ref(p) for p in self.ref)
+        ry, rcb, rcr = self._refp
+        r = BitReader(rbsp)
+        first_mb = r.ue()
+        r.ue()  # slice_type (already known P)
+        r.ue()  # pps id
+        r.u(sps["log2_mfn"])  # frame_num
+        if r.u(1):  # num_ref_idx_active_override_flag
+            if r.ue() != 0:
+                raise UnsupportedStream("multiple reference frames")
+        if r.u(1):  # ref_pic_list_modification_flag_l0
+            raise UnsupportedStream("ref pic list modification")
+        # nal_ref_idc != 0 (our encoder marks all P as reference):
+        if r.u(1):  # adaptive_ref_pic_marking_mode_flag
+            raise UnsupportedStream("adaptive ref pic marking")
+        qp = pps["init_qp"] + r.se()
+        if pps["dbf_ctrl"]:
+            if r.ue() != 1:
+                raise UnsupportedStream("deblocking filter requested")
+        mbw, mbh = sps["mb_w"], sps["mb_h"]
+        y, cbp_, crp = state
+        if first_mb % mbw:
+            raise UnsupportedStream("slices must start at an MB row")
+        my0 = first_mb // mbw
+        nnz_l = np.zeros((mbh * 4, mbw * 4), np.int64)
+        nnz_c = [np.zeros((mbh * 2, mbw * 2), np.int64) for _ in range(2)]
+        mvs = np.zeros((mbh, mbw, 2), np.int64)
+        refs = np.full((mbh, mbw), -1, np.int64)
+
+        last_nz = len(rbsp) - 1
+        while last_nz >= 0 and rbsp[last_nz] == 0:
+            last_nz -= 1
+        stop_pos = last_nz * 8 + (
+            7 - ((rbsp[last_nz] & -rbsp[last_nz]).bit_length() - 1))
+
+        def nc_of(nn, gx, gy, gy_min):
+            na = nn[gy, gx - 1] if gx > 0 else None
+            nb = nn[gy - 1, gx] if gy > gy_min else None
+            if na is not None and nb is not None:
+                return (int(na) + int(nb) + 1) >> 1
+            if na is not None:
+                return int(na)
+            if nb is not None:
+                return int(nb)
+            return 0
+
+        def recon_inter_mb(mx, my, mvx, mvy, luma_res, chroma_res):
+            px, py = mx * 16, my * 16
+            pred = mc_luma(ry, px, py, mvx, mvy)
+            y[py:py + 16, px:px + 16] = np.clip(pred + luma_res, 0, 255)
+            cx, cy = mx * 8, my * 8
+            for plane, refc, res in ((cbp_, rcb, chroma_res[0]),
+                                     (crp, rcr, chroma_res[1])):
+                predc = mc_chroma(refc, cx, cy, mvx, mvy)
+                plane[cy:cy + 8, cx:cx + 8] = np.clip(predc + res, 0, 255)
+
+        zero16 = np.zeros((16, 16), np.int64)
+        zero8 = [np.zeros((8, 8), np.int64), np.zeros((8, 8), np.int64)]
+
+        mb_addr = first_mb
+        n_mbs = mbw * mbh
+        while mb_addr < n_mbs and r.pos < stop_pos:
+            skip_run = r.ue()
+            for _ in range(skip_run):
+                my, mx = mb_addr // mbw, mb_addr % mbw
+                mvx, mvy = skip_mv(mvs, refs, mx, my, mbw, my0)
+                recon_inter_mb(mx, my, mvx, mvy, zero16, zero8)
+                mvs[my, mx] = (mvx, mvy)
+                refs[my, mx] = 0
+                mb_addr += 1
+            if mb_addr >= n_mbs or r.pos >= stop_pos:
+                break
+            my, mx = mb_addr // mbw, mb_addr % mbw
+            mb_addr += 1
+            qpc = H.chroma_qp(max(0, min(51, qp + pps["chroma_off"])))
+            vy, vc = _vmat(qp), _vmat(qpc)
+            mb_type = r.ue()
+            if mb_type == 0:  # P_L0_16x16 (one ref -> no ref_idx bits)
+                pmx, pmy = mv_pred(mvs, refs, mx, my, mbw, my0)
+                mvx = pmx + r.se()
+                mvy = pmy + r.se()
+                mvs[my, mx] = (mvx, mvy)
+                refs[my, mx] = 0
+                cbp_code = r.ue()
+                if cbp_code >= len(_CBP_INTER):
+                    raise UnsupportedStream("bad inter cbp")
+                cbp = _CBP_INTER[cbp_code]
+                cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+                if cbp_chroma == 3:
+                    raise UnsupportedStream("bad chroma cbp")
+                luma_res = np.zeros((16, 16), np.int64)
+                cres = zero8
+                if cbp:
+                    qp = qp + r.se()
+                    qpc = H.chroma_qp(max(0, min(51, qp + pps["chroma_off"])))
+                    vy, vc = _vmat(qp), _vmat(qpc)
+                if cbp_luma or cbp_chroma:
+                    for bi, (bx, by) in enumerate(H._BLK_ORDER):
+                        gx, gy = mx * 4 + bx, my * 4 + by
+                        if cbp_luma & (1 << (bi // 4)):
+                            nc = nc_of(nnz_l, gx, gy, my0 * 4)
+                            zz = decode_cavlc_block(r, nc, 16)
+                            nnz_l[gy, gx] = int(np.count_nonzero(zz))
+                            d = _dezigzag(zz) * vy << (qp // 6)
+                            luma_res[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = (
+                                (_itransform4(d) + 32) >> 6)
+                        else:
+                            nnz_l[gy, gx] = 0
+                    cres = chroma_residuals_p(
+                        r, cbp_chroma, mx, my, vc, qpc, nnz_c, nc_of, my0)
+                else:
+                    nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                    for nn in nnz_c:
+                        nn[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+                recon_inter_mb(mx, my, mvx, mvy, luma_res, cres)
+                continue
+            if 1 <= mb_type <= 4:
+                raise UnsupportedStream(f"P partition mb_type {mb_type}")
+            it = mb_type - 5  # intra-in-P (spec Table 7-13 offset)
+            refs[my, mx] = -1
+            mvs[my, mx] = (0, 0)
+            if it == 25:
+                raise UnsupportedStream("I_PCM in P not supported")
+            if not 1 <= it <= 24:
+                raise UnsupportedStream(f"intra-in-P mb_type {it}")
+            qp = self._decode_i16_in_p(
+                r, it, mx, my, my0, qp, state, nnz_l, nnz_c, nc_of)
+        return state
+
+    def _decode_i16_in_p(self, r, t_code, mx, my, my0, qp, state,
+                         nnz_l, nnz_c, nc_of):
+        """I_16x16 macroblock inside a P slice (DC/V/H/Plane prediction from
+        reconstructed neighbours) — mirrors the intra decoder's I_16x16
+        branch."""
+        sps, pps = self.sps, self.pps
+        y, cbp_, crp = state
+        t = t_code - 1
+        pred_mode = t % 4
+        cbp_chroma = (t // 4) % 3
+        cbp_luma = 15 if t >= 12 else 0
+        chroma_mode = r.ue()
+        qp = qp + r.se()
+        qpc = H.chroma_qp(max(0, min(51, qp + pps["chroma_off"])))
+        vy, vc = _vmat(qp), _vmat(qpc)
+        mbw = sps["mb_w"]
+
+        nc = nc_of(nnz_l, mx * 4, my * 4, my0 * 4)
+        dc_zz = decode_cavlc_block(r, nc, 16)
+        ac = np.zeros((4, 4, 16), np.int64)
+        if cbp_luma:
+            for bx, by in H._BLK_ORDER:
+                gx, gy = mx * 4 + bx, my * 4 + by
+                nc = nc_of(nnz_l, gx, gy, my0 * 4)
+                zz = decode_cavlc_block(r, nc, 15)
+                ac[by, bx, 1:] = zz
+                nnz_l[gy, gx] = int(np.count_nonzero(zz))
+        else:
+            nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+
+        left = y[my * 16:my * 16 + 16, mx * 16 - 1] if mx > 0 else None
+        top = y[my * 16 - 1, mx * 16:mx * 16 + 16] if my > my0 else None
+        if pred_mode == 0:
+            pred16 = np.repeat(top[None, :].astype(np.int64), 16, axis=0)
+        elif pred_mode == 1:
+            pred16 = np.repeat(left[:, None].astype(np.int64), 16, axis=1)
+        elif pred_mode == 2:
+            if left is not None and top is not None:
+                dcv = (int(left.sum()) + int(top.sum()) + 16) >> 5
+            elif left is not None:
+                dcv = (int(left.sum()) + 8) >> 4
+            elif top is not None:
+                dcv = (int(top.sum()) + 8) >> 4
+            else:
+                dcv = 128
+            pred16 = np.full((16, 16), dcv, np.int64)
+        else:
+            tl = int(y[my * 16 - 1, mx * 16 - 1])
+            pred16 = _pred16_plane(top.astype(np.int64), left.astype(np.int64), tl)
+        f = _ihadamard4(_dezigzag(dc_zz))
+        v00 = int(vy[0, 0])
+        if qp >= 12:
+            dcs = (f * v00) << (qp // 6 - 2)
+        else:
+            dcs = (f * v00 + (1 << (1 - qp // 6))) >> (2 - qp // 6)
+        for by in range(4):
+            for bx in range(4):
+                d = _dezigzag(ac[by, bx]) * vy << (qp // 6)
+                d[0, 0] = dcs[by, bx]
+                res = (_itransform4(d) + 32) >> 6
+                y[my * 16 + by * 4:my * 16 + by * 4 + 4,
+                  mx * 16 + bx * 4:mx * 16 + bx * 4 + 4] = np.clip(
+                    pred16[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + res, 0, 255)
+        cres = chroma_residuals_p(r, cbp_chroma, mx, my, vc, qpc,
+                                  nnz_c, nc_of, my0)
+        for ci, plane in enumerate((cbp_, crp)):
+            x0, y0 = mx * 8, my * 8
+            lcol = plane[y0:y0 + 8, x0 - 1].astype(np.int64) if mx > 0 else None
+            trow = plane[y0 - 1, x0:x0 + 8].astype(np.int64) if my > my0 else None
+            if chroma_mode == 0:
+                preds = np.zeros((8, 8), np.int64)
+                for by in range(2):
+                    for bx in range(2):
+                        lc = lcol[by * 4:by * 4 + 4] if lcol is not None else None
+                        tr = trow[bx * 4:bx * 4 + 4] if trow is not None else None
+                        use_l, use_t = lc is not None, tr is not None
+                        if bx == 1 and by == 0 and tr is not None:
+                            use_l = False
+                        if bx == 0 and by == 1 and lc is not None:
+                            use_t = False
+                        if use_l and use_t:
+                            v = (int(lc.sum()) + int(tr.sum()) + 4) >> 3
+                        elif use_l:
+                            v = (int(lc.sum()) + 2) >> 2
+                        elif use_t:
+                            v = (int(tr.sum()) + 2) >> 2
+                        else:
+                            v = 128
+                        preds[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = v
+            elif chroma_mode == 1:
+                preds = np.repeat(lcol[:, None], 8, axis=1)
+            elif chroma_mode == 2:
+                preds = np.repeat(trow[None, :], 8, axis=0)
+            else:
+                tl = int(plane[y0 - 1, x0 - 1])
+                preds = _pred8_chroma_plane(trow, lcol, tl)
+            plane[y0:y0 + 8, x0:x0 + 8] = np.clip(preds + cres[ci], 0, 255)
+        return qp
+
+
+def chroma_residuals_p(r, cbp_chroma, mx, my, vc, qpc, nnz_c, nc_of, my0):
+    """Chroma DC+AC residual (shared by P inter and intra-in-P paths;
+    same syntax as the intra decoder's chroma_residuals closure)."""
+    cdc = [np.zeros(4, np.int64), np.zeros(4, np.int64)]
+    cac = [np.zeros((2, 2, 16), np.int64) for _ in range(2)]
+    if cbp_chroma:
+        for ci in range(2):
+            cdc[ci] = decode_cavlc_block(r, -1, 4)
+    if cbp_chroma == 2:
+        for ci in range(2):
+            for bx, by in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                gx, gy = mx * 2 + bx, my * 2 + by
+                nc = nc_of(nnz_c[ci], gx, gy, my0 * 2)
+                zz = decode_cavlc_block(r, nc, 15)
+                cac[ci][by, bx, 1:] = zz
+                nnz_c[ci][gy, gx] = int(np.count_nonzero(zz))
+    else:
+        for ci in range(2):
+            nnz_c[ci][my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+    res = [np.zeros((8, 8), np.int64) for _ in range(2)]
+    for ci in range(2):
+        fdc = H._H2 @ np.array([[cdc[ci][0], cdc[ci][1]],
+                                [cdc[ci][2], cdc[ci][3]]], np.int64) @ H._H2
+        v00c = int(vc[0, 0])
+        dcsc = ((fdc * v00c) << (qpc // 6)) >> 1
+        for by in range(2):
+            for bx in range(2):
+                d = _dezigzag(cac[ci][by, bx]) * vc << (qpc // 6)
+                d[0, 0] = dcsc[by, bx]
+                res[ci][by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = (
+                    (_itransform4(d) + 32) >> 6)
+    return res
