@@ -501,3 +501,54 @@ def test_inter_compress_module_e2e():
         shown = dec.decompress(out, Codec.UYVY)
         assert shown is not None, f"frame {i} failed to decode"
         assert shown.desc.width == w and shown.desc.height == h
+
+
+def test_inter_vectorized_bit_identical_at_zero_search():
+    """InterEncoderV == InterEncoder bit-for-bit when ME is disabled (the
+    vectorized CAVLC/skip/cbp machinery against the scalar reference)."""
+    from ultragrid_tpu.ops.h264 import InterEncoder, InterEncoderV
+
+    w, h = 64, 48
+    frames = _moving_seq(w, h, 4)
+    e1 = InterEncoder(w, h, qp=24, gop=10, search=0)
+    e2 = InterEncoderV(w, h, qp=24, gop=10, search=0)
+    for i, f in enumerate(frames):
+        assert e1.encode_uyvy(f) == e2.encode_uyvy(f), f"frame {i}"
+
+
+def test_inter_vectorized_me_lavc_sample_exact():
+    from ultragrid_tpu.modules.lavc import LavcDecompress
+    from ultragrid_tpu.ops.h264 import InterEncoderV
+
+    w, h = 64, 48
+    frames = _moving_seq(w, h, 5, step=3)  # odd step: refine stage must hit
+    enc = InterEncoderV(w, h, qp=24, gop=10, search=8)
+    dec = LavcDecompress()
+    sizes = []
+    for i, f in enumerate(frames):
+        bs = enc.encode_uyvy(f)
+        sizes.append(len(bs))
+        vf = VideoFrame(VideoDesc(w, h, Codec.H264, 30.0),
+                        [np.frombuffer(bs, np.uint8)])
+        out = dec.decompress(vf, Codec.UYVY)
+        if out is None:
+            pytest.skip("no H.264 decoder available")
+        got = np.asarray(out.data)[:h, : 2 * w]
+        assert (got[:, 1::2] == enc.ref[0][:h, :w]).all(), f"frame {i}"
+    assert all(s < sizes[0] for s in sizes[1:]), sizes
+
+
+def test_inter_vectorized_own_decoder():
+    from ultragrid_tpu.ops.h264 import InterEncoderV
+    from ultragrid_tpu.ops.h264_dec import StreamDecoder
+
+    w, h = 64, 48
+    frames = _moving_seq(w, h, 5)
+    enc = InterEncoderV(w, h, qp=26, gop=3, search=4)
+    stream = b""
+    recons = []
+    for f in frames:
+        stream += enc.encode_uyvy(f)
+        recons.append(enc.ref[0].copy())
+    for i, (y, _, _) in enumerate(StreamDecoder().decode_stream(stream)):
+        assert (y == recons[i][:h, :w]).all(), f"frame {i}"

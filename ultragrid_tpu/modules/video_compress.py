@@ -226,9 +226,10 @@ class H264Compress(VideoCompress):
             if self.mode == "pcm":
                 self._enc = h264_ops.PcmEncoder(desc.width, desc.height)
             elif self.mode == "inter":
-                self._enc = h264_ops.InterEncoder(
-                    desc.width, desc.height, qp=self.qp, gop=self.gop,
-                    search=self.search)
+                cls = (h264_ops.InterEncoder if self.accel == "scalar"
+                       else h264_ops.InterEncoderV)
+                self._enc = cls(desc.width, desc.height, qp=self.qp,
+                                gop=self.gop, search=self.search)
             elif self.mode == "i4":
                 # per-4x4 directional prediction: better compression, host path
                 self._enc = h264_ops.Intra4x4Encoder(desc.width, desc.height, qp=self.qp)

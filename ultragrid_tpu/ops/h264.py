@@ -1639,3 +1639,387 @@ class InterEncoder:
                           cx + bx_ * 4:cx + bx_ * 4 + 4] = np.clip(
                         pred_c[ci][by_ * 4:by_ * 4 + 4,
                                    bx_ * 4:bx_ * 4 + 4] + r4, 0, 255)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized inter encoder: whole-frame array ops (the production path,
+# mirroring Intra16EncoderV's slot machinery).  With search=0 it is
+# bit-identical to InterEncoder; with search>0 it runs a coarse+refine
+# full-search ME over fixed candidate grids (conformance-tested).
+# ---------------------------------------------------------------------------
+
+
+def _se_symbol(v):
+    """se(v) as (value, length) arrays (signed Exp-Golomb)."""
+    v = np.asarray(v, np.int64)
+    cn = np.where(v > 0, 2 * v - 1, -2 * v)
+    return _ue_symbol(cn)
+
+
+def _ue_symbol2(v):
+    """ue(v) split into (zeros, value) symbol pairs so lengths stay <= 28
+    bits for arbitrarily large operands (whole-frame skip runs)."""
+    v = np.asarray(v, np.int64)
+    val, ln = _ue_symbol(v)
+    bl = (ln + 1) // 2
+    return (np.zeros_like(v), bl - 1), (val, bl)
+
+
+def _itransform4_batch(d: np.ndarray) -> np.ndarray:
+    """Batched spec 8.5.12.2 inverse core transform over [..., 4, 4]."""
+    def pass1(x):
+        x0, x1 = x[..., 0, :], x[..., 1, :]
+        x2, x3 = x[..., 2, :], x[..., 3, :]
+        e0 = x0 + x2
+        e1 = x0 - x2
+        e2 = (x1 >> 1) - x3
+        e3 = x1 + (x3 >> 1)
+        return np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-2)
+
+    h = np.swapaxes(pass1(np.swapaxes(d, -1, -2)), -1, -2)
+    return pass1(h)
+
+
+def _dezigzag_batch(zz: np.ndarray) -> np.ndarray:
+    """[..., 16] zigzag -> [..., 4, 4]."""
+    out = np.zeros(zz.shape, np.int64)
+    out[..., _ZZ_IDX] = zz
+    return out.reshape(zz.shape[:-1] + (4, 4))
+
+
+class InterEncoderV(InterEncoder):
+    """Whole-frame vectorized IDR+P encoder (see InterEncoder).  P-frame
+    hot path is numpy array ops end to end: candidate-grid ME, gathered MC,
+    batched transforms/quant, grid MV prediction/skip, vectorized CAVLC +
+    slot packing, batched exact reconstruction."""
+
+    def __init__(self, width: int, height: int, qp: int = 26, gop: int = 30,
+                 search: int = 8):
+        super().__init__(width, height, qp, gop, search)
+        self._intra = Intra16EncoderV(width, height, qp)
+
+    # -- vectorized ME ------------------------------------------------------
+
+    def _me(self, y, rpy):
+        """Per-MB integer (dx, dy): coarse step-2 full search + step-1
+        refinement.  Returns int arrays [mbh, mbw]."""
+        from ultragrid_tpu.ops.h264_dec import MC_PAD
+
+        mbh, mbw = self.mb_h, self.mb_w
+        H_, W_ = mbh * 16, mbw * 16
+        cur = y.astype(np.int32)
+        if not self.search:
+            return np.zeros((mbh, mbw), np.int64), np.zeros((mbh, mbw), np.int64)
+        s = self.search
+        best = np.full((mbh, mbw), 1 << 60, np.int64)
+        bdx = np.zeros((mbh, mbw), np.int64)
+        bdy = np.zeros((mbh, mbw), np.int64)
+        cands = [(0, 0)] + [(dx, dy)
+                            for dy in range(-s, s + 1, 2)
+                            for dx in range(-s, s + 1, 2) if (dx, dy) != (0, 0)]
+        for dx, dy in cands:
+            ref = rpy[MC_PAD + dy:MC_PAD + dy + H_,
+                      MC_PAD + dx:MC_PAD + dx + W_].astype(np.int32)
+            sad = np.abs(cur - ref).reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))
+            # strict < keeps the earliest candidate on ties ((0,0) first)
+            m = sad < best
+            best = np.where(m, sad, best)
+            bdx = np.where(m, dx, bdx)
+            bdy = np.where(m, dy, bdy)
+        # step-1 refinement around each MB's winner (gathered blocks)
+        myg, mxg = np.mgrid[0:mbh, 0:mbw]
+        r16 = np.arange(16)
+        for ddx, ddy in ((1, 0), (-1, 0), (0, 1), (0, -1),
+                         (1, 1), (1, -1), (-1, 1), (-1, -1)):
+            ndx = np.clip(bdx + ddx, -s, s)
+            ndy = np.clip(bdy + ddy, -s, s)
+            ry_ = (myg * 16 + ndy)[:, :, None, None] + r16[None, None, :, None] + MC_PAD
+            rx_ = (mxg * 16 + ndx)[:, :, None, None] + r16[None, None, None, :] + MC_PAD
+            blocks = rpy[ry_, rx_].astype(np.int32)
+            sad = np.abs(cur.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3)
+                         - blocks).sum(axis=(2, 3))
+            m = sad < best
+            best = np.where(m, sad, best)
+            bdx = np.where(m, ndx, bdx)
+            bdy = np.where(m, ndy, bdy)
+        return bdx, bdy
+
+    # -- vectorized MV prediction / skip -------------------------------------
+
+    @staticmethod
+    def _mvp_grids(mvx, mvy):
+        """Median MV predictor per MB over final MV grids (all refs == 0;
+        spec 8.4.1.3, JM rule order).  Returns (pmx, pmy)."""
+        mbh, mbw = mvx.shape
+
+        def shifted(a, dx, dy, avail):
+            """out[y, x] = a[y + dy, x + dx] where in range, else 0."""
+            out = np.zeros_like(a)
+            ys = slice(max(0, -dy), mbh - max(0, dy) or None)
+            xs = slice(max(0, -dx), mbw - max(0, dx) or None)
+            ys_s = slice(max(0, dy), mbh - max(0, -dy) or None)
+            xs_s = slice(max(0, dx), mbw - max(0, -dx) or None)
+            out[ys, xs] = a[ys_s, xs_s]
+            return np.where(avail, out, 0)
+
+        availA = np.zeros((mbh, mbw), bool); availA[:, 1:] = True
+        availB = np.zeros((mbh, mbw), bool); availB[1:, :] = True
+        availC = np.zeros((mbh, mbw), bool); availC[1:, :-1] = True
+        availD = np.zeros((mbh, mbw), bool); availD[1:, 1:] = True
+        useC = availC
+        availCD = availC | availD
+        out = []
+        for a in (mvx, mvy):
+            va = shifted(a, -1, 0, availA)
+            vb = shifted(a, 0, -1, availB)
+            vc = np.where(useC, shifted(a, 1, -1, availC),
+                          shifted(a, -1, -1, availD))
+            med = np.maximum(np.minimum(va, vb),
+                             np.minimum(np.maximum(va, vb), vc))
+            navail = (availA.astype(np.int64) + availB + availCD)
+            only = np.where(availA, va, 0) + np.where(availB, vb, 0) \
+                + np.where(availCD, vc, 0)
+            pm = np.where(~availB & ~availCD & availA, va,
+                          np.where(navail == 1, only, med))
+            out.append(pm)
+        return out[0], out[1]
+
+    @staticmethod
+    def _skip_mv_grids(mvx, mvy, pmx, pmy):
+        """P_Skip MV per MB (spec 8.4.1.1) over final MV grids."""
+        mbh, mbw = mvx.shape
+        availA = np.zeros((mbh, mbw), bool); availA[:, 1:] = True
+        availB = np.zeros((mbh, mbw), bool); availB[1:, :] = True
+        za = np.zeros((mbh, mbw), bool)
+        za[:, 1:] = (mvx[:, :-1] == 0) & (mvy[:, :-1] == 0)
+        zb = np.zeros((mbh, mbw), bool)
+        zb[1:, :] = (mvx[:-1, :] == 0) & (mvy[:-1, :] == 0)
+        force0 = ~availA | ~availB | (availA & za) | (availB & zb)
+        return np.where(force0, 0, pmx), np.where(force0, 0, pmy)
+
+    # -- P frame -------------------------------------------------------------
+
+    def _encode_p(self, y, cb, cr) -> bytes:
+        from ultragrid_tpu.ops.h264_dec import (MC_PAD, _CBP_INTER_FWD,
+                                                _vmat, pad_ref)
+
+        y, cb, cr = _pad_to_mb(y, cb, cr)
+        qp, qpc = self.qp, chroma_qp(self.qp)
+        mbh, mbw = self.mb_h, self.mb_w
+        nmb = mbh * mbw
+        ry, rcb, rcr = self.ref
+        rpy, rpcb, rpcr = pad_ref(ry), pad_ref(rcb), pad_ref(rcr)
+
+        dx, dy = self._me(y, rpy)
+        mvx, mvy = dx * 4, dy * 4
+
+        # ---- gathered luma MC prediction [mbh, mbw, 16, 16] ----
+        myg, mxg = np.mgrid[0:mbh, 0:mbw]
+        r16 = np.arange(16)
+        gy = (myg * 16 + dy)[:, :, None, None] + r16[None, None, :, None] + MC_PAD
+        gx = (mxg * 16 + dx)[:, :, None, None] + r16[None, None, None, :] + MC_PAD
+        pred_y = rpy[gy, gx].astype(np.int64)
+        cur = y.astype(np.int64).reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3)
+        res = cur - pred_y
+
+        # ---- chroma MC (eighth-sample bilinear, frac in {0, 4}) ----
+        r8 = np.arange(8)
+        cxi, cxf = mvx >> 3, mvx & 7
+        cyi, cyf = mvy >> 3, mvy & 7
+        cgy = (myg * 8 + cyi)[:, :, None, None] + r8[None, None, :, None] + MC_PAD
+        cgx = (mxg * 8 + cxi)[:, :, None, None] + r8[None, None, None, :] + MC_PAD
+        wxf = cxf[:, :, None, None]
+        wyf = cyf[:, :, None, None]
+        pred_c = []
+        for plane in (rpcb, rpcr):
+            a = plane[cgy, cgx].astype(np.int64)
+            b = plane[cgy, cgx + 1].astype(np.int64)
+            c_ = plane[cgy + 1, cgx].astype(np.int64)
+            d_ = plane[cgy + 1, cgx + 1].astype(np.int64)
+            pred_c.append(((8 - wxf) * (8 - wyf) * a + wxf * (8 - wyf) * b
+                           + (8 - wxf) * wyf * c_ + wxf * wyf * d_ + 32) >> 6)
+
+        # ---- luma residual: 16-coeff blocks, batched ----
+        b44 = res.reshape(mbh, mbw, 4, 4, 4, 4).transpose(0, 1, 2, 4, 3, 5)
+        coefs = np.einsum("ij,...jk,lk->...il", _C4, b44, _C4)
+        qbits = 15 + qp // 6
+        mfr = _MF[qp % 6]
+        mf = np.array([[mfr[_POSCLASS[r][c]] for c in range(4)]
+                       for r in range(4)], np.int64)
+        f = (1 << qbits) // 3
+        q_l = (np.sign(coefs) * ((np.abs(coefs) * mf + f) >> qbits)).astype(np.int64)
+        zz_l = q_l.reshape(mbh, mbw, 4, 4, 16)[..., _ZZ_IDX]  # [.., by, bx, 16]
+        grp_nz = np.zeros((mbh, mbw, 4), bool)  # 8x8 group has coefficients
+        for by_ in range(4):
+            for bx_ in range(4):
+                g = (by_ // 2) * 2 + (bx_ // 2)
+                grp_nz[:, :, g] |= np.any(zz_l[:, :, by_, bx_] != 0, axis=2)
+        cbp_luma = (grp_nz[:, :, 0] * 1 + grp_nz[:, :, 1] * 2
+                    + grp_nz[:, :, 2] * 4 + grp_nz[:, :, 3] * 8).astype(np.int64)
+
+        # ---- chroma residual ----
+        qbc = 15 + qpc // 6
+        mfrc = _MF[qpc % 6]
+        mfc = np.array([[mfrc[_POSCLASS[r][c]] for c in range(4)]
+                        for r in range(4)], np.int64)
+        fc = (1 << qbc) // 3
+        cdc_lv, cac_lv = [], []
+        for ci, plane in enumerate((cb, cr)):
+            p = plane.astype(np.int64).reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3)
+            cres = p - pred_c[ci]
+            c44 = cres.reshape(mbh, mbw, 2, 4, 2, 4).transpose(0, 1, 2, 4, 3, 5)
+            cc = np.einsum("ij,...jk,lk->...il", _C4, c44, _C4)
+            dc2 = np.einsum("ij,...jk,kl->...il", _H2, cc[..., 0, 0], _H2)
+            cdc_lv.append(_quant_dc(dc2, qpc))
+            a = (np.sign(cc) * ((np.abs(cc) * mfc + fc) >> qbc)).astype(np.int64)
+            a[..., 0, 0] = 0
+            cac_lv.append(a)
+        any_cac = (np.any(cac_lv[0].reshape(mbh, mbw, -1) != 0, axis=2)
+                   | np.any(cac_lv[1].reshape(mbh, mbw, -1) != 0, axis=2))
+        any_cdc = (np.any(cdc_lv[0].reshape(mbh, mbw, -1) != 0, axis=2)
+                   | np.any(cdc_lv[1].reshape(mbh, mbw, -1) != 0, axis=2))
+        cbp_chroma = np.where(any_cac, 2, np.where(any_cdc, 1, 0)).astype(np.int64)
+        cbp = cbp_luma | (cbp_chroma << 4)
+
+        # ---- skip decisions over the final MV grids ----
+        pmx, pmy = self._mvp_grids(mvx, mvy)
+        smx, smy = self._skip_mv_grids(mvx, mvy, pmx, pmy)
+        skip = (cbp == 0) & (mvx == smx) & (mvy == smy)
+        coded = ~skip.reshape(-1)
+
+        # skip_run before each coded MB + trailing run
+        flat_idx = np.flatnonzero(coded)
+        runs = np.diff(np.r_[-1, flat_idx]) - 1
+        trailing = (nmb - 1 - flat_idx[-1]) if flat_idx.size else nmb
+
+        # ---- nnz/nC bookkeeping (masked by coded groups) ----
+        tot_l = (zz_l != 0).sum(axis=4)  # [mbh, mbw, by, bx]
+        gidx = np.array([[(by_ // 2) * 2 + (bx_ // 2) for bx_ in range(4)]
+                         for by_ in range(4)])
+        blk_coded = grp_nz[:, :, gidx] & coded.reshape(mbh, mbw, 1, 1)
+        nnz_l = (tot_l * blk_coded).transpose(0, 2, 1, 3).reshape(mbh * 4, mbw * 4)
+        zz_cac = [a.reshape(mbh, mbw, 2, 2, 16)[..., _ZZ_IDX][..., 1:]
+                  for a in cac_lv]
+        keep_cac = (cbp_chroma == 2) & coded.reshape(mbh, mbw)
+        nnz_c = [((z != 0).sum(axis=4) * keep_cac[:, :, None, None]
+                  ).transpose(0, 2, 1, 3).reshape(mbh * 2, mbw * 2)
+                 for z in zz_cac]
+
+        def nc_grid(nn, gh, gw):
+            na = np.full((gh, gw), -1, np.int64)
+            na[:, 1:] = nn[:, :-1]
+            nb = np.full((gh, gw), -1, np.int64)
+            nb[1:] = nn[:-1]
+            both = (na >= 0) & (nb >= 0)
+            return np.where(both, (na + nb + 1) >> 1,
+                            np.where(na >= 0, na, np.where(nb >= 0, nb, 0)))
+
+        ncl = nc_grid(nnz_l, mbh * 4, mbw * 4)
+        ncc = [nc_grid(nn, mbh * 2, mbw * 2) for nn in nnz_c]
+
+        # ---- symbol grid ----
+        S = 36
+        NH = 8  # run(2) + mb_type + mvdx + mvdy + cbp(2) + qp_delta
+        NSL = NH + S * (16 + 2 + 8)
+        sval = np.zeros((nmb, NSL), np.int64)
+        slen = np.zeros((nmb, NSL), np.int64)
+        run_per_mb = np.zeros(nmb, np.int64)
+        run_per_mb[flat_idx] = runs
+        (rz_v, rz_l), (rv_v, rv_l) = _ue_symbol2(run_per_mb)
+        sval[:, 0], slen[:, 0] = rz_v, rz_l
+        sval[:, 1], slen[:, 1] = rv_v, rv_l
+        sval[:, 2], slen[:, 2] = 1, 1  # mb_type ue(0) = P_L0_16x16
+        mvd_x = (mvx - pmx).reshape(-1)
+        mvd_y = (mvy - pmy).reshape(-1)
+        v, l = _se_symbol(mvd_x)
+        sval[:, 3], slen[:, 3] = v, l
+        v, l = _se_symbol(mvd_y)
+        sval[:, 4], slen[:, 4] = v, l
+        cbp_code = np.array([_CBP_INTER_FWD[int(c)] for c in cbp.reshape(-1)],
+                            np.int64)
+        (cz_v, cz_l), (cv_v, cv_l) = _ue_symbol2(cbp_code)
+        sval[:, 5], slen[:, 5] = cz_v, cz_l
+        sval[:, 6], slen[:, 6] = cv_v, cv_l
+        has_cbp = (cbp.reshape(-1) != 0)
+        sval[:, 7], slen[:, 7] = 1, has_cbp.astype(np.int64)  # se(0) if cbp
+
+        # residual slots: 16 luma blocks in coding order
+        for bi, (bx_, by_) in enumerate(_BLK_ORDER):
+            lvls = zz_l[:, :, by_, bx_].reshape(nmb, 16)
+            ncb = ncl[by_::4, bx_::4].reshape(-1)
+            av, al, _ = cavlc_blocks_vec(lvls, ncb)
+            keep = blk_coded[:, :, by_, bx_].reshape(-1)
+            base = NH + S * bi
+            sval[:, base:base + S] = av * keep[:, None]
+            slen[:, base:base + S] = al * keep[:, None]
+        # chroma DC
+        keep_cdc = (cbp_chroma.reshape(-1) > 0) & coded
+        for ci in range(2):
+            d = cdc_lv[ci].reshape(nmb, 4)
+            cvv, cll, _ = cavlc_blocks_vec(d, np.zeros(nmb, np.int64),
+                                           chroma_dc=True)
+            base = NH + S * (16 + ci)
+            sval[:, base:base + S] = cvv * keep_cdc[:, None]
+            slen[:, base:base + S] = cll * keep_cdc[:, None]
+        # chroma AC
+        kac = keep_cac.reshape(-1)
+        for ci in range(2):
+            for bi, (bx_, by_) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+                lvls = zz_cac[ci][:, :, by_, bx_].reshape(nmb, 15)
+                ncb = ncc[ci][by_::2, bx_::2].reshape(-1)
+                av, al, _ = cavlc_blocks_vec(lvls, ncb)
+                base = NH + S * (18 + ci * 4 + bi)
+                sval[:, base:base + S] = av * kac[:, None]
+                slen[:, base:base + S] = al * kac[:, None]
+
+        # skipped MBs contribute nothing (their run rides the next coded MB)
+        sval *= coded[:, None]
+        slen *= coded[:, None]
+
+        # ---- assemble ----
+        hw = BitWriter()
+        _p_slice_header(hw, 0, self._frame_num)
+        head = _bits_to_symbols(hw)
+        tail_v, tail_l = [], []
+        if trailing:
+            (tz_v, tz_l), (tv_v, tv_l) = _ue_symbol2(np.array([trailing]))
+            tail_v += [int(tz_v[0]), int(tv_v[0])]
+            tail_l += [int(tz_l[0]), int(tv_l[0])]
+        tail_v.append(1)  # rbsp stop bit
+        tail_l.append(1)
+        flat_v = np.concatenate([np.array([v for v, _ in head], np.int64),
+                                 sval.reshape(-1),
+                                 np.array(tail_v, np.int64)])
+        flat_l = np.concatenate([np.array([l for _, l in head], np.int64),
+                                 slen.reshape(-1),
+                                 np.array(tail_l, np.int64)])
+        data, _bits = pack_symbols(flat_v, flat_l)
+        bs = nal(3, 1, data)
+
+        # ---- batched exact reconstruction -> next reference ----
+        vmy = _vmat(qp)
+        d_l = _dezigzag_batch(zz_l * blk_coded[..., None]) * vmy << (qp // 6)
+        res_l = (_itransform4_batch(d_l) + 32) >> 6
+        rec = np.clip(pred_y.reshape(mbh, mbw, 4, 4, 4, 4).transpose(
+            0, 1, 2, 4, 3, 5) + res_l, 0, 255)
+        ny = rec.transpose(0, 2, 4, 1, 3, 5).reshape(mbh * 16, mbw * 16)
+        vmc = _vmat(qpc)
+        keep_dc = ((cbp_chroma > 0) & coded.reshape(mbh, mbw))
+        nplanes = []
+        for ci in range(2):
+            fdc = np.einsum("ij,...jk,kl->...il", _H2,
+                            cdc_lv[ci] * keep_dc[:, :, None, None], _H2)
+            dcsc = ((fdc * int(vmc[0, 0])) << (qpc // 6)) >> 1
+            zzc = np.zeros((mbh, mbw, 2, 2, 16), np.int64)
+            zzc[..., 1:] = zz_cac[ci] * keep_cac[:, :, None, None, None]
+            d_c = _dezigzag_batch(zzc) * vmc << (qpc // 6)
+            d_c[..., 0, 0] = dcsc
+            res_c = (_itransform4_batch(d_c) + 32) >> 6
+            recc = np.clip(pred_c[ci].reshape(mbh, mbw, 2, 4, 2, 4).transpose(
+                0, 1, 2, 4, 3, 5) + res_c, 0, 255)
+            nplanes.append(recc.transpose(0, 2, 4, 1, 3, 5).reshape(
+                mbh * 8, mbw * 8))
+        self.ref = (ny.astype(np.uint8), nplanes[0].astype(np.uint8),
+                    nplanes[1].astype(np.uint8))
+        self._frame_num = (self._frame_num + 1) & 15
+        return bs
