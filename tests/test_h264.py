@@ -552,3 +552,50 @@ def test_inter_vectorized_own_decoder():
         recons.append(enc.ref[0].copy())
     for i, (y, _, _) in enumerate(StreamDecoder().decode_stream(stream)):
         assert (y == recons[i][:h, :w]).all(), f"frame {i}"
+
+
+def test_inter_loss_resilience_and_idr_resync():
+    """A lost P access unit causes drift, never a crash; the next IDR
+    resynchronizes sample-exact (the receiver behavior over lossy RTP)."""
+    from ultragrid_tpu.modules.video_decompress import OwnH264Decompress
+    from ultragrid_tpu.ops.h264 import InterEncoderV
+
+    w, h = 64, 48
+    frames = _moving_seq(w, h, 6)
+    enc = InterEncoderV(w, h, qp=26, gop=3, search=4)
+    aus = [enc.encode_uyvy(f) for f in frames]  # I P P I P P
+    recon3 = None
+    # capture the encoder's recon at frame 3 (the IDR) for resync check
+    enc2 = InterEncoderV(w, h, qp=26, gop=3, search=4)
+    for i, f in enumerate(frames[:4]):
+        enc2.encode_uyvy(f)
+        if i == 3:
+            recon3 = enc2.ref[0].copy()
+    dec = OwnH264Decompress()
+    out = []
+    for i, au in enumerate(aus):
+        if i == 1:
+            continue  # drop a P frame
+        vf = VideoFrame(VideoDesc(w, h, Codec.H264, 30.0),
+                        [np.frombuffer(au, np.uint8)])
+        out.append((i, dec.decompress(vf, Codec.UYVY)))
+    # every surviving AU decodes (P against a stale ref drifts, no crash)
+    assert all(o is not None for _, o in out), [i for i, o in out if o is None]
+    # the IDR at index 3 resyncs sample-exact
+    idr = dict(out)[3]
+    assert (np.asarray(idr.data)[:h, 1::2] == recon3[:h, :w]).all()
+
+
+def test_inter_first_au_p_without_reference_rejected():
+    from ultragrid_tpu.modules.video_decompress import OwnH264Decompress
+    from ultragrid_tpu.ops.h264 import InterEncoderV
+
+    w, h = 64, 48
+    frames = _moving_seq(w, h, 2)
+    enc = InterEncoderV(w, h, qp=26, gop=10, search=0)
+    enc.encode_uyvy(frames[0])          # IDR (discarded)
+    p_au = enc.encode_uyvy(frames[1])   # P
+    dec = OwnH264Decompress()
+    vf = VideoFrame(VideoDesc(w, h, Codec.H264, 30.0),
+                    [np.frombuffer(p_au, np.uint8)])
+    assert dec.decompress(vf, Codec.UYVY) is None  # graceful, no crash
