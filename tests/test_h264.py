@@ -599,3 +599,41 @@ def test_inter_first_au_p_without_reference_rejected():
     vf = VideoFrame(VideoDesc(w, h, Codec.H264, 30.0),
                     [np.frombuffer(p_au, np.uint8)])
     assert dec.decompress(vf, Codec.UYVY) is None  # graceful, no crash
+
+
+def test_inter_device_graph_bit_identical_and_conformant():
+    """The ONE-jit-graph inter encoder (h264_tpu.InterEncoderTpu):
+    bit-identical to InterEncoderV at search=0 (incl. GOP refresh), and
+    with ME enabled every frame decodes sample-exact in both the own
+    StreamDecoder and libavcodec."""
+    from ultragrid_tpu.modules.lavc import LavcDecompress
+    from ultragrid_tpu.ops.h264 import InterEncoderV
+    from ultragrid_tpu.ops.h264_dec import StreamDecoder
+    from ultragrid_tpu.ops.h264_tpu import InterEncoderTpu
+
+    w, h = 64, 48
+    frames = _moving_seq(w, h, 5)
+    e1 = InterEncoderV(w, h, qp=24, gop=3, search=0)
+    e2 = InterEncoderTpu(w, h, qp=24, gop=3, search=0)
+    for i, f in enumerate(frames):
+        assert e1.encode_uyvy(f) == e2.encode_uyvy(f), f"frame {i}"
+
+    e3 = InterEncoderTpu(w, h, qp=24, gop=10, search=8)
+    stream = b""
+    recons = []
+    for f in frames:
+        stream += e3.encode_uyvy(f)
+        recons.append(np.asarray(e3.ref[0]).copy())
+    for i, (y, _, _) in enumerate(StreamDecoder().decode_stream(stream)):
+        assert (y == recons[i][:h, :w]).all(), f"own-dec frame {i}"
+    e4 = InterEncoderTpu(w, h, qp=24, gop=10, search=8)
+    dec = LavcDecompress()
+    for i, f in enumerate(frames):
+        bs = e4.encode_uyvy(f)
+        out = dec.decompress(
+            VideoFrame(VideoDesc(w, h, Codec.H264, 30.0),
+                       [np.frombuffer(bs, np.uint8)]), Codec.UYVY)
+        if out is None:
+            pytest.skip("no H.264 decoder available")
+        got = np.asarray(out.data)[:h, : 2 * w]
+        assert (got[:, 1::2] == np.asarray(e4.ref[0])[:h, :w]).all(), i

@@ -226,8 +226,14 @@ class H264Compress(VideoCompress):
             if self.mode == "pcm":
                 self._enc = h264_ops.PcmEncoder(desc.width, desc.height)
             elif self.mode == "inter":
-                cls = (h264_ops.InterEncoder if self.accel == "scalar"
-                       else h264_ops.InterEncoderV)
+                if self.accel == "device":
+                    from ultragrid_tpu.ops.h264_tpu import InterEncoderTpu
+
+                    cls = InterEncoderTpu
+                elif self.accel == "scalar":
+                    cls = h264_ops.InterEncoder
+                else:
+                    cls = h264_ops.InterEncoderV
                 self._enc = cls(desc.width, desc.height, qp=self.qp,
                                 gop=self.gop, search=self.search)
             elif self.mode == "i4":

@@ -575,3 +575,522 @@ class Intra16EncoderTpu:
             self.wwords *= 2
             words, bits, ovf = self._fn(uyvy_in=True)(fj)
         return self._assemble(words, bits)
+
+
+# ---------------------------------------------------------------------------
+# Device inter (P-frame) path: ME scan + MC + batched transforms + vectorized
+# CAVLC + slot packing + exact in-graph reconstruction, ONE jit graph.
+# Bit-identical to InterEncoderV at search=0 (asserted in tests).
+# ---------------------------------------------------------------------------
+
+from ultragrid_tpu.ops.h264_dec import _CBP_INTER_FWD as _CBPI_FWD_D  # noqa: E402
+from ultragrid_tpu.ops.h264_dec import MC_PAD as _MC_PAD  # noqa: E402
+
+_CBP_INTER_FWD_ARR = np.zeros(48, np.int32)
+for _c, _i in _CBPI_FWD_D.items():
+    _CBP_INTER_FWD_ARR[_c] = _i
+
+
+def _ue_bitlen(v1):
+    """Exact bit length of v1 (1 <= v1 < 2^30) in int32: float log2 with
+    integer fixups for the power-of-two edges."""
+    bl = jnp.floor(jnp.log2(v1.astype(jnp.float32))).astype(jnp.int32) + 1
+    bl = jnp.where((jnp.int32(1) << bl) <= v1, bl + 1, bl)
+    bl = jnp.where((jnp.int32(1) << (bl - 1)) > v1, bl - 1, bl)
+    return bl
+
+
+def _ue_sym2_jnp(v):
+    """ue(v) as two slots (leading zeros, value) so lens stay <= 28."""
+    v1 = (v + 1).astype(jnp.int32)
+    bl = _ue_bitlen(v1)
+    return (jnp.zeros_like(v1), bl - 1), (v1, bl)
+
+
+def _se_sym2_jnp(v):
+    cn = jnp.where(v > 0, 2 * v - 1, -2 * v).astype(jnp.int32)
+    return _ue_sym2_jnp(cn)
+
+
+def _itransform4_jnp(d):
+    """Batched spec 8.5.12.2 inverse transform over [..., 4, 4] int32."""
+    def pass1(x):
+        x0, x1 = x[..., 0, :], x[..., 1, :]
+        x2, x3 = x[..., 2, :], x[..., 3, :]
+        e0 = x0 + x2
+        e1 = x0 - x2
+        e2 = (x1 >> 1) - x3
+        e3 = x1 + (x3 >> 1)
+        return jnp.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-2)
+
+    h = jnp.swapaxes(pass1(jnp.swapaxes(d, -1, -2)), -1, -2)
+    return pass1(h)
+
+
+def make_device_encode_p(width: int, height: int, qp: int, search: int = 8,
+                         wwords: int = 80):
+    """Jitted P-frame encode: (y, cb, cr, ref_y, ref_cb, ref_cr) ->
+    (mb_words, mb_bits, overflow, recon_y, recon_cb, recon_cr)."""
+    mbw = (width + 15) // 16
+    mbh = (height + 15) // 16
+    nmb = mbw * mbh
+    Hl, Wl = mbh * 16, mbw * 16
+    Hc, Wc = mbh * 8, mbw * 8
+    qpc = H.chroma_qp(qp)
+    tabs = _tables_jnp()
+    zz = jnp.asarray(H._ZZ_IDX)
+
+    def _mleft(M, x, n):
+        return jnp.stack(
+            [sum(int(M[i, j]) * x[..., j, :] for j in range(n)) for i in range(n)],
+            axis=-2)
+
+    def _mright_t(M, x, n):
+        return jnp.stack(
+            [sum(int(M[k, j]) * x[..., :, j] for j in range(n)) for k in range(n)],
+            axis=-1)
+
+    def core4(x):
+        return _mright_t(H._C4, _mleft(H._C4, x, 4), 4)
+
+    def had2(x):
+        return _mright_t(H._H2, _mleft(H._H2, x, 2), 2)
+
+    qbits = 15 + qp // 6
+    mfr = H._MF[qp % 6]
+    mf = jnp.asarray(np.array(
+        [[mfr[H._POSCLASS[r][c]] for c in range(4)] for r in range(4)], np.int32))
+    f_off = (1 << qbits) // 3
+    qbc = 15 + qpc // 6
+    mfrc = H._MF[qpc % 6]
+    mfc = jnp.asarray(np.array(
+        [[mfrc[H._POSCLASS[r][c]] for c in range(4)] for r in range(4)], np.int32))
+    fc_off = (1 << qbc) // 3
+    mf0c = int(mfrc[0])
+    # dequant V matrices (decoder-exact reconstruction)
+    from ultragrid_tpu.ops.h264_dec import _vmat
+    vy_m = jnp.asarray(_vmat(qp).astype(np.int32))
+    vc_m = jnp.asarray(_vmat(qpc).astype(np.int32))
+    v00c = int(_vmat(qpc)[0, 0])
+
+    # ME candidates: (0,0) first, then raster over the step-1 grid
+    if search:
+        cands = [(0, 0)] + [(dx, dy)
+                            for dy in range(-search, search + 1)
+                            for dx in range(-search, search + 1)
+                            if (dx, dy) != (0, 0)]
+    else:
+        cands = [(0, 0)]
+    cands_j = jnp.asarray(np.array(cands, np.int32))
+
+    cbp_fwd = jnp.asarray(_CBP_INTER_FWD_ARR)
+
+    def encode(y, cb, cr, ry, rcb, rcr):
+        cur = y.astype(jnp.int32)
+        rpy = jnp.pad(ry.astype(jnp.int32), _MC_PAD, mode="edge")
+        rpcb = jnp.pad(rcb.astype(jnp.int32), _MC_PAD, mode="edge")
+        rpcr = jnp.pad(rcr.astype(jnp.int32), _MC_PAD, mode="edge")
+        cur_b = cur.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3)
+
+        def me_body(carry, off):
+            best, bdx, bdy, pred, pcb, pcr = carry
+            dx, dy = off[0], off[1]
+            ref = jax.lax.dynamic_slice(rpy, (_MC_PAD + dy, _MC_PAD + dx),
+                                        (Hl, Wl))
+            refb = ref.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3)
+            sad = jnp.abs(cur_b - refb).sum(axis=(2, 3))
+            m = sad < best
+            best = jnp.where(m, sad, best)
+            bdx = jnp.where(m, dx, bdx)
+            bdy = jnp.where(m, dy, bdy)
+            pred = jnp.where(m[:, :, None, None], refb, pred)
+            # chroma MC for this candidate (eighth-sample bilinear; with
+            # integer luma mv the frac is 0 or 4 per axis)
+            cxi, cxf = (4 * dx) >> 3, (4 * dx) & 7
+            cyi, cyf = (4 * dy) >> 3, (4 * dy) & 7
+            for plane, acc in ((rpcb, "pcb"), (rpcr, "pcr")):
+                base = jax.lax.dynamic_slice(
+                    plane, (_MC_PAD + cyi, _MC_PAD + cxi), (Hc + 1, Wc + 1))
+                a = base[:-1, :-1]
+                b = base[:-1, 1:]
+                c_ = base[1:, :-1]
+                d_ = base[1:, 1:]
+                blend = ((8 - cxf) * (8 - cyf) * a + cxf * (8 - cyf) * b
+                         + (8 - cxf) * cyf * c_ + cxf * cyf * d_ + 32) >> 6
+                blendb = blend.reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3)
+                if acc == "pcb":
+                    pcb = jnp.where(m[:, :, None, None], blendb, pcb)
+                else:
+                    pcr = jnp.where(m[:, :, None, None], blendb, pcr)
+            return (best, bdx, bdy, pred, pcb, pcr), None
+
+        init = (jnp.full((mbh, mbw), 1 << 30, jnp.int32),
+                jnp.zeros((mbh, mbw), jnp.int32),
+                jnp.zeros((mbh, mbw), jnp.int32),
+                jnp.zeros((mbh, mbw, 16, 16), jnp.int32),
+                jnp.zeros((mbh, mbw, 8, 8), jnp.int32),
+                jnp.zeros((mbh, mbw, 8, 8), jnp.int32))
+        (best, bdx, bdy, pred_y, pred_cb, pred_cr), _ = jax.lax.scan(
+            me_body, init, cands_j)
+        mvx, mvy = bdx * 4, bdy * 4
+
+        # ---- luma residual: 16-coeff blocks ----
+        res = cur_b - pred_y
+        b44 = res.reshape(mbh, mbw, 4, 4, 4, 4).transpose(0, 1, 2, 4, 3, 5)
+        coefs = core4(b44)
+        lv = (jnp.abs(coefs) * mf + f_off) >> qbits
+        q_l = jnp.sign(coefs) * lv
+        zz_l = q_l.reshape(mbh, mbw, 4, 4, 16)[..., zz]
+        grp = []
+        for g in range(4):
+            gy0, gx0 = (g // 2) * 2, (g % 2) * 2
+            grp.append(jnp.any(
+                zz_l[:, :, gy0:gy0 + 2, gx0:gx0 + 2] != 0, axis=(2, 3, 4)))
+        cbp_luma = (grp[0] * 1 + grp[1] * 2 + grp[2] * 4 + grp[3] * 8
+                    ).astype(jnp.int32)
+
+        # ---- chroma residual ----
+        cdc_lv, cac_lv, zz_cac = [], [], []
+        for plane, predc in ((cb, pred_cb), (cr, pred_cr)):
+            p = plane.astype(jnp.int32).reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3)
+            cres = p - predc
+            c44 = cres.reshape(mbh, mbw, 2, 4, 2, 4).transpose(0, 1, 2, 4, 3, 5)
+            cc = core4(c44)
+            dc2 = had2(cc[..., 0, 0])
+            dclv = (jnp.abs(dc2) * mf0c + 2 * fc_off) >> (qbc + 1)
+            cdc_lv.append(jnp.sign(dc2) * dclv)
+            a = jnp.sign(cc) * ((jnp.abs(cc) * mfc + fc_off) >> qbc)
+            a = a.at[..., 0, 0].set(0)
+            cac_lv.append(a)
+            zz_cac.append(a.reshape(mbh, mbw, 2, 2, 16)[..., zz][..., 1:])
+        any_cac = (jnp.any(zz_cac[0] != 0, axis=(2, 3, 4))
+                   | jnp.any(zz_cac[1] != 0, axis=(2, 3, 4)))
+        any_cdc = (jnp.any(cdc_lv[0].reshape(mbh, mbw, -1) != 0, axis=2)
+                   | jnp.any(cdc_lv[1].reshape(mbh, mbw, -1) != 0, axis=2))
+        cbp_chroma = jnp.where(any_cac, 2, jnp.where(any_cdc, 1, 0)
+                               ).astype(jnp.int32)
+        cbp = cbp_luma | (cbp_chroma << 4)
+
+        # ---- MV prediction / skip grids (spec 8.4.1.3 / 8.4.1.1) ----
+        def shifted(a, dx, dy, avail):
+            out = jnp.zeros_like(a)
+            ys = slice(max(0, -dy), mbh - max(0, dy) or None)
+            xs = slice(max(0, -dx), mbw - max(0, dx) or None)
+            ys_s = slice(max(0, dy), mbh - max(0, -dy) or None)
+            xs_s = slice(max(0, dx), mbw - max(0, -dx) or None)
+            out = out.at[ys, xs].set(a[ys_s, xs_s])
+            return jnp.where(avail, out, 0)
+
+        availA = np.zeros((mbh, mbw), bool); availA[:, 1:] = True
+        availB = np.zeros((mbh, mbw), bool); availB[1:, :] = True
+        availC = np.zeros((mbh, mbw), bool); availC[1:, :-1] = True
+        availD = np.zeros((mbh, mbw), bool); availD[1:, 1:] = True
+        availCD = availC | availD
+        jA, jB = jnp.asarray(availA), jnp.asarray(availB)
+        jC, jCD = jnp.asarray(availC), jnp.asarray(availCD)
+        navail = jnp.asarray(
+            availA.astype(np.int32) + availB + availCD)
+        geo = jnp.asarray(~availB & ~availCD & availA)
+        pm = []
+        for a in (mvx, mvy):
+            va = shifted(a, -1, 0, jA)
+            vb = shifted(a, 0, -1, jB)
+            vc = jnp.where(jC, shifted(a, 1, -1, jC), shifted(a, -1, -1, jCD))
+            med = jnp.maximum(jnp.minimum(va, vb),
+                              jnp.minimum(jnp.maximum(va, vb), vc))
+            only = (jnp.where(jA, va, 0) + jnp.where(jB, vb, 0)
+                    + jnp.where(jCD, vc, 0))
+            pm.append(jnp.where(geo, va, jnp.where(navail == 1, only, med)))
+        pmx, pmy = pm
+        za = shifted((mvx == 0) & (mvy == 0), -1, 0, jA)
+        zb = shifted((mvx == 0) & (mvy == 0), 0, -1, jB)
+        force0 = (~jA) | (~jB) | (jA & (za != 0)) | (jB & (zb != 0))
+        smx = jnp.where(force0, 0, pmx)
+        smy = jnp.where(force0, 0, pmy)
+        skip = (cbp == 0) & (mvx == smx) & (mvy == smy)
+        coded = (~skip).reshape(-1)
+
+        # skip runs: run before coded MB i = i - prev_coded(i) - 1
+        idx = jnp.arange(nmb, dtype=jnp.int32)
+        marks = jnp.where(coded, idx, -1)
+        prev_inclusive = jax.lax.associative_scan(jnp.maximum, marks)
+        prevb = jnp.concatenate([jnp.array([-1], jnp.int32),
+                                 prev_inclusive[:-1]])
+        run = idx - prevb - 1
+
+        # ---- nnz / nC ----
+        gidx = np.array([[(by_ // 2) * 2 + (bx_ // 2) for bx_ in range(4)]
+                         for by_ in range(4)])
+        grp_stack = jnp.stack(grp, axis=-1)  # [mbh, mbw, 4]
+        blk_coded = grp_stack[:, :, jnp.asarray(gidx.reshape(-1))].reshape(
+            mbh, mbw, 4, 4) & coded.reshape(mbh, mbw, 1, 1)
+        tot_l = (zz_l != 0).sum(axis=4).astype(jnp.int32)
+        nnz_l = (tot_l * blk_coded).transpose(0, 2, 1, 3).reshape(mbh * 4, mbw * 4)
+        keep_cac = (cbp_chroma == 2) & coded.reshape(mbh, mbw)
+        nnz_c = [((z != 0).sum(axis=4).astype(jnp.int32)
+                  * keep_cac[:, :, None, None]).transpose(0, 2, 1, 3
+                  ).reshape(mbh * 2, mbw * 2) for z in zz_cac]
+
+        def nc_grid(nn):
+            gh, gw = nn.shape
+            na = jnp.concatenate(
+                [jnp.full((gh, 1), -1, jnp.int32), nn[:, :-1]], axis=1)
+            nb = jnp.concatenate(
+                [jnp.full((1, gw), -1, jnp.int32), nn[:-1]], axis=0)
+            both = (na >= 0) & (nb >= 0)
+            return jnp.where(both, (na + nb + 1) >> 1,
+                             jnp.where(na >= 0, na,
+                                       jnp.where(nb >= 0, nb, 0)))
+
+        ncl = nc_grid(nnz_l)
+        ncc = [nc_grid(nn) for nn in nnz_c]
+
+        # ---- symbol grid: header pseudo-block (10 slots) + 26 blocks ----
+        S = 36
+        (rz_v, rz_l), (rv_v, rv_l) = _ue_sym2_jnp(run)
+        mvd_x = (mvx - pmx).reshape(-1)
+        mvd_y = (mvy - pmy).reshape(-1)
+        (xz_v, xz_l), (xv_v, xv_l) = _se_sym2_jnp(mvd_x)
+        (yz_v, yz_l), (yv_v, yv_l) = _se_sym2_jnp(mvd_y)
+        cbp_code = jnp.take(cbp_fwd, cbp.reshape(-1))
+        (cz_v, cz_l), (cv_v, cv_l) = _ue_sym2_jnp(cbp_code)
+        has_cbp = (cbp.reshape(-1) != 0).astype(jnp.int32)
+        ones = jnp.ones(nmb, jnp.int32)
+        hdr_v = jnp.stack([rz_v, rv_v, ones, xz_v, xv_v, yz_v, yv_v,
+                           cz_v, cv_v, ones], axis=1)
+        hdr_l = jnp.stack([rz_l, rv_l, ones, xz_l, xv_l, yz_l, yv_l,
+                           cz_l, cv_l, has_cbp], axis=1)
+        zpad = jnp.zeros((nmb, S - 10), jnp.int32)
+        parts_v = [jnp.concatenate([hdr_v, zpad], axis=1)]
+        parts_l = [jnp.concatenate([hdr_l, zpad], axis=1)]
+        # 16 luma blocks (full 16-coeff CAVLC), coding order
+        lum_lv = jnp.stack([zz_l[:, :, by_, bx_].reshape(nmb, 16)
+                            for bx_, by_ in H._BLK_ORDER])
+        lum_nc = jnp.stack([ncl[by_::4, bx_::4].reshape(-1)
+                            for bx_, by_ in H._BLK_ORDER])
+        av, al, _ = cavlc_blocks_jnp(lum_lv.reshape(16 * nmb, 16),
+                                     lum_nc.reshape(-1), tabs)
+        keep_blk = jnp.stack([blk_coded[:, :, by_, bx_].reshape(-1)
+                              for bx_, by_ in H._BLK_ORDER])  # [16, nmb]
+        av = (av.reshape(16, nmb, S) * keep_blk[:, :, None]
+              ).transpose(1, 0, 2).reshape(nmb, 16 * S)
+        al = (al.reshape(16, nmb, S) * keep_blk[:, :, None]
+              ).transpose(1, 0, 2).reshape(nmb, 16 * S)
+        parts_v.append(av)
+        parts_l.append(al)
+        keep_cd = ((cbp_chroma.reshape(-1) > 0) & coded)[:, None]
+        cdc_all = jnp.concatenate([cdc_lv[0].reshape(nmb, 4),
+                                   cdc_lv[1].reshape(nmb, 4)])
+        cv2, cl2, _ = cavlc_blocks_jnp(cdc_all, jnp.zeros(2 * nmb, jnp.int32),
+                                       tabs, chroma_dc=True)
+        cv2 = cv2.reshape(2, nmb, S).transpose(1, 0, 2).reshape(nmb, 2 * S)
+        cl2 = cl2.reshape(2, nmb, S).transpose(1, 0, 2).reshape(nmb, 2 * S)
+        parts_v.append(cv2 * keep_cd)
+        parts_l.append(cl2 * keep_cd)
+        kac = keep_cac.reshape(-1)[:, None]
+        cac_l = jnp.stack([zz_cac[ci][:, :, by_, bx_].reshape(nmb, 15)
+                           for ci in range(2)
+                           for bx_, by_ in ((0, 0), (1, 0), (0, 1), (1, 1))])
+        cac_n = jnp.stack([ncc[ci][by_::2, bx_::2].reshape(-1)
+                           for ci in range(2)
+                           for bx_, by_ in ((0, 0), (1, 0), (0, 1), (1, 1))])
+        av2, al2, _ = cavlc_blocks_jnp(cac_l.reshape(8 * nmb, 15),
+                                       cac_n.reshape(-1), tabs)
+        av2 = av2.reshape(8, nmb, S).transpose(1, 0, 2).reshape(nmb, 8 * S)
+        al2 = al2.reshape(8, nmb, S).transpose(1, 0, 2).reshape(nmb, 8 * S)
+        parts_v.append(av2 * kac)
+        parts_l.append(al2 * kac)
+        sval = jnp.concatenate(parts_v, axis=1) * coded[:, None]
+        slen = jnp.concatenate(parts_l, axis=1) * coded[:, None]
+
+        # ---- two-level pack (27 block windows per MB) ----
+        NB = 27
+        BW = max(4, wwords // 10)
+        nblk = nmb * NB
+        sv1 = sval.reshape(nblk, S)
+        sl1 = slen.reshape(nblk, S)
+        ends1 = jnp.cumsum(sl1, axis=1)
+        blk_bits = ends1[:, -1]
+        offs1 = ends1 - sl1
+        vv1 = sv1.astype(jnp.uint32) & ((jnp.uint32(1) << sl1.astype(jnp.uint32)) - 1)
+        t1_ = (offs1 & 31).astype(jnp.uint32)
+        d1 = t1_ + sl1.astype(jnp.uint32)
+        w01 = offs1 >> 5
+        sp1 = d1 > 32
+        y0_ = jnp.where(sp1, vv1 >> jnp.where(sp1, d1 - 32, 0),
+                        vv1 << ((jnp.uint32(32) - d1) & 31))
+        y1_ = jnp.where(sp1, vv1 << jnp.where(sp1, jnp.uint32(64) - d1, 0),
+                        jnp.uint32(0))
+        bwords = []
+        for w_ in range(BW):
+            c = (jnp.where(w01 == w_, y0_, jnp.uint32(0))
+                 | jnp.where(w01 == w_ - 1, y1_, jnp.uint32(0)))
+            bwords.append(jnp.sum(c.astype(jnp.int32), axis=1))
+        bwin = jnp.stack(bwords, axis=1).astype(jnp.uint32)
+        l1_overflow = jnp.max(blk_bits) > BW * 32
+        k_iota = jnp.arange(BW, dtype=jnp.int32)[None, :]
+        wlen = jnp.clip(blk_bits[:, None] - 32 * k_iota, 0, 32)
+        wlenu = wlen.astype(jnp.uint32)
+        wval = jnp.where(wlen >= 32, bwin,
+                         jnp.where(wlen > 0,
+                                   bwin >> ((jnp.uint32(32) - wlenu) & 31),
+                                   jnp.uint32(0)))
+        sv2 = wval.reshape(nmb, NB * BW)
+        sl2 = wlen.reshape(nmb, NB * BW)
+        ends = jnp.cumsum(sl2, axis=1)
+        mb_bits = ends[:, -1]
+        offs = ends - sl2
+        t = (offs & 31).astype(jnp.uint32)
+        w0 = offs >> 5
+        d = t + sl2.astype(jnp.uint32)
+        spans = d > 32
+        x0 = jnp.where(spans, sv2 >> jnp.where(spans, d - 32, 0),
+                       sv2 << ((jnp.uint32(32) - d) & 31))
+        x1 = jnp.where(spans, sv2 << jnp.where(spans, jnp.uint32(64) - d, 0),
+                       jnp.uint32(0))
+        words = []
+        for w_ in range(wwords):
+            contrib = (jnp.where(w0 == w_, x0, jnp.uint32(0))
+                       | jnp.where(w0 == w_ - 1, x1, jnp.uint32(0)))
+            words.append(jnp.sum(contrib.astype(jnp.int32), axis=1))
+        mb_words = jnp.stack(words, axis=1).astype(jnp.uint32)
+        overflow = (jnp.max(mb_bits) > wwords * 32) | l1_overflow
+
+        # ---- exact in-graph reconstruction -> next reference ----
+        dz = jnp.zeros((mbh, mbw, 4, 4, 16), jnp.int32)
+        dz = dz.at[..., zz].set(zz_l * blk_coded[..., None])
+        d_l = dz.reshape(mbh, mbw, 4, 4, 4, 4) * vy_m << (qp // 6)
+        res_l = (_itransform4_jnp(d_l) + 32) >> 6
+        rec = jnp.clip(pred_y.reshape(mbh, mbw, 4, 4, 4, 4).transpose(
+            0, 1, 2, 4, 3, 5) + res_l, 0, 255)
+        ny = rec.transpose(0, 2, 4, 1, 3, 5).reshape(Hl, Wl).astype(jnp.uint8)
+        keep_dc = ((cbp_chroma > 0) & coded.reshape(mbh, mbw))
+        nplanes = []
+        for ci, predc in ((0, pred_cb), (1, pred_cr)):
+            fdc = had2(cdc_lv[ci] * keep_dc[:, :, None, None])
+            dcsc = ((fdc * v00c) << (qpc // 6)) >> 1
+            zzc = jnp.zeros((mbh, mbw, 2, 2, 16), jnp.int32)
+            zzc = zzc.at[..., 1:].set(zz_cac[ci] * keep_cac[:, :, None, None, None])
+            dcf = jnp.zeros((mbh, mbw, 2, 2, 16), jnp.int32)
+            dcf = dcf.at[..., zz].set(zzc)
+            d_c = dcf.reshape(mbh, mbw, 2, 2, 4, 4) * vc_m << (qpc // 6)
+            d_c = d_c.at[..., 0, 0].set(dcsc)
+            res_c = (_itransform4_jnp(d_c) + 32) >> 6
+            recc = jnp.clip(predc.reshape(mbh, mbw, 2, 4, 2, 4).transpose(
+                0, 1, 2, 4, 3, 5) + res_c, 0, 255)
+            nplanes.append(recc.transpose(0, 2, 4, 1, 3, 5).reshape(
+                Hc, Wc).astype(jnp.uint8))
+        return (mb_words, mb_bits.astype(jnp.int32), overflow,
+                ny, nplanes[0], nplanes[1])
+
+    return jax.jit(encode)
+
+
+class InterEncoderTpu:
+    """Device IDR+P encoder: P frames run as ONE jit graph (ME scan, MC,
+    transforms, CAVLC, slot pack, exact reconstruction); IDR frames ride
+    Intra16EncoderTpu with the reference picture reconstructed by the own
+    decoder (sample-exact).  Bitstreams are decoder-conformant; at
+    search=0 they are bit-identical to InterEncoderV/InterEncoder."""
+
+    def __init__(self, width: int, height: int, qp: int = 26, gop: int = 30,
+                 search: int = 8, wwords: int = 96):
+        self.width, self.height = width, height
+        self.qp, self.gop, self.search = qp, max(1, gop), search
+        self.wwords = wwords
+        self.mb_w = (width + 15) // 16
+        self.mb_h = (height + 15) // 16
+        self.headers = H.make_sps(width, height, num_ref_frames=1) + H.make_pps(qp)
+        self._intra = Intra16EncoderTpu(width, height, qp)
+        self._intra.headers = b""
+        self._fns = {}
+        self._frame_idx = 0
+        self._frame_num = 0
+        self.ref = None  # device (y, cb, cr) uint8
+
+    def _fn(self):
+        fn = self._fns.get(self.wwords)
+        if fn is None:
+            fn = self._fns[self.wwords] = make_device_encode_p(
+                self.width, self.height, self.qp, self.search, self.wwords)
+        return fn
+
+    def encode_uyvy(self, frame: np.ndarray) -> bytes:
+        y, cb, cr = H.uyvy_to_i420(frame, self.width, self.height)
+        return self.encode_planes(y, cb, cr)
+
+    def encode_planes(self, y, cb, cr) -> bytes:
+        y, cb, cr = H._pad_to_mb(y, cb, cr)
+        if self.ref is None or self._frame_idx % self.gop == 0:
+            bs = self._encode_idr(y, cb, cr)
+        else:
+            bs = self._encode_p(y, cb, cr)
+        self._frame_idx += 1
+        return bs
+
+    def _encode_idr(self, y, cb, cr) -> bytes:
+        from ultragrid_tpu.ops.h264_dec import IntraDecoder
+
+        slice_bytes = self._intra.encode_planes(y, cb, cr)
+        bs = self.headers + slice_bytes
+        ry, rcb, rcr = IntraDecoder().decode(bs)
+        ryp, rcbp, rcrp = H._pad_to_mb(ry, rcb, rcr)
+        self.ref = (jnp.asarray(ryp), jnp.asarray(rcbp), jnp.asarray(rcrp))
+        self._frame_num = 1
+        return bs
+
+    def _encode_p(self, y, cb, cr) -> bytes:
+        fn = self._fn()
+        args = (jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr)) + self.ref
+        words, bits, ovf, ny, ncb, ncr = fn(*args)
+        while bool(ovf) and self.wwords < 1024:
+            self.wwords *= 2
+            words, bits, ovf, ny, ncb, ncr = self._fn()(*args)
+        self.ref = (ny, ncb, ncr)
+        bs = self._assemble(np.asarray(words), np.asarray(bits))
+        self._frame_num = (self._frame_num + 1) & 15
+        return bs
+
+    def _assemble(self, wn: np.ndarray, bn: np.ndarray) -> bytes:
+        from ultragrid_tpu.native import h264_assemble_lib
+
+        # slice-header prefix window
+        hw = H.BitWriter()
+        H._p_slice_header(hw, 0, self._frame_num)
+        hbits = len(hw.bytes) * 8 + hw.nbits
+        hval = int.from_bytes(bytes(hw.bytes), "big") << hw.nbits | hw.acc
+        # trailing skip run when the frame ends in skips (the C assembler
+        # appends the rbsp stop bit + padding itself)
+        nmb = self.mb_w * self.mb_h
+        coded_idx = np.flatnonzero(bn > 0)
+        trailing = (nmb - 1 - coded_idx[-1]) if coded_idx.size else nmb
+        tw = H.BitWriter()
+        if trailing:
+            tw.ue(int(trailing))
+        tbits = len(tw.bytes) * 8 + tw.nbits
+        tval = int.from_bytes(bytes(tw.bytes), "big") << tw.nbits | tw.acc
+
+        W = wn.shape[1]
+
+        def window(val: int, nbits: int) -> np.ndarray:
+            val <<= (-nbits) % 32
+            nw = (nbits + 31) // 32
+            row = np.zeros((1, W), np.uint32)
+            row[0, :nw] = [(val >> (32 * (nw - 1 - i))) & 0xFFFFFFFF
+                           for i in range(nw)]
+            return row
+
+        wn = np.ascontiguousarray(
+            np.concatenate([window(hval, hbits), wn, window(tval, tbits)]))
+        bn = np.ascontiguousarray(
+            np.concatenate([[hbits], bn, [tbits]]).astype(np.int32))
+        lib = h264_assemble_lib()
+        total_bits = int(bn.sum())
+        cap = total_bits // 8 + total_bits // 64 + 64
+        out = np.empty(cap, np.uint8)
+        n = lib.h264_assemble(wn.ctypes.data, bn.ctypes.data, wn.shape[0], W,
+                              out.ctypes.data, cap)
+        if n < 0:
+            raise RuntimeError("h264_assemble: buffer too small")
+        start = b"\x00\x00\x00\x01" + bytes([(3 << 5) | 1])  # non-IDR NAL
+        return start + out[:n].tobytes()
