@@ -637,3 +637,50 @@ def test_inter_device_graph_bit_identical_and_conformant():
             pytest.skip("no H.264 decoder available")
         got = np.asarray(out.data)[:h, : 2 * w]
         assert (got[:, 1::2] == np.asarray(e4.ref[0])[:h, :w]).all(), i
+
+
+def _halfpel_seq(w, h, n):
+    """Frames translated by 0.5 px/frame (true sub-pel motion)."""
+    xx = np.arange(w, dtype=np.float32)
+    out = []
+    for i in range(n):
+        g = 16 + (np.sin((xx - i * 0.5) * 0.35) * 0.5 + 0.5) * 200
+        f = np.zeros((h, 2 * w), np.uint8)
+        f[:, 1::2] = np.repeat(g[None, :], h, axis=0).astype(np.uint8)
+        f[:, 0::2] = 128
+        out.append(f)
+    return out
+
+
+@pytest.mark.parametrize("enc_cls", ["InterEncoder", "InterEncoderV"])
+def test_inter_halfpel_conformant_and_used(enc_cls):
+    """Half-pel refine (6-tap planes, spec 8.4.2.2.1): sample-exact in
+    libavcodec AND the own decoder; the refine must actually pick
+    half-sample MVs on 0.5 px/frame content."""
+    import ultragrid_tpu.ops.h264 as h264
+    from ultragrid_tpu.modules.lavc import LavcDecompress
+    from ultragrid_tpu.ops.h264_dec import StreamDecoder
+
+    w, h = 64, 48
+    frames = _halfpel_seq(w, h, 4)
+    enc = getattr(h264, enc_cls)(w, h, qp=24, gop=10, search=4)
+    dec = LavcDecompress()
+    stream = b""
+    recons = []
+    sizes = []
+    for i, f in enumerate(frames):
+        bs = enc.encode_uyvy(f)
+        sizes.append(len(bs))
+        stream += bs
+        recons.append(np.asarray(enc.ref[0]).copy())
+        vf = VideoFrame(VideoDesc(w, h, Codec.H264, 30.0),
+                        [np.frombuffer(bs, np.uint8)])
+        out = dec.decompress(vf, Codec.UYVY)
+        if out is None:
+            pytest.skip("no H.264 decoder available")
+        got = np.asarray(out.data)[:h, : 2 * w]
+        assert (got[:, 1::2] == np.asarray(enc.ref[0])[:h, :w]).all(), i
+    for i, (y, _, _) in enumerate(StreamDecoder().decode_stream(stream)):
+        assert (y == recons[i][:h, :w]).all(), f"own-dec frame {i}"
+    # with half-pel MC the P frames are far smaller than the IDR
+    assert all(s < sizes[0] / 4 for s in sizes[1:]), sizes

@@ -1339,6 +1339,12 @@ class Intra16EncoderV:
 # ---------------------------------------------------------------------------
 
 
+# half-pel refine candidate order (shared by scalar and vectorized paths
+# so their tie-breaking matches)
+_HALF_OFFS = ((2, 0), (-2, 0), (0, 2), (0, -2),
+              (2, 2), (2, -2), (-2, 2), (-2, -2))
+
+
 def _p_slice_header(w: BitWriter, first_mb: int, frame_num: int,
                     slice_qp_delta: int = 0) -> None:
     """P slice header (spec 7.3.3; pic_order_cnt_type=2, one L0 ref,
@@ -1441,9 +1447,9 @@ class InterEncoder:
         return bs
 
     def _encode_p(self, y, cb, cr) -> bytes:
-        from ultragrid_tpu.ops.h264_dec import (_CBP_INTER_FWD, mc_chroma,
-                                                mc_luma, mv_pred, pad_ref,
-                                                skip_mv)
+        from ultragrid_tpu.ops.h264_dec import (_CBP_INTER_FWD, half_planes,
+                                                mc_chroma, mc_luma, mv_pred,
+                                                pad_ref, skip_mv)
 
         y, cb, cr = _pad_to_mb(y, cb, cr)
         qp = self.qp
@@ -1451,6 +1457,7 @@ class InterEncoder:
         mbw, mbh = self.mb_w, self.mb_h
         ry, rcb, rcr = self.ref
         rpy, rpcb, rpcr = pad_ref(ry), pad_ref(rcb), pad_ref(rcr)
+        halfp = [None]  # lazily-built 6-tap half-sample planes
         # reconstruction planes for THIS frame (become the next reference)
         ny = np.zeros_like(ry, np.int64)
         ncb = np.zeros_like(rcb, np.int64)
@@ -1484,6 +1491,21 @@ class InterEncoder:
                 dx, dy = self._search_mv(src_y, rpy, px, py)
                 mvx, mvy = dx * 4, dy * 4  # quarter-pel units
                 pred_y = mc_luma(rpy, px, py, mvx, mvy)
+                if self.search:
+                    # half-pel refine: 8 neighbors at quarter-step 2
+                    # (spec 8.4.2.2.1 6-tap samples via the shared planes)
+                    if halfp[0] is None:
+                        halfp[0] = half_planes(rpy)
+                    best_sad = int(np.abs(src_y - pred_y).sum())
+                    best_mv = (mvx, mvy)
+                    for hdx, hdy in _HALF_OFFS:
+                        cand = mc_luma(rpy, px, py, mvx + hdx, mvy + hdy,
+                                       halfp=halfp[0])
+                        sad = int(np.abs(src_y - cand).sum())
+                        if sad < best_sad:
+                            best_sad, pred_y = sad, cand
+                            best_mv = (mvx + hdx, mvy + hdy)
+                    mvx, mvy = best_mv
                 pred_c = [mc_chroma(rpcb, cx, cy, mvx, mvy),
                           mc_chroma(rpcr, cx, cy, mvx, mvy)]
 
@@ -1820,6 +1842,37 @@ class InterEncoderV(InterEncoder):
         gx = (mxg * 16 + dx)[:, :, None, None] + r16[None, None, None, :] + MC_PAD
         pred_y = rpy[gy, gx].astype(np.int64)
         cur = y.astype(np.int64).reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3)
+
+        if self.search:
+            # vectorized half-pel refine over the shared 6-tap planes
+            from ultragrid_tpu.ops.h264_dec import half_planes
+
+            bpl, hpl, jpl = half_planes(rpy)
+            best_sad = np.abs(cur - pred_y).sum(axis=(2, 3))
+            imvx, imvy = mvx, mvy  # fixed integer-pel base for candidates
+            mvx, mvy = mvx.copy(), mvy.copy()
+            for hdx, hdy in _HALF_OFFS:
+                cmx, cmy = imvx + hdx, imvy + hdy
+                ix, iy = cmx >> 2, cmy >> 2
+                fx, fy = hdx & 3, hdy & 3  # 0 or 2, same for every MB
+                if fx and fy:
+                    plane, ox, oy = jpl, -2, -2
+                elif fx:
+                    plane, ox, oy = bpl, -2, 0
+                else:
+                    plane, ox, oy = hpl, 0, -2
+                cgy = ((myg * 16 + iy + oy)[:, :, None, None]
+                       + r16[None, None, :, None] + MC_PAD)
+                cgx = ((mxg * 16 + ix + ox)[:, :, None, None]
+                       + r16[None, None, None, :] + MC_PAD)
+                cand = plane[cgy, cgx].astype(np.int64)
+                sad = np.abs(cur - cand).sum(axis=(2, 3))
+                m = sad < best_sad
+                best_sad = np.where(m, sad, best_sad)
+                mvx = np.where(m, cmx, mvx)
+                mvy = np.where(m, cmy, mvy)
+                pred_y = np.where(m[:, :, None, None], cand, pred_y)
+
         res = cur - pred_y
 
         # ---- chroma MC (eighth-sample bilinear, frac in {0, 4}) ----

@@ -805,14 +805,54 @@ def pad_ref(plane: np.ndarray) -> np.ndarray:
     return np.pad(np.asarray(plane), MC_PAD, mode="edge")
 
 
+def half_planes(refp: np.ndarray):
+    """Spec 8.4.2.2.1 half-sample luma planes over a padded reference:
+    b (half-x), h (half-y), j (half-x + half-y).  b/h from the 6-tap
+    (1,-5,20,20,-5,1) filter; j from the INTERMEDIATE b1 values filtered
+    vertically (the spec's two-stage path, kept exactly)."""
+    r = refp.astype(np.int64)
+
+    def tap6(a, axis):
+        def sh(k):
+            return a[2 + k:a.shape[0] - 3 + k] if axis == 0 else \
+                a[:, 2 + k:a.shape[1] - 3 + k]
+        return (sh(-2) - 5 * sh(-1) + 20 * sh(0) + 20 * sh(1)
+                - 5 * sh(2) + sh(3))
+
+    # b1[y, x] = 6-tap across x at (x + 0.5); defined for x in [2, W-4]
+    b1 = tap6(r, axis=1)
+    h1 = tap6(r, axis=0)
+    b = np.clip((b1 + 16) >> 5, 0, 255)
+    h = np.clip((h1 + 16) >> 5, 0, 255)
+    # j: vertical 6-tap over b1 (intermediate, unclipped)
+    j1 = (b1[:-5] - 5 * b1[1:-4] + 20 * b1[2:-3] + 20 * b1[3:-2]
+          - 5 * b1[4:-1] + b1[5:])
+    j = np.clip((j1 + 512) >> 10, 0, 255)
+    # align all planes so plane[y, x] is the half-sample at/after (y, x)
+    # with the same origin as refp[2:, 2:]-style cropping:
+    # b[y, x] covers (y, x + 0.5) for refp coords y in [0..], x in [2..]
+    return b, h, j
+
+
 def mc_luma(refp: np.ndarray, px: int, py: int, mvx: int, mvy: int,
-            w: int = 16, h: int = 16) -> np.ndarray:
-    """Luma motion compensation, integer-pel only (mv in quarter units)."""
-    if mvx & 3 or mvy & 3:
-        raise UnsupportedStream("sub-pel luma motion not supported")
+            w: int = 16, h: int = 16, halfp=None) -> np.ndarray:
+    """Luma motion compensation: integer and half-pel (mv in quarter
+    units; quarter-pel positions are not emitted by the own encoder)."""
+    fx, fy = mvx & 3, mvy & 3
+    if fx & 1 or fy & 1:
+        raise UnsupportedStream("quarter-pel luma motion not supported")
     x0 = px + (mvx >> 2) + MC_PAD
     y0 = py + (mvy >> 2) + MC_PAD
-    return refp[y0:y0 + h, x0:x0 + w].astype(np.int64)
+    if not fx and not fy:
+        return refp[y0:y0 + h, x0:x0 + w].astype(np.int64)
+    if halfp is None:
+        halfp = half_planes(refp)
+    b, hp, j = halfp
+    if fx and fy:  # j plane origin: (y - 2, x - 2) in its own coords
+        return j[y0 - 2:y0 - 2 + h, x0 - 2:x0 - 2 + w].astype(np.int64)
+    if fx:
+        return b[y0:y0 + h, x0 - 2:x0 - 2 + w].astype(np.int64)
+    return hp[y0 - 2:y0 - 2 + h, x0:x0 + w].astype(np.int64)
 
 
 def mc_chroma(refp: np.ndarray, px: int, py: int, mvx: int, mvy: int,
@@ -1007,9 +1047,17 @@ class StreamDecoder:
                 return int(nb)
             return 0
 
+        halfp_cache = [None]
+
+        def get_halfp():
+            if halfp_cache[0] is None:
+                halfp_cache[0] = half_planes(ry)
+            return halfp_cache[0]
+
         def recon_inter_mb(mx, my, mvx, mvy, luma_res, chroma_res):
             px, py = mx * 16, my * 16
-            pred = mc_luma(ry, px, py, mvx, mvy)
+            hp = get_halfp() if ((mvx | mvy) & 3) else None
+            pred = mc_luma(ry, px, py, mvx, mvy, halfp=hp)
             y[py:py + 16, px:px + 16] = np.clip(pred + luma_res, 0, 255)
             cx, cy = mx * 8, my * 8
             for plane, refc, res in ((cbp_, rcb, chroma_res[0]),
