@@ -684,3 +684,31 @@ def test_inter_halfpel_conformant_and_used(enc_cls):
         assert (y == recons[i][:h, :w]).all(), f"own-dec frame {i}"
     # with half-pel MC the P frames are far smaller than the IDR
     assert all(s < sizes[0] / 4 for s in sizes[1:]), sizes
+
+
+def test_inter_device_halfpel_conformant():
+    """Device graph half-pel refine: lavc + own decoder sample-exact on
+    0.5 px/frame content; search=0 bit-identity with InterEncoderV holds."""
+    from ultragrid_tpu.modules.lavc import LavcDecompress
+    from ultragrid_tpu.ops.h264_dec import StreamDecoder
+    from ultragrid_tpu.ops.h264_tpu import InterEncoderTpu
+
+    w, h = 64, 48
+    frames = _halfpel_seq(w, h, 4)
+    enc = InterEncoderTpu(w, h, qp=24, gop=10, search=4)
+    dec = LavcDecompress()
+    stream = b""
+    recons = []
+    for i, f in enumerate(frames):
+        bs = enc.encode_uyvy(f)
+        stream += bs
+        recons.append(np.asarray(enc.ref[0]).copy())
+        out = dec.decompress(
+            VideoFrame(VideoDesc(w, h, Codec.H264, 30.0),
+                       [np.frombuffer(bs, np.uint8)]), Codec.UYVY)
+        if out is None:
+            pytest.skip("no H.264 decoder available")
+        got = np.asarray(out.data)[:h, : 2 * w]
+        assert (got[:, 1::2] == np.asarray(enc.ref[0])[:h, :w]).all(), i
+    for i, (y, _, _) in enumerate(StreamDecoder().decode_stream(stream)):
+        assert (y == recons[i][:h, :w]).all(), i

@@ -734,6 +734,71 @@ def make_device_encode_p(width: int, height: int, qp: int, search: int = 8,
             me_body, init, cands_j)
         mvx, mvy = bdx * 4, bdy * 4
 
+        if search:
+            # ---- half-pel refine (6-tap planes, spec 8.4.2.2.1) ----
+            def tap6(a, axis):
+                def sh(k):
+                    return (a[2 + k:a.shape[0] - 3 + k] if axis == 0
+                            else a[:, 2 + k:a.shape[1] - 3 + k])
+                return (sh(-2) - 5 * sh(-1) + 20 * sh(0) + 20 * sh(1)
+                        - 5 * sh(2) + sh(3))
+
+            b1 = tap6(rpy, axis=1)
+            h1 = tap6(rpy, axis=0)
+            bpl = jnp.clip((b1 + 16) >> 5, 0, 255)
+            hpl = jnp.clip((h1 + 16) >> 5, 0, 255)
+            j1 = (b1[:-5] - 5 * b1[1:-4] + 20 * b1[2:-3] + 20 * b1[3:-2]
+                  - 5 * b1[4:-1] + b1[5:])
+            jpl = jnp.clip((j1 + 512) >> 10, 0, 255)
+            myg, mxg = np.mgrid[0:mbh, 0:mbw]
+            myg, mxg = jnp.asarray(myg), jnp.asarray(mxg)
+            r16g = jnp.arange(16)
+            imvx, imvy = mvx, mvy
+            from ultragrid_tpu.ops.h264 import _HALF_OFFS
+
+            for hdx, hdy in _HALF_OFFS:
+                cmx, cmy = imvx + hdx, imvy + hdy
+                ix, iy = cmx >> 2, cmy >> 2
+                fx, fy = hdx & 3, hdy & 3
+                if fx and fy:
+                    plane, ox, oy = jpl, -2, -2
+                elif fx:
+                    plane, ox, oy = bpl, -2, 0
+                else:
+                    plane, ox, oy = hpl, 0, -2
+                cgy = ((myg * 16 + iy + oy)[:, :, None, None]
+                       + r16g[None, None, :, None] + _MC_PAD)
+                cgx = ((mxg * 16 + ix + ox)[:, :, None, None]
+                       + r16g[None, None, None, :] + _MC_PAD)
+                cand = plane[cgy, cgx]
+                sad = jnp.abs(cur_b - cand).sum(axis=(2, 3))
+                m = sad < best
+                best = jnp.where(m, sad, best)
+                mvx = jnp.where(m, cmx, mvx)
+                mvy = jnp.where(m, cmy, mvy)
+                pred_y = jnp.where(m[:, :, None, None], cand, pred_y)
+            # recompute chroma MC from the final (possibly half-pel) MVs:
+            # per-MB integer gather + eighth-sample bilinear, identical math
+            # to the scan path for unrefined MBs
+            r8g = jnp.arange(8)
+            cxi, cxf = mvx >> 3, mvx & 7
+            cyi, cyf = mvy >> 3, mvy & 7
+            cgy8 = ((myg * 8 + cyi)[:, :, None, None]
+                    + r8g[None, None, :, None] + _MC_PAD)
+            cgx8 = ((mxg * 8 + cxi)[:, :, None, None]
+                    + r8g[None, None, None, :] + _MC_PAD)
+            wxf = cxf[:, :, None, None]
+            wyf = cyf[:, :, None, None]
+            newc = []
+            for plane in (rpcb, rpcr):
+                a = plane[cgy8, cgx8]
+                b_ = plane[cgy8, cgx8 + 1]
+                c_ = plane[cgy8 + 1, cgx8]
+                d_ = plane[cgy8 + 1, cgx8 + 1]
+                newc.append(((8 - wxf) * (8 - wyf) * a + wxf * (8 - wyf) * b_
+                             + (8 - wxf) * wyf * c_ + wxf * wyf * d_ + 32) >> 6)
+            pred_cb, pred_cr = newc
+
         # ---- luma residual: 16-coeff blocks ----
         res = cur_b - pred_y
         b44 = res.reshape(mbh, mbw, 4, 4, 4, 4).transpose(0, 1, 2, 4, 3, 5)
