@@ -541,6 +541,34 @@ def test_batched_jpeg_ldgm_parity_matches_single_frame():
                                       np.asarray(ref[0]))
 
 
+def test_batched_jpeg_ldgm_420_parity_matches_batch1():
+    """The 4:2:0 batched north-star graph (16x16 MCUs, 6 blocks/MCU) must
+    keep per-frame bit-identity under row-wise frame stacking, like 4:2:2
+    (measured 6.0 ms/frame at 8K batch-8 on one v5e chip — PERF.md)."""
+    import numpy as np
+
+    from ultragrid_tpu.models.encode import BatchedJpegLdgmPipeline
+    from ultragrid_tpu.types import Codec, VideoDesc
+
+    desc = VideoDesc(64, 32, Codec.UYVY, 30.0)
+    rng = np.random.default_rng(1)
+    frames = [rng.integers(0, 256, (32, 128), dtype=np.uint8) for _ in range(3)]
+    one = BatchedJpegLdgmPipeline(desc, 1, quality=80, fec="ldgm:8:4:3",
+                                  subsampling="420")
+    batch = BatchedJpegLdgmPipeline(desc, 3, quality=80, fec="ldgm:8:4:3",
+                                    subsampling="420")
+    assert batch.enc.single.subsampling == "420"
+    outs = batch(np.concatenate(frames, axis=0))
+    pars = np.asarray(outs[6])
+    npm = batch.enc.single.nmcu
+    ys = np.asarray(outs[0])
+    for i, f in enumerate(frames):
+        ref = one(f)
+        np.testing.assert_array_equal(pars[i], np.asarray(ref[6])[0])
+        np.testing.assert_array_equal(ys[i * npm * 4:(i + 1) * npm * 4],
+                                      np.asarray(ref[0]))
+
+
 def test_uncompressed_1080p_loopback_throughput_smoke():
     """Regression guard for the batched receive path: 1080p uncompressed
     loopback must sustain at least an order-of-magnitude below the

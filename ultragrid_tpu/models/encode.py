@@ -322,14 +322,16 @@ class BatchedJpegLdgmPipeline:
     sender keeps the single-frame EncodePipeline."""
 
     def __init__(self, desc: VideoDesc, nframes: int,
-                 quality: int = 80, fec: str = "ldgm:256:26:5"):
+                 quality: int = 80, fec: str = "ldgm:256:26:5",
+                 subsampling: Optional[str] = None):
         from ultragrid_tpu.ops.jpeg import JpegBatchEncoder
 
         kind, k, m, c = _parse_fec(fec)
         assert kind == "ldgm"
         self.nframes = nframes
         self.enc = JpegBatchEncoder(desc.width, desc.height, nframes,
-                                    in_codec=desc.color_spec, quality=quality)
+                                    in_codec=desc.color_spec, quality=quality,
+                                    subsampling=subsampling)
         single = self.enc.single
         ww = single.wwords
         ky = 2 if single.subsampling == "422" else (4 if single.subsampling == "420" else 1)

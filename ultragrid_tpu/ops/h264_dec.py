@@ -394,13 +394,31 @@ def _pred8_chroma_plane(t: np.ndarray, l: np.ndarray, tl: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _parse_dbf(r: "BitReader", pps) -> Tuple[int, int, int]:
+    """Slice-header deblock fields (7.3.3): (idc, offsetA, offsetB).
+    idc==1 disables the filter; absent dbf_ctrl means filter on, offsets 0."""
+    idc, offa, offb = 0, 0, 0
+    if pps["dbf_ctrl"]:
+        idc = r.ue()
+        if idc > 2:
+            raise UnsupportedStream(f"deblock idc {idc}")
+        if idc != 1:
+            offa = r.se() * 2
+            offb = r.se() * 2
+    return idc, offa, offb
+
+
 class IntraDecoder:
     """Decode the own encoder's Annex-B streams -> (Y, Cb, Cr) planes."""
 
     def decode(self, bs: bytes):
+        from ultragrid_tpu.ops.h264_deblock import DeblockCtx, deblock_frame
+
         sps = pps = None
-        y = cb = cr = None
         state = None
+        db = None
+        sid = -1
+        seen_slice = False
         for nal_type, rbsp in split_nals(bs):
             if nal_type == 7:
                 sps = self._parse_sps(rbsp)
@@ -409,16 +427,26 @@ class IntraDecoder:
             elif nal_type == 5:
                 if sps is None or pps is None:
                     raise UnsupportedStream("slice before parameter sets")
+                mbw, mbh = sps["mb_w"], sps["mb_h"]
                 if state is None:
-                    mbw, mbh = sps["mb_w"], sps["mb_h"]
                     state = (
                         np.zeros((mbh * 16, mbw * 16), np.int64),
                         np.zeros((mbh * 8, mbw * 8), np.int64),
                         np.zeros((mbh * 8, mbw * 8), np.int64),
                     )
-                y, cb, cr = self._decode_slice(rbsp, sps, pps, state)
-        if y is None:
+                first_mb = BitReader(rbsp).ue()
+                if db is None or (first_mb == 0 and seen_slice):
+                    # new picture: fresh filter context
+                    db = DeblockCtx(mbw, mbh, pps["chroma_off"])
+                    sid = -1
+                seen_slice = True
+                sid += 1
+                self._decode_slice(rbsp, sps, pps, state, db=db, slice_id=sid)
+        if state is None:
             raise UnsupportedStream("no IDR slice found")
+        y, cb, cr = (p.astype(np.uint8) for p in state)
+        if db is not None and db.any_enabled:
+            deblock_frame(y, cb, cr, db)
         w, h = sps["width"], sps["height"]
         return y[:h, :w], cb[: (h + 1) // 2, : (w + 1) // 2], cr[: (h + 1) // 2, : (w + 1) // 2]
 
@@ -471,7 +499,8 @@ class IntraDecoder:
         r.u(1); r.u(1)
         return {"init_qp": init_qp, "chroma_off": chroma_off, "dbf_ctrl": dbf_ctrl}
 
-    def _decode_slice(self, rbsp: bytes, sps, pps, state):
+    def _decode_slice(self, rbsp: bytes, sps, pps, state, db=None,
+                      slice_id: int = 0):
         r = BitReader(rbsp)
         first_mb = r.ue()
         st = r.ue()
@@ -482,21 +511,26 @@ class IntraDecoder:
         r.ue()  # idr_pic_id
         r.u(1); r.u(1)  # dec_ref_pic_marking
         qp = pps["init_qp"] + r.se()
-        if pps["dbf_ctrl"]:
-            # deblocking is not implemented: only idc==1 (disabled) keeps
-            # the decode loop valid; idc 0/2 also carry two se() offsets
-            # that would desync the bitstream if left unread
-            dbf_idc = r.ue()
-            if dbf_idc != 1:
-                raise UnsupportedStream(
-                    f"deblocking filter requested (idc={dbf_idc}), "
-                    "not implemented")
+        dbf_idc, dbf_offa, dbf_offb = _parse_dbf(r, pps)
         mbw, mbh = sps["mb_w"], sps["mb_h"]
         y, cbp_, crp = state
         if first_mb % mbw:
             raise UnsupportedStream("slices must start at an MB row")
         my0 = first_mb // mbw  # slice's first MB row: resets availability
-        nnz_l = np.zeros((mbh * 4, mbw * 4), np.int64)
+        nnz_l = db.nnz if db is not None else np.zeros((mbh * 4, mbw * 4), np.int64)
+
+        def record(my, mx, *, ipcm=False):
+            # per-MB deblock inputs (spec 8.7: QPy, intra/IPCM, slice of q0)
+            if db is None:
+                return
+            db.decoded[my, mx] = True
+            db.intra[my, mx] = True
+            db.ipcm[my, mx] = ipcm
+            db.qp[my, mx] = qp
+            db.slice_id[my, mx] = slice_id
+            db.idc[my, mx] = dbf_idc
+            db.offa[my, mx] = dbf_offa
+            db.offb[my, mx] = dbf_offb
         nnz_c = [np.zeros((mbh * 2, mbw * 2), np.int64) for _ in range(2)]
         # last meaningful bit = the rbsp stop bit (last set bit of the
         # last nonzero byte); more_rbsp_data() is true before it
@@ -647,6 +681,7 @@ class IntraDecoder:
                 done4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
                 avail4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
                 i4mode[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 2
+                record(my, mx, ipcm=True)
                 continue
 
             if mb_type == 0:  # I_4x4 (I_NxN, baseline => 4x4 transform)
@@ -703,6 +738,7 @@ class IntraDecoder:
                     plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(
                         predc + cres[ci], 0, 255
                     )
+                record(my, mx)
                 continue
 
             if not 1 <= mb_type <= 24:
@@ -779,6 +815,7 @@ class IntraDecoder:
                 plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(
                     predc + cres[ci], 0, 255
                 )
+            record(my, mx)
         return y.astype(np.uint8), cbp_.astype(np.uint8), crp.astype(np.uint8)
 
 
@@ -954,8 +991,12 @@ class StreamDecoder:
         return self._decode_units(list(split_nals(bs)))
 
     def _decode_units(self, units):
+        from ultragrid_tpu.ops.h264_deblock import DeblockCtx, deblock_frame
+
         state = None
         kind = None
+        db = None
+        sid = -1
         for nal_type, rbsp in units:
             if nal_type == 7:
                 self.sps = self._intra._parse_sps(rbsp)
@@ -971,6 +1012,9 @@ class StreamDecoder:
                         np.zeros((mbh * 8, mbw * 8), np.int64),
                         np.zeros((mbh * 8, mbw * 8), np.int64),
                     )
+                if db is None:
+                    db = DeblockCtx(mbw, mbh, self.pps["chroma_off"])
+                sid += 1
                 st = BitReader(rbsp)
                 st.ue()  # first_mb
                 slice_type = st.ue()
@@ -979,17 +1023,22 @@ class StreamDecoder:
                         # the intra slice parser assumes the IDR header shape
                         raise UnsupportedStream("non-IDR I slice")
                     kind = "I"
-                    self._intra._decode_slice(rbsp, self.sps, self.pps, state)
+                    self._intra._decode_slice(rbsp, self.sps, self.pps, state,
+                                              db=db, slice_id=sid)
                 elif slice_type % 5 == 0:  # P slice
                     if self.ref is None:
                         raise UnsupportedStream("P slice without a reference")
                     kind = "P"
-                    self._decode_slice_p(rbsp, state)
+                    self._decode_slice_p(rbsp, state, db=db, slice_id=sid)
                 else:
                     raise UnsupportedStream(f"slice type {slice_type}")
         if kind is None:
             raise UnsupportedStream("no slice in access unit")
         y, cb, cr = (p.astype(np.uint8) for p in state)
+        if db is not None and db.any_enabled:
+            # the FILTERED picture is both the output and the reference
+            # for the next P picture (spec 8.7 feeds the DPB)
+            deblock_frame(y, cb, cr, db)
         self.ref = (y, cb, cr)
         self._refp = None  # lazily re-padded on next P
         w, h = self.sps["width"], self.sps["height"]
@@ -998,7 +1047,7 @@ class StreamDecoder:
 
     # -- P slice -----------------------------------------------------------
 
-    def _decode_slice_p(self, rbsp: bytes, state):
+    def _decode_slice_p(self, rbsp: bytes, state, db=None, slice_id: int = 0):
         sps, pps = self.sps, self.pps
         if self._refp is None:
             self._refp = tuple(pad_ref(p) for p in self.ref)
@@ -1017,18 +1066,27 @@ class StreamDecoder:
         if r.u(1):  # adaptive_ref_pic_marking_mode_flag
             raise UnsupportedStream("adaptive ref pic marking")
         qp = pps["init_qp"] + r.se()
-        if pps["dbf_ctrl"]:
-            if r.ue() != 1:
-                raise UnsupportedStream("deblocking filter requested")
+        dbf_idc, dbf_offa, dbf_offb = _parse_dbf(r, pps)
         mbw, mbh = sps["mb_w"], sps["mb_h"]
         y, cbp_, crp = state
         if first_mb % mbw:
             raise UnsupportedStream("slices must start at an MB row")
         my0 = first_mb // mbw
-        nnz_l = np.zeros((mbh * 4, mbw * 4), np.int64)
+        nnz_l = db.nnz if db is not None else np.zeros((mbh * 4, mbw * 4), np.int64)
         nnz_c = [np.zeros((mbh * 2, mbw * 2), np.int64) for _ in range(2)]
-        mvs = np.zeros((mbh, mbw, 2), np.int64)
-        refs = np.full((mbh, mbw), -1, np.int64)
+        mvs = db.mvs if db is not None else np.zeros((mbh, mbw, 2), np.int64)
+        refs = db.refs if db is not None else np.full((mbh, mbw), -1, np.int64)
+
+        def record(my, mx, *, intra=False):
+            if db is None:
+                return
+            db.decoded[my, mx] = True
+            db.intra[my, mx] = intra
+            db.qp[my, mx] = qp
+            db.slice_id[my, mx] = slice_id
+            db.idc[my, mx] = dbf_idc
+            db.offa[my, mx] = dbf_offa
+            db.offb[my, mx] = dbf_offb
 
         last_nz = len(rbsp) - 1
         while last_nz >= 0 and rbsp[last_nz] == 0:

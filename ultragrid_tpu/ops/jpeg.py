@@ -883,15 +883,17 @@ class JpegBatchEncoder:
         in_codec: Codec = Codec.UYVY,
         quality: int = 80,
         restart_interval: Optional[int] = None,
+        subsampling: Optional[str] = None,
     ):
         self.nframes = nframes
         self.single = JpegEncoder(
             width, height, in_codec=in_codec, quality=quality,
-            restart_interval=restart_interval,
+            restart_interval=restart_interval, subsampling=subsampling,
         )
         self.tall = JpegEncoder(
             width, height * nframes, in_codec=in_codec, quality=quality,
             restart_interval=self.single.restart_interval,
+            subsampling=subsampling,
         )
         # identical entropy geometry => per-frame bit-identity
         assert self.tall.restart_interval == self.single.restart_interval
