@@ -68,7 +68,7 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def bench_jpeg_4k(n_iters: int = 20, batches: int = 7, nframes: int = 8) -> float:
+def bench_jpeg_4k(n_iters: int = 20, batches: int = 7, nframes: int = 16) -> float:
     """Min-of-batches fps: tunnel/host interference only ever ADDS time, so
     the fastest batch is the closest estimate of device capability.
 

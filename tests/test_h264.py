@@ -267,6 +267,92 @@ def test_own_decoder_decodes_foreign_x264_streams():
         assert np.array_equal(uy[0::2, 2::4].astype(np.int64), cr.astype(np.int64))
 
 
+def test_own_decoder_deblocking_intra_streams():
+    """In-loop deblocking (spec 8.7): the own decoder now handles DEFAULT
+    libx264 output (deblocking enabled) sample-exact vs libavcodec —
+    including non-zero slice alpha/beta offsets.  Previously streams had
+    to signal no-deblock (role: libavcodec.c universal decode)."""
+    import pytest
+
+    from ultragrid_tpu.modules.lavc import LavcCompress, LavcDecompress, lavc_available
+    from ultragrid_tpu.ops.h264_dec import IntraDecoder
+    from ultragrid_tpu.utils.pattern import generate_pattern
+
+    if not lavc_available():
+        pytest.skip("lavc shim unavailable")
+    rng = np.random.default_rng(7)
+    cases = [
+        (64, 64, 24, None, ""),             # noise, default deblock (0,0)
+        (176, 144, 36, "gradient", ""),     # smooth: strong (bS=4) paths
+        (96, 64, 30, "bars", ":x264opts=deblock=2,-1"),  # custom offsets
+        (64, 48, 44, None, ""),             # high QP: alpha/beta saturate
+    ]
+    for w, h, qp, pat, extra in cases:
+        if pat is None:
+            data = rng.integers(0, 256, (h, 2 * w), dtype=np.uint8)
+        else:
+            data = np.asarray(generate_pattern(w, h, Codec.UYVY, pat))
+        frame = VideoFrame(VideoDesc(w, h, Codec.UYVY, 30.0), [data])
+        comp = LavcCompress(
+            "codec=H.264:encoder=libx264:profile=baseline:qp="
+            f"{qp}:g=1:aq-mode=0{extra}")
+        out = comp.compress(frame)
+        bs = bytes(np.asarray(out.tiles[0]).reshape(-1))
+        y, cb, cr = IntraDecoder().decode(bs)
+        ref = LavcDecompress().decompress(
+            VideoFrame(VideoDesc(w, h, Codec.H264, 30.0),
+                       [np.frombuffer(bs, np.uint8)]), Codec.UYVY)
+        uy = np.asarray(ref.data)
+        assert np.array_equal(uy[:, 1::2].astype(np.int64), y.astype(np.int64)), \
+            f"luma mismatch {w}x{h} qp{qp} {extra or 'default deblock'}"
+        assert np.array_equal(uy[0::2, 0::4].astype(np.int64), cb.astype(np.int64))
+        assert np.array_equal(uy[0::2, 2::4].astype(np.int64), cr.astype(np.int64))
+
+
+def test_own_decoder_deblocking_inter_streams():
+    """Deblocking across a P GOP: bS from MV/ref/coded-coefficient rules
+    (8.7.2.1) and the filtered picture feeding the DPB.  Foreign libx264
+    stream constrained to the decoder's P toolset (16x16 partitions,
+    full-pel ME) but with deblocking at its defaults."""
+    import pytest
+
+    from ultragrid_tpu.modules.lavc import LavcCompress, LavcDecompress, lavc_available
+    from ultragrid_tpu.ops.h264_dec import StreamDecoder
+    from ultragrid_tpu.utils.pattern import generate_pattern
+
+    if not lavc_available():
+        pytest.skip("lavc shim unavailable")
+    w, h = 96, 64
+    base = np.asarray(generate_pattern(w, h, Codec.UYVY, "gradient")).copy()
+    rng = np.random.default_rng(3)
+    frames = []
+    for i in range(5):
+        f = np.roll(base, i * 6, axis=1).copy()
+        f[20:36, 40:80] = rng.integers(0, 256, (16, 40), dtype=np.uint8)
+        frames.append(f)
+    comp = LavcCompress(
+        "codec=H.264:encoder=libx264:profile=baseline:qp=30:g=8:aq-mode=0:"
+        "refs=1:partitions=none:trellis=0")
+    bitstreams = []
+    for f in frames:
+        out = comp.compress(VideoFrame(VideoDesc(w, h, Codec.UYVY, 30.0), [f]))
+        bitstreams.append(bytes(np.asarray(out.tiles[0]).reshape(-1)))
+    dec = StreamDecoder()
+    ref_dec = LavcDecompress()
+    for i, bs in enumerate(bitstreams):
+        y, cb, cr = dec.decode_au(bs)
+        ref = ref_dec.decompress(
+            VideoFrame(VideoDesc(w, h, Codec.H264, 30.0),
+                       [np.frombuffer(bs, np.uint8)]), Codec.UYVY)
+        uy = np.asarray(ref.data)
+        assert np.array_equal(uy[:, 1::2].astype(np.int64), y.astype(np.int64)), \
+            f"luma mismatch frame {i}"
+        assert np.array_equal(uy[0::2, 0::4].astype(np.int64), cb.astype(np.int64)), \
+            f"cb mismatch frame {i}"
+        assert np.array_equal(uy[0::2, 2::4].astype(np.int64), cr.astype(np.int64)), \
+            f"cr mismatch frame {i}"
+
+
 def test_cbp_intra_table_matches_decoder():
     from ultragrid_tpu.ops.h264 import _CBP_INTRA_TAB
     from ultragrid_tpu.ops.h264_dec import _CBP_INTRA

@@ -461,8 +461,9 @@ class IntraDecoder:
             raise UnsupportedStream(f"profile {profile}")
         log2_mfn = r.ue() + 4
         poc_type = r.ue()
+        log2_poc = 0
         if poc_type == 0:
-            r.ue()
+            log2_poc = r.ue() + 4
         elif poc_type == 1:
             raise UnsupportedStream("poc type 1")
         r.ue()  # max refs
@@ -478,6 +479,7 @@ class IntraDecoder:
             cl, cr_, ct, cb_ = r.ue(), r.ue(), r.ue(), r.ue()
         return {
             "mb_w": mb_w, "mb_h": mb_h, "log2_mfn": log2_mfn,
+            "poc_type": poc_type, "log2_poc": log2_poc,
             "width": mb_w * 16 - 2 * (cl + cr_),
             "height": mb_h * 16 - 2 * (ct + cb_),
         }
@@ -509,6 +511,8 @@ class IntraDecoder:
         r.ue()  # pps id
         r.u(sps["log2_mfn"])  # frame_num
         r.ue()  # idr_pic_id
+        if sps.get("poc_type", 2) == 0:
+            r.u(sps["log2_poc"])  # pic_order_cnt_lsb
         r.u(1); r.u(1)  # dec_ref_pic_marking
         qp = pps["init_qp"] + r.se()
         dbf_idc, dbf_offa, dbf_offb = _parse_dbf(r, pps)
@@ -871,13 +875,33 @@ def half_planes(refp: np.ndarray):
     return b, h, j
 
 
+# quarter-sample positions (spec 8.4.2.2.1 figure): each quarter position
+# averages (with upward rounding) its two nearest full/half samples.  The
+# table maps (fx, fy) -> two constituents as (cfx, cfy, dy, dx) where
+# (cfx, cfy) in {0, 2} selects the G/b/h/j plane and (dy, dx) is an extra
+# integer-sample offset (m = h one column right, s = b one row down).
+_QTAB = {
+    (1, 0): ((0, 0, 0, 0), (2, 0, 0, 0)),  # a = (G + b) >> 1
+    (3, 0): ((2, 0, 0, 0), (0, 0, 0, 1)),  # c = (b + G>) >> 1
+    (0, 1): ((0, 0, 0, 0), (0, 2, 0, 0)),  # d = (G + h) >> 1
+    (0, 3): ((0, 2, 0, 0), (0, 0, 1, 0)),  # n = (h + Gv) >> 1
+    (1, 1): ((2, 0, 0, 0), (0, 2, 0, 0)),  # e = (b + h) >> 1
+    (3, 1): ((2, 0, 0, 0), (0, 2, 0, 1)),  # g = (b + m) >> 1
+    (1, 3): ((0, 2, 0, 0), (2, 0, 1, 0)),  # p = (h + s) >> 1
+    (3, 3): ((2, 0, 1, 0), (0, 2, 0, 1)),  # r = (s + m) >> 1
+    (2, 1): ((2, 0, 0, 0), (2, 2, 0, 0)),  # f = (b + j) >> 1
+    (2, 3): ((2, 2, 0, 0), (2, 0, 1, 0)),  # q = (j + s) >> 1
+    (1, 2): ((0, 2, 0, 0), (2, 2, 0, 0)),  # i = (h + j) >> 1
+    (3, 2): ((2, 2, 0, 0), (0, 2, 0, 1)),  # k = (j + m) >> 1
+}
+
+
 def mc_luma(refp: np.ndarray, px: int, py: int, mvx: int, mvy: int,
             w: int = 16, h: int = 16, halfp=None) -> np.ndarray:
-    """Luma motion compensation: integer and half-pel (mv in quarter
-    units; quarter-pel positions are not emitted by the own encoder)."""
+    """Luma motion compensation at full QUARTER-sample resolution (mv in
+    quarter units, spec 8.4.2.2.1: 6-tap half samples + rounded averages
+    for the 12 quarter positions)."""
     fx, fy = mvx & 3, mvy & 3
-    if fx & 1 or fy & 1:
-        raise UnsupportedStream("quarter-pel luma motion not supported")
     x0 = px + (mvx >> 2) + MC_PAD
     y0 = py + (mvy >> 2) + MC_PAD
     if not fx and not fy:
@@ -885,11 +909,21 @@ def mc_luma(refp: np.ndarray, px: int, py: int, mvx: int, mvy: int,
     if halfp is None:
         halfp = half_planes(refp)
     b, hp, j = halfp
-    if fx and fy:  # j plane origin: (y - 2, x - 2) in its own coords
-        return j[y0 - 2:y0 - 2 + h, x0 - 2:x0 - 2 + w].astype(np.int64)
-    if fx:
-        return b[y0:y0 + h, x0 - 2:x0 - 2 + w].astype(np.int64)
-    return hp[y0 - 2:y0 - 2 + h, x0:x0 + w].astype(np.int64)
+
+    def samp(cfx, cfy, dy, dx):
+        yy, xx = y0 + dy, x0 + dx
+        if cfx == 0 and cfy == 0:
+            return refp[yy:yy + h, xx:xx + w].astype(np.int64)
+        if cfx == 2 and cfy == 0:
+            return b[yy:yy + h, xx - 2:xx - 2 + w].astype(np.int64)
+        if cfx == 0 and cfy == 2:
+            return hp[yy - 2:yy - 2 + h, xx:xx + w].astype(np.int64)
+        return j[yy - 2:yy - 2 + h, xx - 2:xx - 2 + w].astype(np.int64)
+
+    if fx & 1 or fy & 1:  # quarter position: rounded average of two
+        ca, cb_ = _QTAB[(fx, fy)]
+        return (samp(*ca) + samp(*cb_) + 1) >> 1
+    return samp(fx, fy, 0, 0)
 
 
 def mc_chroma(refp: np.ndarray, px: int, py: int, mvx: int, mvy: int,
@@ -1057,6 +1091,8 @@ class StreamDecoder:
         r.ue()  # slice_type (already known P)
         r.ue()  # pps id
         r.u(sps["log2_mfn"])  # frame_num
+        if sps.get("poc_type", 2) == 0:
+            r.u(sps["log2_poc"])  # pic_order_cnt_lsb
         if r.u(1):  # num_ref_idx_active_override_flag
             if r.ue() != 0:
                 raise UnsupportedStream("multiple reference frames")
@@ -1136,6 +1172,8 @@ class StreamDecoder:
                 recon_inter_mb(mx, my, mvx, mvy, zero16, zero8)
                 mvs[my, mx] = (mvx, mvy)
                 refs[my, mx] = 0
+                nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                record(my, mx)
                 mb_addr += 1
             if mb_addr >= n_mbs or r.pos >= stop_pos:
                 break
@@ -1182,6 +1220,7 @@ class StreamDecoder:
                     for nn in nnz_c:
                         nn[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
                 recon_inter_mb(mx, my, mvx, mvy, luma_res, cres)
+                record(my, mx)
                 continue
             if 1 <= mb_type <= 4:
                 raise UnsupportedStream(f"P partition mb_type {mb_type}")
@@ -1194,6 +1233,7 @@ class StreamDecoder:
                 raise UnsupportedStream(f"intra-in-P mb_type {it}")
             qp = self._decode_i16_in_p(
                 r, it, mx, my, my0, qp, state, nnz_l, nnz_c, nc_of)
+            record(my, mx, intra=True)
         return state
 
     def _decode_i16_in_p(self, r, t_code, mx, my, my0, qp, state,
