@@ -353,6 +353,87 @@ def test_own_decoder_deblocking_inter_streams():
             f"cr mismatch frame {i}"
 
 
+def test_own_decoder_multi_reference_p_streams():
+    """Multi-reference P decode: sliding-window DPB (most-recent-first
+    default ref list, 8.2.4.2.1), ref_idx_l0 te(v) parsing, per-ref MC and
+    the different-ref bS rule.  libx264 at refs=3 (its wild-type default
+    class) must decode sample-exact across the GOP."""
+    import pytest
+
+    from ultragrid_tpu.modules.lavc import LavcCompress, LavcDecompress, lavc_available
+    from ultragrid_tpu.ops.h264_dec import StreamDecoder
+    from ultragrid_tpu.utils.pattern import generate_pattern
+
+    if not lavc_available():
+        pytest.skip("lavc shim unavailable")
+    w, h = 96, 64
+    base = np.asarray(generate_pattern(w, h, Codec.UYVY, "bars")).copy()
+    rng = np.random.default_rng(9)
+    frames = []
+    for i in range(7):
+        # alternating content so later refs genuinely win ref_idx > 0
+        f = np.roll(base, (i % 2) * 16 + i, axis=1).copy()
+        f[8:24, 16:48] = rng.integers(0, 256, (16, 16), dtype=np.uint8).repeat(2, axis=1)
+        frames.append(f)
+    comp = LavcCompress(
+        "codec=H.264:encoder=libx264:profile=baseline:qp=28:g=10:aq-mode=0:"
+        "refs=3:partitions=none:trellis=0:sc_threshold=0")
+    dec = StreamDecoder()
+    rd = LavcDecompress()
+    for i, f in enumerate(frames):
+        out = comp.compress(VideoFrame(VideoDesc(w, h, Codec.UYVY, 30.0), [f]))
+        bs = bytes(np.asarray(out.tiles[0]).reshape(-1))
+        y, cb, cr = dec.decode_au(bs)
+        ref = rd.decompress(
+            VideoFrame(VideoDesc(w, h, Codec.H264, 30.0),
+                       [np.frombuffer(bs, np.uint8)]), Codec.UYVY)
+        uy = np.asarray(ref.data)
+        assert np.array_equal(uy[:, 1::2].astype(np.int64), y.astype(np.int64)), \
+            f"luma mismatch frame {i}"
+        assert np.array_equal(uy[0::2, 0::4].astype(np.int64), cb.astype(np.int64)), \
+            f"cb mismatch frame {i}"
+        assert np.array_equal(uy[0::2, 2::4].astype(np.int64), cr.astype(np.int64)), \
+            f"cr mismatch frame {i}"
+    assert len(dec.dpb) == 3  # sliding window at max_num_ref_frames
+
+
+def test_own_encoder_deblock_signal_conformance():
+    """``-c h264:deblock=1`` signals disable_deblocking_filter_idc=0: the
+    emitted stream asks decoders to run the 8.7 loop filter.  Conformance:
+    libavcodec's decode of the stream must equal the OWN decoder's decode
+    (both sides filter; equality validates our filter against lavc's from
+    the encoder direction too)."""
+    import pytest
+
+    from ultragrid_tpu.modules.lavc import LavcDecompress, lavc_available
+    from ultragrid_tpu.modules.video_compress import H264Compress
+    from ultragrid_tpu.ops.h264_dec import IntraDecoder
+    from ultragrid_tpu.utils.pattern import generate_pattern
+
+    if not lavc_available():
+        pytest.skip("lavc shim unavailable")
+    w, h = 96, 64
+    for mode, qp in (("i16", 36), ("i4", 30)):
+        data = np.asarray(generate_pattern(w, h, Codec.UYVY, "gradient"))
+        frame = VideoFrame(VideoDesc(w, h, Codec.UYVY, 30.0), [data])
+        out = H264Compress(f"qp={qp}:mode={mode}:deblock=1").compress(frame)
+        bs = bytes(np.asarray(out.tiles[0]).reshape(-1))
+        y, cb, cr = IntraDecoder().decode(bs)
+        ref = LavcDecompress().decompress(
+            VideoFrame(VideoDesc(w, h, Codec.H264, 30.0),
+                       [np.frombuffer(bs, np.uint8)]), Codec.UYVY)
+        uy = np.asarray(ref.data)
+        assert np.array_equal(uy[:, 1::2].astype(np.int64), y.astype(np.int64)), \
+            f"{mode}: own filtered decode != lavc decode"
+        assert np.array_equal(uy[0::2, 0::4].astype(np.int64), cb.astype(np.int64))
+        assert np.array_equal(uy[0::2, 2::4].astype(np.int64), cr.astype(np.int64))
+        # and the filter engaged: filtered != unfiltered at this QP
+        out0 = H264Compress(f"qp={qp}:mode={mode}").compress(frame)
+        bs0 = bytes(np.asarray(out0.tiles[0]).reshape(-1))
+        y0, _, _ = IntraDecoder().decode(bs0)
+        assert not np.array_equal(y0, y), f"{mode}: deblock had no effect"
+
+
 def test_cbp_intra_table_matches_decoder():
     from ultragrid_tpu.ops.h264 import _CBP_INTRA_TAB
     from ultragrid_tpu.ops.h264_dec import _CBP_INTRA

@@ -188,6 +188,7 @@ class H264Compress(VideoCompress):
         self.accel = "host"
         self.gop = 30
         self.search = 8
+        self.deblock = False
         for tok in [t for t in cfg.split(":") if t]:
             key, _, val = tok.partition("=")
             if key == "qp":
@@ -200,10 +201,14 @@ class H264Compress(VideoCompress):
                 self.search = max(0, int(val))
             elif key == "accel":
                 self.accel = val  # host | device (device jit-compiles once)
+            elif key == "deblock":
+                # signal the in-loop filter (idc=0): intra modes only --
+                # P references must match decoder-side filtered pictures
+                self.deblock = val not in ("0", "off", "")
             elif key == "help":
                 print("h264 (own encoder): h264[:qp=<0-51>]"
                       "[:mode=i16|i4|pcm|inter][:gop=N][:search=N]"
-                      "[:accel=host|device]")
+                      "[:accel=host|device][:deblock=1 (intra host modes)]")
         self._enc = None
         self._geom = None
 
@@ -221,7 +226,12 @@ class H264Compress(VideoCompress):
                 log.error(f"h264: unsupported input {src_codec.name}")
                 return None
             data = pixfmt.convert_frame(data, desc.width, src_codec, Codec.UYVY)
-        geom = (desc.width, desc.height, self.qp, self.mode, self.accel)
+        deblock = self.deblock and self.mode in ("i16", "i4") \
+            and self.accel != "device"
+        if self.deblock and not deblock:
+            log.warning("h264: deblock=1 only on intra host paths; ignored")
+        geom = (desc.width, desc.height, self.qp, self.mode, self.accel,
+                deblock)
         if self._geom != geom:
             if self.mode == "pcm":
                 self._enc = h264_ops.PcmEncoder(desc.width, desc.height)
@@ -238,13 +248,15 @@ class H264Compress(VideoCompress):
                                 gop=self.gop, search=self.search)
             elif self.mode == "i4":
                 # per-4x4 directional prediction: better compression, host path
-                self._enc = h264_ops.Intra4x4Encoder(desc.width, desc.height, qp=self.qp)
+                self._enc = h264_ops.Intra4x4Encoder(
+                    desc.width, desc.height, qp=self.qp, deblock=deblock)
             elif self.accel == "device":
                 from ultragrid_tpu.ops.h264_tpu import Intra16EncoderTpu
 
                 self._enc = Intra16EncoderTpu(desc.width, desc.height, qp=self.qp)
             else:
-                self._enc = h264_ops.Intra16EncoderV(desc.width, desc.height, qp=self.qp)
+                self._enc = h264_ops.Intra16EncoderV(
+                    desc.width, desc.height, qp=self.qp, deblock=deblock)
             self._geom = geom
         bs = self._enc.encode_uyvy(np.asarray(data))
         out_desc = VideoDesc(desc.width, desc.height, Codec.H264, desc.fps,

@@ -552,9 +552,16 @@ class Intra16Encoder:
     contexts match exactly.
     """
 
-    def __init__(self, width: int, height: int, qp: int = 26):
+    def __init__(self, width: int, height: int, qp: int = 26,
+                 deblock: bool = False):
         self.width, self.height = width, height
         self.qp = qp
+        # deblock=True signals disable_deblocking_filter_idc=0: the DECODER
+        # runs the 8.7 loop filter (better output quality, especially at
+        # high QP).  Intra reconstruction/prediction is unaffected (8.3
+        # predicts from unfiltered samples), so the encoder loop is
+        # unchanged -- only the slice-header signal flips.
+        self.deblock = deblock
         self.mb_w = (width + 15) // 16
         self.mb_h = (height + 15) // 16
         self.headers = make_sps(width, height) + make_pps(qp)
@@ -603,7 +610,8 @@ class Intra16Encoder:
         qpc = chroma_qp(qp)
         mbw, mbh = self.mb_w, self.mb_h
         w = BitWriter()
-        _slice_header(w, 0, 0, 0, disable_deblock=True)
+        _slice_header(w, 0, 0, 0,
+                      disable_deblock=not getattr(self, "deblock", False))
         # per-4x4 nonzero counts for nC prediction: luma [mbh*4, mbw*4],
         # chroma per component [mbh*2, mbw*2]
         nnz_l = np.zeros((mbh * 4, mbw * 4), np.int32)
@@ -759,7 +767,8 @@ class Intra4x4Encoder(Intra16Encoder):
         vy = _vmat(qp)
         mbw, mbh = self.mb_w, self.mb_h
         w = BitWriter()
-        _slice_header(w, 0, 0, 0, disable_deblock=True)
+        _slice_header(w, 0, 0, 0,
+                      disable_deblock=not getattr(self, "deblock", False))
         nnz_l = np.zeros((mbh * 4, mbw * 4), np.int32)
         nnz_c = [np.zeros((mbh * 2, mbw * 2), np.int32) for _ in range(2)]
         i4mode = np.full((mbh * 4, mbw * 4), -1, np.int32)  # -1 = unavailable
@@ -1135,9 +1144,11 @@ class Intra16EncoderV:
     array ops over every macroblock at once (the layout the device port
     uses; cf. the JPEG encoder's slot machinery)."""
 
-    def __init__(self, width: int, height: int, qp: int = 26, slices: int = 1):
+    def __init__(self, width: int, height: int, qp: int = 26, slices: int = 1,
+                 deblock: bool = False):
         self.width, self.height = width, height
         self.qp = qp
+        self.deblock = deblock
         self.slices = slices
         self.mb_w = (width + 15) // 16
         self.mb_h = (height + 15) // 16
@@ -1315,7 +1326,8 @@ class Intra16EncoderV:
 
         # ---- assemble: slice header symbols + MB slots + stop bit ----
         hw = BitWriter()
-        _slice_header(hw, first_mb, 0, 0, disable_deblock=True)
+        _slice_header(hw, first_mb, 0, 0,
+                      disable_deblock=not getattr(self, "deblock", False))
         head = _bits_to_symbols(hw)
         flat_v = np.concatenate([np.array([v for v, _ in head], np.int64),
                                  sval.reshape(-1), np.array([1], np.int64)])

@@ -466,7 +466,7 @@ class IntraDecoder:
             log2_poc = r.ue() + 4
         elif poc_type == 1:
             raise UnsupportedStream("poc type 1")
-        r.ue()  # max refs
+        max_refs = r.ue()  # max_num_ref_frames (sliding-window DPB size)
         r.u(1)
         mb_w = r.ue() + 1
         mb_h = r.ue() + 1
@@ -479,6 +479,7 @@ class IntraDecoder:
             cl, cr_, ct, cb_ = r.ue(), r.ue(), r.ue(), r.ue()
         return {
             "mb_w": mb_w, "mb_h": mb_h, "log2_mfn": log2_mfn,
+            "max_refs": max(1, max_refs),
             "poc_type": poc_type, "log2_poc": log2_poc,
             "width": mb_w * 16 - 2 * (cl + cr_),
             "height": mb_h * 16 - 2 * (ct + cb_),
@@ -493,13 +494,16 @@ class IntraDecoder:
         r.u(1)
         if r.ue() != 0:
             raise UnsupportedStream("slice groups")
-        r.ue(); r.ue(); r.u(1); r.u(2)
+        l0_default = r.ue() + 1  # num_ref_idx_l0_default_active_minus1
+        r.ue()
+        r.u(1); r.u(2)
         init_qp = 26 + r.se()
         r.se()
         chroma_off = r.se()
         dbf_ctrl = r.u(1)
         r.u(1); r.u(1)
-        return {"init_qp": init_qp, "chroma_off": chroma_off, "dbf_ctrl": dbf_ctrl}
+        return {"init_qp": init_qp, "chroma_off": chroma_off,
+                "dbf_ctrl": dbf_ctrl, "l0_default": l0_default}
 
     def _decode_slice(self, rbsp: bytes, sps, pps, state, db=None,
                       slice_id: int = 0):
@@ -956,7 +960,7 @@ def _mv_neighbors(mx: int, my: int, mbw: int, my0: int):
 
 
 def mv_pred(mvs: np.ndarray, refs: np.ndarray, mx: int, my: int,
-            mbw: int, my0: int) -> Tuple[int, int]:
+            mbw: int, my0: int, refidx: int = 0) -> Tuple[int, int]:
     """Median MV predictor for P_L0_16x16 (spec 8.4.1.3; JM order: the
     geometric left-rule first, then the single-matching-ref rule)."""
     a, b, c = _mv_neighbors(mx, my, mbw, my0)
@@ -970,7 +974,7 @@ def mv_pred(mvs: np.ndarray, refs: np.ndarray, mx: int, my: int,
     va, vb, vc = val(a), val(b), val(c)
     if b is None and c is None and a is not None:
         return va[0], va[1]
-    matches = [v for v in (va, vb, vc) if v[2] == 0]
+    matches = [v for v in (va, vb, vc) if v[2] == refidx]
     if len(matches) == 1:
         return matches[0][0], matches[0][1]
     xs = sorted((va[0], vb[0], vc[0]))
@@ -1002,8 +1006,14 @@ class StreamDecoder:
         self.sps = None
         self.pps = None
         self._intra = IntraDecoder()
-        self.ref = None  # (y, cb, cr) uint8 of the previous decoded picture
-        self._refp = None  # padded copies for MC
+        # sliding-window DPB, most recent first (default P ref list order =
+        # descending PicNum, spec 8.2.4.2.1); entries are (y, cb, cr) uint8
+        self.dpb: list = []
+        self._dpb_pad: list = []  # lazy [padded_planes, half_planes] per ref
+
+    @property
+    def ref(self):
+        return self.dpb[0] if self.dpb else None
 
     # -- bitstream walking -------------------------------------------------
 
@@ -1060,7 +1070,7 @@ class StreamDecoder:
                     self._intra._decode_slice(rbsp, self.sps, self.pps, state,
                                               db=db, slice_id=sid)
                 elif slice_type % 5 == 0:  # P slice
-                    if self.ref is None:
+                    if not self.dpb:
                         raise UnsupportedStream("P slice without a reference")
                     kind = "P"
                     self._decode_slice_p(rbsp, state, db=db, slice_id=sid)
@@ -1073,8 +1083,11 @@ class StreamDecoder:
             # the FILTERED picture is both the output and the reference
             # for the next P picture (spec 8.7 feeds the DPB)
             deblock_frame(y, cb, cr, db)
-        self.ref = (y, cb, cr)
-        self._refp = None  # lazily re-padded on next P
+        if kind == "I":
+            self.dpb = []  # IDR resets the DPB (8.2.5.1)
+        self.dpb.insert(0, (y, cb, cr))
+        del self.dpb[self.sps.get("max_refs", 1):]
+        self._dpb_pad = [None] * len(self.dpb)
         w, h = self.sps["width"], self.sps["height"]
         return (y[:h, :w], cb[:(h + 1) // 2, :(w + 1) // 2],
                 cr[:(h + 1) // 2, :(w + 1) // 2])
@@ -1083,9 +1096,6 @@ class StreamDecoder:
 
     def _decode_slice_p(self, rbsp: bytes, state, db=None, slice_id: int = 0):
         sps, pps = self.sps, self.pps
-        if self._refp is None:
-            self._refp = tuple(pad_ref(p) for p in self.ref)
-        ry, rcb, rcr = self._refp
         r = BitReader(rbsp)
         first_mb = r.ue()
         r.ue()  # slice_type (already known P)
@@ -1093,9 +1103,12 @@ class StreamDecoder:
         r.u(sps["log2_mfn"])  # frame_num
         if sps.get("poc_type", 2) == 0:
             r.u(sps["log2_poc"])  # pic_order_cnt_lsb
+        l0_active = pps.get("l0_default", 1)
         if r.u(1):  # num_ref_idx_active_override_flag
-            if r.ue() != 0:
-                raise UnsupportedStream("multiple reference frames")
+            l0_active = r.ue() + 1
+        if l0_active > len(self.dpb):
+            raise UnsupportedStream(
+                f"{l0_active} active refs > {len(self.dpb)} decoded")
         if r.u(1):  # ref_pic_list_modification_flag_l0
             raise UnsupportedStream("ref pic list modification")
         # nal_ref_idc != 0 (our encoder marks all P as reference):
@@ -1141,16 +1154,23 @@ class StreamDecoder:
                 return int(nb)
             return 0
 
-        halfp_cache = [None]
+        pads = self._dpb_pad
 
-        def get_halfp():
-            if halfp_cache[0] is None:
-                halfp_cache[0] = half_planes(ry)
-            return halfp_cache[0]
+        def refp(ri):
+            if pads[ri] is None:
+                pads[ri] = [tuple(pad_ref(p) for p in self.dpb[ri]), None]
+            return pads[ri]
 
-        def recon_inter_mb(mx, my, mvx, mvy, luma_res, chroma_res):
+        def get_halfp(ri):
+            ent = refp(ri)
+            if ent[1] is None:
+                ent[1] = half_planes(ent[0][0])
+            return ent[1]
+
+        def recon_inter_mb(mx, my, mvx, mvy, luma_res, chroma_res, ri=0):
+            ry, rcb, rcr = refp(ri)[0]
             px, py = mx * 16, my * 16
-            hp = get_halfp() if ((mvx | mvy) & 3) else None
+            hp = get_halfp(ri) if ((mvx | mvy) & 3) else None
             pred = mc_luma(ry, px, py, mvx, mvy, halfp=hp)
             y[py:py + 16, px:px + 16] = np.clip(pred + luma_res, 0, 255)
             cx, cy = mx * 8, my * 8
@@ -1182,12 +1202,17 @@ class StreamDecoder:
             qpc = H.chroma_qp(max(0, min(51, qp + pps["chroma_off"])))
             vy, vc = _vmat(qp), _vmat(qpc)
             mb_type = r.ue()
-            if mb_type == 0:  # P_L0_16x16 (one ref -> no ref_idx bits)
-                pmx, pmy = mv_pred(mvs, refs, mx, my, mbw, my0)
+            if mb_type == 0:  # P_L0_16x16
+                refidx = 0
+                if l0_active > 1:  # ref_idx_l0 as te(v), spec 9.1.1
+                    refidx = (1 - r.u(1)) if l0_active == 2 else r.ue()
+                    if refidx >= l0_active:
+                        raise UnsupportedStream(f"ref_idx {refidx}")
+                pmx, pmy = mv_pred(mvs, refs, mx, my, mbw, my0, refidx)
                 mvx = pmx + r.se()
                 mvy = pmy + r.se()
                 mvs[my, mx] = (mvx, mvy)
-                refs[my, mx] = 0
+                refs[my, mx] = refidx
                 cbp_code = r.ue()
                 if cbp_code >= len(_CBP_INTER):
                     raise UnsupportedStream("bad inter cbp")
@@ -1219,7 +1244,7 @@ class StreamDecoder:
                     nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
                     for nn in nnz_c:
                         nn[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
-                recon_inter_mb(mx, my, mvx, mvy, luma_res, cres)
+                recon_inter_mb(mx, my, mvx, mvy, luma_res, cres, refidx)
                 record(my, mx)
                 continue
             if 1 <= mb_type <= 4:
