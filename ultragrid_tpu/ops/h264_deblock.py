@@ -69,8 +69,9 @@ class DeblockCtx:
         self.qp = np.zeros((mbh, mbw), np.int64)
         # per-4x4 luma nonzero-coefficient flags (frame-wide accumulation)
         self.nnz = np.zeros((mbh * 4, mbw * 4), np.int64)
-        self.mvs = np.zeros((mbh, mbw, 2), np.int64)
-        self.refs = np.full((mbh, mbw), -1, np.int64)
+        # motion at 4x4 granularity (partition support, spec 6.4.11)
+        self.mvs = np.zeros((mbh * 4, mbw * 4, 2), np.int64)
+        self.refs = np.full((mbh * 4, mbw * 4), -1, np.int64)
         self.slice_id = np.full((mbh, mbw), -1, np.int64)
         # per-MB copy of the owning slice's deblock parameters
         self.idc = np.ones((mbh, mbw), np.int64)  # 1 = filter off
@@ -151,31 +152,21 @@ def _filter_edge(seg: np.ndarray, bs: np.ndarray, index_a: int,
     return out
 
 
-def _bs_mb_edge(ctx: DeblockCtx, pmb, qmb, pblocks, qblocks) -> np.ndarray:
-    """bS for the 4 4x4-block groups across a macroblock edge (8.7.2.1).
-    pmb/qmb: (my, mx); pblocks/qblocks: list of 4 (gy, gx) per group."""
+def _bs_edge(ctx: DeblockCtx, pmb, qmb, pblocks, qblocks,
+             mb_edge: bool) -> np.ndarray:
+    """bS for the 4 4x4-block groups along one edge (8.7.2.1): intra MBs
+    force 4 (MB edge) / 3 (internal); else per-block coded-coefficient
+    (2) and reference/motion-difference (1) rules at 4x4 granularity."""
     if ctx.intra[pmb] or ctx.intra[qmb]:
-        return np.full(4, 4, np.int64)
+        return np.full(4, 4 if mb_edge else 3, np.int64)
     bs = np.zeros(4, np.int64)
     for i, (pb, qb) in enumerate(zip(pblocks, qblocks)):
         if ctx.nnz[pb] or ctx.nnz[qb]:
             bs[i] = 2
-        elif (ctx.refs[pmb] != ctx.refs[qmb]
-              or abs(ctx.mvs[pmb][0] - ctx.mvs[qmb][0]) >= 4
-              or abs(ctx.mvs[pmb][1] - ctx.mvs[qmb][1]) >= 4):
+        elif (ctx.refs[pb] != ctx.refs[qb]
+              or abs(int(ctx.mvs[pb][0]) - int(ctx.mvs[qb][0])) >= 4
+              or abs(int(ctx.mvs[pb][1]) - int(ctx.mvs[qb][1])) >= 4):
             bs[i] = 1
-    return bs
-
-
-def _bs_internal(ctx: DeblockCtx, mb, pblocks, qblocks) -> np.ndarray:
-    """bS for an internal edge: MVs/refs are MB-uniform here, so only the
-    intra (3) and coded-coefficient (2) rules apply."""
-    if ctx.intra[mb]:
-        return np.full(4, 3, np.int64)
-    bs = np.zeros(4, np.int64)
-    for i, (pb, qb) in enumerate(zip(pblocks, qblocks)):
-        if ctx.nnz[pb] or ctx.nnz[qb]:
-            bs[i] = 2
     return bs
 
 
@@ -219,12 +210,13 @@ def deblock_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                     if mx == 0 or not mb_edge_ok(my, mx - 1):
                         continue
                     groups_p = [(my * 4 + i, gx - 1) for i in range(4)]
-                    bs4 = _bs_mb_edge(ctx, (my, mx - 1), (my, mx),
-                                      groups_p, groups_q)
+                    bs4 = _bs_edge(ctx, (my, mx - 1), (my, mx),
+                                   groups_p, groups_q, True)
                     ia, ib = indices(qpy[my, mx - 1], qpy[my, mx])
                 else:
                     groups_p = [(my * 4 + i, gx - 1) for i in range(4)]
-                    bs4 = _bs_internal(ctx, (my, mx), groups_p, groups_q)
+                    bs4 = _bs_edge(ctx, (my, mx), (my, mx),
+                                   groups_p, groups_q, False)
                     ia, ib = indices(qpy[my, mx], qpy[my, mx])
                 if not bs4.any():
                     continue
@@ -241,14 +233,15 @@ def deblock_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                         continue
                     groups_p = [(my * 4 + i, mx * 4 - 1) for i in range(4)]
                     groups_q = [(my * 4 + i, mx * 4) for i in range(4)]
-                    bs4 = _bs_mb_edge(ctx, (my, mx - 1), (my, mx),
-                                      groups_p, groups_q)
+                    bs4 = _bs_edge(ctx, (my, mx - 1), (my, mx),
+                                   groups_p, groups_q, True)
                     ia, ib = indices(qpc[my, mx - 1], qpc[my, mx])
                 else:
                     gx = mx * 4 + 2
                     groups_p = [(my * 4 + i, gx - 1) for i in range(4)]
                     groups_q = [(my * 4 + i, gx) for i in range(4)]
-                    bs4 = _bs_internal(ctx, (my, mx), groups_p, groups_q)
+                    bs4 = _bs_edge(ctx, (my, mx), (my, mx),
+                                   groups_p, groups_q, False)
                     ia, ib = indices(qpc[my, mx], qpc[my, mx])
                 if not bs4.any():
                     continue
@@ -267,12 +260,13 @@ def deblock_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                     if my == 0 or not mb_edge_ok(my - 1, mx):
                         continue
                     groups_p = [(gy - 1, mx * 4 + i) for i in range(4)]
-                    bs4 = _bs_mb_edge(ctx, (my - 1, mx), (my, mx),
-                                      groups_p, groups_q)
+                    bs4 = _bs_edge(ctx, (my - 1, mx), (my, mx),
+                                   groups_p, groups_q, True)
                     ia, ib = indices(qpy[my - 1, mx], qpy[my, mx])
                 else:
                     groups_p = [(gy - 1, mx * 4 + i) for i in range(4)]
-                    bs4 = _bs_internal(ctx, (my, mx), groups_p, groups_q)
+                    bs4 = _bs_edge(ctx, (my, mx), (my, mx),
+                                   groups_p, groups_q, False)
                     ia, ib = indices(qpy[my, mx], qpy[my, mx])
                 if not bs4.any():
                     continue
@@ -289,14 +283,15 @@ def deblock_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                         continue
                     groups_p = [(my * 4 - 1, mx * 4 + i) for i in range(4)]
                     groups_q = [(my * 4, mx * 4 + i) for i in range(4)]
-                    bs4 = _bs_mb_edge(ctx, (my - 1, mx), (my, mx),
-                                      groups_p, groups_q)
+                    bs4 = _bs_edge(ctx, (my - 1, mx), (my, mx),
+                                   groups_p, groups_q, True)
                     ia, ib = indices(qpc[my - 1, mx], qpc[my, mx])
                 else:
                     gy = my * 4 + 2
                     groups_p = [(gy - 1, mx * 4 + i) for i in range(4)]
                     groups_q = [(gy, mx * 4 + i) for i in range(4)]
-                    bs4 = _bs_internal(ctx, (my, mx), groups_p, groups_q)
+                    bs4 = _bs_edge(ctx, (my, mx), (my, mx),
+                                   groups_p, groups_q, False)
                     ia, ib = indices(qpc[my, mx], qpc[my, mx])
                 if not bs4.any():
                     continue

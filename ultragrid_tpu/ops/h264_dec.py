@@ -995,6 +995,70 @@ def skip_mv(mvs: np.ndarray, refs: np.ndarray, mx: int, my: int,
     return mv_pred(mvs, refs, mx, my, mbw, my0)
 
 
+def _fetch4(mv4, ref4, dec4, gy, gx, my0, mbw):
+    """Neighbour (mvx, mvy, ref) at 4x4-grid position, None if unavailable
+    (outside frame/slice or not yet decoded — spec 6.4.11 availability)."""
+    if gx < 0 or gy < my0 * 4 or gx >= mbw * 4 or not dec4[gy, gx]:
+        return None
+    return int(mv4[gy, gx, 0]), int(mv4[gy, gx, 1]), int(ref4[gy, gx])
+
+
+def mv_pred4(mv4, ref4, dec4, gy, gx, pw, refidx, my0, mbw,
+             shape: Optional[str] = None):
+    """Median MV prediction at partition granularity (spec 8.4.1.3 with
+    6.4.11 neighbours on the 4x4 grid).  ``shape`` enables the directional
+    16x8/8x16 rules ('16x8_0', '16x8_1', '8x16_0', '8x16_1')."""
+    a = _fetch4(mv4, ref4, dec4, gy, gx - 1, my0, mbw)
+    b = _fetch4(mv4, ref4, dec4, gy - 1, gx, my0, mbw)
+    c = _fetch4(mv4, ref4, dec4, gy - 1, gx + pw, my0, mbw)
+    if c is None:  # D fallback (8.4.1.3.2)
+        c = _fetch4(mv4, ref4, dec4, gy - 1, gx - 1, my0, mbw)
+    # directional rules for the two-partition shapes (8.4.1.3 items 2-5)
+    if shape == "16x8_0" and b is not None and b[2] == refidx:
+        return b[0], b[1]
+    if shape == "16x8_1" and a is not None and a[2] == refidx:
+        return a[0], a[1]
+    if shape == "8x16_0" and a is not None and a[2] == refidx:
+        return a[0], a[1]
+    if shape == "8x16_1" and c is not None and c[2] == refidx:
+        return c[0], c[1]
+
+    def val(n):
+        return (0, 0, -1) if n is None else n
+
+    va, vb, vc = val(a), val(b), val(c)
+    if b is None and c is None and a is not None:
+        return va[0], va[1]
+    matches = [v for v in (va, vb, vc) if v[2] == refidx]
+    if len(matches) == 1:
+        return matches[0][0], matches[0][1]
+    xs = sorted((va[0], vb[0], vc[0]))
+    ys = sorted((va[1], vb[1], vc[1]))
+    return xs[1], ys[1]
+
+
+def skip_mv4(mv4, ref4, dec4, mx, my, my0, mbw):
+    """P_Skip motion vector (spec 8.4.1.1) on the 4x4 grid."""
+    a = _fetch4(mv4, ref4, dec4, my * 4, mx * 4 - 1, my0, mbw)
+    b = _fetch4(mv4, ref4, dec4, my * 4 - 1, mx * 4, my0, mbw)
+    if a is None or b is None:
+        return 0, 0
+    for n in (a, b):
+        if n[2] == 0 and n[0] == 0 and n[1] == 0:
+            return 0, 0
+    return mv_pred4(mv4, ref4, dec4, my * 4, mx * 4, 4, 0, my0, mbw)
+
+
+# P sub-macroblock geometry: sub_mb_type -> list of (dy, dx, pw, ph) in
+# 4x4 units within the 8x8 (spec Table 7-17, raster sub-partition order)
+_SUB_PARTS = {
+    0: [(0, 0, 2, 2)],                                        # P_L0_8x8
+    1: [(0, 0, 2, 1), (1, 0, 2, 1)],                          # P_L0_8x4
+    2: [(0, 0, 1, 2), (0, 1, 1, 2)],                          # P_L0_4x8
+    3: [(0, 0, 1, 1), (0, 1, 1, 1), (1, 0, 1, 1), (1, 1, 1, 1)],  # P_L0_4x4
+}
+
+
 class StreamDecoder:
     """Stateful Annex-B decoder for own-encoder streams: IDR / I pictures
     (via IntraDecoder's slice machinery) + P pictures (P_Skip, P_L0_16x16
@@ -1123,8 +1187,10 @@ class StreamDecoder:
         my0 = first_mb // mbw
         nnz_l = db.nnz if db is not None else np.zeros((mbh * 4, mbw * 4), np.int64)
         nnz_c = [np.zeros((mbh * 2, mbw * 2), np.int64) for _ in range(2)]
-        mvs = db.mvs if db is not None else np.zeros((mbh, mbw, 2), np.int64)
-        refs = db.refs if db is not None else np.full((mbh, mbw), -1, np.int64)
+        # motion state at 4x4 granularity (partition support; spec 6.4.11)
+        mv4 = db.mvs if db is not None else np.zeros((mbh * 4, mbw * 4, 2), np.int64)
+        ref4 = db.refs if db is not None else np.full((mbh * 4, mbw * 4), -1, np.int64)
+        dec4 = np.zeros((mbh * 4, mbw * 4), bool)
 
         def record(my, mx, *, intra=False):
             if db is None:
@@ -1167,20 +1233,42 @@ class StreamDecoder:
                 ent[1] = half_planes(ent[0][0])
             return ent[1]
 
-        def recon_inter_mb(mx, my, mvx, mvy, luma_res, chroma_res, ri=0):
+        def part_pred(pred16, predc, mx, my, gy, gx, pw, ph, mvx, mvy, ri):
+            """Motion-compensate one partition into the MB-local pred
+            buffers (luma [16,16] at 4x4-grid (gy,gx), chroma halved)."""
             ry, rcb, rcr = refp(ri)[0]
-            px, py = mx * 16, my * 16
             hp = get_halfp(ri) if ((mvx | mvy) & 3) else None
-            pred = mc_luma(ry, px, py, mvx, mvy, halfp=hp)
-            y[py:py + 16, px:px + 16] = np.clip(pred + luma_res, 0, 255)
+            ly, lx = (gy - my * 4) * 4, (gx - mx * 4) * 4
+            pred16[ly:ly + ph * 4, lx:lx + pw * 4] = mc_luma(
+                ry, gx * 4, gy * 4, mvx, mvy, w=pw * 4, h=ph * 4, halfp=hp)
+            cy2, cx2 = ly // 2, lx // 2
+            for ci, refc in ((0, rcb), (1, rcr)):
+                predc[ci][cy2:cy2 + ph * 2, cx2:cx2 + pw * 2] = mc_chroma(
+                    refc, gx * 2, gy * 2, mvx, mvy, w=pw * 2, h=ph * 2)
+
+        def fill4(gy, gx, pw, ph, mvx, mvy, ri):
+            mv4[gy:gy + ph, gx:gx + pw] = (mvx, mvy)
+            ref4[gy:gy + ph, gx:gx + pw] = ri
+            dec4[gy:gy + ph, gx:gx + pw] = True
+
+        def recon_mb(mx, my, pred16, predc, luma_res, chroma_res):
+            px, py = mx * 16, my * 16
+            y[py:py + 16, px:px + 16] = np.clip(pred16 + luma_res, 0, 255)
             cx, cy = mx * 8, my * 8
-            for plane, refc, res in ((cbp_, rcb, chroma_res[0]),
-                                     (crp, rcr, chroma_res[1])):
-                predc = mc_chroma(refc, cx, cy, mvx, mvy)
-                plane[cy:cy + 8, cx:cx + 8] = np.clip(predc + res, 0, 255)
+            for ci, plane in enumerate((cbp_, crp)):
+                plane[cy:cy + 8, cx:cx + 8] = np.clip(
+                    predc[ci] + chroma_res[ci], 0, 255)
 
         zero16 = np.zeros((16, 16), np.int64)
         zero8 = [np.zeros((8, 8), np.int64), np.zeros((8, 8), np.int64)]
+
+        def read_refidx(rr):
+            if l0_active <= 1:
+                return 0
+            ri = (1 - rr.u(1)) if l0_active == 2 else rr.ue()  # te(v), 9.1.1
+            if ri >= l0_active:
+                raise UnsupportedStream(f"ref_idx {ri}")
+            return ri
 
         mb_addr = first_mb
         n_mbs = mbw * mbh
@@ -1188,10 +1276,13 @@ class StreamDecoder:
             skip_run = r.ue()
             for _ in range(skip_run):
                 my, mx = mb_addr // mbw, mb_addr % mbw
-                mvx, mvy = skip_mv(mvs, refs, mx, my, mbw, my0)
-                recon_inter_mb(mx, my, mvx, mvy, zero16, zero8)
-                mvs[my, mx] = (mvx, mvy)
-                refs[my, mx] = 0
+                mvx, mvy = skip_mv4(mv4, ref4, dec4, mx, my, my0, mbw)
+                pred16 = np.zeros((16, 16), np.int64)
+                predc = [np.zeros((8, 8), np.int64) for _ in range(2)]
+                part_pred(pred16, predc, mx, my, my * 4, mx * 4, 4, 4,
+                          mvx, mvy, 0)
+                recon_mb(mx, my, pred16, predc, zero16, zero8)
+                fill4(my * 4, mx * 4, 4, 4, mvx, mvy, 0)
                 nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
                 record(my, mx)
                 mb_addr += 1
@@ -1202,17 +1293,51 @@ class StreamDecoder:
             qpc = H.chroma_qp(max(0, min(51, qp + pps["chroma_off"])))
             vy, vc = _vmat(qp), _vmat(qpc)
             mb_type = r.ue()
-            if mb_type == 0:  # P_L0_16x16
-                refidx = 0
-                if l0_active > 1:  # ref_idx_l0 as te(v), spec 9.1.1
-                    refidx = (1 - r.u(1)) if l0_active == 2 else r.ue()
-                    if refidx >= l0_active:
-                        raise UnsupportedStream(f"ref_idx {refidx}")
-                pmx, pmy = mv_pred(mvs, refs, mx, my, mbw, my0, refidx)
-                mvx = pmx + r.se()
-                mvy = pmy + r.se()
-                mvs[my, mx] = (mvx, mvy)
-                refs[my, mx] = refidx
+            if mb_type <= 4:  # inter MB: 16x16 / 16x8 / 8x16 / 8x8(+ref0)
+                gy0, gx0 = my * 4, mx * 4
+                pred16 = np.zeros((16, 16), np.int64)
+                predc = [np.zeros((8, 8), np.int64) for _ in range(2)]
+                if mb_type == 0:  # P_L0_16x16
+                    ri = read_refidx(r)
+                    pmx, pmy = mv_pred4(mv4, ref4, dec4, gy0, gx0, 4, ri,
+                                        my0, mbw)
+                    mvx, mvy = pmx + r.se(), pmy + r.se()
+                    part_pred(pred16, predc, mx, my, gy0, gx0, 4, 4,
+                              mvx, mvy, ri)
+                    fill4(gy0, gx0, 4, 4, mvx, mvy, ri)
+                elif mb_type in (1, 2):  # P_L0_L0_16x8 / 8x16
+                    if mb_type == 1:
+                        geo = [(gy0, gx0, 4, 2, "16x8_0"),
+                               (gy0 + 2, gx0, 4, 2, "16x8_1")]
+                    else:
+                        geo = [(gy0, gx0, 2, 4, "8x16_0"),
+                               (gy0, gx0 + 2, 2, 4, "8x16_1")]
+                    ris = [read_refidx(r) for _ in geo]  # all ref_idx first
+                    for (gy, gx, pw, ph, shape), ri in zip(geo, ris):
+                        pmx, pmy = mv_pred4(mv4, ref4, dec4, gy, gx, pw, ri,
+                                            my0, mbw, shape)
+                        mvx, mvy = pmx + r.se(), pmy + r.se()
+                        part_pred(pred16, predc, mx, my, gy, gx, pw, ph,
+                                  mvx, mvy, ri)
+                        fill4(gy, gx, pw, ph, mvx, mvy, ri)
+                else:  # P_8x8 (3) / P_8x8ref0 (4)
+                    subs = [r.ue() for _ in range(4)]
+                    if any(t > 3 for t in subs):
+                        raise UnsupportedStream(f"sub_mb_type {subs}")
+                    if mb_type == 3:
+                        ris = [read_refidx(r) for _ in range(4)]
+                    else:
+                        ris = [0, 0, 0, 0]
+                    for b in range(4):
+                        by, bx = gy0 + (b // 2) * 2, gx0 + (b % 2) * 2
+                        for dy, dx, pw, ph in _SUB_PARTS[subs[b]]:
+                            gy, gx = by + dy, bx + dx
+                            pmx, pmy = mv_pred4(mv4, ref4, dec4, gy, gx, pw,
+                                                ris[b], my0, mbw)
+                            mvx, mvy = pmx + r.se(), pmy + r.se()
+                            part_pred(pred16, predc, mx, my, gy, gx, pw, ph,
+                                      mvx, mvy, ris[b])
+                            fill4(gy, gx, pw, ph, mvx, mvy, ris[b])
                 cbp_code = r.ue()
                 if cbp_code >= len(_CBP_INTER):
                     raise UnsupportedStream("bad inter cbp")
@@ -1244,14 +1369,13 @@ class StreamDecoder:
                     nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
                     for nn in nnz_c:
                         nn[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
-                recon_inter_mb(mx, my, mvx, mvy, luma_res, cres, refidx)
+                recon_mb(mx, my, pred16, predc, luma_res, cres)
                 record(my, mx)
                 continue
-            if 1 <= mb_type <= 4:
-                raise UnsupportedStream(f"P partition mb_type {mb_type}")
             it = mb_type - 5  # intra-in-P (spec Table 7-13 offset)
-            refs[my, mx] = -1
-            mvs[my, mx] = (0, 0)
+            ref4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+            mv4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+            dec4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
             if it == 25:
                 raise UnsupportedStream("I_PCM in P not supported")
             if not 1 <= it <= 24:
