@@ -628,9 +628,11 @@ def _itransform4_jnp(d):
 
 
 def make_device_encode_p(width: int, height: int, qp: int, search: int = 8,
-                         wwords: int = 80):
+                         wwords: int = 80, _stop_after: str | None = None):
     """Jitted P-frame encode: (y, cb, cr, ref_y, ref_cb, ref_cr) ->
     (mb_words, mb_bits, overflow, recon_y, recon_cb, recon_cr)."""
+    if search > 10:
+        raise ValueError("search range > 10 exceeds the MC_PAD window")
     mbw = (width + 15) // 16
     mbh = (height + 15) // 16
     nmb = mbw * mbh
@@ -673,16 +675,6 @@ def make_device_encode_p(width: int, height: int, qp: int, search: int = 8,
     vc_m = jnp.asarray(_vmat(qpc).astype(np.int32))
     v00c = int(_vmat(qpc)[0, 0])
 
-    # ME candidates: (0,0) first, then raster over the step-1 grid
-    if search:
-        cands = [(0, 0)] + [(dx, dy)
-                            for dy in range(-search, search + 1)
-                            for dx in range(-search, search + 1)
-                            if (dx, dy) != (0, 0)]
-    else:
-        cands = [(0, 0)]
-    cands_j = jnp.asarray(np.array(cands, np.int32))
-
     cbp_fwd = jnp.asarray(_CBP_INTER_FWD_ARR)
 
     def encode(y, cb, cr, ry, rcb, rcr):
@@ -690,52 +682,137 @@ def make_device_encode_p(width: int, height: int, qp: int, search: int = 8,
         rpy = jnp.pad(ry.astype(jnp.int32), _MC_PAD, mode="edge")
         rpcb = jnp.pad(rcb.astype(jnp.int32), _MC_PAD, mode="edge")
         rpcr = jnp.pad(rcr.astype(jnp.int32), _MC_PAD, mode="edge")
-        cur_b = cur.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3)
+        # native [mbh, rows, mbw, cols] block layout throughout ME/MC/
+        # residual: TPU relayouts of non-128-aligned minor dims are
+        # expensive, so the (by, bx, y, x) transpose happens once, on
+        # the 4x4 residual blocks right before the DCT
+        cur_b = cur.reshape(mbh, 16, mbw, 16)
 
-        def me_body(carry, off):
-            best, bdx, bdy, pred, pcb, pcr = carry
-            dx, dy = off[0], off[1]
-            ref = jax.lax.dynamic_slice(rpy, (_MC_PAD + dy, _MC_PAD + dx),
-                                        (Hl, Wl))
-            refb = ref.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3)
-            sad = jnp.abs(cur_b - refb).sum(axis=(2, 3))
-            m = sad < best
-            best = jnp.where(m, sad, best)
-            bdx = jnp.where(m, dx, bdx)
-            bdy = jnp.where(m, dy, bdy)
-            pred = jnp.where(m[:, :, None, None], refb, pred)
-            # chroma MC for this candidate (eighth-sample bilinear; with
-            # integer luma mv the frac is 0 or 4 per axis)
-            cxi, cxf = (4 * dx) >> 3, (4 * dx) & 7
-            cyi, cyf = (4 * dy) >> 3, (4 * dy) & 7
-            for plane, acc in ((rpcb, "pcb"), (rpcr, "pcr")):
-                base = jax.lax.dynamic_slice(
-                    plane, (_MC_PAD + cyi, _MC_PAD + cxi), (Hc + 1, Wc + 1))
-                a = base[:-1, :-1]
-                b = base[:-1, 1:]
-                c_ = base[1:, :-1]
-                d_ = base[1:, 1:]
-                blend = ((8 - cxf) * (8 - cyf) * a + cxf * (8 - cyf) * b
-                         + (8 - cxf) * cyf * c_ + cxf * cyf * d_ + 32) >> 6
-                blendb = blend.reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3)
-                if acc == "pcb":
-                    pcb = jnp.where(m[:, :, None, None], blendb, pcb)
-                else:
-                    pcr = jnp.where(m[:, :, None, None], blendb, pcr)
-            return (best, bdx, bdy, pred, pcb, pcr), None
+        refb = rpy[_MC_PAD:_MC_PAD + Hl, _MC_PAD:_MC_PAD + Wl].reshape(
+            mbh, 16, mbw, 16)
 
-        init = (jnp.full((mbh, mbw), 1 << 30, jnp.int32),
-                jnp.zeros((mbh, mbw), jnp.int32),
-                jnp.zeros((mbh, mbw), jnp.int32),
-                jnp.zeros((mbh, mbw, 16, 16), jnp.int32),
-                jnp.zeros((mbh, mbw, 8, 8), jnp.int32),
-                jnp.zeros((mbh, mbw, 8, 8), jnp.int32))
-        (best, bdx, bdy, pred_y, pred_cb, pred_cr), _ = jax.lax.scan(
-            me_body, init, cands_j)
-        mvx, mvy = bdx * 4, bdy * 4
+        if not search:
+            # zero-MV path (bit-identical to the former 1-candidate scan):
+            # prediction is the co-located reference block, chroma frac 0
+            pred_y = refb
+            pred_cb = rpcb[_MC_PAD:_MC_PAD + Hc, _MC_PAD:_MC_PAD + Wc].reshape(
+                mbh, 8, mbw, 8)
+            pred_cr = rpcr[_MC_PAD:_MC_PAD + Hc, _MC_PAD:_MC_PAD + Wc].reshape(
+                mbh, 8, mbw, 8)
+            mvx = jnp.zeros((mbh, mbw), jnp.int32)
+            mvy = jnp.zeros((mbh, mbw), jnp.int32)
+        else:
+            # ---- gather-free ME (round 4) ------------------------------
+            # The first design scanned the full (2S+1)^2 grid carrying a
+            # 12 MB motion-compensated prediction through every lax.scan
+            # step (~7 GB of HBM traffic/frame) and sampled half-pel and
+            # chroma candidates with multi-MB gathers (~9 ns/element on
+            # TPU) — 376 ms/frame at 1080p.  This shape is built from
+            # static slices + one-hot where-chains only (XLA fuses them
+            # into single passes; concatenations are hoisted OUT of the
+            # select chains, which otherwise block fusion), SADs run in
+            # uint8:
+            #   (1) coarse full search on half-res planes (unrolled static
+            #       shifts, zero candidate first),
+            #   (2) ONE per-MB 20x20 window per plane (integer + the three
+            #       6-tap half-pel planes of 8.4.2.2.1) extracted at the
+            #       coarse MV with one-hot row/col selects,
+            #   (3) +-1 integer refine and half-pel refine as static
+            #       slices inside that window,
+            #   (4) chroma MC from per-MB 9x9 windows (eighth-pel bilinear,
+            #       same sample math as the decoder).
 
-        if search:
-            # ---- half-pel refine (6-tap planes, spec 8.4.2.2.1) ----
+            # (1) coarse: half-res full search, zero candidate first
+            Sh = max(1, (search + 1) // 2)
+            ref_full = rpy[_MC_PAD:_MC_PAD + Hl, _MC_PAD:_MC_PAD + Wl]
+            cur_h = ((cur.reshape(Hl // 2, 2, Wl // 2, 2).sum(axis=(1, 3))
+                      + 2) >> 2).astype(jnp.uint8)
+            ref_h = ((ref_full.reshape(Hl // 2, 2, Wl // 2, 2).sum(axis=(1, 3))
+                      + 2) >> 2).astype(jnp.uint8)
+            refh_p = jnp.pad(ref_h, Sh, mode="edge")
+
+            def _sad(a_u8, b_u8):
+                # native [mbh, 16, mbw, 16] block layout
+                d = jnp.maximum(a_u8, b_u8) - jnp.minimum(a_u8, b_u8)
+                return d.astype(jnp.int32).sum(axis=(1, 3))
+
+            offs = [(0, 0)] + [(dx, dy) for dy in range(-Sh, Sh + 1)
+                               for dx in range(-Sh, Sh + 1) if (dx, dy) != (0, 0)]
+            # 8x8 block sums as two 0/1 matmuls on the MXU (strided
+            # reshape-reduces measured ~2x slower); bf16 |d| operands with
+            # f32 accumulation keep every sum exact (<= 544*255 << 2^24)
+            A8 = np.zeros((mbh, Hl // 2), np.float32)
+            for i_ in range(mbh):
+                A8[i_, i_ * 8:(i_ + 1) * 8] = 1
+            B8 = np.zeros((Wl // 2, mbw), np.float32)
+            for i_ in range(mbw):
+                B8[i_ * 8:(i_ + 1) * 8, i_] = 1
+            ds = []
+            for dx, dy in offs:
+                sh = refh_p[Sh + dy:Sh + dy + Hl // 2,
+                            Sh + dx:Sh + dx + Wl // 2]
+                ds.append(jnp.maximum(cur_h, sh) - jnp.minimum(cur_h, sh))
+            D = jnp.stack(ds).astype(jnp.bfloat16)
+            t_ = jnp.einsum("mh,chw->cmw", jnp.asarray(A8, jnp.bfloat16), D,
+                            preferred_element_type=jnp.float32)
+            s_ = jnp.einsum("cmw,wk->cmk", t_, jnp.asarray(B8))
+            ci = jnp.argmin(s_, axis=0)  # first min wins
+            if _stop_after == "coarse":
+                return (ci,)
+            offs_np = np.asarray(offs, np.int32)
+            ty0 = 2 * jnp.take(jnp.asarray(offs_np[:, 1]), ci)
+            tx0 = 2 * jnp.take(jnp.asarray(offs_np[:, 0]), ci)
+
+            # per-MB window machinery: Q planes live in a common coordinate
+            # frame with origin _MC_PAD-24, so MB (my,mx)'s origin is at
+            # Q[24+16*my, 24+16*mx]
+            B0 = _MC_PAD - 24
+
+            def _colblock(Q, stride, start):
+                parts = [
+                    Q[..., :, start + stride * j:start + stride * j
+                      + mbw * stride].reshape(Q.shape[:-1] + (mbw, stride))
+                    for j in range(3)
+                ]
+                return jnp.concatenate(parts, axis=-1)
+
+            def _rowsel(CB, tv, vals, stride, win, org):
+                # one-hot row select; the (stride, win-stride) split keeps
+                # the where-chains pure-elementwise (fusable), concat once
+                acc_a = acc_b = None
+                nex = win - stride
+                H_ = mbh * stride
+                for v in vals:
+                    base = org + v
+                    a = CB[..., base:base + H_, :, :].reshape(
+                        CB.shape[:-3] + (mbh, stride) + CB.shape[-2:])
+                    bb = CB[..., base + stride:base + stride + H_, :, :].reshape(
+                        CB.shape[:-3] + (mbh, stride)
+                        + CB.shape[-2:])[..., :, :nex, :, :]
+                    if acc_a is None:
+                        acc_a, acc_b = a, bb
+                    else:
+                        m = (tv == v)[:, None, :, None]
+                        acc_a = jnp.where(m, a, acc_a)
+                        acc_b = jnp.where(m, bb, acc_b)
+                return jnp.concatenate([acc_a, acc_b], axis=-3)
+
+            def _colsel(R, tu, vals, org, win):
+                acc = None
+                for u in vals:
+                    blk = R[..., org + u:org + u + win]
+                    if acc is None:
+                        acc = blk
+                    else:
+                        m = (tu == u)[:, None, :, None]
+                        acc = jnp.where(m, blk, acc)
+                return acc
+
+            Hq, Wq = Hl + 48, Wl + 48
+
+            # (2) half-pel planes (6-tap, spec 8.4.2.2.1) + ONE 20x20
+            # window per plane at the coarse MV (margin 2: +-1 integer
+            # refine plus the half-pel planes' integer offsets)
             def tap6(a, axis):
                 def sh(k):
                     return (a[2 + k:a.shape[0] - 3 + k] if axis == 0
@@ -750,58 +827,117 @@ def make_device_encode_p(width: int, height: int, qp: int, search: int = 8,
             j1 = (b1[:-5] - 5 * b1[1:-4] + 20 * b1[2:-3] + 20 * b1[3:-2]
                   - 5 * b1[4:-1] + b1[5:])
             jpl = jnp.clip((j1 + 512) >> 10, 0, 255)
-            myg, mxg = np.mgrid[0:mbh, 0:mbw]
-            myg, mxg = jnp.asarray(myg), jnp.asarray(mxg)
-            r16g = jnp.arange(16)
-            imvx, imvy = mvx, mvy
             from ultragrid_tpu.ops.h264 import _HALF_OFFS
 
-            for hdx, hdy in _HALF_OFFS:
-                cmx, cmy = imvx + hdx, imvy + hdy
-                ix, iy = cmx >> 2, cmy >> 2
-                fx, fy = hdx & 3, hdy & 3
-                if fx and fy:
-                    plane, ox, oy = jpl, -2, -2
-                elif fx:
-                    plane, ox, oy = bpl, -2, 0
+            # common-coordinate u8 stack; per-plane (ox, oy) sampling
+            # offsets of the former gather path are folded into the slices
+            Qs = jnp.stack([
+                rpy[B0:B0 + Hq, B0:B0 + Wq],
+                bpl[B0:B0 + Hq, B0 - 2:B0 - 2 + Wq],
+                hpl[B0 - 2:B0 - 2 + Hq, B0:B0 + Wq],
+                jpl[B0 - 2:B0 - 2 + Hq, B0 - 2:B0 - 2 + Wq],
+            ]).astype(jnp.uint8)
+            evens = [2 * v for v in range(-Sh, Sh + 1)]
+            CB4 = _colblock(Qs, 16, 12)                 # [4, Hq, mbw, 48]
+            R4 = _rowsel(CB4, ty0, evens, 16, 20, 22)   # [4, mbh, 20, mbw, 48]
+            W20 = _colsel(R4, tx0, evens, 10, 20)       # [4, mbh, 20, mbw, 20]
+            if _stop_after == "extract":
+                return (W20,)
+
+            # (3a) +-1 integer refine: static slices of the integer plane;
+            # W20[p][my,r,mx,c] = plane_p at (16*my+ty0-2+r, 16*mx+tx0-2+c)
+            cur_b8 = y.reshape(mbh, 16, mbw, 16)
+            refb8 = ry.reshape(mbh, 16, mbw, 16)
+            deltas = [(0, 0)] + [(dx, dy) for dy in (-1, 0, 1)
+                                 for dx in (-1, 0, 1) if (dx, dy) != (0, 0)]
+            best = bdx = bdy = None
+            for ddx, ddy in deltas:
+                cand = W20[0, :, 2 + ddy:18 + ddy, :, 2 + ddx:18 + ddx]
+                sad = _sad(cur_b8, cand)
+                if best is None:
+                    best = sad
+                    bdx = jnp.zeros_like(sad)
+                    bdy = jnp.zeros_like(sad)
                 else:
-                    plane, ox, oy = hpl, 0, -2
-                cgy = ((myg * 16 + iy + oy)[:, :, None, None]
-                       + r16g[None, None, :, None] + _MC_PAD)
-                cgx = ((mxg * 16 + ix + ox)[:, :, None, None]
-                       + r16g[None, None, None, :] + _MC_PAD)
-                cand = plane[cgy, cgx]
-                sad = jnp.abs(cur_b - cand).sum(axis=(2, 3))
+                    m = sad < best
+                    best = jnp.where(m, sad, best)
+                    bdx = jnp.where(m, ddx, bdx)
+                    bdy = jnp.where(m, ddy, bdy)
+            ty = ty0 + bdy
+            tx = tx0 + bdx
+
+            # re-anchor the windows at the refined integer MV (3x3 one-hot)
+            accr = None
+            for by in (-1, 0, 1):
+                blk = W20[:, :, 1 + by:19 + by, :, :]
+                if accr is None:
+                    accr = blk
+                else:
+                    accr = jnp.where((bdy == by)[:, None, :, None], blk, accr)
+            W18 = None
+            for bx in (-1, 0, 1):
+                blk = accr[:, :, :, :, 1 + bx:19 + bx]
+                if W18 is None:
+                    W18 = blk
+                else:
+                    W18 = jnp.where((bdx == bx)[:, None, :, None], blk, W18)
+            # W18[p][my,r,mx,c] = plane_p at (16*my+ty-1+r, 16*mx+tx-1+c)
+
+            # (3b) half-pel refine: static slices of the half-pel planes
+            pred_y8 = W18[0, :, 1:17, :, 1:17]
+            mvx, mvy = tx * 4, ty * 4
+            for hdx, hdy in _HALF_OFFS:
+                fx, fy = hdx & 3, hdy & 3
+                pi = 3 if (fx and fy) else (1 if fx else 2)
+                ro, co = (hdy >> 2) + 1, (hdx >> 2) + 1
+                cand = W18[pi, :, ro:ro + 16, :, co:co + 16]
+                sad = _sad(cur_b8, cand)
                 m = sad < best
                 best = jnp.where(m, sad, best)
-                mvx = jnp.where(m, cmx, mvx)
-                mvy = jnp.where(m, cmy, mvy)
-                pred_y = jnp.where(m[:, :, None, None], cand, pred_y)
-            # recompute chroma MC from the final (possibly half-pel) MVs:
-            # per-MB integer gather + eighth-sample bilinear, identical math
-            # to the scan path for unrefined MBs
-            r8g = jnp.arange(8)
+                mvx = jnp.where(m, tx * 4 + hdx, mvx)
+                mvy = jnp.where(m, ty * 4 + hdy, mvy)
+                pred_y8 = jnp.where(m[:, None, :, None], cand, pred_y8)
+
+            # explicit zero-MV candidate (skip bias: wins ties)
+            if _stop_after == "halfpel":
+                return (pred_y8, mvx, mvy)
+            sad0 = _sad(cur_b8, refb8)
+            mz = sad0 <= best
+            mvx = jnp.where(mz, 0, mvx)
+            mvy = jnp.where(mz, 0, mvy)
+            pred_y = jnp.where(mz[:, None, :, None], refb8, pred_y8
+                               ).astype(jnp.int32)
+
+            # (4) chroma MC from final MVs: per-MB 9x9 windows +
+            # eighth-pel bilinear (identical sample math to the decoder)
             cxi, cxf = mvx >> 3, mvx & 7
             cyi, cyf = mvy >> 3, mvy & 7
-            cgy8 = ((myg * 8 + cyi)[:, :, None, None]
-                    + r8g[None, None, :, None] + _MC_PAD)
-            cgx8 = ((mxg * 8 + cxi)[:, :, None, None]
-                    + r8g[None, None, None, :] + _MC_PAD)
-            wxf = cxf[:, :, None, None]
-            wyf = cyf[:, :, None, None]
-            newc = []
-            for plane in (rpcb, rpcr):
-                a = plane[cgy8, cgx8]
-                b_ = plane[cgy8, cgx8 + 1]
-                c_ = plane[cgy8 + 1, cgx8]
-                d_ = plane[cgy8 + 1, cgx8 + 1]
-                newc.append(((8 - wxf) * (8 - wyf) * a + wxf * (8 - wyf) * b_
-                             + (8 - wxf) * wyf * c_ + wxf * wyf * d_ + 32) >> 6)
-            pred_cb, pred_cr = newc
+            lo = (-4 * (search + 1) - 2) >> 3
+            hi = (4 * (search + 1) + 2) >> 3
+            cvals = list(range(lo, hi + 1))
+            B0c = _MC_PAD - 12
+            Qc = jnp.stack([
+                rpcb[B0c:B0c + Hc + 24, B0c:B0c + Wc + 24],
+                rpcr[B0c:B0c + Hc + 24, B0c:B0c + Wc + 24],
+            ])
+            CBc = _colblock(Qc, 8, 4)                 # [2, Hc+24, mbw, 24]
+            Rc = _rowsel(CBc, cyi, cvals, 8, 9, 12)   # [2, mbh, 9, mbw, 24]
+            W9 = _colsel(Rc, cxi, cvals, 8, 9)        # [2, mbh, 9, mbw, 9]
+            wxf = cxf[:, None, :, None]
+            wyf = cyf[:, None, :, None]
+            a = W9[:, :, :8, :, :8]
+            b_ = W9[:, :, :8, :, 1:9]
+            c_ = W9[:, :, 1:9, :, :8]
+            d_ = W9[:, :, 1:9, :, 1:9]
+            blend = ((8 - wxf) * (8 - wyf) * a + wxf * (8 - wyf) * b_
+                     + (8 - wxf) * wyf * c_ + wxf * wyf * d_ + 32) >> 6
+            pred_cb, pred_cr = blend[0], blend[1]
+            if _stop_after == "chroma":
+                return (pred_y, pred_cb, pred_cr, mvx, mvy)
 
         # ---- luma residual: 16-coeff blocks ----
         res = cur_b - pred_y
-        b44 = res.reshape(mbh, mbw, 4, 4, 4, 4).transpose(0, 1, 2, 4, 3, 5)
+        b44 = res.reshape(mbh, 4, 4, mbw, 4, 4).transpose(0, 3, 1, 4, 2, 5)
         coefs = core4(b44)
         lv = (jnp.abs(coefs) * mf + f_off) >> qbits
         q_l = jnp.sign(coefs) * lv
@@ -817,9 +953,9 @@ def make_device_encode_p(width: int, height: int, qp: int, search: int = 8,
         # ---- chroma residual ----
         cdc_lv, cac_lv, zz_cac = [], [], []
         for plane, predc in ((cb, pred_cb), (cr, pred_cr)):
-            p = plane.astype(jnp.int32).reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3)
+            p = plane.astype(jnp.int32).reshape(mbh, 8, mbw, 8)
             cres = p - predc
-            c44 = cres.reshape(mbh, mbw, 2, 4, 2, 4).transpose(0, 1, 2, 4, 3, 5)
+            c44 = cres.reshape(mbh, 2, 4, mbw, 2, 4).transpose(0, 3, 1, 4, 2, 5)
             cc = core4(c44)
             dc2 = had2(cc[..., 0, 0])
             dclv = (jnp.abs(dc2) * mf0c + 2 * fc_off) >> (qbc + 1)
@@ -835,6 +971,8 @@ def make_device_encode_p(width: int, height: int, qp: int, search: int = 8,
         cbp_chroma = jnp.where(any_cac, 2, jnp.where(any_cdc, 1, 0)
                                ).astype(jnp.int32)
         cbp = cbp_luma | (cbp_chroma << 4)
+        if _stop_after == "residual":
+            return (cbp, zz_l, mvx, mvy)
 
         # ---- MV prediction / skip grids (spec 8.4.1.3 / 8.4.1.1) ----
         def shifted(a, dx, dy, avail):
@@ -1026,8 +1164,8 @@ def make_device_encode_p(width: int, height: int, qp: int, search: int = 8,
         dz = dz.at[..., zz].set(zz_l * blk_coded[..., None])
         d_l = dz.reshape(mbh, mbw, 4, 4, 4, 4) * vy_m << (qp // 6)
         res_l = (_itransform4_jnp(d_l) + 32) >> 6
-        rec = jnp.clip(pred_y.reshape(mbh, mbw, 4, 4, 4, 4).transpose(
-            0, 1, 2, 4, 3, 5) + res_l, 0, 255)
+        rec = jnp.clip(pred_y.reshape(mbh, 4, 4, mbw, 4, 4).transpose(
+            0, 3, 1, 4, 2, 5) + res_l, 0, 255)
         ny = rec.transpose(0, 2, 4, 1, 3, 5).reshape(Hl, Wl).astype(jnp.uint8)
         keep_dc = ((cbp_chroma > 0) & coded.reshape(mbh, mbw))
         nplanes = []
@@ -1041,8 +1179,8 @@ def make_device_encode_p(width: int, height: int, qp: int, search: int = 8,
             d_c = dcf.reshape(mbh, mbw, 2, 2, 4, 4) * vc_m << (qpc // 6)
             d_c = d_c.at[..., 0, 0].set(dcsc)
             res_c = (_itransform4_jnp(d_c) + 32) >> 6
-            recc = jnp.clip(predc.reshape(mbh, mbw, 2, 4, 2, 4).transpose(
-                0, 1, 2, 4, 3, 5) + res_c, 0, 255)
+            recc = jnp.clip(predc.reshape(mbh, 2, 4, mbw, 2, 4).transpose(
+                0, 3, 1, 4, 2, 5) + res_c, 0, 255)
             nplanes.append(recc.transpose(0, 2, 4, 1, 3, 5).reshape(
                 Hc, Wc).astype(jnp.uint8))
         return (mb_words, mb_bits.astype(jnp.int32), overflow,
