@@ -8,6 +8,7 @@ and dummy through the real module API.
 import time
 
 import numpy as np
+import pytest
 
 from ultragrid_tpu.modules.registry import LibraryClass, list_modules
 from ultragrid_tpu.modules.video_capture import initialize_video_capture
@@ -214,9 +215,12 @@ def test_encode_pipeline_fused_rs_fixed_size():
     np.testing.assert_array_equal(parity.reshape(-1), buf[-parity.size:])
 
 
-def test_encode_pipeline_fused_jpeg_ldgm():
+@pytest.mark.parametrize("subsampling", ["422", "420"])
+def test_encode_pipeline_fused_jpeg_ldgm(subsampling):
     """JPEG + LDGM parity over the slot-aligned device container, one graph.
-    Parity must equal a host recomputation over the same container bytes."""
+    Parity must equal a host recomputation over the same container bytes.
+    4:2:0 exercises the 4-luma-blocks-per-MCU part layout (round-4 fix:
+    the part row counts assumed 4:2:2)."""
     from ultragrid_tpu.models.encode import EncodeConfig, EncodePipeline
     from ultragrid_tpu.ops.fec import build_ldgm_matrix
     from ultragrid_tpu.types import VideoDesc
@@ -225,7 +229,8 @@ def test_encode_pipeline_fused_jpeg_ldgm():
     w, h = 128, 64
     desc = VideoDesc(w, h, Codec.UYVY, 30.0)
     pipe = EncodePipeline(
-        desc, EncodeConfig(in_codec=Codec.UYVY, compress="jpeg", fec="ldgm:32:16:5")
+        desc, EncodeConfig(in_codec=Codec.UYVY, compress="jpeg",
+                           fec="ldgm:32:16:5", subsampling=subsampling)
     )
     frame = generate_pattern(w, h, Codec.UYVY, "bars")
     ys, ybits, us, ubits, vs, vbits, parity, ovf = pipe(frame)

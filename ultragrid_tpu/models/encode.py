@@ -45,6 +45,9 @@ class EncodeConfig:
     work_codec: Codec = Codec.RGB  # conversion target before compression
     compress: str = "none"  # none | dxt1 | dxt5 | jpeg
     quality: int = 80
+    # JPEG chroma subsampling: None = encoder default (4:2:2 for UYVY/YUYV,
+    # 4:4:4 for RGB); "420" | "422" | "444" to force
+    subsampling: Optional[str] = None
     fec: str = "none"  # none | ldgm:k:m:c | rs:k:n
     # optional device pre-scale (BASELINE config #5: capture -> scale ->
     # JPEG -> LDGM as ONE graph); None = encode at capture resolution
@@ -139,7 +142,8 @@ class EncodePipeline:
                     return scale_nearest(frame, desc.width, cfg.in_codec, enc_w, enc_h)
 
             encoder = JpegEncoder(
-                enc_w, enc_h, in_codec=cfg.in_codec, quality=cfg.quality
+                enc_w, enc_h, in_codec=cfg.in_codec, quality=cfg.quality,
+                subsampling=cfg.subsampling,
             )
             self.jpeg_encoder = encoder
             raw = encoder._encode_cache.setdefault(
@@ -163,7 +167,8 @@ class EncodePipeline:
                 raise ValueError("device-fused JPEG FEC supports ldgm only")
             _, k, m, c = fec
             ww = encoder.wwords
-            n_y = encoder.nmcu * (2 if encoder.subsampling == "422" else 1)
+            ky = {"422": 2, "420": 4}.get(encoder.subsampling, 1)
+            n_y = encoder.nmcu * ky
             n_c = encoder.nmcu
             part_words = [
                 n_y * ww, n_y,      # y slots, y bits
