@@ -176,3 +176,64 @@ def test_sharded_deinterlace_rejects_odd_blocks():
     frame = np.zeros((8 * 3, 64), np.uint8)  # 3 rows/shard: odd
     with pytest.raises(ValueError, match="even-height"):
         sharded_deinterlace(frame, Codec.UYVY, mesh)
+
+
+def test_sharded_sender_step_per_shard_byte_identity():
+    """ShardedSenderStep (full sender step over the mesh: per-device JPEG +
+    per-device LDGM parity, no cross-device gather): every shard's slot
+    container AND parity must be byte-identical to an independent
+    single-chip encode of that shard's row band (JpegEncoder with the same
+    restart interval + host numpy LDGM over the same container layout)."""
+    from ultragrid_tpu.models.encode import ldgm_container_params
+    from ultragrid_tpu.ops.fec import build_ldgm_matrix
+    from ultragrid_tpu.ops.jpeg import JpegEncoder
+    from ultragrid_tpu.parallel.sharded_jpeg import ShardedSenderStep
+
+    mesh = make_mesh(8, data=1)
+    w, h = 96, 8 * 2 * 8  # 2 MCU rows per device
+    k, m, c = 16, 6, 3
+    frame = generate_pattern(w, h, Codec.UYVY, "noise")
+    step = ShardedSenderStep(w, h, mesh, quality=80, k=k, m=m, c=c)
+    ys, ybits, us, ubits, vs, vbits, par = step(frame)
+    nsh = 8
+    local_h = h // nsh
+    local = step.base.local
+    ref_enc = JpegEncoder(w, local_h, in_codec=Codec.UYVY, quality=80,
+                          restart_interval=local.restart_interval)
+    mask = build_ldgm_matrix(k, m, c, 1)
+    ps = step.ps
+    par_np = np.asarray(par).reshape(nsh, m, ps)
+    n_y = local.nmcu * 2
+    n_c = local.nmcu
+    for s in range(nsh):
+        band = np.asarray(frame)[s * local_h:(s + 1) * local_h]
+        rys, rybits, rus, rubits, rvs, rvbits, rovf = (
+            np.asarray(x) for x in ref_enc._encode_cache.setdefault(
+                ref_enc.wwords, ref_enc._build_encode(ref_enc.wwords))(band))
+        assert not bool(rovf)
+        np.testing.assert_array_equal(np.asarray(ys)[s * n_y:(s + 1) * n_y], rys)
+        np.testing.assert_array_equal(np.asarray(us)[s * n_c:(s + 1) * n_c], rus)
+        np.testing.assert_array_equal(np.asarray(vs)[s * n_c:(s + 1) * n_c], rvs)
+        np.testing.assert_array_equal(
+            np.asarray(ybits)[s * n_y:(s + 1) * n_y], rybits)
+        # independent host LDGM over the same per-shard container
+        parts = [rys.astype(np.uint32), rybits.astype(np.int32).view(np.uint32),
+                 rus.astype(np.uint32), rubits.astype(np.int32).view(np.uint32),
+                 rvs.astype(np.uint32), rvbits.astype(np.int32).view(np.uint32)]
+        rows = []
+        for p, rc in zip(parts, step.row_counts):
+            buf = np.zeros(rc * ps, np.uint8)
+            raw = p.reshape(-1).view(np.uint8)
+            buf[:raw.size] = raw
+            rows.append(buf.reshape(rc, ps))
+        sym = np.concatenate(rows)
+        sym = np.concatenate([sym, np.zeros((k - sym.shape[0], ps), np.uint8)])
+        expect = np.zeros((m, ps), np.uint8)
+        for i in range(m):
+            acc = np.zeros(ps, np.uint8)
+            for j in np.nonzero(mask[i])[0]:
+                acc ^= sym[j]
+            if i:
+                acc ^= expect[i - 1]
+            expect[i] = acc
+        np.testing.assert_array_equal(par_np[s], expect)

@@ -181,3 +181,91 @@ class ShardedJpegDecoder:
             )
         uyvy = fn(*stacked)
         return uyvy, hdr["h"], hdr["w"]
+
+
+class ShardedSenderStep:
+    """The FULL multi-chip sender step as ONE shard_map graph: per-device
+    JPEG encode of the frame's row band + per-device LDGM parity over that
+    band's slot container.  Every output is per-shard — nothing is gathered
+    across devices, which is the real deployment shape: each device's band
+    is an independent RTP substream (ref: tiled-4K substream IDs,
+    src/transmit.c:490; tiles round-robined over devices, src/host.h:98),
+    packetized straight from that device's memory.
+
+    Per-shard outputs are bit-identical to a single-chip encode of the same
+    band (restart intervals are chosen so entropy segments never cross
+    shard boundaries; asserted in tests/test_parallel.py).
+    """
+
+    def __init__(self, width: int, height: int, mesh: Mesh,
+                 in_codec: Codec = Codec.UYVY, quality: int = 80,
+                 k: int = 32, m: int = 8, c: int = 3):
+        from ultragrid_tpu.models.encode import ldgm_container_params
+        from ultragrid_tpu.ops.fec import build_ldgm_matrix, gf2_matmul
+
+        self.base = ShardedJpegEncoder(width, height, mesh, in_codec, quality)
+        self.mesh = mesh
+        self.k, self.m, self.c = k, m, c
+        local = self.base.local
+        ww = local.wwords
+        ky = {"422": 2, "420": 4}.get(local.subsampling, 1)
+        n_y, n_c = local.nmcu * ky, local.nmcu
+        part_words = [n_y * ww, n_y, n_c * ww, n_c, n_c * ww, n_c]
+        total_bytes = sum(part_words) * 4
+        ps, _ = ldgm_container_params(total_bytes, k)
+        while sum(-(-(w * 4) // ps) for w in part_words) > k:
+            ps += 4
+        self.ps = ps
+        row_counts = [-(-(w * 4) // ps) for w in part_words]
+        self.row_counts = row_counts
+        mask_np = build_ldgm_matrix(k, m, c, 1).astype(np.float32)
+        starts = np.concatenate([[0], np.cumsum(row_counts)])
+        mask_slices = [jnp.asarray(mask_np[:, starts[i]:starts[i + 1]])
+                       for i in range(len(part_words))]
+        local_fn = local._encode_cache.setdefault(
+            ww, local._build_encode(ww))
+        ps_ = ps
+
+        def part_syms(arr_u32, rows):
+            flat = arr_u32.reshape(-1)
+            pad = rows * ps_ - flat.size * 4
+            b = jax.lax.bitcast_convert_type(flat, jnp.uint8).reshape(-1)
+            return jnp.concatenate([b, jnp.zeros(pad, jnp.uint8)]).reshape(rows, ps_)
+
+        def local_step(frame):
+            ys, ybits, us, ubits, vs, vbits, _ovf = local_fn(frame)
+            parts = [
+                ys, jnp.asarray(ybits, jnp.int32).view(jnp.uint32),
+                us, jnp.asarray(ubits, jnp.int32).view(jnp.uint32),
+                vs, jnp.asarray(vbits, jnp.int32).view(jnp.uint32),
+            ]
+            par = None
+            for msl, p, rows in zip(mask_slices, parts, row_counts):
+                pp = gf2_matmul(msl, part_syms(p, rows), False)
+                par = pp if par is None else par ^ pp
+            kshift = 1
+            while kshift < m:
+                par = par ^ jnp.pad(par, ((kshift, 0), (0, 0)))[:m]
+                kshift *= 2
+            return ys, ybits, us, ubits, vs, vbits, par
+
+        self._fn = jax.jit(
+            shard_map(
+                local_step,
+                mesh=mesh,
+                in_specs=P("spatial", None),
+                out_specs=(
+                    P("spatial", None), P("spatial"),
+                    P("spatial", None), P("spatial"),
+                    P("spatial", None), P("spatial"),
+                    P("spatial", None),
+                ),
+                check_vma=False,
+            )
+        )
+
+    def __call__(self, frame):
+        frame = jax.device_put(
+            frame, NamedSharding(self.mesh, P("spatial", None))
+        ) if not hasattr(frame, "sharding") else frame
+        return self._fn(frame)
