@@ -175,3 +175,97 @@ def test_pallas_parity_kernel_matches_gf2_matmul():
     got = np.asarray(fn(jnp.asarray(data)))
     assert np.array_equal(np.frombuffer(got.tobytes(), np.uint8).reshape(m, psw * 4),
                           np.asarray(ref))
+
+
+def test_ldgm_device_decode_bit_identical_to_host_peel():
+    """decode_device (iterative XOR-matmul peel rounds on device) must
+    recover exactly what the host peel recovers, including the None cases."""
+    import numpy as np
+
+    from ultragrid_tpu.ops.fec import LdgmSession
+
+    k, m, c = 64, 16, 5
+    s = LdgmSession(k, m, c, 1)
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 256, 5000, dtype=np.uint8)
+    buf, desc = s.encode(frame)
+    ps = desc.symbol_size
+    nsym = buf.size // ps
+    sym = buf.reshape(nsym, ps)
+
+    for trial, nloss in ((0, 5), (1, 12), (2, 16), (3, 30)):
+        r = np.random.default_rng(trial)
+        lost = r.choice(nsym, nloss, replace=False)
+        present = np.ones(nsym, bool)
+        present[lost] = False
+        garbled = sym.copy()
+        garbled[lost] = r.integers(0, 256, (nloss, ps), np.uint8)
+        host = s.decode(garbled.copy(), present.copy())
+        dev = s.decode_device(garbled.copy(), present.copy())
+        if host is None:
+            assert dev is None, f"trial {trial}"
+        else:
+            np.testing.assert_array_equal(np.asarray(dev), np.asarray(host))
+            np.testing.assert_array_equal(np.asarray(host), frame)
+
+
+def test_ldgm_device_decode_parity_only_chain():
+    """Staircase chains (consecutive missing parity symbols) need multiple
+    peel rounds — the device while_loop must iterate to convergence."""
+    import numpy as np
+
+    from ultragrid_tpu.ops.fec import LdgmSession
+
+    k, m, c = 32, 12, 3
+    s = LdgmSession(k, m, c, 1)
+    rng = np.random.default_rng(7)
+    frame = rng.integers(0, 256, 3000, dtype=np.uint8)
+    buf, desc = s.encode(frame)
+    ps = desc.symbol_size
+    nsym = buf.size // ps
+    sym = buf.reshape(nsym, ps).copy()
+    # lose a data symbol AND a run of parities: recovery must chain
+    present = np.ones(nsym, bool)
+    for idx in (3, k + 2, k + 3, k + 4):
+        present[idx] = False
+        sym[idx] = 0
+    out = s.decode_device(sym, present)
+    assert out is not None
+    np.testing.assert_array_equal(np.asarray(out), frame)
+
+
+def test_ldgm_device_param_routes_receiver_solve():
+    """--param ldgm-device=device routes the receiver's erasure solve
+    through decode_device (same recovered frame)."""
+    import numpy as np
+
+    from ultragrid_tpu.net import rtp_types as rt
+    from ultragrid_tpu.net.video_rx import FecJob, VideoRxState
+    from ultragrid_tpu.ops.fec import LdgmSession
+    from ultragrid_tpu.types import Codec, VideoDesc
+    from ultragrid_tpu.utils.params import reset_params, set_commandline_param
+
+    k, m, c, seed = 32, 8, 3, 1
+    desc = VideoDesc(64, 16, Codec.UYVY, 30.0)
+    rng = np.random.default_rng(0)
+    payload = rng.integers(0, 256, desc.height * desc.linesize(),
+                           dtype=np.uint8)
+    hdr = np.frombuffer(
+        rt.pack_video_header(desc, 0, 0, payload.size), np.uint8)
+    sess = LdgmSession(k, m, c, seed)
+    buf, fdesc = sess.encode(np.concatenate([hdr, payload]))
+    ps = fdesc.symbol_size
+    got = np.ones(buf.size, bool)
+    got[2 * ps:3 * ps] = False  # one lost symbol
+    bufc = buf.copy()
+    bufc[2 * ps:3 * ps] = 0
+    job = FecJob("ldgm", bufc, got, (buf.size, k, m, c, seed))
+    try:
+        set_commandline_param("ldgm-device", "device")
+        st = VideoRxState()
+        frame = st.decode_fec_job(job)
+        assert frame is not None
+        np.testing.assert_array_equal(
+            np.asarray(frame.tiles[0]).reshape(-1), payload)
+    finally:
+        reset_params()

@@ -17,6 +17,17 @@ from ultragrid_tpu.ops.fec import LdgmSession, RsSession
 from ultragrid_tpu.types import Codec, VideoDesc, VideoFrame
 from ultragrid_tpu.utils.log import Logger
 
+
+def _ldgm_on_device() -> bool:
+    """--param ldgm-device={host|device}; host is the default (the device
+    path pays a host->HBM round trip that only wins on wide erasures)."""
+    from ultragrid_tpu.utils.params import add_to_param, get_commandline_param
+
+    add_to_param("ldgm-device",
+                 "* ldgm-device={host|device}\n"
+                 "  where to run the LDGM erasure solve (default host)")
+    return (get_commandline_param("ldgm-device") or "host") == "device"
+
 log = Logger("video_rx")
 
 # Upper bound on the untrusted frame_len payload-header field: a spoofed
@@ -289,7 +300,14 @@ class VideoRxState:
         ss = frame_len // (k + m)
         symbols = job.buf[: (k + m) * ss].reshape(k + m, ss)
         present = job.got[: (k + m) * ss].reshape(k + m, ss).all(axis=1)
-        payload = sess.decode(symbols, present)
+        # --param ldgm-device=device routes the erasure solve through the
+        # accelerator (iterative XOR-matmul peel; bit-identical), mirroring
+        # the reference's ldgm-device={CPU|GPU} switch (src/rtp/ldgm.cpp:211)
+        if (job.kind == "ldgm" and not bool(present.all())
+                and _ldgm_on_device()):
+            payload = sess.decode_device(symbols, present)
+        else:
+            payload = sess.decode(symbols, present)
         if payload is None:
             self.frames_missing_data += 1
             return None

@@ -300,6 +300,7 @@ class LdgmSession:
 
     def __init__(self, k: int, m: int, c: int, seed: int = DEFAULT_LDGM_SEED):
         self.k, self.m, self.c, self.seed = k, m, c, seed
+        self._dev_decode_cache: dict = {}
         self.matrix = build_ldgm_matrix(k, m, c, seed)
         self._mask = jnp.asarray(self.matrix.astype(np.float32))
         # compact row-index form for the C XOR fast path (host encode)
@@ -396,6 +397,93 @@ class LdgmSession:
         if frame_size > data.size - 4:
             return None
         return data[4 : 4 + frame_size]
+
+    # -- device erasure decode -------------------------------------------
+
+    def _full_check_matrix(self) -> np.ndarray:
+        """[m, k+m] 0/1 parity-check rows over (data || parity) columns:
+        row i = matrix row i + parity i + parity i-1 (LDPC staircase)."""
+        k, m = self.k, self.m
+        full = np.zeros((m, k + m), np.float32)
+        full[:, :k] = self.matrix
+        full[np.arange(m), k + np.arange(m)] = 1
+        full[np.arange(1, m), k + np.arange(m - 1)] = 1
+        return full
+
+    def _decode_device_fn(self, ps: int):
+        """Build the jitted device peel for symbol size ``ps``.
+
+        The peel runs as iterative rounds on-device (the role of the
+        reference's CUDA LDGM decoder, ldgm/src/gpu.cu:35-47): each round
+        computes every check row's XOR via ONE masked-reduce GF(2) matmul
+        over the (k+m, ps) symbol block (missing rows are zeroed, so the
+        row XOR *is* the value of a row's single missing symbol), finds
+        rows with exactly one missing symbol, and scatters their values
+        back in parallel.  Duplicate targets write identical bytes.
+        Bit-identical to the host peel; a lossy 8K receive no longer
+        serializes on host XOR.
+        """
+        fn = self._dev_decode_cache.get(ps)
+        if fn is not None:
+            return fn
+        k, m = self.k, self.m
+        Hf = jnp.asarray(self._full_check_matrix())
+        Hb = jnp.asarray(self._full_check_matrix() != 0)
+
+        @jax.jit
+        def run(sym: jnp.ndarray, have: jnp.ndarray):
+            sym = jnp.where(have[:, None], sym, jnp.uint8(0))
+
+            def cond(state):
+                sym_, have_, rounds, progressed = state
+                return progressed & (rounds < m + 2) & ~have_[:k].all()
+
+            def body(state):
+                sym_, have_, rounds, _ = state
+                miss = ~have_
+                cnt = Hf @ miss.astype(jnp.float32)  # [m] missing per row
+                vals = gf2_matmul(Hf, sym_, False)   # [m, ps] row XORs
+                col = jnp.argmax(Hb & miss[None, :], axis=1)
+                act = cnt == 1.0
+                col = jnp.where(act, col, k + m)     # dummy row when idle
+                sym_p = jnp.concatenate(
+                    [sym_, jnp.zeros((1, sym_.shape[1]), jnp.uint8)])
+                sym_p = sym_p.at[col].set(vals)
+                have_p = jnp.concatenate([have_, jnp.zeros(1, bool)])
+                have_p = have_p.at[col].set(True)
+                new_have = have_p[:k + m]
+                progressed = (new_have & ~have_).any()
+                return sym_p[:k + m], new_have, rounds + 1, progressed
+
+            sym, have, _, _ = jax.lax.while_loop(
+                cond, body, (sym, have, jnp.int32(0), jnp.array(True)))
+            return sym, have
+
+        self._dev_decode_cache[ps] = run
+        return run
+
+    def decode_device(
+        self, symbols, present: np.ndarray
+    ) -> Optional[np.ndarray]:
+        """Device-side erasure recovery; same contract as :meth:`decode`.
+
+        symbols: [k+m, ps] uint8 (device or host); present: [k+m] bool.
+        Returns the recovered frame bytes (numpy) or None.  Keep the host
+        peel (:meth:`decode`) as the no-device fallback.
+        """
+        k = self.k
+        ps = int(symbols.shape[1])
+        run = self._decode_device_fn(ps)
+        sym, have = run(jnp.asarray(symbols, jnp.uint8),
+                        jnp.asarray(present, bool))
+        have_np = np.asarray(have)
+        if not have_np[:k].all():
+            return None
+        data = np.asarray(sym[:k]).reshape(-1)
+        frame_size = int(np.frombuffer(data[:4].tobytes(), np.uint32)[0])
+        if frame_size > data.size - 4:
+            return None
+        return data[4:4 + frame_size]
 
 
 # ---------------------------------------------------------------------------
