@@ -63,6 +63,17 @@ class BitReader:
     def byte_align(self) -> None:
         self.pos = (self.pos + 7) & ~7
 
+    def more_rbsp_data(self) -> bool:
+        """True while bits remain before the rbsp_stop_one_bit (7.2)."""
+        last = len(self.data) - 1
+        while last >= 0 and self.data[last] == 0:
+            last -= 1
+        if last < 0:
+            return False
+        stop = last * 8 + (
+            7 - ((self.data[last] & -self.data[last]).bit_length() - 1))
+        return self.pos < stop
+
 
 def _unepb(data: bytes) -> bytes:
     """Remove emulation-prevention 0x03 bytes."""
@@ -457,8 +468,17 @@ class IntraDecoder:
         r.u(8)  # level
         if r.ue() != 0:
             raise UnsupportedStream("sps_id != 0")
-        if profile not in (66, 77):
+        if profile not in (66, 77, 88, 100):
             raise UnsupportedStream(f"profile {profile}")
+        if profile == 100:
+            # High: chroma format + bit depth + scaling matrices (7.3.2.1.1)
+            if r.ue() != 1:
+                raise UnsupportedStream("chroma_format_idc != 4:2:0")
+            if r.ue() != 0 or r.ue() != 0:
+                raise UnsupportedStream("bit depth > 8")
+            r.u(1)  # qpprime_y_zero_transform_bypass_flag
+            if r.u(1):
+                raise UnsupportedStream("seq scaling matrices")
         log2_mfn = r.ue() + 4
         poc_type = r.ue()
         log2_poc = 0
@@ -489,24 +509,36 @@ class IntraDecoder:
         r = BitReader(rbsp)
         if r.ue() != 0 or r.ue() != 0:
             raise UnsupportedStream("pps/sps id")
-        if r.u(1) != 0:
-            raise UnsupportedStream("CABAC")
+        cabac = r.u(1) == 1
         r.u(1)
         if r.ue() != 0:
             raise UnsupportedStream("slice groups")
         l0_default = r.ue() + 1  # num_ref_idx_l0_default_active_minus1
         r.ue()
-        r.u(1); r.u(2)
+        weighted_pred = r.u(1)
+        r.u(2)  # weighted_bipred_idc
         init_qp = 26 + r.se()
         r.se()
         chroma_off = r.se()
         dbf_ctrl = r.u(1)
         r.u(1); r.u(1)
+        transform_8x8 = False
+        if r.more_rbsp_data():
+            # High-profile tail (7.3.2.2)
+            transform_8x8 = r.u(1) == 1
+            if r.u(1):
+                raise UnsupportedStream("pic scaling matrices")
+            r.se()  # second_chroma_qp_index_offset
+        if transform_8x8:
+            raise UnsupportedStream("8x8 transform")
         return {"init_qp": init_qp, "chroma_off": chroma_off,
-                "dbf_ctrl": dbf_ctrl, "l0_default": l0_default}
+                "dbf_ctrl": dbf_ctrl, "l0_default": l0_default,
+                "cabac": cabac, "weighted_pred": weighted_pred}
 
     def _decode_slice(self, rbsp: bytes, sps, pps, state, db=None,
                       slice_id: int = 0):
+        if pps.get("cabac"):
+            raise UnsupportedStream("CABAC slice in CAVLC-only path")
         r = BitReader(rbsp)
         first_mb = r.ue()
         st = r.ue()
@@ -1123,6 +1155,21 @@ class StreamDecoder:
                 if db is None:
                     db = DeblockCtx(mbw, mbh, self.pps["chroma_off"])
                 sid += 1
+                if self.pps.get("cabac"):
+                    from ultragrid_tpu.ops.h264_cabac import (
+                        CabacPictureCtx, decode_slice_cabac)
+
+                    if getattr(self, "_cabac_pic", None) is None:
+                        self._cabac_pic = CabacPictureCtx(mbw, mbh)
+                    st = BitReader(rbsp)
+                    st.ue()
+                    slice_type = st.ue() % 5
+                    kind = "I" if slice_type == 2 else "P"
+                    if kind == "P" and not self.dpb:
+                        raise UnsupportedStream("P slice without a reference")
+                    decode_slice_cabac(self, rbsp, nal_type, state, db, sid,
+                                       self._cabac_pic)
+                    continue
                 st = BitReader(rbsp)
                 st.ue()  # first_mb
                 slice_type = st.ue()
@@ -1149,6 +1196,7 @@ class StreamDecoder:
             deblock_frame(y, cb, cr, db)
         if kind == "I":
             self.dpb = []  # IDR resets the DPB (8.2.5.1)
+        self._cabac_pic = None  # per-picture neighbour grids
         self.dpb.insert(0, (y, cb, cr))
         del self.dpb[self.sps.get("max_refs", 1):]
         self._dpb_pad = [None] * len(self.dpb)
