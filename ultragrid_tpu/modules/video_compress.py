@@ -314,12 +314,19 @@ class JpegXsCompress(VideoCompress):
 
 
 class CineformCompress(VideoCompress):
-    """CineForm/VC-5-architecture wavelet compression (ref role:
-    src/video_compress/cineform.cpp wrapping the CineForm SDK; here a
-    from-scratch 2/6-DWT codec, see ops/cineform.py for the conformance
-    statement).
+    """CineForm wavelet compression (ref role:
+    src/video_compress/cineform.cpp wrapping the CineForm SDK).
 
-    Config: ``cineform[:quality]`` (default 90; 100 = lossless).
+    Emits REAL CFHD sample streams (ops/cfhd_bitstream.py — the wire
+    format libavcodec's `cfhd` decoder reads, conformance-gated in
+    tests/test_cfhd_bitstream.py) whenever the geometry allows
+    (width % 16 == 0, height % 8 == 0) and quality < 100.  quality=100
+    (true lossless — outside CFHD's vocabulary: the 0x2000 prescale
+    drops 2 bits) and incompatible geometry use the documented own
+    container (UCF1, ops/cineform.py) instead; both decode through the
+    ``cineform`` decompress module.
+
+    Config: ``cineform[:quality]`` (default 90; 100 = lossless UCF1).
     Accepts UYVY directly (4:2:2 planes); other codecs convert to UYVY.
     """
 
@@ -329,6 +336,7 @@ class CineformCompress(VideoCompress):
         from ultragrid_tpu.ops.cineform import CineformCodec
 
         self.codec = CineformCodec(levels=3, quality=self.quality)
+        self._cfhd = None  # (w, h) -> CfhdEncoder, built lazily
 
     def compress(self, frame: VideoFrame) -> Optional[VideoFrame]:
         import numpy as np
@@ -342,10 +350,19 @@ class CineformCompress(VideoCompress):
             data = pixfmt.convert_frame(frame.data, desc.width, desc.color_spec, Codec.UYVY)
             frame = VideoFrame(desc.with_(color_spec=Codec.UYVY), [data])
         a = np.asarray(frame.data, np.uint8)[:, : 2 * desc.width]
-        y = a[:, 1::2].astype(np.int32)
-        cb = a[:, 0::4].astype(np.int32)
-        cr = a[:, 2::4].astype(np.int32)
-        stream = self.codec.encode_planes([y, cb, cr])
+        if self.quality < 100 and desc.width % 16 == 0 and desc.height % 8 == 0:
+            from ultragrid_tpu.ops.cfhd_bitstream import CfhdEncoder
+
+            if self._cfhd is None or (self._cfhd.width, self._cfhd.height) != (
+                desc.width, desc.height):
+                self._cfhd = CfhdEncoder(desc.width, desc.height,
+                                         quality=self.quality)
+            stream = self._cfhd.encode_uyvy(a)
+        else:
+            y = a[:, 1::2].astype(np.int32)
+            cb = a[:, 0::4].astype(np.int32)
+            cr = a[:, 2::4].astype(np.int32)
+            stream = self.codec.encode_planes([y, cb, cr])
         out = VideoFrame(
             desc.with_(color_spec=Codec.CFHD),
             [np.frombuffer(stream, np.uint8)],

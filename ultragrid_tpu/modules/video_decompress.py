@@ -227,10 +227,12 @@ register_module("openapv", LibraryClass.VIDEO_DECOMPRESS, ApvDecompress)
 
 
 class CineformDecompress(VideoDecompress):
-    """CineForm-architecture stream -> UYVY (ref role:
-    src/video_decompress/cineform.cpp; see ops/cineform.py).  Own UCF1
-    streams decode natively; real CFHD bitstreams (e.g. from the lavc
-    cfhd encoder) fall through to libavcodec's cfhd decoder."""
+    """CineForm stream -> UYVY (ref role:
+    src/video_decompress/cineform.cpp).  Real CFHD samples — our own
+    encoder's AND libavcodec's cfhd encoder output — decode natively
+    through ops/cfhd_bitstream.py; UCF1 (the lossless own container)
+    through ops/cineform.py; anything neither parses falls back to
+    libavcodec's cfhd decoder."""
 
     SUPPORTS = [(Codec.CFHD, Codec.UYVY)]
 
@@ -247,6 +249,23 @@ class CineformDecompress(VideoDecompress):
             return None
         stream = bytes(np.asarray(frame.data, np.uint8).reshape(-1))
         if stream[:4] != b"UCF1":
+            try:
+                from ultragrid_tpu.ops.cfhd_bitstream import cfhd_decode
+
+                planes = cfhd_decode(stream, frame.desc.width, frame.desc.height)
+                # CFHD channel order is Y, V, U; round the 10->8 conversion
+                # (an exact inverse of the encoder's <<2 either way)
+                y10, v10, u10 = (np.clip((p + 2) >> 2, 0, 255) for p in planes)
+                h, w = y10.shape
+                out = np.empty((h, 2 * w), np.uint8)
+                out[:, 1::2] = y10
+                out[:, 0::4] = u10  # chroma planes are half width
+                out[:, 2::4] = v10
+                res = VideoFrame(frame.desc.with_(color_spec=Codec.UYVY), [out])
+                res.timestamp = frame.timestamp
+                return res
+            except Exception:  # noqa: BLE001 - unparseable -> lavc
+                pass
             try:
                 from ultragrid_tpu.modules.lavc import LavcDecompress
 

@@ -18,13 +18,17 @@ codec CineForm is built on) designed for the TPU:
   tokens + sign bits, with mag=0 as the run-continuation escape.  Fully
   vectorized emission (one ``put_bits_vec`` per band).
 
-Wire format: this codec's own documented container (magic ``UCF1``)
-carrying the picture geometry, level count and band quantizers.  VC-5
-field-level bitstream conformance is NOT claimed: no reference
-decoder/SDK exists in this environment (the same condition under which
-the reference compiles its cineform module out).  What the tests pin
-down: bit-exact lossless round-trips, quantization-bounded lossy error,
-and decode of every stream the encoder emits.
+Wire format: this module's container is the codec's own documented one
+(magic ``UCF1``) carrying picture geometry, level count and band
+quantizers — it is the LOSSLESS mode of ``-c cineform`` (true lossless
+is outside real CFHD's vocabulary: its 0x2000 prescale drops 2 bits).
+The REAL CineForm HD sample bitstream — the wire format libavcodec's
+``cfhd`` decoder reads — lives in ops/cfhd_bitstream.py, is the default
+output of ``-c cineform`` for CFHD-compatible geometry, and is
+conformance-gated against libavcodec in both directions in
+tests/test_cfhd_bitstream.py.  What THIS module's tests pin down:
+bit-exact lossless round-trips, quantization-bounded lossy error, and
+decode of every stream the encoder emits.
 
 The DWT is whole-plane jnp lifting (device-dispatched on TPU); entropy
 packing is vectorized numpy on host — the same split as ops/jpegxs.py.
