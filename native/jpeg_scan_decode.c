@@ -6,6 +6,13 @@
  * per restart segment, so it lives here in C.)
  *
  * Supports: baseline DCT, interleaved scan, 1-4 components, restart markers.
+ *
+ * Fast path layout (round 4, for the 4K60 receive budget): each restart
+ * segment is first UNSTUFFED (FF00 -> FF) into a scratch buffer in one
+ * branch-light pass, so the hot bit reader never checks for markers — it
+ * just shifts bytes in.  Symbols resolve through a 10-bit lookahead LUT
+ * (one refill covers DC/AC code + value bits: <= 31 bits per symbol pair
+ * against a 64-bit window).
  */
 
 #include <pthread.h>
@@ -13,25 +20,27 @@
 #include <stdlib.h>
 #include <string.h>
 
+#define LUT_BITS 10
+#define LUT_SIZE (1 << LUT_BITS)
+
 typedef struct {
-    /* canonical Huffman decode tables (libjpeg style) + 8-bit lookahead:
-     * lut[look8] = (symbol << 8) | code_len for codes of <= 8 bits */
+    /* canonical Huffman decode tables (libjpeg style) + lookahead LUT:
+     * lut[look] = (symbol << 8) | code_len for codes of <= LUT_BITS bits */
     int32_t mincode[17];
     int32_t maxcode[18]; /* maxcode[17] sentinel */
     int32_t valptr[17];
     uint8_t huffval[256];
-    uint16_t lut[256];
+    uint16_t lut[LUT_SIZE];
 } htab_t;
 
 typedef struct {
-    /* buffered bit reader: refills a 64-bit window a byte at a time,
-     * unstuffing FF00 and stopping (never consuming) at markers */
+    /* bit reader over UNSTUFFED entropy data: no marker logic at all */
     const uint8_t *data;
     int64_t pos;
     int64_t size;
     uint64_t bitbuf;
     int bitcnt;
-    int marker_hit;
+    int starved; /* ran past the end of the segment */
 } reader_t;
 
 static void build_htab(htab_t *t, const uint8_t bits[16], const uint8_t *vals, int nvals)
@@ -43,9 +52,9 @@ static void build_htab(htab_t *t, const uint8_t bits[16], const uint8_t *vals, i
         t->valptr[l] = k;
         t->mincode[l] = code;
         for (int i = 0; i < bits[l - 1]; i++) {
-            if (l <= 8) {
-                int base = (code + i) << (8 - l);
-                for (int f = 0; f < (1 << (8 - l)); f++) {
+            if (l <= LUT_BITS) {
+                int base = (code + i) << (LUT_BITS - l);
+                for (int f = 0; f < (1 << (LUT_BITS - l)); f++) {
                     t->lut[base + f] = (uint16_t)((vals[k + i] << 8) | l);
                 }
             }
@@ -59,30 +68,31 @@ static void build_htab(htab_t *t, const uint8_t bits[16], const uint8_t *vals, i
     t->maxcode[17] = 0x7FFFFFFF;
 }
 
-static void refill(reader_t *r)
+static inline void refill(reader_t *r)
 {
-    while (r->bitcnt <= 56) {
-        if (r->pos >= r->size) return;
-        uint8_t b = r->data[r->pos];
-        if (b == 0xFF) {
-            if (r->pos + 1 < r->size && r->data[r->pos + 1] == 0x00) {
-                r->pos += 2; /* stuffed FF */
-            } else {
-                return; /* marker: leave it for the segment-skip logic */
-            }
-        } else {
-            r->pos++;
-        }
-        r->bitbuf = (r->bitbuf << 8) | b;
+    /* top the 64-bit window up to > 56 bits; unstuffed data, no checks */
+    if (r->pos + 8 <= r->size) {
+        int take = (63 - r->bitcnt) >> 3;
+        if (take == 0) return;
+        uint64_t chunk;
+        memcpy(&chunk, r->data + r->pos, 8);
+        chunk = __builtin_bswap64(chunk);
+        r->bitbuf = (r->bitbuf << (take * 8)) | (chunk >> (64 - take * 8));
+        r->pos += take;
+        r->bitcnt += take * 8;
+        return;
+    }
+    while (r->bitcnt <= 56 && r->pos < r->size) {
+        r->bitbuf = (r->bitbuf << 8) | r->data[r->pos++];
         r->bitcnt += 8;
     }
 }
 
-static int huff_decode(reader_t *r, const htab_t *t)
+static inline int huff_decode(reader_t *r, const htab_t *t)
 {
-    refill(r);
-    if (r->bitcnt >= 8) {
-        int look = (int)((r->bitbuf >> (r->bitcnt - 8)) & 0xFF);
+    /* caller guarantees a recent refill; codes are <= 16 bits */
+    if (r->bitcnt >= LUT_BITS) {
+        int look = (int)((r->bitbuf >> (r->bitcnt - LUT_BITS)) & (LUT_SIZE - 1));
         uint16_t e = t->lut[look];
         if (e) {
             r->bitcnt -= e & 0xFF;
@@ -94,7 +104,7 @@ static int huff_decode(reader_t *r, const htab_t *t)
     while (l < 16) {
         if (r->bitcnt == 0) {
             refill(r);
-            if (r->bitcnt == 0) { r->marker_hit = 1; return -1; }
+            if (r->bitcnt == 0) { r->starved = 1; return -1; }
         }
         r->bitcnt--;
         code = (code << 1) | (int)((r->bitbuf >> r->bitcnt) & 1);
@@ -106,12 +116,12 @@ static int huff_decode(reader_t *r, const htab_t *t)
     return -1;
 }
 
-static int receive_extend(reader_t *r, int s)
+static inline int receive_extend(reader_t *r, int s)
 {
     if (s == 0) return 0;
     if (r->bitcnt < s) {
         refill(r);
-        if (r->bitcnt < s) { r->marker_hit = 1; return 0; }
+        if (r->bitcnt < s) { r->starved = 1; return 0; }
     }
     r->bitcnt -= s;
     int v = (int)((r->bitbuf >> r->bitcnt) & ((1u << s) - 1));
@@ -119,53 +129,87 @@ static int receive_extend(reader_t *r, int s)
     return v;
 }
 
-/* Decode an interleaved baseline scan.
- *
- * tables: 4 x (16 bits counts + 256 vals) flattened = per slot 272 bytes,
- *         slots: 0 = DC0, 1 = AC0, 2 = DC1, 3 = AC1.
- * comp_ntab[c]  : table pair (0 or 1) per component
- * comp_nblocks[c]: blocks per MCU for component c
- * out[c]: int16 buffer [total_blocks_c * 64], zigzag order
- * Returns number of MCUs decoded (== nmcu on success). */
-/* Decode MCUs [m0, m1) from one restart segment's entropy data.  Block
- * output offsets derive from the MCU index; DC predictors start at 0 (a
- * segment boundary resets them).  Returns MCUs decoded. */
-static int64_t decode_mcu_range(
+/* Unstuff entropy bytes [data, data+size) into dst until a marker (FF xx
+ * with xx != 00) or the end.  Returns the unstuffed length; *consumed gets
+ * the number of source bytes eaten (marker itself not consumed).  The
+ * inner loop runs memchr-speed between FF bytes. */
+static int64_t unstuff(const uint8_t *data, int64_t size, uint8_t *dst,
+                       int64_t *consumed)
+{
+    int64_t n = 0, pos = 0;
+    while (pos < size) {
+        const uint8_t *ff = (const uint8_t *)memchr(data + pos, 0xFF, (size_t)(size - pos));
+        if (!ff) {
+            memcpy(dst + n, data + pos, (size_t)(size - pos));
+            n += size - pos;
+            pos = size;
+            break;
+        }
+        int64_t run = ff - (data + pos);
+        memcpy(dst + n, data + pos, (size_t)run);
+        n += run;
+        pos += run;
+        if (pos + 1 < size && data[pos + 1] == 0x00) {
+            dst[n++] = 0xFF;
+            pos += 2;
+        } else {
+            break; /* marker (or trailing FF): stop before it */
+        }
+    }
+    if (consumed) *consumed = pos;
+    return n;
+}
+
+/* Decode MCUs [m0, m1) of one restart segment from UNSTUFFED entropy
+ * data.  DC predictors start at 0 (a segment boundary resets them).
+ * Returns MCUs decoded. */
+static int64_t decode_segment(
     const uint8_t *data, int64_t size, const htab_t ht[4],
     int ncomp, const int32_t *comp_ntab, const int32_t *comp_nblocks,
-    int64_t m0, int64_t m1, int32_t restart_interval, int16_t **out)
+    int64_t m0, int64_t m1, int16_t **out)
 {
     reader_t r = {data, 0, size, 0, 0, 0};
     int32_t pred[4] = {0, 0, 0, 0};
 
     for (int64_t m = m0; m < m1; m++) {
-        if (restart_interval && m != m0 && m % restart_interval == 0) {
-            /* skip to RST marker */
-            r.bitcnt = 0;
-            r.marker_hit = 0;
-            while (r.pos + 1 < r.size &&
-                   !(r.data[r.pos] == 0xFF && r.data[r.pos + 1] >= 0xD0 &&
-                     r.data[r.pos + 1] <= 0xD7)) {
-                r.pos++;
-            }
-            if (r.pos + 1 >= r.size) return m - m0;
-            r.pos += 2;
-            pred[0] = pred[1] = pred[2] = pred[3] = 0;
-        }
         for (int c = 0; c < ncomp; c++) {
             const htab_t *dc = &ht[comp_ntab[c] * 2];
             const htab_t *ac = &ht[comp_ntab[c] * 2 + 1];
             for (int b = 0; b < comp_nblocks[c]; b++) {
                 int16_t *coef = out[c] + (m * comp_nblocks[c] + b) * 64;
                 memset(coef, 0, 64 * sizeof(int16_t));
+                refill(&r);
                 int s = huff_decode(&r, dc);
-                if (s < 0 || r.marker_hit) return m - m0;
+                if (s < 0 || r.starved) return m - m0;
                 pred[c] += receive_extend(&r, s);
                 coef[0] = (int16_t)pred[c];
                 int k = 1;
                 while (k < 64) {
+                    /* fast path: with >= 32 buffered bits, one LUT-hit AC
+                     * symbol (<= 10 code + <= 15 value bits) decodes with
+                     * no further checks */
+                    if (r.bitcnt < 32) refill(&r);
+                    if (r.bitcnt >= 32) {
+                        uint16_t e = ac->lut[(r.bitbuf >> (r.bitcnt - LUT_BITS)) & (LUT_SIZE - 1)];
+                        if (e) {
+                            int rs = e >> 8, len = e & 0xFF;
+                            int rr = rs >> 4, ss = rs & 0xF;
+                            if (ss == 0) {
+                                r.bitcnt -= len;
+                                if (rr == 15) { k += 16; continue; }
+                                break; /* EOB */
+                            }
+                            k += rr;
+                            if (k > 63) return m - m0;
+                            r.bitcnt -= len + ss;
+                            int v = (int)((r.bitbuf >> r.bitcnt) & ((1u << ss) - 1));
+                            if (v < (1 << (ss - 1))) v -= (1 << ss) - 1;
+                            coef[k++] = (int16_t)v;
+                            continue;
+                        }
+                    }
                     int rs = huff_decode(&r, ac);
-                    if (rs < 0 || r.marker_hit) return m - m0;
+                    if (rs < 0 || r.starved) return m - m0;
                     int rr = rs >> 4, ss = rs & 0xF;
                     if (ss == 0) {
                         if (rr == 15) { k += 16; continue; }
@@ -182,6 +226,42 @@ static int64_t decode_mcu_range(
     return m1 - m0;
 }
 
+/* Decode MCUs [m0, m1) walking restart segments from `data` (stuffed,
+ * segment-head-aligned).  `scratch` must hold >= size bytes. */
+static int64_t decode_mcu_range(
+    const uint8_t *data, int64_t size, const htab_t ht[4],
+    int ncomp, const int32_t *comp_ntab, const int32_t *comp_nblocks,
+    int64_t m0, int64_t m1, int32_t restart_interval, int16_t **out,
+    uint8_t *scratch)
+{
+    int64_t pos = 0, done = 0;
+    int64_t m = m0;
+    while (m < m1) {
+        int64_t seg_end = restart_interval
+            ? m - (m % restart_interval) + restart_interval : m1;
+        if (seg_end > m1) seg_end = m1;
+        int64_t consumed = 0;
+        int64_t un = unstuff(data + pos, size - pos, scratch, &consumed);
+        int64_t got = decode_segment(scratch, un, ht, ncomp, comp_ntab,
+                                     comp_nblocks, m, seg_end, out);
+        done += got;
+        if (got < seg_end - m) return done; /* truncated / corrupt */
+        m = seg_end;
+        pos += consumed;
+        /* step over the RST marker to the next segment head */
+        if (m < m1) {
+            while (pos + 1 < size &&
+                   !(data[pos] == 0xFF && data[pos + 1] >= 0xD0 &&
+                     data[pos + 1] <= 0xD7)) {
+                pos++;
+            }
+            if (pos + 1 >= size) return done;
+            pos += 2;
+        }
+    }
+    return done;
+}
+
 int64_t jpeg_scan_decode(
     const uint8_t *data, int64_t size,
     const uint8_t *tables,
@@ -193,8 +273,13 @@ int64_t jpeg_scan_decode(
     for (int i = 0; i < 4; i++) {
         build_htab(&ht[i], tables + i * 272, tables + i * 272 + 16, 256);
     }
-    return decode_mcu_range(data, size, ht, ncomp, comp_ntab, comp_nblocks,
-                            0, nmcu, restart_interval, out);
+    uint8_t *scratch = (uint8_t *)malloc((size_t)size + 16);
+    if (!scratch) return 0;
+    int64_t done = decode_mcu_range(data, size, ht, ncomp, comp_ntab,
+                                    comp_nblocks, 0, nmcu, restart_interval,
+                                    out, scratch);
+    free(scratch);
+    return done;
 }
 
 /* ------------------------------------------------------------------ */
@@ -219,9 +304,12 @@ typedef struct {
 static void *mt_worker(void *arg)
 {
     mt_job_t *j = (mt_job_t *)arg;
+    uint8_t *scratch = (uint8_t *)malloc((size_t)j->size + 16);
+    if (!scratch) { j->done = 0; return 0; }
     j->done = decode_mcu_range(j->data, j->size, j->ht, j->ncomp,
                                j->comp_ntab, j->comp_nblocks, j->m0, j->m1,
-                               j->restart_interval, j->out);
+                               j->restart_interval, j->out, scratch);
+    free(scratch);
     return 0;
 }
 
@@ -248,12 +336,13 @@ int64_t jpeg_scan_decode_mt(
     seg_off[0] = 0;
     int64_t seg = 1, pos = 0;
     while (seg < nseg && pos + 1 < size) {
-        if (data[pos] == 0xFF && data[pos + 1] >= 0xD0 && data[pos + 1] <= 0xD7) {
+        const uint8_t *ff = (const uint8_t *)memchr(data + pos, 0xFF, (size_t)(size - pos - 1));
+        if (!ff) break;
+        pos = ff - data;
+        if (data[pos + 1] >= 0xD0 && data[pos + 1] <= 0xD7) {
             seg_off[seg++] = pos + 2;
-            pos += 2;
-        } else {
-            pos++;
         }
+        pos += (data[pos + 1] == 0x00 || (data[pos + 1] >= 0xD0 && data[pos + 1] <= 0xD7)) ? 2 : 1;
     }
     if (seg < nseg) { /* truncated stream: fall back to serial */
         free(seg_off);
