@@ -49,14 +49,15 @@ class FecJob:
     packet payloads; the actual LDGM/RS solve runs on the fec thread
     (ref: fec_thread, video_decoders.cpp:423)."""
 
-    __slots__ = ("kind", "buf", "got", "params", "ssrc")
+    __slots__ = ("kind", "buf", "got", "params", "ssrc", "rtp_ts")
 
-    def __init__(self, kind, buf, got, params, ssrc=0):
+    def __init__(self, kind, buf, got, params, ssrc=0, rtp_ts=-1):
         self.kind = kind
         self.buf = buf
         self.got = got
         self.params = params
         self.ssrc = ssrc
+        self.rtp_ts = rtp_ts
 
 
 class VideoRxState:
@@ -142,12 +143,16 @@ class VideoRxState:
             job = self._reassemble_fec(node, "ldgm" if pt == rt.PT_VIDEO_LDGM else "rs")
             if job is not None:
                 job.ssrc = node.packets[0].ssrc
+                job.rtp_ts = node.ts
             return job
         else:
             log.warning(f"unsupported payload type {pt}")
             return None
         if frame is not None:
             frame.callbacks["ssrc"] = node.packets[0].ssrc
+            # RTP TS (90 kHz) = the sender's capture instant; kept in
+            # seconds so capture->display latency is measurable downstream
+            frame.timestamp = (node.ts & 0xFFFFFFFF) / 90000.0
         return frame
 
     def _decode_rfc2435(self, node: PbufNode) -> Optional[VideoFrame]:
@@ -319,6 +324,8 @@ class VideoRxState:
         self.frames_ok += 1
         frame = self._wrap(frame_data, desc)
         frame.callbacks["ssrc"] = job.ssrc
+        if job.rtp_ts >= 0:
+            frame.timestamp = (job.rtp_ts & 0xFFFFFFFF) / 90000.0
         return frame
 
     @staticmethod

@@ -285,6 +285,12 @@ class VideoSender:
                     break
                 with profiler.zone("capture.grab"):
                     frame, audio = self.capture.grab()
+                # stamp the capture instant (ref: main.cpp captures carry a
+                # timestamp into the RTP TS via tv_to_rtp); transmit maps
+                # this to the 90 kHz RTP clock, so a same-host receiver can
+                # measure capture->display latency against time.monotonic()
+                if frame is not None and frame.timestamp < 0:
+                    frame.timestamp = time.monotonic()
                 if self.audio_embedded and audio is not None:
                     # embedded (SDI-style) audio rides the capture cadence
                     # (ref: audio_sdi_send, main.cpp:365)
