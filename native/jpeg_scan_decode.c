@@ -313,6 +313,265 @@ static void *mt_worker(void *arg)
     return 0;
 }
 
+/* ------------------------------------------------------------------ */
+/* Packed variant: emit the device-upload layout directly — int8 ACs   */
+/* (flat, components concatenated, zigzag), an int16 DC column, and a  */
+/* bounded (flat index, delta) exception list for ACs that do not fit  */
+/* int8 (delta = v - (int8)v, a multiple of 256, losslessly re-added   */
+/* on device).  This replaces a ~25 ms/4K-frame numpy packing pass and */
+/* halves the coefficient output traffic (ops/jpeg.py decode_to_uyvy). */
+
+typedef struct {
+    int8_t *lo;              /* flat [sum_c nblocks_c * 64] */
+    int16_t *dc;             /* flat [sum_c nblocks_c] */
+    const int64_t *lo_off;   /* per comp: offset into lo (elements) */
+    const int64_t *dc_off;   /* per comp: offset into dc */
+    int32_t *exc_idx;
+    int32_t *exc_delta;
+    int64_t exc_cap;
+    int64_t exc_n;
+    int overflow;
+} packed_out_t;
+
+static int64_t decode_segment_packed(
+    const uint8_t *data, int64_t size, const htab_t ht[4],
+    int ncomp, const int32_t *comp_ntab, const int32_t *comp_nblocks,
+    int64_t m0, int64_t m1, packed_out_t *po)
+{
+    reader_t r = {data, 0, size, 0, 0, 0};
+    int32_t pred[4] = {0, 0, 0, 0};
+
+    for (int64_t m = m0; m < m1; m++) {
+        for (int c = 0; c < ncomp; c++) {
+            const htab_t *dc = &ht[comp_ntab[c] * 2];
+            const htab_t *ac = &ht[comp_ntab[c] * 2 + 1];
+            for (int b = 0; b < comp_nblocks[c]; b++) {
+                int64_t g = m * comp_nblocks[c] + b;
+                int8_t *lo = po->lo + po->lo_off[c] + g * 64;
+                memset(lo, 0, 64);
+                refill(&r);
+                int s = huff_decode(&r, dc);
+                if (s < 0 || r.starved) return m - m0;
+                pred[c] += receive_extend(&r, s);
+                po->dc[po->dc_off[c] + g] = (int16_t)pred[c];
+                /* lo[0] stays 0: the device fn overwrites the DC column */
+                int k = 1;
+                while (k < 64) {
+                    int v;
+                    if (r.bitcnt < 32) refill(&r);
+                    if (r.bitcnt >= 32) {
+                        uint16_t e = ac->lut[(r.bitbuf >> (r.bitcnt - LUT_BITS)) & (LUT_SIZE - 1)];
+                        if (e) {
+                            int rs = e >> 8, len = e & 0xFF;
+                            int rr = rs >> 4, ss = rs & 0xF;
+                            if (ss == 0) {
+                                r.bitcnt -= len;
+                                if (rr == 15) { k += 16; continue; }
+                                break; /* EOB */
+                            }
+                            k += rr;
+                            if (k > 63) return m - m0;
+                            r.bitcnt -= len + ss;
+                            v = (int)((r.bitbuf >> r.bitcnt) & ((1u << ss) - 1));
+                            if (v < (1 << (ss - 1))) v -= (1 << ss) - 1;
+                            goto store;
+                        }
+                    }
+                    {
+                        int rs = huff_decode(&r, ac);
+                        if (rs < 0 || r.starved) return m - m0;
+                        int rr = rs >> 4, ss = rs & 0xF;
+                        if (ss == 0) {
+                            if (rr == 15) { k += 16; continue; }
+                            break; /* EOB */
+                        }
+                        k += rr;
+                        if (k > 63) return m - m0;
+                        v = receive_extend(&r, ss);
+                    }
+                store:
+                    lo[k] = (int8_t)v;
+                    if (v != (int)(int8_t)v) {
+                        if (po->exc_n < po->exc_cap) {
+                            po->exc_idx[po->exc_n] =
+                                (int32_t)(po->lo_off[c] + g * 64 + k);
+                            po->exc_delta[po->exc_n] = v - (int)(int8_t)v;
+                            po->exc_n++;
+                        } else {
+                            po->overflow = 1;
+                        }
+                    }
+                    k++;
+                }
+            }
+        }
+    }
+    return m1 - m0;
+}
+
+static int64_t decode_mcu_range_packed(
+    const uint8_t *data, int64_t size, const htab_t ht[4],
+    int ncomp, const int32_t *comp_ntab, const int32_t *comp_nblocks,
+    int64_t m0, int64_t m1, int32_t restart_interval, packed_out_t *po,
+    uint8_t *scratch)
+{
+    int64_t pos = 0, done = 0;
+    int64_t m = m0;
+    while (m < m1) {
+        int64_t seg_end = restart_interval
+            ? m - (m % restart_interval) + restart_interval : m1;
+        if (seg_end > m1) seg_end = m1;
+        int64_t consumed = 0;
+        int64_t un = unstuff(data + pos, size - pos, scratch, &consumed);
+        int64_t got = decode_segment_packed(scratch, un, ht, ncomp,
+                                            comp_ntab, comp_nblocks, m,
+                                            seg_end, po);
+        done += got;
+        if (got < seg_end - m) return done;
+        m = seg_end;
+        pos += consumed;
+        if (m < m1) {
+            while (pos + 1 < size &&
+                   !(data[pos] == 0xFF && data[pos + 1] >= 0xD0 &&
+                     data[pos + 1] <= 0xD7)) {
+                pos++;
+            }
+            if (pos + 1 >= size) return done;
+            pos += 2;
+        }
+    }
+    return done;
+}
+
+typedef struct {
+    const uint8_t *data;
+    int64_t size;
+    const htab_t *ht;
+    int ncomp;
+    const int32_t *comp_ntab;
+    const int32_t *comp_nblocks;
+    int64_t m0, m1;
+    int32_t restart_interval;
+    packed_out_t po;
+    int64_t done;
+} mt_pjob_t;
+
+static void *mt_pworker(void *arg)
+{
+    mt_pjob_t *j = (mt_pjob_t *)arg;
+    uint8_t *scratch = (uint8_t *)malloc((size_t)j->size + 16);
+    if (!scratch) { j->done = 0; return 0; }
+    j->done = decode_mcu_range_packed(j->data, j->size, j->ht, j->ncomp,
+                                      j->comp_ntab, j->comp_nblocks, j->m0,
+                                      j->m1, j->restart_interval, &j->po,
+                                      scratch);
+    free(scratch);
+    return 0;
+}
+
+/* Returns MCUs decoded.  *exc_count gets the number of exceptions, or -1
+ * when any range overflowed exc_cap (caller falls back to the int16
+ * path).  exc_idx/exc_delta must hold nthreads * exc_cap entries; the
+ * final list is compacted into the prefix. */
+int64_t jpeg_scan_decode_packed_mt(
+    const uint8_t *data, int64_t size,
+    const uint8_t *tables,
+    int ncomp, const int32_t *comp_ntab, const int32_t *comp_nblocks,
+    int64_t nmcu, int32_t restart_interval,
+    int8_t *lo, int16_t *dcs,
+    int32_t *exc_idx, int32_t *exc_delta, int64_t exc_cap,
+    int64_t *exc_count, int nthreads)
+{
+    htab_t ht[4];
+    for (int i = 0; i < 4; i++) {
+        build_htab(&ht[i], tables + i * 272, tables + i * 272 + 16, 256);
+    }
+    int64_t lo_off[4] = {0, 0, 0, 0}, dc_off[4] = {0, 0, 0, 0};
+    for (int c = 1; c < ncomp; c++) {
+        dc_off[c] = dc_off[c - 1] + nmcu * comp_nblocks[c - 1];
+        lo_off[c] = dc_off[c] * 64;
+    }
+
+    if (restart_interval <= 0 || nthreads <= 1) {
+        uint8_t *scratch = (uint8_t *)malloc((size_t)size + 16);
+        if (!scratch) { *exc_count = -1; return 0; }
+        packed_out_t po = {lo, dcs, lo_off, dc_off,
+                           exc_idx, exc_delta, exc_cap, 0, 0};
+        int64_t done = decode_mcu_range_packed(
+            data, size, ht, ncomp, comp_ntab, comp_nblocks, 0, nmcu,
+            restart_interval, &po, scratch);
+        free(scratch);
+        *exc_count = po.overflow ? -1 : po.exc_n;
+        return done;
+    }
+
+    int64_t nseg = (nmcu + restart_interval - 1) / restart_interval;
+    int64_t *seg_off = (int64_t *)malloc((size_t)nseg * sizeof(int64_t));
+    if (!seg_off) { *exc_count = -1; return 0; }
+    seg_off[0] = 0;
+    int64_t seg = 1, pos = 0;
+    while (seg < nseg && pos + 1 < size) {
+        const uint8_t *ff = (const uint8_t *)memchr(data + pos, 0xFF, (size_t)(size - pos - 1));
+        if (!ff) break;
+        pos = ff - data;
+        if (data[pos + 1] >= 0xD0 && data[pos + 1] <= 0xD7) {
+            seg_off[seg++] = pos + 2;
+        }
+        pos += (data[pos + 1] == 0x00 || (data[pos + 1] >= 0xD0 && data[pos + 1] <= 0xD7)) ? 2 : 1;
+    }
+    if (seg < nseg) { /* truncated: serial fallback */
+        free(seg_off);
+        return jpeg_scan_decode_packed_mt(data, size, tables, ncomp,
+                                          comp_ntab, comp_nblocks, nmcu,
+                                          restart_interval, lo, dcs, exc_idx,
+                                          exc_delta, exc_cap, exc_count, 1);
+    }
+    if (nthreads > 64) nthreads = 64;
+    if ((int64_t)nthreads > nseg) nthreads = (int)nseg;
+    pthread_t tid[64];
+    mt_pjob_t jobs[64];
+    int64_t per = (nseg + nthreads - 1) / nthreads;
+    int nt = 0;
+    for (int t = 0; t < nthreads; t++) {
+        int64_t s0 = t * per, s1 = s0 + per;
+        if (s0 >= nseg) break;
+        if (s1 > nseg) s1 = nseg;
+        int64_t m0 = s0 * restart_interval;
+        int64_t m1 = s1 * restart_interval;
+        if (m1 > nmcu) m1 = nmcu;
+        int64_t off = seg_off[s0];
+        jobs[t] = (mt_pjob_t){data + off, size - off, ht, ncomp, comp_ntab,
+                              comp_nblocks, m0, m1, restart_interval,
+                              {lo, dcs, lo_off, dc_off,
+                               exc_idx + t * exc_cap, exc_delta + t * exc_cap,
+                               exc_cap, 0, 0},
+                              0};
+        pthread_create(&tid[t], 0, mt_pworker, &jobs[t]);
+        nt++;
+    }
+    int64_t total = 0, nexc = 0;
+    int overflow = 0;
+    for (int t = 0; t < nt; t++) {
+        pthread_join(tid[t], 0);
+        total += jobs[t].done;
+        overflow |= jobs[t].po.overflow;
+    }
+    /* compact per-thread exception regions into the prefix */
+    for (int t = 0; t < nt && !overflow; t++) {
+        int64_t n = jobs[t].po.exc_n;
+        if (n && (exc_idx + nexc) != jobs[t].po.exc_idx) {
+            memmove(exc_idx + nexc, jobs[t].po.exc_idx,
+                    (size_t)n * sizeof(int32_t));
+            memmove(exc_delta + nexc, jobs[t].po.exc_delta,
+                    (size_t)n * sizeof(int32_t));
+        }
+        nexc += n;
+    }
+    free(seg_off);
+    *exc_count = overflow ? -1 : nexc;
+    return total;
+}
+
 int64_t jpeg_scan_decode_mt(
     const uint8_t *data, int64_t size,
     const uint8_t *tables,

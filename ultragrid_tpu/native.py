@@ -92,6 +92,16 @@ def jpeg_scan_decode_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int,
     ]
+    lib.jpeg_scan_decode_packed_mt.restype = ctypes.c_int64
+    lib.jpeg_scan_decode_packed_mt.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p,          # lo, dc
+        ctypes.c_void_p, ctypes.c_void_p,          # exc_idx, exc_delta
+        ctypes.c_int64, ctypes.c_void_p,           # exc_cap, &exc_count
+        ctypes.c_int,
+    ]
     return lib
 
 

@@ -1371,6 +1371,63 @@ def entropy_decode_422(data: bytes):
     return hdr, outs, nmcux, nmcuy
 
 
+def entropy_decode_422_packed(data: bytes):
+    """Packed host half for 4:2:2 3-component streams: the C decoder emits
+    the device-upload layout DIRECTLY — flat int8 ACs (components
+    concatenated, zigzag), an int16 DC column and the (index, delta)
+    exception list — replacing a ~25 ms/4K numpy packing pass and halving
+    output traffic vs the int16 layout (ref role: the reference keeps
+    coefficients GPU-side entirely, src/video_decompress/gpujpeg.c).
+
+    Returns (hdr, lo int8 [n*64], dc int16 [n], exc_idx, exc_delta, count,
+    nmcux, nmcuy) or None when unsupported / exceptions overflow (caller
+    falls back to entropy_decode_422)."""
+    import ctypes
+    import os as _os
+
+    from ultragrid_tpu.native import jpeg_scan_decode_lib
+
+    hdr = _parse_headers(data)
+    scan = hdr["scan"]
+    if len(scan) != 3 or [(c["h"], c["v"]) for c in scan] != [(2, 1), (1, 1), (1, 1)]:
+        return None
+    lib = jpeg_scan_decode_lib()
+    if lib is None or not hasattr(lib, "jpeg_scan_decode_packed_mt"):
+        return None
+    h_img, w_img, ri = hdr["h"], hdr["w"], hdr["ri"]
+    nmcux = (w_img + 15) // 16
+    nmcuy = (h_img + 7) // 8
+    nmcu = nmcux * nmcuy
+    tables = np.zeros((4, 272), np.uint8)
+    for (tc, th), (bits, vals) in hdr["htabs"].items():
+        slot = th * 2 + tc
+        tables[slot, :16] = np.frombuffer(bits, np.uint8)
+        tables[slot, 16 : 16 + len(vals)] = np.frombuffer(vals, np.uint8)
+    comp_ntab = np.array([c["td"] for c in scan], np.int32)
+    comp_nblocks = np.array([c["h"] * c["v"] for c in scan], np.int32)
+    nblocks = nmcu * 4  # 2 luma + 1 Cb + 1 Cr per 16x8 MCU
+    lo = np.empty(nblocks * 64, np.int8)
+    dc = np.empty(nblocks, np.int16)
+    nthreads = min(_os.cpu_count() or 1, 16)
+    exc_idx = np.empty(nthreads * _EXC_CAP, np.int32)
+    exc_dv = np.empty(nthreads * _EXC_CAP, np.int32)
+    exc_count = ctypes.c_int64(0)
+    body_arr = np.frombuffer(data[hdr["scan_start"] :], np.uint8)
+    done = lib.jpeg_scan_decode_packed_mt(
+        body_arr.ctypes.data, body_arr.size, tables.ctypes.data,
+        len(scan), comp_ntab.ctypes.data, comp_nblocks.ctypes.data,
+        nmcu, ri, lo.ctypes.data, dc.ctypes.data,
+        exc_idx.ctypes.data, exc_dv.ctypes.data, _EXC_CAP,
+        ctypes.byref(exc_count), nthreads,
+    )
+    if done != nmcu:
+        raise ValueError(f"scan decode stopped at MCU {done}/{nmcu}")
+    count = int(exc_count.value)
+    if count < 0 or count > _EXC_CAP:
+        return None  # fat frame: the int16 path handles it
+    return hdr, lo, dc, exc_idx, exc_dv, count, nmcux, nmcuy
+
+
 class JpegDecoder:
     """JPEG -> pixels: C scan decode (native/jpeg_scan_decode.c) + device
     dequant/IDCT/pack.  Geometry-specialized jit like the encoder."""
@@ -1441,37 +1498,23 @@ class JpegDecoder:
 
         Returns (uyvy [H, 2*Wpix] uint8 device array, h, w) or None if the
         stream is not 4:2:2 3-component."""
-        decoded = entropy_decode_422(data)
-        if decoded is None:
-            return None
-        hdr, outs, nmcux, nmcuy = decoded
-        scan = hdr["scan"]
-        h_img, w_img = hdr["h"], hdr["w"]
-        nmcu = nmcux * nmcuy
-        # Range-pack the coefficient upload: post-quant AC values almost
-        # always fit int8 at streaming qualities (DCs do NOT — flat content
-        # has large DC — so DCs ship as a small separate int16 array), plus
-        # a bounded exception list for fat ACs ((index, delta) with delta a
-        # multiple of 256 — int8 truncation wraps mod 256, so adding the
-        # delta back is lossless).  Halves host->device traffic vs int16
-        # (ref issue: the reference's gpujpeg decoder keeps coefficients
-        # GPU-side entirely; src/video_decompress/gpujpeg.c).
-        flat = np.concatenate([o.reshape(-1) for o in outs])
-        lo = flat.astype(np.int8)
-        dc = np.concatenate([o[:, 0] for o in outs])  # int16 [nblocks]
-        delta32 = flat.astype(np.int32) - lo
-        delta32[::64] = 0  # DC column rides in `dc`, not the exception list
-        exc = np.nonzero(delta32)[0]
-        # the mega matmul FOLDS the quant tables, so the cache key must
-        # cover the table VALUES — two streams at different quality share
-        # tq selector ids (found live: a q60 session poisoned a later q90
-        # session's decode with 41-mean error)
-        qsig = tuple(hdr["qtabs"][c["tq"]].tobytes() for c in scan)
-        if exc.size <= _EXC_CAP:
+        # fast path: the C decoder emits the range-packed upload layout
+        # directly (int8 ACs + int16 DC column + exception list); the old
+        # int16 + numpy-pack route remains the fat-frame/odd-shape fallback
+        packed = entropy_decode_422_packed(data)
+        if packed is not None:
+            hdr, lo, dc, exc_idx, exc_dv, count, nmcux, nmcuy = packed
+            scan = hdr["scan"]
+            h_img, w_img = hdr["h"], hdr["w"]
+            # the mega matmul FOLDS the quant tables, so the cache key must
+            # cover the table VALUES — two streams at different quality
+            # share tq selector ids (found live: a q60 session poisoned a
+            # later q90 session's decode with 41-mean error)
+            qsig = tuple(hdr["qtabs"][c["tq"]].tobytes() for c in scan)
             idx = np.zeros(_EXC_CAP, np.int32)
             dv = np.zeros(_EXC_CAP, np.int32)
-            idx[: exc.size] = exc
-            dv[: exc.size] = delta32[exc]
+            idx[:count] = exc_idx[:count]
+            dv[:count] = exc_dv[:count]
             key = ("uyvy8", h_img, w_img, qsig)
             fn = self._fns.get(key)
             if fn is None:
@@ -1480,6 +1523,14 @@ class JpegDecoder:
                 )
             uyvy = fn(jnp.asarray(lo), jnp.asarray(dc), jnp.asarray(idx), jnp.asarray(dv))
             return uyvy, h_img, w_img
+        decoded = entropy_decode_422(data)
+        if decoded is None:
+            return None
+        hdr, outs, nmcux, nmcuy = decoded
+        scan = hdr["scan"]
+        h_img, w_img = hdr["h"], hdr["w"]
+        nmcu = nmcux * nmcuy
+        qsig = tuple(hdr["qtabs"][c["tq"]].tobytes() for c in scan)
         key = ("uyvy", h_img, w_img, qsig)
         fn = self._fns.get(key)
         if fn is None:

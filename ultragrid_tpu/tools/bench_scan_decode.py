@@ -16,6 +16,12 @@ import time
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
+import jax
+
+# the axon TPU plugin force-sets jax_platforms at registration; put the
+# encode (only used to build the test stream) on the host CPU regardless
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 
