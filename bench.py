@@ -108,9 +108,63 @@ def bench_jpeg_4k(n_iters: int = 20, batches: int = 7, nframes: int = 16) -> flo
     return 1.0 / min(times)
 
 
+def bench_latency_4k(iters: int = 60):
+    """BASELINE.md's second metric: p50 per-frame pipeline latency — the
+    latency mode of the same 4K UYVY->JPEG pipeline (ONE frame per
+    dispatch, each timed to completion individually; no batching, no
+    pipelining).  Includes this environment's ~1.8 ms per-dispatch axon
+    RPC floor that a PCIe host does not pay (PERF.md)."""
+    import jax.numpy as jnp
+
+    from ultragrid_tpu.ops.jpeg import JpegBatchEncoder
+    from ultragrid_tpu.types import Codec
+
+    w, h = 3840, 2160
+    rng = np.random.default_rng(0)
+    base = (
+        np.linspace(0, 255, w * 2, dtype=np.float32)[None, :]
+        + rng.normal(0, 8, (h, 2 * w))
+    ).clip(16, 235).astype(np.uint8)
+    enc = JpegBatchEncoder(w, h, 1, in_codec=Codec.UYVY, quality=80)
+    frame = jax.device_put(base)
+
+    def force(parts):
+        return float(jnp.asarray(parts[1]).reshape(-1)[::1009].astype(jnp.float32).sum())
+
+    force(enc.encode_device(frame))  # warm
+    lats = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        force(enc.encode_device(frame))
+        lats.append((time.perf_counter() - t0) * 1e3)
+    lats.sort()
+    return lats[len(lats) // 2], lats[min(len(lats) - 1, int(len(lats) * 0.99))]
+
+
+def bench_dispatch_floor(iters: int = 24) -> float:
+    """p50 round-trip of a tiny dispatch — the axon tunnel's RPC floor at
+    bench time (1.8 ms in good windows, 28+ ms degraded; PERF.md).  A PCIe
+    host pays ~0.05 ms.  Published so the latency numbers are readable:
+    device compute ≈ latency_p50 - dispatch_floor_p50."""
+    import jax.numpy as jnp
+
+    x = jax.device_put(np.zeros((256, 256), np.float32))
+    f = jax.jit(lambda a: (a + 1.0).sum())
+    float(f(x))
+    lats = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(f(x))
+        lats.append((time.perf_counter() - t0) * 1e3)
+    lats.sort()
+    return lats[len(lats) // 2]
+
+
 def main() -> None:
     _watchdog(900)
     fps = bench_jpeg_4k()
+    p50, p99 = bench_latency_4k()
+    floor = bench_dispatch_floor()
     signal.alarm(0)
     print(
         json.dumps(
@@ -119,6 +173,11 @@ def main() -> None:
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_4K_FPS, 3),
+                # BASELINE.md metric 2: per-frame pipeline latency of the
+                # same 4K encode, ONE frame per dispatch, timed individually
+                "latency_p50_ms": round(p50, 2),
+                "latency_p99_ms": round(p99, 2),
+                "dispatch_floor_p50_ms": round(floor, 2),
             }
         )
     )
