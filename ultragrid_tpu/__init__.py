@@ -15,6 +15,18 @@ and the mirror receive path), designed TPU-first:
 Reference feature map: see SURVEY.md (citations into /root/reference).
 """
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    # The axon TPU plugin force-sets jax_platforms at import registration,
+    # which silently beats the standard env var; restore stock JAX
+    # semantics so JAX_PLATFORMS=cpu really runs on (virtual) CPU devices.
+    # (Only 'cpu' is restored — the plugin's own 'axon' value is an alias
+    # it resolves internally and must be left alone.)
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 from ultragrid_tpu.types import (  # noqa: F401
     Codec,
     VideoDesc,

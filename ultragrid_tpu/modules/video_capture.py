@@ -26,6 +26,33 @@ VIDCAP_INIT_FAIL = 1
 VIDCAP_INIT_NOERR = 2  # help shown
 
 
+def _pace(cap) -> None:
+    """Sleep until the next frame slot at ``cap.desc.fps``.
+
+    Paces relative to the PREVIOUS slot, never the session start: when a
+    grab arrives late (downstream stall, session warmup) the schedule
+    resets to *now* instead of replaying the missed slots in a burst —
+    exactly the reference testcard's behaviour, which waits 1/fps from
+    the previous grab (ref: testcard.c:762-776).  Catch-up bursts would
+    keep every pipeline queue full and turn a transient stall into
+    permanent end-to-end latency.
+    """
+    now = time.monotonic()
+    period = 1.0 / cap.desc.fps
+    prev = getattr(cap, "_pace_deadline", None)
+    if prev is None:
+        if cap.start_time is None:
+            cap.start_time = now
+        deadline = now
+    else:
+        deadline = prev + period
+        if now >= deadline:
+            deadline = now  # behind schedule: drop missed slots
+        else:
+            time.sleep(deadline - now)
+    cap._pace_deadline = deadline
+
+
 class VideoCapture:
     """Base class for capture devices."""
 
@@ -98,13 +125,7 @@ class TestcardCapture(VideoCapture):
         log.notice(f"capturing {self.desc}, pattern {pattern}")
 
     def grab(self):
-        # fps pacing (ref: testcard waits until next frame time)
-        now = time.monotonic()
-        if self.start_time is None:
-            self.start_time = now
-        next_deadline = self.start_time + self.count / self.desc.fps
-        if now < next_deadline:
-            time.sleep(next_deadline - now)
+        _pace(self)
         frame = VideoFrame(self.desc, [self.frames[self.count % len(self.frames)]])
         frame.timestamp = time.monotonic()
         self.count += 1
@@ -179,12 +200,7 @@ class Testcard2Capture(VideoCapture):
         region[mask] = (255, 255, 255, 255)
 
     def grab(self):
-        now = time.monotonic()
-        if self.start_time is None:
-            self.start_time = now
-        next_deadline = self.start_time + self.count / self.desc.fps
-        if now < next_deadline:
-            time.sleep(next_deadline - now)
+        _pace(self)
         img = self.bg.copy()
         h, w = img.shape[:2]
         for s in self.sq:
