@@ -170,7 +170,6 @@ class RtpSession:
         self._recv_thread = None
         self._pending: deque = deque()
         self._recv_queue: Optional["queue.Queue"] = None
-        self._rx_buf = None
         self._rx_lens = None
         self.rtcp = None
         if rtcp:
@@ -396,11 +395,12 @@ class RtpSession:
         if lib is not None:
             import numpy as np
 
-            buf = self._rx_buf
-            if buf is None or buf.shape[0] < max_pkts:
-                buf = self._rx_buf = np.empty(
-                    (max_pkts, RTP_MAX_PACKET_LEN), np.uint8
-                )
+            # fresh buffer per batch: payloads below are zero-copy views
+            # into it, so it must not be reused while frames reference it
+            # (the old design reused one buffer and paid a full-batch
+            # .tobytes() copy — ~4 ms per 128-pkt batch at 4K rates)
+            buf = np.empty((max_pkts, RTP_MAX_PACKET_LEN), np.uint8)
+            if self._rx_lens is None or self._rx_lens.shape[0] < max_pkts:
                 self._rx_lens = np.empty(max_pkts, np.int32)
             n = int(lib.udp_recv_batch(
                 self.sock.fileno(), buf.ctypes.data, buf.shape[1], max_pkts,
@@ -420,11 +420,11 @@ class RtpSession:
             b1s = h[:, 1].tolist()
             rtcp = self.rtcp
             nbytes = 0
-            # ONE copy of the whole batch; payloads are zero-copy memoryview
-            # slices into it (per-packet .tobytes() was ~3 us of pure python
-            # overhead each at 76k pkts/s)
+            # payloads are zero-copy memoryview slices into this batch's
+            # own buffer (per-packet .tobytes() was ~3 us each at 76k
+            # pkts/s; a whole-batch copy was ~4 ms at 4K rates)
             row = buf.shape[1]
-            blob = memoryview(buf[:n].tobytes())
+            blob = memoryview(buf.reshape(-1))
             for i in range(n):
                 ln = lens[i]
                 b0 = b0s[i]
