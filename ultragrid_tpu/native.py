@@ -252,6 +252,42 @@ def udp_rx_lib() -> Optional[ctypes.CDLL]:
 
 
 @lru_cache(maxsize=None)
+def video_rx_fast_lib() -> Optional[ctypes.CDLL]:
+    """Fast-path video depacketizer (recvmmsg + RTP/payload-header parse +
+    frame scatter in C; role analogue of the reference's receive hot path:
+    udp_reader net_udp.c:163-187 + pbuf_insert pbuf.c:438 + LINE_DECODER
+    copies video_decoders.cpp:1707-1796)."""
+    so = _build("video_rx_fast", ["video_rx_fast.c"])
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.vrx_create.restype = ctypes.c_void_p
+    lib.vrx_create.argtypes = [ctypes.c_long, ctypes.c_long]
+    lib.vrx_destroy.argtypes = [ctypes.c_void_p]
+    lib.vrx_set_buffer.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_long,
+    ]
+    lib.vrx_drain.restype = ctypes.c_long
+    lib.vrx_drain.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_long, ctypes.c_double,
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.vrx_poll.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.vrx_nslots.restype = ctypes.c_int
+    lib.vrx_nslots.argtypes = [ctypes.c_void_p]
+    lib.vrx_slot_hdr.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+    lib.vrx_slot_intervals.restype = ctypes.c_long
+    lib.vrx_slot_intervals.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+    ]
+    lib.vrx_ssrc_stats.restype = ctypes.c_long
+    lib.vrx_ssrc_stats.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+    lib.vrx_totals.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    return lib
+
+
+@lru_cache(maxsize=None)
 def udp_tx_lib() -> Optional[ctypes.CDLL]:
     so = _build("udp_tx", ["udp_tx.c"])
     if so is None:

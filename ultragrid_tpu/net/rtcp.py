@@ -147,7 +147,16 @@ class RtcpSession:
 
     # -- packet building -------------------------------------------------
 
+    # set by the fast receive path to merge C-side reception stats into
+    # self.sources just before a report is built (net/vrx_fast.py)
+    pre_report_hook = None
+
     def _build_compound(self) -> bytes:
+        if self.pre_report_hook is not None:
+            try:
+                self.pre_report_hook(self)
+            except Exception:  # noqa: BLE001 — stats merge must not kill RTCP
+                pass
         blocks = b"".join(
             st.report_block(ssrc) for ssrc, st in list(self.sources.items())
         )
@@ -210,7 +219,11 @@ class RtcpSession:
     # -- loop -------------------------------------------------------------
 
     def _loop(self) -> None:
-        self.sock.settimeout(0.1)
+        try:
+            self.sock.settimeout(0.1)
+        except OSError:
+            return  # session closed before the loop started
+
         last_report = time.monotonic()
         while not self._stop.is_set():
             try:

@@ -19,6 +19,10 @@ from ultragrid_tpu.utils.params import add_to_param
 add_to_param("pbuf-delay",
              "<ms> playout (jitter) buffer delay, default 32 "
              "(ref: --param pbuf-delay, pbuf.c:191)")
+add_to_param("vrx-fast",
+             "* vrx-fast={auto|off}\n"
+             "  C fast-path video depacketizer (default auto; off forces "
+             "the Python pbuf path)")
 from ultragrid_tpu.net.rtp import RtpSession
 from ultragrid_tpu.net.video_rx import VideoRxState
 from ultragrid_tpu.ops import pixfmt
@@ -384,7 +388,24 @@ class VideoReceiver:
         kernel socket buffer."""
         start = time.monotonic()
         idle_since = time.monotonic()
-        self.session.start_recv_thread()
+        # C fast path: recvmmsg + RTP/payload parse + frame scatter in C,
+        # frame-granularity gating here (net/vrx_fast.py); packets the C
+        # layer does not handle flow through the ordinary pbuf path below
+        from ultragrid_tpu.utils.params import get_commandline_param
+
+        fast = None
+        if (get_commandline_param("vrx-fast") or "auto") != "off":
+            try:
+                from ultragrid_tpu.net.vrx_fast import FastVideoRx
+
+                fast = FastVideoRx(
+                    self.session, self.rx_state,
+                    framebuffer_provider=self._framebuffer_provider)
+            except Exception as e:  # noqa: BLE001 — no cc, etc.
+                log.debug(f"fast rx path unavailable: {e}")
+        self._fast = fast
+        if fast is None:
+            self.session.start_recv_thread()
         self._fec_q: "queue.Queue" = queue.Queue(maxsize=2)
         self._decomp_q: "queue.Queue" = queue.Queue(maxsize=2)
         self.rx_state.framebuffer_provider = self._framebuffer_provider
@@ -399,17 +420,37 @@ class VideoReceiver:
                 break
             if self.timeout is not None and time.monotonic() - start > self.timeout:
                 break
-            # batch-granularity drain: one queue op per recvmmsg batch
-            pkts = self.session.recv_many(timeout=0.0001, max_pkts=512)
-            now = time.monotonic()
-            insert = self.pbuf.insert
-            for pkt in pkts:
-                insert(pkt)
-            if pkts:
-                idle_since = now
-            pkt = pkts[-1] if pkts else None  # idle detection below
-            self.pbuf.decode(now, self._reassemble_cb)
-            self.pbuf.remove_old(now)
+            if fast is not None:
+                before = self.session.packets_received
+                pkts = fast.drain(timeout=0.0001)
+                now = time.monotonic()
+                got_any = self.session.packets_received != before
+                for pkt in pkts:  # slow-path packets -> pbuf as usual
+                    self.pbuf.insert(pkt)
+                self.pbuf.decode(now, self._reassemble_cb)
+                self.pbuf.remove_old(now)
+                with profiler.zone("rx.reassemble"):
+                    ready = fast.poll(now, self.pbuf.playout_delay)
+                for out in ready:
+                    try:
+                        self._fec_q.put(out, timeout=1.0)
+                    except queue.Full:
+                        log.warning("decode pipeline too slow, dropping frame")
+                pkt = True if got_any else None  # idle detection below
+                if got_any:
+                    idle_since = now
+            else:
+                # batch-granularity drain: one queue op per recvmmsg batch
+                pkts = self.session.recv_many(timeout=0.0001, max_pkts=512)
+                now = time.monotonic()
+                insert = self.pbuf.insert
+                for pkt in pkts:
+                    insert(pkt)
+                if pkts:
+                    idle_since = now
+                pkt = pkts[-1] if pkts else None  # idle detection below
+                self.pbuf.decode(now, self._reassemble_cb)
+                self.pbuf.remove_old(now)
             if self.audio_playback is not None:
                 apkts = self.audio_session.recv_many(timeout=0.0001, max_pkts=64)
                 for apkt in apkts:
@@ -421,6 +462,8 @@ class VideoReceiver:
             if pkt is None and now - idle_since > 0.002:
                 time.sleep(0.001)  # avoid busy-spin when idle
         self.session.close()
+        if fast is not None:
+            fast.close()
         self._fec_q.put(None)  # poison pill cascades through the stages
         fec_t.join(timeout=5)
         dec_t.join(timeout=5)
