@@ -113,10 +113,10 @@ def test_lavc_end_to_end_rtp_h264():
     assert np.abs(got.astype(int) - orig.astype(int)).mean() < 4.0
 
 
-@pytest.mark.parametrize("codec_name", ["Opus", "G722"])
+@pytest.mark.parametrize("codec_name", ["Opus", "G722", "speex"])
 def test_lavc_audio_rtp_end_to_end(codec_name):
-    """Opus (the reference's default voice codec) / G.722 over the native
-    audio RTP path (5-word header, per-channel packets)."""
+    """Opus (the reference's default voice codec) / G.722 / Speex over the
+    native audio RTP path (5-word header, per-channel packets)."""
     from ultragrid_tpu.audio.capture import TestcardAudioCapture
     from ultragrid_tpu.audio.codecs import get_audio_codec
     from ultragrid_tpu.net.audio_rx import AudioRxState
@@ -124,7 +124,7 @@ def test_lavc_audio_rtp_end_to_end(codec_name):
     from ultragrid_tpu.net.rtp import RtpSession
     from ultragrid_tpu.net.transmit import Tx
 
-    port = 26150 + (0 if codec_name == "Opus" else 2)
+    port = 26150 + 2 * ["Opus", "G722", "speex"].index(codec_name)
     rx = RtpSession(addr=None, rx_port=port, tx_port=0)
     tx_sess = RtpSession(addr="127.0.0.1", rx_port=0, tx_port=port)
     tx = Tx(mtu=1500)
@@ -134,25 +134,28 @@ def test_lavc_audio_rtp_end_to_end(codec_name):
     decoded = []
     for cycle in range(3):
         frame = cap.read(48000 // 25)
-        comp = codec.compress(frame)
-        if not all(len(c) for c in comp.channels):
+        # one RTP buffer per codec packet (ref compress loop, audio.cpp:774);
+        # Speex emits two 20 ms packets per 40 ms cycle, Opus/G.722 one
+        comps = codec.compress_multi(frame)
+        if not comps:
             continue  # encoder latency on the first cycle
-        tx.send_audio(tx_sess, comp, codec_name)
+        for comp in comps:
+            tx.send_audio(tx_sess, comp, codec_name)
         pbuf = PlayoutBuffer()
-        node = None
+        nodes = []
         deadline = time.monotonic() + 5
-        while time.monotonic() < deadline:
+        while time.monotonic() < deadline and len(nodes) < len(comps):
             pkt = rx.recv(timeout=0.05)
             if pkt:
                 pbuf.insert(pkt)
                 if pkt.m:
-                    node = list(pbuf.frames.values())[0]
-                    break
-        assert node is not None
-        out = state.decode_frame(node)
-        assert out is not None
-        assert out.desc.codec == "PCM"
-        decoded.append(out)
+                    nodes = list(pbuf.frames.values())
+        assert len(nodes) == len(comps)
+        for node in nodes:
+            out = state.decode_frame(node)
+            assert out is not None
+            assert out.desc.codec == "PCM"
+            decoded.append(out)
     assert decoded, f"no {codec_name} frames decoded"
     # content sanity: decoded audio has energy (testcard sine)
     x = decoded[-1].samples_float()

@@ -577,25 +577,44 @@ def test_batched_jpeg_ldgm_420_parity_matches_batch1():
 def test_uncompressed_1080p_loopback_throughput_smoke():
     """Regression guard for the batched receive path: 1080p uncompressed
     loopback must sustain at least an order-of-magnitude below the
-    measured 60 fps (suite runs share one core; see PERF.md receive-path
-    table for the real numbers)."""
+    measured 60 fps (see PERF.md receive-path table for the real numbers).
+
+    The whole attempt is retried up to 3 times because the suite shares
+    one CPU core: the sender paces at 60 fps regardless of receiver
+    progress, so an unlucky scheduling stall makes the kernel drop most
+    packets at the UDP socket with no code regression involved (honest
+    UDP behavior).  A genuine receive-path breakage fails every attempt
+    in any conditions (same load-hardening discipline as the adaptive-FEC
+    stability test)."""
     import threading
     import time as _time
 
     from ultragrid_tpu.pipeline.receiver import VideoReceiver
     from ultragrid_tpu.pipeline.sender import VideoSender
 
-    port = 24931
     N = 20
-    recv = VideoReceiver("dummy", rx_port=port, frame_limit=N, timeout=20.0)
-    t = threading.Thread(target=recv.run, daemon=True)
-    t.start()
-    _time.sleep(0.2)
-    t0 = _time.perf_counter()
-    VideoSender("testcard:s=1920x1080:f=60:c=UYVY:still=1", "127.0.0.1",
-                compress_spec="none", tx_port=port, frame_limit=N + 15,
-                mtu=8192).run()
-    t.join(timeout=25)
-    dt = _time.perf_counter() - t0
-    assert recv.frames_displayed >= N // 2  # >= 10 frames made it
-    assert recv.frames_displayed / dt > 5.0  # fps floor (measured: 60)
+
+    def attempt(port):
+        recv = VideoReceiver("dummy", rx_port=port, frame_limit=N,
+                             timeout=20.0)
+        t = threading.Thread(target=recv.run, daemon=True)
+        t.start()
+        _time.sleep(0.2)
+        t0 = _time.perf_counter()
+        VideoSender("testcard:s=1920x1080:f=60:c=UYVY:still=1", "127.0.0.1",
+                    compress_spec="none", tx_port=port, frame_limit=N + 15,
+                    mtu=8192).run()
+        t.join(timeout=25)
+        dt = _time.perf_counter() - t0
+        return recv.frames_displayed, recv.frames_displayed / dt
+
+    results = []
+    for i in range(3):
+        frames, fps = attempt(24931 + i)
+        results.append((frames, round(fps, 1)))
+        if frames >= N // 2 and fps > 5.0:  # floors (uncontended: 20, 60)
+            return
+    raise AssertionError(
+        f"loopback smoke missed floors on all 3 attempts "
+        f"((frames, fps) per attempt: {results}; need >= {N // 2} frames "
+        f"and > 5.0 fps on one)")

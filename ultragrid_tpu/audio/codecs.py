@@ -21,6 +21,17 @@ class AudioCodec:
     def compress(self, frame: AudioFrame) -> AudioFrame:
         raise NotImplementedError
 
+    def compress_multi(self, frame: AudioFrame) -> list:
+        """One AudioFrame per codec packet, the reference's compress-loop
+        contract (audio.cpp:774-779 keeps calling audio_codec_compress and
+        sends EACH returned packet as its own RTP buffer).  Codecs whose
+        decoder needs packet boundaries (Speex) override the lavc version;
+        bytestream/one-packet-per-cycle codecs collapse to [compress()]."""
+        out = self.compress(frame)
+        if out is None or not any(len(c) for c in out.channels):
+            return []
+        return [out]
+
     def decompress(self, frame: AudioFrame) -> AudioFrame:
         raise NotImplementedError
 

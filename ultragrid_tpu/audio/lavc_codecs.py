@@ -70,13 +70,14 @@ class LavcAudioCodec:
 
     # -- codec API (matches audio/codecs.py AudioCodec) -------------------
 
-    def compress(self, frame: AudioFrame) -> AudioFrame:
+    def _compress_packets(self, frame: AudioFrame):
+        """Encode one audio cycle; returns (desc, per-channel packet lists)."""
         desc = frame.desc
         rate = self.RATE or desc.sample_rate
         if self._rate and self._rate != rate:
             self._close_all()
         self._rate = rate
-        out_channels: List[np.ndarray] = []
+        out_pkts: List[List[np.ndarray]] = []
         for ch in range(len(frame.channels)):
             s16 = self._to_s16(frame, ch)
             s16 = self._resample(s16, desc.sample_rate, rate)
@@ -93,32 +94,55 @@ class LavcAudioCodec:
             if pend is not None and pend.size:
                 s16 = np.concatenate([pend, s16])
             out = np.empty(s16.size * 2 + 4096, np.uint8)
-            total = 0
+            pkts: List[np.ndarray] = []
             if fs <= 0:
                 s16c = np.ascontiguousarray(s16)
                 n = self._lib.lavc_aenc_encode(
                     h, s16c.ctypes.data, s16c.size, out.ctypes.data, out.size
                 )
-                total = max(0, int(n))
+                if n > 0:
+                    pkts.append(out[: int(n)].copy())
                 self._pending[ch] = np.empty(0, "<i2")
             else:
                 pos = 0
                 while s16.size - pos >= fs:
                     chunk = np.ascontiguousarray(s16[pos : pos + fs])
                     n = self._lib.lavc_aenc_encode(
-                        h, chunk.ctypes.data, fs, out[total:].ctypes.data,
-                        out.size - total,
+                        h, chunk.ctypes.data, fs, out.ctypes.data, out.size
                     )
                     if n > 0:
-                        total += int(n)
+                        pkts.append(out[: int(n)].copy())
                     pos += fs
                 self._pending[ch] = s16[pos:].copy()
-            out_channels.append(out[:total].copy())
+            out_pkts.append(pkts)
         ndesc = AudioDesc(bps=desc.bps, sample_rate=rate,
                           ch_count=desc.ch_count, codec=self.NAME)
-        nf = AudioFrame(ndesc, out_channels)
+        return ndesc, out_pkts
+
+    def compress(self, frame: AudioFrame) -> AudioFrame:
+        ndesc, out_pkts = self._compress_packets(frame)
+        nf = AudioFrame(ndesc, [
+            np.concatenate(pkts) if pkts else np.empty(0, np.uint8)
+            for pkts in out_pkts
+        ])
         nf.timestamp = frame.timestamp
         return nf
+
+    def compress_multi(self, frame: AudioFrame) -> list:
+        """One AudioFrame per encoder packet (reference compress-loop
+        semantics — needed by Speex, whose lavc decoder takes exactly one
+        20 ms frame per packet).  Per-channel packet counts match because
+        every channel sees the same sample count and encoder params."""
+        ndesc, out_pkts = self._compress_packets(frame)
+        if not out_pkts or not out_pkts[0]:
+            return []
+        n = min(len(p) for p in out_pkts)
+        frames = []
+        for i in range(n):
+            nf = AudioFrame(ndesc, [pkts[i] for pkts in out_pkts])
+            nf.timestamp = frame.timestamp
+            frames.append(nf)
+        return frames
 
     def decompress(self, frame: AudioFrame) -> AudioFrame:
         desc = frame.desc
@@ -183,6 +207,19 @@ class G722Codec(LavcAudioCodec):
     BITRATE = 64000
 
 
+class SpeexCodec(LavcAudioCodec):
+    """Speex wideband via libspeex — the reference ships it both ways
+    through the same lavc module (marked deprecated there but still
+    selectable; ref: src/audio/codec/libavcodec.c:97,796).  20 ms frames
+    at 16 kHz (320 samples) so a 40 ms audio cycle yields whole packets."""
+
+    NAME = "speex"
+    ENC = "libspeex"
+    DEC = "libspeex"
+    RATE = 16000
+    BITRATE = 24600  # libspeex wideband quality-8 default
+
+
 class Mp3Codec(LavcAudioCodec):
     NAME = "MP3"
     ENC = "libmp3lame"
@@ -212,5 +249,6 @@ def register_lavc_audio_codecs() -> None:
         return
     from ultragrid_tpu.audio import codecs as _c
 
-    for cls in (OpusCodec, G722Codec, Mp3Codec, AacCodec, FlacCodec):
+    for cls in (OpusCodec, G722Codec, SpeexCodec, Mp3Codec, AacCodec,
+                FlacCodec):
         _c._CODECS.setdefault(cls.NAME, cls)

@@ -135,7 +135,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("-s", "--audio-capture", default=None, help="audio capture (testcard, wav:FILE, none)")
     p.add_argument("-r", "--audio-playback", default=None, help="audio playback (dummy, wav:FILE)")
-    p.add_argument("-A", "--audio-codec", default="PCM", help="audio codec: PCM|alaw|ulaw|Opus|G722|MP3|AAC|FLAC")
+    p.add_argument("-A", "--audio-codec", default="PCM", help="audio codec: PCM|alaw|ulaw|Opus|G722|speex|MP3|AAC|FLAC")
     p.add_argument("-F", "--capture-filter", default="", help="comma-separated capture filter chain")
     p.add_argument("-p", "--postprocess", default="", help="display postprocess chain")
     p.add_argument("--frames", type=int, default=None, help="stop after N frames")

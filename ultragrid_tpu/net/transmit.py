@@ -125,6 +125,7 @@ class Tx:
         self._dyn_last_excess = _EXCESS_GAP + 1
         self.mult_count = mult_count
         self.buffer = 0  # 22-bit buffer id
+        self._last_audio_ts = -1  # strictly-increasing audio TS guard
         if fec_spec.startswith("mult:"):
             self.mult_count = int(fec_spec.split(":")[1])
             fec_spec = "none"
@@ -334,6 +335,13 @@ class Tx:
         from ultragrid_tpu.net.rtp import get_local_mediatime
 
         ts = get_local_mediatime()
+        # packetized codecs may emit several buffers per audio cycle
+        # back-to-back (compress_multi); the playout buffer keys frames by
+        # RTP TS, so a 90 kHz tick collision would merge two codec packets
+        # into one buffer — keep audio TS strictly increasing
+        if ts <= self._last_audio_ts:
+            ts = (self._last_audio_ts + 1) & 0xFFFFFFFF
+        self._last_audio_ts = ts
         tag = AUDIO_TAGS.get(codec_name, 0x0001)
         pt = rt.PT_AUDIO
         rs = None

@@ -299,10 +299,12 @@ class VideoSender:
                         if audio is None:
                             break
                     if audio is not None:
-                        comp = self.audio_codec.compress(audio)
-                        self.audio_tx.send_audio(self.audio_session, comp,
-                                                 self.audio_codec_name,
-                                                 fec_spec=self.audio_fec)
+                        # one RTP buffer per codec packet (ref compress
+                        # loop, audio.cpp:774-779)
+                        for comp in self.audio_codec.compress_multi(audio):
+                            self.audio_tx.send_audio(self.audio_session, comp,
+                                                     self.audio_codec_name,
+                                                     fec_spec=self.audio_fec)
                 if frame is not None:
                     with profiler.zone("capture.filter"):
                         frame = self.capture_chain.apply(frame)
@@ -347,10 +349,12 @@ class VideoSender:
                 if frame is None:
                     break
             if frame is not None:
-                comp = self.audio_codec.compress(frame)
-                self.audio_tx.send_audio(self.audio_session, comp,
-                                         self.audio_codec_name,
-                                         fec_spec=self.audio_fec)
+                # one RTP buffer per codec packet (ref compress loop,
+                # audio.cpp:774-779)
+                for comp in self.audio_codec.compress_multi(frame):
+                    self.audio_tx.send_audio(self.audio_session, comp,
+                                             self.audio_codec_name,
+                                             fec_spec=self.audio_fec)
             samples_sent += nsamples
             deadline = start + samples_sent / frame.desc.sample_rate
             delay = deadline - time.monotonic()
