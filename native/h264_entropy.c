@@ -1,0 +1,3648 @@
+/* h264_entropy.c — real-time own-H.264 decoder: C entropy stage (CAVLC +
+ * CABAC) plus reconstruction, a port of the framework's own Python decoder
+ * (ultragrid_tpu/ops/h264_dec.py, h264_cabac.py, h264_deblock.py) into one
+ * host TU so live sessions can decode H.264 without FFmpeg in real time.
+ *
+ * Mirrors the JPEG receive split (native/jpeg_scan_decode.c): the
+ * sequential bit-level work runs here at C speed; the scalar Python
+ * decoder stays as the readable reference implementation and every stream
+ * this TU accepts must decode SAMPLE-EXACTLY equal to it (gated in
+ * tests/test_h264_fast.py over the same conformance matrix that pins the
+ * Python decoder to libavcodec).
+ *
+ * Envelope (return -1 = UnsupportedStream outside it): progressive
+ * baseline/main/high 4:2:0 8-bit streams with I/P slices, CAVLC and CABAC,
+ * multi-reference P, all partition sizes down to 4x4, quarter-pel motion,
+ * in-loop deblocking; no B slices, no weighted prediction, no 8x8
+ * transform, no interlace/MBAFF, no slice groups, no ref-list reordering.
+ *
+ * Reference role: the decode half of
+ * /root/reference/src/video_decompress/libavcodec.c:1-1876 (the reference
+ * reaches H.264 decode through FFmpeg; this is the from-scratch native
+ * equivalent).
+ *
+ * Spec-constant tables (CAVLC code tables, CABAC context init, rangeTabLPS)
+ * are NOT transcribed here: the Python side serializes the already-
+ * validated tables from ops/h264.py / ops/h264_cabac_tables.py and passes
+ * them to h264fast_create(), so there is exactly one copy of every ISO
+ * constant in the repo.
+ */
+
+#include <setjmp.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define PAD 32          /* MC edge padding, = ops/h264_dec.py MC_PAD */
+#define MAX_REFS 16
+
+/* ------------------------------------------------------------------ */
+/* error handling: UnsupportedStream == longjmp out of the decode call  */
+/* ------------------------------------------------------------------ */
+
+typedef struct H264Dec H264Dec;
+
+static void dec_fail(H264Dec *d, const char *msg) __attribute__((noreturn));
+
+/* ------------------------------------------------------------------ */
+/* bit reader (MSB first)                                               */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    const uint8_t *data;
+    long size;     /* bytes */
+    long pos;      /* bit position */
+    H264Dec *d;    /* for error escape */
+} BitReader;
+
+static inline int br_bit(BitReader *r)
+{
+    long p = r->pos++;
+    long bi = p >> 3;
+    if (bi >= r->size)
+        return 0; /* matches the Python CABAC reader; ue/se guard length */
+    return (r->data[bi] >> (7 - (p & 7))) & 1;
+}
+
+static inline uint32_t br_u(BitReader *r, int n)
+{
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) {
+        long p = r->pos++;
+        long bi = p >> 3;
+        int b = (bi < r->size) ? ((r->data[bi] >> (7 - (p & 7))) & 1) : 0;
+        v = (v << 1) | (uint32_t)b;
+    }
+    return v;
+}
+
+static uint32_t br_ue(BitReader *r)
+{
+    int zeros = 0;
+    while (br_bit(r) == 0) {
+        if (++zeros > 32)
+            dec_fail(r->d, "bad exp-golomb");
+    }
+    uint32_t v = (1u << zeros) - 1;
+    if (zeros)
+        v += br_u(r, zeros);
+    return v;
+}
+
+static int32_t br_se(BitReader *r)
+{
+    uint32_t k = br_ue(r);
+    return (k & 1) ? (int32_t)((k + 1) >> 1) : -(int32_t)(k >> 1);
+}
+
+static void br_align(BitReader *r) { r->pos = (r->pos + 7) & ~7L; }
+
+/* rbsp stop-bit position (bit index of the stop one-bit) */
+static long rbsp_stop_pos(const uint8_t *p, long n)
+{
+    long last = n - 1;
+    while (last >= 0 && p[last] == 0)
+        last--;
+    if (last < 0)
+        return 0;
+    int b = p[last];
+    int lsb = 0;
+    while (!((b >> lsb) & 1))
+        lsb++;
+    return last * 8 + (7 - lsb);
+}
+
+static int br_more_rbsp(BitReader *r)
+{
+    return r->pos < rbsp_stop_pos(r->data, r->size);
+}
+
+/* ------------------------------------------------------------------ */
+/* VLC decode tables (built from blobs serialized by the Python side)   */
+/* ------------------------------------------------------------------ */
+
+/* table ids in the blob:
+ *  0..3   coeff_token for nC<2, nC<4, nC<8, chroma-DC
+ *  4..18  total_zeros, total_coeff = 1..15
+ *  19..21 chroma-DC total_zeros, total_coeff = 1..3
+ *  22..28 run_before, zeros_left = 1..7
+ */
+#define N_VLC_TABLES 29
+
+typedef struct {
+    int max_len;
+    int32_t *lut;      /* 1<<max_len entries: (a<<16)|(b<<8)|len, or -1 */
+} VlcTable;
+
+static int build_vlc_tables(VlcTable *tabs, const uint8_t *blob, long len)
+{
+    long off = 0;
+    for (int t = 0; t < N_VLC_TABLES; t++) {
+        if (off + 4 > len)
+            return -1;
+        int id = blob[off] | (blob[off + 1] << 8);
+        int n = blob[off + 2] | (blob[off + 3] << 8);
+        off += 4;
+        if (id != t)
+            return -1;
+        int max_len = 0;
+        for (int i = 0; i < n; i++) {
+            int l = blob[off + 5 * i];
+            if (l > max_len)
+                max_len = l;
+        }
+        VlcTable *tab = &tabs[t];
+        tab->max_len = max_len;
+        long sz = 1L << max_len;
+        tab->lut = malloc(sz * sizeof(int32_t));
+        if (!tab->lut)
+            return -1;
+        for (long i = 0; i < sz; i++)
+            tab->lut[i] = -1;
+        for (int i = 0; i < n; i++) {
+            int l = blob[off + 5 * i];
+            int code = blob[off + 5 * i + 1] | (blob[off + 5 * i + 2] << 8);
+            int a = (int8_t)blob[off + 5 * i + 3];
+            int b = (int8_t)blob[off + 5 * i + 4];
+            /* fill all LUT slots whose top-l bits equal the code */
+            long lo = (long)code << (max_len - l);
+            long hi = lo + (1L << (max_len - l));
+            int32_t v = ((a & 0xFF) << 16) | ((b & 0xFF) << 8) | l;
+            for (long s = lo; s < hi; s++)
+                tab->lut[s] = v;
+        }
+        off += 5L * n;
+    }
+    return 0;
+}
+
+/* read one VLC symbol: peek max_len bits, LUT, advance by len */
+static void vlc_read(BitReader *r, const VlcTable *tab, int *a, int *b)
+{
+    int ml = tab->max_len;
+    uint32_t peek = 0;
+    long p = r->pos;
+    for (int i = 0; i < ml; i++) {
+        long bi = (p + i) >> 3;
+        int bit = (bi < r->size) ? ((r->data[bi] >> (7 - ((p + i) & 7))) & 1) : 0;
+        peek = (peek << 1) | (uint32_t)bit;
+    }
+    int32_t v = tab->lut[peek];
+    if (v < 0)
+        dec_fail(r->d, "vlc decode failed");
+    r->pos = p + (v & 0xFF);
+    *a = (int8_t)((v >> 16) & 0xFF);
+    *b = (int8_t)((v >> 8) & 0xFF);
+}
+
+/* ------------------------------------------------------------------ */
+/* sequence / picture parameter sets (subset, = Python _parse_sps/_pps) */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    int valid;
+    int mb_w, mb_h, log2_mfn, max_refs, poc_type, log2_poc, width, height;
+} SPS;
+
+typedef struct {
+    int valid;
+    int init_qp, chroma_off, dbf_ctrl, l0_default, cabac, weighted_pred;
+} PPS;
+
+/* ------------------------------------------------------------------ */
+/* reference picture (padded planes + lazy half-pel planes)             */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    uint8_t *y, *cb, *cr;          /* padded planes */
+    uint8_t *hb, *hh, *hj;         /* luma half-pel planes (lazy) */
+    int have_half;
+} RefPic;
+
+/* ------------------------------------------------------------------ */
+/* decoder state                                                        */
+/* ------------------------------------------------------------------ */
+
+struct H264Dec {
+    jmp_buf jb;
+    char err[128];
+
+    VlcTable vlc[N_VLC_TABLES];
+    /* CABAC spec tables (from Python, already binary-validated) */
+    int8_t ctx_init[4][1024][2];
+    int32_t range_tab[64][4];
+    int32_t trans_lps[64];
+
+    SPS sps;
+    PPS pps;
+
+    /* geometry-dependent buffers (allocated on SPS activation) */
+    int mbw, mbh;
+    long pw, ph;        /* padded luma plane dims */
+    long cpw, cph;      /* padded chroma plane dims */
+    uint8_t *cur_y, *cur_cb, *cur_cr;   /* current picture, padded */
+    int32_t *tmp_b1;    /* half-pel intermediate, pw*ph int32 */
+
+    /* DPB, most recent first */
+    RefPic dpb[MAX_REFS];
+    int dpb_n;
+    RefPic spare[MAX_REFS + 1]; /* buffer pool */
+    int spare_n;
+
+    /* per-picture deblock context (= DeblockCtx) */
+    uint8_t *db_intra, *db_ipcm, *db_decoded;
+    int32_t *db_qp, *db_slice, *db_idc, *db_offa, *db_offb;
+    int32_t *nnz_l;               /* 4x4 luma nnz grid, frame-wide */
+    int32_t *mv4;                 /* [mbh*4][mbw*4][2] */
+    int32_t *ref4;                /* [mbh*4][mbw*4] */
+
+    /* per-slice grids */
+    uint8_t *dec4, *rd4, *done4, *avail4;
+    int32_t *i4mode;
+    int32_t *nnz_c[2];            /* chroma nnz, per slice semantics */
+
+    /* CABAC per-picture neighbour grids (= CabacPictureCtx) */
+    uint8_t *c_skip, *c_i16, *c_intra, *c_pcm;
+    int32_t *c_chroma_mode, *c_cbp_l, *c_cbp_c, *c_cbf_ldc;
+    int32_t *c_cbf_l4, *c_cbf_cdc, *c_cbf_c4, *c_absmvd4;
+    int cabac_pic_live;
+
+    /* scratch for NAL unescape */
+    uint8_t *rbsp_buf;
+    long rbsp_cap;
+
+    int out_w, out_h;
+    int have_pic;
+};
+
+static void dec_fail(H264Dec *d, const char *msg)
+{
+    snprintf(d->err, sizeof(d->err), "%s", msg);
+    longjmp(d->jb, 1);
+}
+
+static void *xalloc(H264Dec *d, long n)
+{
+    void *p = calloc(1, (size_t)n);
+    if (!p)
+        dec_fail(d, "out of memory");
+    return p;
+}
+
+/* ------------------------------------------------------------------ */
+/* spec constant tables that are pure arithmetic (not trained data)     */
+/* ------------------------------------------------------------------ */
+
+/* dequant V (spec 8.5.9), rows qp%6, cols position class */
+static const int V_TAB[6][3] = {
+    {10, 16, 13}, {11, 18, 14}, {13, 20, 16},
+    {14, 23, 18}, {16, 25, 20}, {18, 29, 23},
+};
+/* 4x4 position class (ops/h264.py _POSCLASS) */
+static const int POSCLASS[4][4] = {
+    {0, 2, 0, 2}, {2, 1, 2, 1}, {0, 2, 0, 2}, {2, 1, 2, 1},
+};
+/* zig-zag (dezigzag: out[ZZ[i]] = zz[i]) */
+static const int ZZ_IDX[16] = {0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15};
+/* residual block order within an MB (ops/h264.py _BLK_ORDER, (bx,by)) */
+static const int BLK_ORDER[16][2] = {
+    {0, 0}, {1, 0}, {0, 1}, {1, 1}, {2, 0}, {3, 0}, {2, 1}, {3, 1},
+    {0, 2}, {1, 2}, {0, 3}, {1, 3}, {2, 2}, {3, 2}, {2, 3}, {3, 3},
+};
+/* chroma QP map (Table 8-15) for qp >= 30 */
+static const int CHROMA_QP30[22] = {
+    29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36,
+    36, 37, 37, 37, 38, 38, 38, 39, 39, 39, 39,
+};
+static inline int chroma_qp(int qp) { return qp < 30 ? qp : CHROMA_QP30[qp - 30]; }
+
+/* coded_block_pattern me(v) mapping (spec Table 9-4) */
+static const int CBP_INTRA[48] = {
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+};
+static const int CBP_INTER[48] = {
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+};
+
+/* deblock alpha/beta/tc0 (Tables 8-16/8-17) */
+static const int DB_ALPHA[52] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28, 32, 36,
+    40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144, 162, 182, 203,
+    226, 255, 255,
+};
+static const int DB_BETA[52] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11,
+    11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18,
+};
+static const int DB_TC0[3][52] = {
+    {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+     0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2,
+     3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13},
+    {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+     0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3,
+     3, 4, 4, 5, 5, 6, 7, 8, 8, 9, 10, 12, 13, 15, 17},
+    {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4, 4, 4,
+     5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 23, 25},
+};
+
+/* ------------------------------------------------------------------ */
+/* NAL handling                                                         */
+/* ------------------------------------------------------------------ */
+
+/* remove emulation-prevention bytes into d->rbsp_buf; returns length */
+static long unepb(H264Dec *d, const uint8_t *p, long n, long *out_off)
+{
+    if (d->rbsp_cap < n + 16) {
+        free(d->rbsp_buf);
+        d->rbsp_cap = n + 4096;
+        d->rbsp_buf = malloc((size_t)d->rbsp_cap);
+        if (!d->rbsp_buf)
+            dec_fail(d, "out of memory");
+    }
+    uint8_t *out = d->rbsp_buf;
+    long o = 0;
+    int zeros = 0;
+    for (long i = 0; i < n; i++) {
+        uint8_t b = p[i];
+        if (zeros >= 2 && b == 3 && i + 1 < n && p[i + 1] <= 3) {
+            zeros = 0;
+            continue;
+        }
+        out[o++] = b;
+        zeros = (b == 0) ? zeros + 1 : 0;
+    }
+    (void)out_off;
+    return o;
+}
+
+/* ------------------------------------------------------------------ */
+/* dequant + inverse transforms (spec 8.5)                              */
+/* ------------------------------------------------------------------ */
+
+typedef int64_t i64;
+
+static void vmat(int qp, i64 v[4][4])
+{
+    const int *vr = V_TAB[qp % 6];
+    for (int r = 0; r < 4; r++)
+        for (int c = 0; c < 4; c++)
+            v[r][c] = vr[POSCLASS[r][c]];
+}
+
+/* inverse core transform WITHOUT the final >>6 (rows then cols) */
+static void itransform4(i64 d[4][4], i64 out[4][4])
+{
+    i64 h[4][4];
+    /* horizontal pass over each row */
+    for (int r = 0; r < 4; r++) {
+        i64 x0 = d[r][0], x1 = d[r][1], x2 = d[r][2], x3 = d[r][3];
+        i64 e0 = x0 + x2, e1 = x0 - x2;
+        i64 e2 = (x1 >> 1) - x3, e3 = x1 + (x3 >> 1);
+        h[r][0] = e0 + e3; h[r][1] = e1 + e2;
+        h[r][2] = e1 - e2; h[r][3] = e0 - e3;
+    }
+    /* vertical pass over each column */
+    for (int c = 0; c < 4; c++) {
+        i64 x0 = h[0][c], x1 = h[1][c], x2 = h[2][c], x3 = h[3][c];
+        i64 e0 = x0 + x2, e1 = x0 - x2;
+        i64 e2 = (x1 >> 1) - x3, e3 = x1 + (x3 >> 1);
+        out[0][c] = e0 + e3; out[1][c] = e1 + e2;
+        out[2][c] = e1 - e2; out[3][c] = e0 - e3;
+    }
+}
+
+static void ihadamard4(const i64 f[4][4], i64 out[4][4])
+{
+    i64 t[4][4];
+    for (int c = 0; c < 4; c++) {
+        i64 a = f[0][c], b = f[1][c], cc = f[2][c], dd = f[3][c];
+        t[0][c] = a + b + cc + dd;
+        t[1][c] = a + b - cc - dd;
+        t[2][c] = a - b - cc + dd;
+        t[3][c] = a - b + cc - dd;
+    }
+    for (int r = 0; r < 4; r++) {
+        i64 a = t[r][0], b = t[r][1], cc = t[r][2], dd = t[r][3];
+        out[r][0] = a + b + cc + dd;
+        out[r][1] = a + b - cc - dd;
+        out[r][2] = a - b - cc + dd;
+        out[r][3] = a - b + cc - dd;
+    }
+}
+
+static void dezigzag16(const i64 *zz, i64 out[4][4])
+{
+    i64 flat[16] = {0};
+    for (int i = 0; i < 16; i++)
+        flat[ZZ_IDX[i]] = zz[i];
+    for (int r = 0; r < 4; r++)
+        for (int c = 0; c < 4; c++)
+            out[r][c] = flat[r * 4 + c];
+}
+
+static inline uint8_t clip255(i64 v)
+{
+    return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+}
+
+/* ------------------------------------------------------------------ */
+/* CAVLC residual block (= decode_cavlc_block)                          */
+/* ------------------------------------------------------------------ */
+
+/* nC -> coeff_token table index: -1 chroma; <2; <4; <8; >=8 is FLC */
+static void cavlc_block(H264Dec *d, BitReader *r, int nC, int max_coeffs,
+                        i64 *coeffs /* max_coeffs, zigzag order */)
+{
+    memset(coeffs, 0, sizeof(i64) * (size_t)max_coeffs);
+    int t1, total;
+    if (nC == -1) {
+        vlc_read(r, &d->vlc[3], &t1, &total);
+    } else if (nC < 2) {
+        vlc_read(r, &d->vlc[0], &t1, &total);
+    } else if (nC < 4) {
+        vlc_read(r, &d->vlc[1], &t1, &total);
+    } else if (nC < 8) {
+        vlc_read(r, &d->vlc[2], &t1, &total);
+    } else {
+        uint32_t v = br_u(r, 6);
+        if (v == 3) {
+            t1 = 0; total = 0;
+        } else {
+            t1 = (int)(v & 3); total = (int)(v >> 2) + 1;
+        }
+    }
+    if (total == 0)
+        return;
+    i64 levels[16];
+    int nl = 0;
+    for (int i = 0; i < t1; i++)
+        levels[nl++] = br_bit(r) ? -1 : 1;
+    int suffix_len = (total > 10 && t1 < 3) ? 1 : 0;
+    int first = 1;
+    for (int i = 0; i < total - t1; i++) {
+        int prefix = 0;
+        while (br_bit(r) == 0) {
+            if (++prefix > 16)
+                dec_fail(d, "bad level prefix");
+        }
+        i64 code;
+        if (suffix_len == 0) {
+            if (prefix < 14)
+                code = prefix;
+            else if (prefix == 14)
+                code = 14 + (i64)br_u(r, 4);
+            else
+                code = 30 + (i64)br_u(r, 12);
+        } else {
+            if (prefix < 15)
+                code = ((i64)prefix << suffix_len) | br_u(r, suffix_len);
+            else
+                code = ((i64)15 << suffix_len) + br_u(r, 12);
+        }
+        if (first && t1 < 3)
+            code += 2;
+        first = 0;
+        i64 level = (code % 2 == 0) ? (code + 2) / 2 : -((code + 1) / 2);
+        levels[nl++] = level;
+        if (suffix_len == 0)
+            suffix_len = 1;
+        i64 al = level < 0 ? -level : level;
+        if (al > ((i64)3 << (suffix_len - 1)) && suffix_len < 6)
+            suffix_len++;
+    }
+    int zeros = 0;
+    if (total < max_coeffs) {
+        int a, b;
+        if (nC == -1)
+            vlc_read(r, &d->vlc[19 + total - 1], &a, &b);
+        else
+            vlc_read(r, &d->vlc[4 + total - 1], &a, &b);
+        zeros = a;
+        (void)b;
+    }
+    int runs[16];
+    int zeros_left = zeros;
+    for (int i = 0; i < total - 1; i++) {
+        if (zeros_left > 0) {
+            int zl = zeros_left < 7 ? zeros_left : 7;
+            int a, b;
+            vlc_read(r, &d->vlc[22 + zl - 1], &a, &b);
+            runs[i] = a;
+            (void)b;
+            zeros_left -= runs[i];
+        } else {
+            runs[i] = 0;
+        }
+    }
+    runs[total - 1] = zeros_left;
+    int pos = total - 1 + zeros;
+    for (int i = 0; i < total; i++) {
+        if (pos < 0 || pos >= max_coeffs)
+            dec_fail(d, "cavlc position out of range");
+        coeffs[pos] = levels[i];
+        if (i < total - 1)
+            pos -= 1 + runs[i];
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* intra prediction (spec 8.3) — ports of _pred4x4/_pred16_plane/...    */
+/* ------------------------------------------------------------------ */
+
+/* t: 8 top samples (or NULL), l: 4 left (or NULL), tl: -1 if absent */
+static void pred4x4(H264Dec *d, int mode, const i64 *t, const i64 *l,
+                    int tl, i64 p[4][4])
+{
+    switch (mode) {
+    case 0: /* Vertical */
+        for (int y = 0; y < 4; y++)
+            for (int x = 0; x < 4; x++)
+                p[y][x] = t[x];
+        break;
+    case 1: /* Horizontal */
+        for (int y = 0; y < 4; y++)
+            for (int x = 0; x < 4; x++)
+                p[y][x] = l[y];
+        break;
+    case 2: { /* DC */
+        i64 v;
+        if (t && l) {
+            i64 s = t[0] + t[1] + t[2] + t[3] + l[0] + l[1] + l[2] + l[3];
+            v = (s + 4) >> 3;
+        } else if (t) {
+            v = (t[0] + t[1] + t[2] + t[3] + 2) >> 2;
+        } else if (l) {
+            v = (l[0] + l[1] + l[2] + l[3] + 2) >> 2;
+        } else {
+            v = 128;
+        }
+        for (int y = 0; y < 4; y++)
+            for (int x = 0; x < 4; x++)
+                p[y][x] = v;
+        break;
+    }
+    case 3: /* Diagonal-Down-Left */
+        for (int y = 0; y < 4; y++)
+            for (int x = 0; x < 4; x++) {
+                if (x == 3 && y == 3)
+                    p[y][x] = (t[6] + 3 * t[7] + 2) >> 2;
+                else
+                    p[y][x] = (t[x + y] + 2 * t[x + y + 1] + t[x + y + 2] + 2) >> 2;
+            }
+        break;
+    case 4: { /* Diagonal-Down-Right */
+        i64 ext[9] = {l[3], l[2], l[1], l[0], tl, t[0], t[1], t[2], t[3]};
+        i64 f[9] = {0};
+        for (int k = 1; k < 8; k++)
+            f[k] = (ext[k - 1] + 2 * ext[k] + ext[k + 1] + 2) >> 2;
+        for (int y = 0; y < 4; y++)
+            for (int x = 0; x < 4; x++)
+                p[y][x] = f[(x - y) + 4];
+        break;
+    }
+    case 5: /* Vertical-Right */
+        for (int y = 0; y < 4; y++)
+            for (int x = 0; x < 4; x++) {
+                int z = 2 * x - y;
+                if (z >= 0 && z % 2 == 0) {
+                    int xa = x - (y >> 1) - 1, xb = x - (y >> 1);
+                    i64 va = (xa == -1) ? tl : t[xa];
+                    i64 vb = (xb == -1) ? tl : t[xb];
+                    p[y][x] = (va + vb + 1) >> 1;
+                } else if (z >= 0) {
+                    int xa = x - (y >> 1) - 2, xb = x - (y >> 1) - 1,
+                        xc = x - (y >> 1);
+                    i64 va = (xa == -1) ? tl : t[xa];
+                    i64 vb = (xb == -1) ? tl : t[xb];
+                    i64 vc = (xc == -1) ? tl : t[xc];
+                    p[y][x] = (va + 2 * vb + vc + 2) >> 2;
+                } else if (z == -1) {
+                    p[y][x] = (l[0] + 2 * tl + t[0] + 2) >> 2;
+                } else {
+                    int ia = y - 1, ib = y - 2, ic = y - 3;
+                    i64 va = (ia == -1) ? tl : l[ia];
+                    i64 vb = (ib == -1) ? tl : l[ib];
+                    i64 vc = (ic == -1) ? tl : l[ic];
+                    p[y][x] = (va + 2 * vb + vc + 2) >> 2;
+                }
+            }
+        break;
+    case 6: /* Horizontal-Down */
+        for (int y = 0; y < 4; y++)
+            for (int x = 0; x < 4; x++) {
+                int z = 2 * y - x;
+                if (z >= 0 && z % 2 == 0) {
+                    int ya = y - (x >> 1) - 1, yb = y - (x >> 1);
+                    i64 va = (ya == -1) ? tl : l[ya];
+                    i64 vb = (yb == -1) ? tl : l[yb];
+                    p[y][x] = (va + vb + 1) >> 1;
+                } else if (z >= 0) {
+                    int ya = y - (x >> 1) - 2, yb = y - (x >> 1) - 1,
+                        yc = y - (x >> 1);
+                    i64 va = (ya == -1) ? tl : l[ya];
+                    i64 vb = (yb == -1) ? tl : l[yb];
+                    i64 vc = (yc == -1) ? tl : l[yc];
+                    p[y][x] = (va + 2 * vb + vc + 2) >> 2;
+                } else if (z == -1) {
+                    p[y][x] = (l[0] + 2 * tl + t[0] + 2) >> 2;
+                } else {
+                    int xa = x - 1, xb = x - 2, xc = x - 3;
+                    i64 va = (xa == -1) ? tl : t[xa];
+                    i64 vb = (xb == -1) ? tl : t[xb];
+                    i64 vc = (xc == -1) ? tl : t[xc];
+                    p[y][x] = (va + 2 * vb + vc + 2) >> 2;
+                }
+            }
+        break;
+    case 7: /* Vertical-Left */
+        for (int y = 0; y < 4; y++)
+            for (int x = 0; x < 4; x++) {
+                if (y % 2 == 0)
+                    p[y][x] = (t[x + (y >> 1)] + t[x + (y >> 1) + 1] + 1) >> 1;
+                else
+                    p[y][x] = (t[x + (y >> 1)] + 2 * t[x + (y >> 1) + 1]
+                               + t[x + (y >> 1) + 2] + 2) >> 2;
+            }
+        break;
+    case 8: /* Horizontal-Up */
+        for (int y = 0; y < 4; y++)
+            for (int x = 0; x < 4; x++) {
+                int z = x + 2 * y;
+                if (z == 0 || z == 2 || z == 4)
+                    p[y][x] = (l[y + (x >> 1)] + l[y + (x >> 1) + 1] + 1) >> 1;
+                else if (z == 1 || z == 3)
+                    p[y][x] = (l[y + (x >> 1)] + 2 * l[y + (x >> 1) + 1]
+                               + l[y + (x >> 1) + 2] + 2) >> 2;
+                else if (z == 5)
+                    p[y][x] = (l[2] + 3 * l[3] + 2) >> 2;
+                else
+                    p[y][x] = l[3];
+            }
+        break;
+    default:
+        dec_fail(d, "intra4x4 mode");
+    }
+}
+
+/* I_16x16 plane prediction (spec 8.3.3.4): t/l are 16 samples, tl corner */
+static void pred16_plane(const i64 *t, const i64 *l, i64 tl, i64 p[16][16])
+{
+    i64 pft[17], pfl[17];
+    pft[0] = tl; pfl[0] = tl;
+    for (int i = 0; i < 16; i++) {
+        pft[i + 1] = t[i];
+        pfl[i + 1] = l[i];
+    }
+    i64 Hs = 0, Vs = 0;
+    for (int x = 0; x < 8; x++)
+        Hs += (i64)(x + 1) * (pft[9 + x] - pft[7 - x]);
+    for (int y = 0; y < 8; y++)
+        Vs += (i64)(y + 1) * (pfl[9 + y] - pfl[7 - y]);
+    i64 a = 16 * (l[15] + t[15]);
+    i64 b = (5 * Hs + 32) >> 6;
+    i64 c = (5 * Vs + 32) >> 6;
+    for (int y = 0; y < 16; y++)
+        for (int x = 0; x < 16; x++) {
+            i64 v = (a + b * (x - 7) + c * (y - 7) + 16) >> 5;
+            p[y][x] = v < 0 ? 0 : (v > 255 ? 255 : v);
+        }
+}
+
+/* chroma 8x8 plane prediction (spec 8.3.4.4) */
+static void pred8_chroma_plane(const i64 *t, const i64 *l, i64 tl, i64 p[8][8])
+{
+    i64 pft[9], pfl[9];
+    pft[0] = tl; pfl[0] = tl;
+    for (int i = 0; i < 8; i++) {
+        pft[i + 1] = t[i];
+        pfl[i + 1] = l[i];
+    }
+    i64 Hs = 0, Vs = 0;
+    for (int x = 0; x < 4; x++)
+        Hs += (i64)(x + 1) * (pft[5 + x] - pft[3 - x]);
+    for (int y = 0; y < 4; y++)
+        Vs += (i64)(y + 1) * (pfl[5 + y] - pfl[3 - y]);
+    i64 a = 16 * (l[7] + t[7]);
+    i64 b = (34 * Hs + 32) >> 6;
+    i64 c = (34 * Vs + 32) >> 6;
+    for (int y = 0; y < 8; y++)
+        for (int x = 0; x < 8; x++) {
+            i64 v = (a + b * (x - 3) + c * (y - 3) + 16) >> 5;
+            p[y][x] = v < 0 ? 0 : (v > 255 ? 255 : v);
+        }
+}
+
+/* ------------------------------------------------------------------ */
+/* reference management + motion compensation (spec 8.4.2.2)           */
+/* ------------------------------------------------------------------ */
+
+/* replicate the picture into the PAD border of a padded plane */
+static void pad_edges(uint8_t *p, long w, long h, long pw)
+{
+    /* p points at the padded buffer; picture occupies [PAD..PAD+h) rows,
+     * [PAD..PAD+w) cols, row stride pw */
+    for (long y = 0; y < h; y++) {
+        uint8_t *row = p + (PAD + y) * pw;
+        memset(row, row[PAD], PAD);
+        memset(row + PAD + w, row[PAD + w - 1], PAD);
+    }
+    uint8_t *first = p + PAD * pw;
+    uint8_t *last = p + (PAD + h - 1) * pw;
+    for (long y = 0; y < PAD; y++) {
+        memcpy(p + y * pw, first, (size_t)pw);
+        memcpy(p + (PAD + h + y) * pw, last, (size_t)pw);
+    }
+}
+
+/* compute luma half-pel planes for a ref (lazy, = half_planes()) */
+static void make_half_planes(H264Dec *d, RefPic *ref)
+{
+    long pw = d->pw, ph = d->ph;
+    const uint8_t *r = ref->y;
+    if (!ref->hb) {
+        ref->hb = xalloc(d, pw * ph);
+        ref->hh = xalloc(d, pw * ph);
+        ref->hj = xalloc(d, pw * ph);
+    }
+    int32_t *b1 = d->tmp_b1;  /* b1[y*pw+x] = unclipped half right of (y,x) */
+    for (long y = 0; y < ph; y++) {
+        const uint8_t *row = r + y * pw;
+        int32_t *brow = b1 + y * pw;
+        uint8_t *hbrow = ref->hb + y * pw;
+        for (long x = 2; x < pw - 3; x++) {
+            int32_t v = row[x - 2] - 5 * row[x - 1] + 20 * row[x]
+                      + 20 * row[x + 1] - 5 * row[x + 2] + row[x + 3];
+            brow[x] = v;
+            int32_t c = (v + 16) >> 5;
+            hbrow[x] = (uint8_t)(c < 0 ? 0 : (c > 255 ? 255 : c));
+        }
+        brow[0] = brow[1] = brow[2];
+        brow[pw - 3] = brow[pw - 2] = brow[pw - 1] = brow[pw - 4];
+    }
+    for (long y = 2; y < ph - 3; y++) {
+        const uint8_t *rm2 = r + (y - 2) * pw, *rm1 = r + (y - 1) * pw;
+        const uint8_t *r0 = r + y * pw, *rp1 = r + (y + 1) * pw;
+        const uint8_t *rp2 = r + (y + 2) * pw, *rp3 = r + (y + 3) * pw;
+        uint8_t *hhrow = ref->hh + y * pw;
+        for (long x = 0; x < pw; x++) {
+            int32_t v = rm2[x] - 5 * rm1[x] + 20 * r0[x]
+                      + 20 * rp1[x] - 5 * rp2[x] + rp3[x];
+            int32_t c = (v + 16) >> 5;
+            hhrow[x] = (uint8_t)(c < 0 ? 0 : (c > 255 ? 255 : c));
+        }
+        const int32_t *bm2 = b1 + (y - 2) * pw, *bm1 = b1 + (y - 1) * pw;
+        const int32_t *b0 = b1 + y * pw, *bp1 = b1 + (y + 1) * pw;
+        const int32_t *bp2 = b1 + (y + 2) * pw, *bp3 = b1 + (y + 3) * pw;
+        uint8_t *hjrow = ref->hj + y * pw;
+        for (long x = 2; x < pw - 3; x++) {
+            int64_t v = (int64_t)bm2[x] - 5 * bm1[x] + 20 * b0[x]
+                      + 20 * bp1[x] - 5 * bp2[x] + bp3[x];
+            int64_t c = (v + 512) >> 10;
+            hjrow[x] = (uint8_t)(c < 0 ? 0 : (c > 255 ? 255 : c));
+        }
+    }
+    ref->have_half = 1;
+}
+
+/* quarter-position constituent table (= _QTAB): for (fx,fy) with an odd
+ * component, the two (cfx, cfy, dy, dx) constituents */
+static const int8_t QTAB[4][4][2][4] = {
+    /* [fy][fx][k] = {cfx, cfy, dy, dx} */
+    [0][1] = {{0, 0, 0, 0}, {2, 0, 0, 0}},
+    [0][3] = {{2, 0, 0, 0}, {0, 0, 0, 1}},
+    [1][0] = {{0, 0, 0, 0}, {0, 2, 0, 0}},
+    [3][0] = {{0, 2, 0, 0}, {0, 0, 1, 0}},
+    [1][1] = {{2, 0, 0, 0}, {0, 2, 0, 0}},
+    [1][3] = {{2, 0, 0, 0}, {0, 2, 0, 1}},
+    [3][1] = {{0, 2, 0, 0}, {2, 0, 1, 0}},
+    [3][3] = {{2, 0, 1, 0}, {0, 2, 0, 1}},
+    [1][2] = {{2, 0, 0, 0}, {2, 2, 0, 0}},
+    [3][2] = {{2, 2, 0, 0}, {2, 0, 1, 0}},
+    [2][1] = {{0, 2, 0, 0}, {2, 2, 0, 0}},
+    [2][3] = {{2, 2, 0, 0}, {0, 2, 0, 1}},
+};
+
+static inline const uint8_t *mc_plane(const H264Dec *d, const RefPic *ref,
+                                      int cfx, int cfy)
+{
+    (void)d;
+    if (cfx == 0 && cfy == 0)
+        return ref->y;
+    if (cfx == 2 && cfy == 0)
+        return ref->hb;
+    if (cfx == 0 && cfy == 2)
+        return ref->hh;
+    return ref->hj;
+}
+
+/* luma MC of a w x h block at pixel (px,py), mv in quarter-pel, into
+ * out[ldst] rows.  Block-origin clamp to the padded window == infinite
+ * edge extension (pad is edge-replicated, see file header). */
+static void mc_luma_c(H264Dec *d, RefPic *ref, int px, int py,
+                      int mvx, int mvy, int w, int h,
+                      i64 *out, int ldst)
+{
+    long pw = d->pw, ph = d->ph;
+    int fx = mvx & 3, fy = mvy & 3;
+    long x0 = px + (mvx >> 2) + PAD;
+    long y0 = py + (mvy >> 2) + PAD;
+    if (x0 < 3) x0 = 3;
+    if (y0 < 3) y0 = 3;
+    if (x0 > pw - w - 3) x0 = pw - w - 3;
+    if (y0 > ph - h - 3) y0 = ph - h - 3;
+    if (!fx && !fy) {
+        const uint8_t *src = ref->y + y0 * pw + x0;
+        for (int yy = 0; yy < h; yy++)
+            for (int xx = 0; xx < w; xx++)
+                out[yy * ldst + xx] = src[yy * pw + xx];
+        return;
+    }
+    if (!ref->have_half)
+        make_half_planes(d, ref);
+    if ((fx & 1) || (fy & 1)) {
+        const int8_t *ca = QTAB[fy][fx][0];
+        const int8_t *cb = QTAB[fy][fx][1];
+        const uint8_t *pa = mc_plane(d, ref, ca[0], ca[1]);
+        const uint8_t *pb = mc_plane(d, ref, cb[0], cb[1]);
+        const uint8_t *sa = pa + (y0 + ca[2]) * pw + (x0 + ca[3]);
+        const uint8_t *sb = pb + (y0 + cb[2]) * pw + (x0 + cb[3]);
+        for (int yy = 0; yy < h; yy++)
+            for (int xx = 0; xx < w; xx++)
+                out[yy * ldst + xx] =
+                    ((i64)sa[yy * pw + xx] + sb[yy * pw + xx] + 1) >> 1;
+        return;
+    }
+    const uint8_t *p = mc_plane(d, ref, fx, fy);
+    const uint8_t *src = p + y0 * pw + x0;
+    for (int yy = 0; yy < h; yy++)
+        for (int xx = 0; xx < w; xx++)
+            out[yy * ldst + xx] = src[yy * pw + xx];
+}
+
+/* chroma MC (spec 8.4.2.2.2 eighth-sample bilinear) */
+static void mc_chroma_c(H264Dec *d, const uint8_t *refc, int px, int py,
+                        int mvx, int mvy, int w, int h, i64 *out, int ldst)
+{
+    long cpw = d->cpw, cph = d->cph;
+    int xf = mvx & 7, yf = mvy & 7;
+    long x0 = px + (mvx >> 3) + PAD;
+    long y0 = py + (mvy >> 3) + PAD;
+    if (x0 < 1) x0 = 1;
+    if (y0 < 1) y0 = 1;
+    if (x0 > cpw - w - 2) x0 = cpw - w - 2;
+    if (y0 > cph - h - 2) y0 = cph - h - 2;
+    const uint8_t *s = refc + y0 * cpw + x0;
+    if (!xf && !yf) {
+        for (int yy = 0; yy < h; yy++)
+            for (int xx = 0; xx < w; xx++)
+                out[yy * ldst + xx] = s[yy * cpw + xx];
+        return;
+    }
+    for (int yy = 0; yy < h; yy++)
+        for (int xx = 0; xx < w; xx++) {
+            i64 a = s[yy * cpw + xx];
+            i64 b = s[yy * cpw + xx + 1];
+            i64 c = s[(yy + 1) * cpw + xx];
+            i64 dd = s[(yy + 1) * cpw + xx + 1];
+            out[yy * ldst + xx] =
+                ((8 - xf) * (8 - yf) * a + xf * (8 - yf) * b
+                 + (8 - xf) * yf * c + xf * yf * dd + 32) >> 6;
+        }
+}
+
+/* ------------------------------------------------------------------ */
+/* motion vector prediction (spec 8.4.1; = mv_pred4/skip_mv4)           */
+/* ------------------------------------------------------------------ */
+
+/* neighbour fetch on the 4x4 grid; returns 0 if unavailable */
+static int fetch4(const H264Dec *d, const uint8_t *dec4, int gy, int gx,
+                  int my0, int *mvx, int *mvy, int *ri)
+{
+    int g4w = d->mbw * 4;
+    if (gx < 0 || gy < my0 * 4 || gx >= g4w)
+        return 0;
+    long idx = (long)gy * g4w + gx;
+    if (!dec4[idx])
+        return 0;
+    *mvx = d->mv4[idx * 2];
+    *mvy = d->mv4[idx * 2 + 1];
+    *ri = d->ref4[idx];
+    return 1;
+}
+
+/* shape codes for the directional 16x8/8x16 rules */
+enum { SH_NONE = 0, SH_16x8_0, SH_16x8_1, SH_8x16_0, SH_8x16_1 };
+
+static void mv_pred4_c(const H264Dec *d, const uint8_t *dec4, int gy, int gx,
+                       int pw4, int refidx, int my0, int shape,
+                       int *pmx, int *pmy)
+{
+    int ax = 0, ay = 0, ar = 0, bx = 0, by = 0, brr = 0, cx = 0, cy = 0, cr = 0;
+    int has_a = fetch4(d, dec4, gy, gx - 1, my0, &ax, &ay, &ar);
+    int has_b = fetch4(d, dec4, gy - 1, gx, my0, &bx, &by, &brr);
+    int has_c = fetch4(d, dec4, gy - 1, gx + pw4, my0, &cx, &cy, &cr);
+    if (!has_c)
+        has_c = fetch4(d, dec4, gy - 1, gx - 1, my0, &cx, &cy, &cr);
+    if (shape == SH_16x8_0 && has_b && brr == refidx) {
+        *pmx = bx; *pmy = by; return;
+    }
+    if ((shape == SH_16x8_1 || shape == SH_8x16_0) && has_a && ar == refidx) {
+        *pmx = ax; *pmy = ay; return;
+    }
+    if (shape == SH_8x16_1 && has_c && cr == refidx) {
+        *pmx = cx; *pmy = cy; return;
+    }
+    int vax = has_a ? ax : 0, vay = has_a ? ay : 0, var = has_a ? ar : -1;
+    int vbx = has_b ? bx : 0, vby = has_b ? by : 0, vbr = has_b ? brr : -1;
+    int vcx = has_c ? cx : 0, vcy = has_c ? cy : 0, vcr = has_c ? cr : -1;
+    if (!has_b && !has_c && has_a) {
+        *pmx = vax; *pmy = vay; return;
+    }
+    int nm = (var == refidx) + (vbr == refidx) + (vcr == refidx);
+    if (nm == 1) {
+        if (var == refidx) { *pmx = vax; *pmy = vay; }
+        else if (vbr == refidx) { *pmx = vbx; *pmy = vby; }
+        else { *pmx = vcx; *pmy = vcy; }
+        return;
+    }
+    /* median of three */
+#define MED3(a, b, c) ((a) + (b) + (c) \
+    - ((a) < (b) ? ((a) < (c) ? (a) : (c)) : ((b) < (c) ? (b) : (c))) \
+    - ((a) > (b) ? ((a) > (c) ? (a) : (c)) : ((b) > (c) ? (b) : (c))))
+    *pmx = MED3(vax, vbx, vcx);
+    *pmy = MED3(vay, vby, vcy);
+#undef MED3
+}
+
+static void skip_mv4_c(const H264Dec *d, const uint8_t *dec4, int mx, int my,
+                       int my0, int *mvx, int *mvy)
+{
+    int ax = 0, ay = 0, ar = 0, bx = 0, by = 0, brr = 0;
+    int has_a = fetch4(d, dec4, my * 4, mx * 4 - 1, my0, &ax, &ay, &ar);
+    int has_b = fetch4(d, dec4, my * 4 - 1, mx * 4, my0, &bx, &by, &brr);
+    if (!has_a || !has_b) {
+        *mvx = 0; *mvy = 0; return;
+    }
+    if ((ar == 0 && ax == 0 && ay == 0) || (brr == 0 && bx == 0 && by == 0)) {
+        *mvx = 0; *mvy = 0; return;
+    }
+    mv_pred4_c(d, dec4, my * 4, mx * 4, 4, 0, my0, SH_NONE, mvx, mvy);
+}
+
+/* P sub-macroblock geometry (= _SUB_PARTS): (dy, dx, pw, ph) per part */
+static const int SUB_PARTS[4][4][4] = {
+    {{0, 0, 2, 2}, {0}, {0}, {0}},
+    {{0, 0, 2, 1}, {1, 0, 2, 1}, {0}, {0}},
+    {{0, 0, 1, 2}, {0, 1, 1, 2}, {0}, {0}},
+    {{0, 0, 1, 1}, {0, 1, 1, 1}, {1, 0, 1, 1}, {1, 1, 1, 1}},
+};
+static const int SUB_NPARTS[4] = {1, 2, 2, 4};
+
+/* ------------------------------------------------------------------ */
+/* in-loop deblocking (spec 8.7) — port of h264_deblock.deblock_frame   */
+/* ------------------------------------------------------------------ */
+
+/* filter one edge segment: rows of [p3 p2 p1 p0 q0 q1 q2 q3] gathered
+ * through a stride (vert edges: stride 1; horiz edges: plane stride) */
+static void filter_edge_line(uint8_t *base, long step, long nstride, int n,
+                             const int *bs, int index_a, int index_b,
+                             int chroma)
+{
+    int alpha = DB_ALPHA[index_a];
+    int beta = DB_BETA[index_b];
+    for (int i = 0; i < n; i++) {
+        uint8_t *px = base + i * nstride;
+        int p3 = px[-4 * step], p2 = px[-3 * step], p1 = px[-2 * step],
+            p0 = px[-1 * step];
+        int q0 = px[0], q1 = px[1 * step], q2 = px[2 * step],
+            q3 = px[3 * step];
+        int s = bs[i];
+        if (s <= 0)
+            continue;
+        int d0 = p0 - q0;
+        if ((d0 < 0 ? -d0 : d0) >= alpha)
+            continue;
+        int d1 = p1 - p0, d2 = q1 - q0;
+        if ((d1 < 0 ? -d1 : d1) >= beta || (d2 < 0 ? -d2 : d2) >= beta)
+            continue;
+        int dap = p2 - p0, daq = q2 - q0;
+        int ap = (dap < 0 ? -dap : dap) < beta;
+        int aq = (daq < 0 ? -daq : daq) < beta;
+        if (s == 4) {
+            if (chroma) {
+                px[-1 * step] = (uint8_t)((2 * p1 + p0 + q1 + 2) >> 2);
+                px[0] = (uint8_t)((2 * q1 + q0 + p1 + 2) >> 2);
+            } else {
+                int small = (d0 < 0 ? -d0 : d0) < ((alpha >> 2) + 2);
+                if (small && ap) {
+                    px[-1 * step] = (uint8_t)((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3);
+                    px[-2 * step] = (uint8_t)((p2 + p1 + p0 + q0 + 2) >> 2);
+                    px[-3 * step] = (uint8_t)((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3);
+                } else {
+                    px[-1 * step] = (uint8_t)((2 * p1 + p0 + q1 + 2) >> 2);
+                }
+                if (small && aq) {
+                    px[0] = (uint8_t)((q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3);
+                    px[1 * step] = (uint8_t)((q2 + q1 + q0 + p0 + 2) >> 2);
+                    px[2 * step] = (uint8_t)((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3);
+                } else {
+                    px[0] = (uint8_t)((2 * q1 + q0 + p1 + 2) >> 2);
+                }
+            }
+        } else {
+            int tc0 = DB_TC0[(s < 1 ? 1 : (s > 3 ? 3 : s)) - 1][index_a];
+            int tc = chroma ? tc0 + 1 : tc0 + ap + aq;
+            int delta = (((q0 - p0) * 4) + (p1 - q1) + 4) >> 3;
+            if (delta < -tc) delta = -tc;
+            if (delta > tc) delta = tc;
+            int p0n = p0 + delta, q0n = q0 - delta;
+            px[-1 * step] = clip255(p0n);
+            px[0] = clip255(q0n);
+            if (!chroma) {
+                if (ap) {
+                    int dd = (p2 + ((p0 + q0 + 1) >> 1) - (p1 << 1)) >> 1;
+                    if (dd < -tc0) dd = -tc0;
+                    if (dd > tc0) dd = tc0;
+                    px[-2 * step] = (uint8_t)(p1 + dd);
+                }
+                if (aq) {
+                    int dd = (q2 + ((p0 + q0 + 1) >> 1) - (q1 << 1)) >> 1;
+                    if (dd < -tc0) dd = -tc0;
+                    if (dd > tc0) dd = tc0;
+                    px[1 * step] = (uint8_t)(q1 + dd);
+                }
+            }
+        }
+    }
+}
+
+/* bS for the 4 4x4 groups along one edge (= _bs_edge) */
+static void bs_edge(const H264Dec *d, int pmy, int pmx, int qmy, int qmx,
+                    const int (*pblocks)[2], const int (*qblocks)[2],
+                    int mb_edge, int *bs4)
+{
+    int mbw = d->mbw;
+    int g4w = mbw * 4;
+    if (d->db_intra[pmy * mbw + pmx] || d->db_intra[qmy * mbw + qmx]) {
+        int v = mb_edge ? 4 : 3;
+        bs4[0] = bs4[1] = bs4[2] = bs4[3] = v;
+        return;
+    }
+    for (int i = 0; i < 4; i++) {
+        long pi = (long)pblocks[i][0] * g4w + pblocks[i][1];
+        long qi = (long)qblocks[i][0] * g4w + qblocks[i][1];
+        if (d->nnz_l[pi] || d->nnz_l[qi]) {
+            bs4[i] = 2;
+        } else {
+            int dref = d->ref4[pi] != d->ref4[qi];
+            int dx = d->mv4[pi * 2] - d->mv4[qi * 2];
+            int dy = d->mv4[pi * 2 + 1] - d->mv4[qi * 2 + 1];
+            if (dref || (dx < 0 ? -dx : dx) >= 4 || (dy < 0 ? -dy : dy) >= 4)
+                bs4[i] = 1;
+            else
+                bs4[i] = 0;
+        }
+    }
+}
+
+static void deblock_frame_c(H264Dec *d)
+{
+    int mbw = d->mbw, mbh = d->mbh;
+    long pw = d->pw, cpw = d->cpw;
+    uint8_t *Y = d->cur_y + PAD * pw + PAD;
+    uint8_t *CB = d->cur_cb + PAD * cpw + PAD;
+    uint8_t *CR = d->cur_cr + PAD * cpw + PAD;
+
+    for (int my = 0; my < mbh; my++) {
+        for (int mx = 0; mx < mbw; mx++) {
+            long mi = (long)my * mbw + mx;
+            if (!d->db_decoded[mi] || d->db_idc[mi] == 1)
+                continue;
+            int offa = d->db_offa[mi], offb = d->db_offb[mi];
+            int sid = d->db_slice[mi];
+            int qp_cur = d->db_ipcm[mi] ? 0 : d->db_qp[mi];
+            int bs4[4], groups_p[4][2], groups_q[4][2];
+
+#define MB_EDGE_OK(pmy, pmx) \
+    (d->db_decoded[(long)(pmy) * mbw + (pmx)] \
+     && !(d->db_idc[mi] == 2 && d->db_slice[(long)(pmy) * mbw + (pmx)] != sid))
+#define QP_OF(pmy, pmx) \
+    (d->db_ipcm[(long)(pmy) * mbw + (pmx)] ? 0 : d->db_qp[(long)(pmy) * mbw + (pmx)])
+#define QPC_OF(qpv) chroma_qp((qpv) + d->pps.chroma_off < 0 ? 0 : \
+    ((qpv) + d->pps.chroma_off > 51 ? 51 : (qpv) + d->pps.chroma_off))
+
+            /* ---- vertical luma edges ---- */
+            for (int ex = 0; ex <= 12; ex += 4) {
+                int x = mx * 16 + ex;
+                int gx = x / 4;
+                for (int i = 0; i < 4; i++) {
+                    groups_q[i][0] = my * 4 + i; groups_q[i][1] = gx;
+                    groups_p[i][0] = my * 4 + i; groups_p[i][1] = gx - 1;
+                }
+                int ia, ib;
+                if (ex == 0) {
+                    if (mx == 0 || !MB_EDGE_OK(my, mx - 1))
+                        continue;
+                    bs_edge(d, my, mx - 1, my, mx, groups_p, groups_q, 1, bs4);
+                    int qpav = (QP_OF(my, mx - 1) + qp_cur + 1) >> 1;
+                    ia = qpav + offa; ib = qpav + offb;
+                } else {
+                    bs_edge(d, my, mx, my, mx, groups_p, groups_q, 0, bs4);
+                    ia = qp_cur + offa; ib = qp_cur + offb;
+                }
+                ia = ia < 0 ? 0 : (ia > 51 ? 51 : ia);
+                ib = ib < 0 ? 0 : (ib > 51 ? 51 : ib);
+                if (!(bs4[0] | bs4[1] | bs4[2] | bs4[3]))
+                    continue;
+                int bs16[16];
+                for (int i = 0; i < 16; i++)
+                    bs16[i] = bs4[i / 4];
+                filter_edge_line(Y + (long)my * 16 * pw + x, 1, pw, 16,
+                                 bs16, ia, ib, 0);
+            }
+
+            /* ---- vertical chroma edges (luma x = 0, 8) ---- */
+            for (int k = 0; k < 2; k++) {
+                int lex = k * 8;
+                int xc = mx * 8 + k * 4;
+                int ia, ib;
+                if (lex == 0) {
+                    if (mx == 0 || !MB_EDGE_OK(my, mx - 1))
+                        continue;
+                    for (int i = 0; i < 4; i++) {
+                        groups_p[i][0] = my * 4 + i; groups_p[i][1] = mx * 4 - 1;
+                        groups_q[i][0] = my * 4 + i; groups_q[i][1] = mx * 4;
+                    }
+                    bs_edge(d, my, mx - 1, my, mx, groups_p, groups_q, 1, bs4);
+                    int qa = QPC_OF(QP_OF(my, mx - 1));
+                    int qb = QPC_OF(qp_cur);
+                    int qpav = (qa + qb + 1) >> 1;
+                    ia = qpav + offa; ib = qpav + offb;
+                } else {
+                    int gx = mx * 4 + 2;
+                    for (int i = 0; i < 4; i++) {
+                        groups_p[i][0] = my * 4 + i; groups_p[i][1] = gx - 1;
+                        groups_q[i][0] = my * 4 + i; groups_q[i][1] = gx;
+                    }
+                    bs_edge(d, my, mx, my, mx, groups_p, groups_q, 0, bs4);
+                    int q = QPC_OF(qp_cur);
+                    ia = q + offa; ib = q + offb;
+                }
+                ia = ia < 0 ? 0 : (ia > 51 ? 51 : ia);
+                ib = ib < 0 ? 0 : (ib > 51 ? 51 : ib);
+                if (!(bs4[0] | bs4[1] | bs4[2] | bs4[3]))
+                    continue;
+                int bs8[8];
+                for (int i = 0; i < 8; i++)
+                    bs8[i] = bs4[i / 2];
+                filter_edge_line(CB + (long)my * 8 * cpw + xc, 1, cpw, 8,
+                                 bs8, ia, ib, 1);
+                filter_edge_line(CR + (long)my * 8 * cpw + xc, 1, cpw, 8,
+                                 bs8, ia, ib, 1);
+            }
+
+            /* ---- horizontal luma edges ---- */
+            for (int ey = 0; ey <= 12; ey += 4) {
+                int yy = my * 16 + ey;
+                int gy = yy / 4;
+                for (int i = 0; i < 4; i++) {
+                    groups_q[i][0] = gy; groups_q[i][1] = mx * 4 + i;
+                    groups_p[i][0] = gy - 1; groups_p[i][1] = mx * 4 + i;
+                }
+                int ia, ib;
+                if (ey == 0) {
+                    if (my == 0 || !MB_EDGE_OK(my - 1, mx))
+                        continue;
+                    bs_edge(d, my - 1, mx, my, mx, groups_p, groups_q, 1, bs4);
+                    int qpav = (QP_OF(my - 1, mx) + qp_cur + 1) >> 1;
+                    ia = qpav + offa; ib = qpav + offb;
+                } else {
+                    bs_edge(d, my, mx, my, mx, groups_p, groups_q, 0, bs4);
+                    ia = qp_cur + offa; ib = qp_cur + offb;
+                }
+                ia = ia < 0 ? 0 : (ia > 51 ? 51 : ia);
+                ib = ib < 0 ? 0 : (ib > 51 ? 51 : ib);
+                if (!(bs4[0] | bs4[1] | bs4[2] | bs4[3]))
+                    continue;
+                int bs16[16];
+                for (int i = 0; i < 16; i++)
+                    bs16[i] = bs4[i / 4];
+                filter_edge_line(Y + (long)yy * pw + mx * 16, pw, 1, 16,
+                                 bs16, ia, ib, 0);
+            }
+
+            /* ---- horizontal chroma edges ---- */
+            for (int k = 0; k < 2; k++) {
+                int ley = k * 8;
+                int yc = my * 8 + k * 4;
+                int ia, ib;
+                if (ley == 0) {
+                    if (my == 0 || !MB_EDGE_OK(my - 1, mx))
+                        continue;
+                    for (int i = 0; i < 4; i++) {
+                        groups_p[i][0] = my * 4 - 1; groups_p[i][1] = mx * 4 + i;
+                        groups_q[i][0] = my * 4; groups_q[i][1] = mx * 4 + i;
+                    }
+                    bs_edge(d, my - 1, mx, my, mx, groups_p, groups_q, 1, bs4);
+                    int qa = QPC_OF(QP_OF(my - 1, mx));
+                    int qb = QPC_OF(qp_cur);
+                    int qpav = (qa + qb + 1) >> 1;
+                    ia = qpav + offa; ib = qpav + offb;
+                } else {
+                    int gy = my * 4 + 2;
+                    for (int i = 0; i < 4; i++) {
+                        groups_p[i][0] = gy - 1; groups_p[i][1] = mx * 4 + i;
+                        groups_q[i][0] = gy; groups_q[i][1] = mx * 4 + i;
+                    }
+                    bs_edge(d, my, mx, my, mx, groups_p, groups_q, 0, bs4);
+                    int q = QPC_OF(qp_cur);
+                    ia = q + offa; ib = q + offb;
+                }
+                ia = ia < 0 ? 0 : (ia > 51 ? 51 : ia);
+                ib = ib < 0 ? 0 : (ib > 51 ? 51 : ib);
+                if (!(bs4[0] | bs4[1] | bs4[2] | bs4[3]))
+                    continue;
+                int bs8[8];
+                for (int i = 0; i < 8; i++)
+                    bs8[i] = bs4[i / 2];
+                filter_edge_line(CB + (long)yc * cpw + mx * 8, cpw, 1, 8,
+                                 bs8, ia, ib, 1);
+                filter_edge_line(CR + (long)yc * cpw + mx * 8, cpw, 1, 8,
+                                 bs8, ia, ib, 1);
+            }
+#undef MB_EDGE_OK
+#undef QP_OF
+#undef QPC_OF
+        }
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* slice decode shared machinery                                       */
+/* ------------------------------------------------------------------ */
+
+/* pixel accessors into the padded current planes */
+#define YP(d) ((d)->cur_y + PAD * (d)->pw + PAD)
+#define CBP(d) ((d)->cur_cb + PAD * (d)->cpw + PAD)
+#define CRP(d) ((d)->cur_cr + PAD * (d)->cpw + PAD)
+
+typedef struct {
+    H264Dec *d;
+    int my0;            /* first MB row of the slice */
+    int qp;             /* running slice QP */
+    int slice_id;
+    int dbf_idc, dbf_offa, dbf_offb;
+    int l0_active;
+    int is_p;
+} Slice;
+
+static void record_mb(Slice *s, int my, int mx, int intra, int ipcm)
+{
+    H264Dec *d = s->d;
+    long mi = (long)my * d->mbw + mx;
+    d->db_decoded[mi] = 1;
+    d->db_intra[mi] = (uint8_t)intra;
+    d->db_ipcm[mi] = (uint8_t)ipcm;
+    d->db_qp[mi] = s->qp;
+    d->db_slice[mi] = s->slice_id;
+    d->db_idc[mi] = s->dbf_idc;
+    d->db_offa[mi] = s->dbf_offa;
+    d->db_offb[mi] = s->dbf_offb;
+}
+
+/* nC predictor (= nc_of) over an nnz grid with row width gw */
+static int nc_of(const int32_t *nn, int gw, int gx, int gy, int gy_min)
+{
+    int has_a = gx > 0;
+    int has_b = gy > gy_min;
+    if (has_a && has_b)
+        return (nn[(long)gy * gw + gx - 1] + nn[(long)(gy - 1) * gw + gx] + 1) >> 1;
+    if (has_a)
+        return nn[(long)gy * gw + gx - 1];
+    if (has_b)
+        return nn[(long)(gy - 1) * gw + gx];
+    return 0;
+}
+
+/* luma 4x4 intra neighbour samples (= luma_neighbors) */
+static void luma_neighbors(Slice *s, int px, int py, int need_tr,
+                           i64 *t8, int *has_t, i64 *l4, int *has_l, int *tl)
+{
+    H264Dec *d = s->d;
+    uint8_t *Y = YP(d);
+    long pw = d->pw;
+    int gx = px / 4, gy = py / 4;
+    int g4w = d->mbw * 4;
+    *has_t = 0;
+    *has_l = 0;
+    *tl = -1;
+    if (py > s->my0 * 16 && d->done4[(long)(gy - 1) * g4w + gx]) {
+        for (int i = 0; i < 4; i++)
+            t8[i] = Y[(long)(py - 1) * pw + px + i];
+        if (need_tr && gx + 1 < g4w && d->done4[(long)(gy - 1) * g4w + gx + 1]) {
+            for (int i = 0; i < 4; i++)
+                t8[4 + i] = Y[(long)(py - 1) * pw + px + 4 + i];
+        } else {
+            for (int i = 0; i < 4; i++)
+                t8[4 + i] = Y[(long)(py - 1) * pw + px + 3];
+        }
+        *has_t = 1;
+    }
+    if (px > 0 && d->done4[(long)gy * g4w + gx - 1]) {
+        for (int i = 0; i < 4; i++)
+            l4[i] = Y[(long)(py + i) * pw + px - 1];
+        *has_l = 1;
+    }
+    if (*has_t && *has_l && px > 0 && py > s->my0 * 16)
+        *tl = Y[(long)(py - 1) * pw + px - 1];
+}
+
+/* chroma prediction block (= chroma_pred_block); plane = CBP/CRP base */
+static void chroma_pred_c(Slice *s, uint8_t *plane, int mx, int my, int mode,
+                          i64 pred[8][8])
+{
+    H264Dec *d = s->d;
+    long cpw = d->cpw;
+    int x0 = mx * 8, y0 = my * 8;
+    i64 lcol[8] = {0}, trow[8] = {0};
+    int has_l = mx > 0, has_t = my > s->my0;
+    if (has_l)
+        for (int i = 0; i < 8; i++)
+            lcol[i] = plane[(long)(y0 + i) * cpw + x0 - 1];
+    if (has_t)
+        for (int i = 0; i < 8; i++)
+            trow[i] = plane[(long)(y0 - 1) * cpw + x0 + i];
+    if (mode == 0) {
+        for (int by = 0; by < 2; by++)
+            for (int bx = 0; bx < 2; bx++) {
+                int use_l = has_l, use_t = has_t;
+                if (bx == 1 && by == 0 && has_t)
+                    use_l = 0;
+                if (bx == 0 && by == 1 && has_l)
+                    use_t = 0;
+                i64 v;
+                if (use_l && use_t) {
+                    i64 sl = lcol[by * 4] + lcol[by * 4 + 1] + lcol[by * 4 + 2] + lcol[by * 4 + 3];
+                    i64 st = trow[bx * 4] + trow[bx * 4 + 1] + trow[bx * 4 + 2] + trow[bx * 4 + 3];
+                    v = (sl + st + 4) >> 3;
+                } else if (use_l) {
+                    i64 sl = lcol[by * 4] + lcol[by * 4 + 1] + lcol[by * 4 + 2] + lcol[by * 4 + 3];
+                    v = (sl + 2) >> 2;
+                } else if (use_t) {
+                    i64 st = trow[bx * 4] + trow[bx * 4 + 1] + trow[bx * 4 + 2] + trow[bx * 4 + 3];
+                    v = (st + 2) >> 2;
+                } else {
+                    v = 128;
+                }
+                for (int yy = 0; yy < 4; yy++)
+                    for (int xx = 0; xx < 4; xx++)
+                        pred[by * 4 + yy][bx * 4 + xx] = v;
+            }
+        return;
+    }
+    if (mode == 1) {
+        if (!has_l)
+            dec_fail(d, "chroma horizontal without left");
+        for (int yy = 0; yy < 8; yy++)
+            for (int xx = 0; xx < 8; xx++)
+                pred[yy][xx] = lcol[yy];
+        return;
+    }
+    if (mode == 2) {
+        if (!has_t)
+            dec_fail(d, "chroma vertical without top");
+        for (int yy = 0; yy < 8; yy++)
+            for (int xx = 0; xx < 8; xx++)
+                pred[yy][xx] = trow[xx];
+        return;
+    }
+    if (mode == 3) {
+        if (!has_l || !has_t)
+            dec_fail(d, "chroma plane without neighbours");
+        i64 tl = plane[(long)(y0 - 1) * cpw + x0 - 1];
+        pred8_chroma_plane(trow, lcol, tl, pred);
+        return;
+    }
+    dec_fail(d, "chroma pred mode");
+}
+
+/* finish a luma AC/DC 4x4: dequant + IDCT with optional DC substitute */
+static void finish_block4(const i64 *zz16, const i64 v[4][4], int qp,
+                          int have_dc, i64 dc, i64 res[4][4])
+{
+    i64 dmat[4][4];
+    dezigzag16(zz16, dmat);
+    int sh = qp / 6;
+    for (int r = 0; r < 4; r++)
+        for (int c = 0; c < 4; c++)
+            dmat[r][c] = (dmat[r][c] * v[r][c]) << sh;
+    if (have_dc)
+        dmat[0][0] = dc;
+    i64 t[4][4];
+    itransform4(dmat, t);
+    for (int r = 0; r < 4; r++)
+        for (int c = 0; c < 4; c++)
+            res[r][c] = (t[r][c] + 32) >> 6;
+}
+
+/* luma DC scaling for I_16x16 (spec 8.5.10) */
+static void i16_dc_scale(const i64 dc_zz[16], const i64 vy[4][4], int qp,
+                         i64 dcs[4][4])
+{
+    i64 dz[4][4], f[4][4];
+    dezigzag16(dc_zz, dz);
+    ihadamard4((const i64(*)[4])dz, f);
+    i64 v00 = vy[0][0];
+    for (int r = 0; r < 4; r++)
+        for (int c = 0; c < 4; c++) {
+            if (qp >= 12)
+                dcs[r][c] = (f[r][c] * v00) << (qp / 6 - 2);
+            else
+                dcs[r][c] = (f[r][c] * v00 + ((i64)1 << (1 - qp / 6))) >> (2 - qp / 6);
+        }
+}
+
+/* chroma DC scale + per-block residual (shared CAVLC/CABAC finish) */
+static void chroma_finish(const i64 cdc[2][4], const i64 cac[2][2][2][16],
+                          const i64 vc[4][4], int qpc, i64 res[2][8][8])
+{
+    for (int ci = 0; ci < 2; ci++) {
+        /* fdc = H2 @ [[c0,c1],[c2,c3]] @ H2 */
+        i64 a = cdc[ci][0], b = cdc[ci][1], c = cdc[ci][2], dd = cdc[ci][3];
+        i64 f00 = a + b + c + dd, f01 = a - b + c - dd;
+        i64 f10 = a + b - c - dd, f11 = a - b - c + dd;
+        i64 v00c = vc[0][0];
+        int sh = qpc / 6;
+        i64 dcs[2][2] = {
+            {((f00 * v00c) << sh) >> 1, ((f01 * v00c) << sh) >> 1},
+            {((f10 * v00c) << sh) >> 1, ((f11 * v00c) << sh) >> 1},
+        };
+        for (int by = 0; by < 2; by++)
+            for (int bx = 0; bx < 2; bx++) {
+                i64 blk[4][4];
+                dezigzag16(cac[ci][by][bx], blk);
+                for (int r = 0; r < 4; r++)
+                    for (int cc = 0; cc < 4; cc++)
+                        blk[r][cc] = (blk[r][cc] * vc[r][cc]) << sh;
+                blk[0][0] = dcs[by][bx];
+                i64 t[4][4];
+                itransform4(blk, t);
+                for (int r = 0; r < 4; r++)
+                    for (int cc = 0; cc < 4; cc++)
+                        res[ci][by * 4 + r][bx * 4 + cc] = (t[r][cc] + 32) >> 6;
+            }
+    }
+}
+
+/* CAVLC chroma residual syntax (= chroma_residuals / chroma_residuals_p) */
+static void chroma_residuals_cavlc(Slice *s, BitReader *r, int cbp_chroma,
+                                   int mx, int my, const i64 vc[4][4],
+                                   int qpc, i64 res[2][8][8])
+{
+    H264Dec *d = s->d;
+    int g2w = d->mbw * 2;
+    i64 cdc[2][4];
+    i64 cac[2][2][2][16];
+    memset(cdc, 0, sizeof(cdc));
+    memset(cac, 0, sizeof(cac));
+    if (cbp_chroma) {
+        for (int ci = 0; ci < 2; ci++) {
+            i64 zz[4];
+            cavlc_block(d, r, -1, 4, zz);
+            for (int i = 0; i < 4; i++)
+                cdc[ci][i] = zz[i];
+        }
+    }
+    if (cbp_chroma == 2) {
+        static const int CBO[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
+        for (int ci = 0; ci < 2; ci++) {
+            for (int k = 0; k < 4; k++) {
+                int bx = CBO[k][0], by = CBO[k][1];
+                int gx = mx * 2 + bx, gy = my * 2 + by;
+                int nc = nc_of(d->nnz_c[ci], g2w, gx, gy, s->my0 * 2);
+                i64 zz[15];
+                cavlc_block(d, r, nc, 15, zz);
+                int nz = 0;
+                for (int i = 0; i < 15; i++) {
+                    cac[ci][by][bx][1 + i] = zz[i];
+                    nz += zz[i] != 0;
+                }
+                d->nnz_c[ci][(long)gy * g2w + gx] = nz;
+            }
+        }
+    } else {
+        for (int ci = 0; ci < 2; ci++)
+            for (int by = 0; by < 2; by++)
+                for (int bx = 0; bx < 2; bx++)
+                    d->nnz_c[ci][(long)(my * 2 + by) * g2w + mx * 2 + bx] = 0;
+    }
+    chroma_finish((const i64(*)[4])cdc, (const i64(*)[2][2][16])cac, vc, qpc, res);
+}
+
+/* dezigzag helper for 15-coeff AC blocks into a 16-slot zz with zz[0]=0 */
+/* (callers build the full 16-entry zz themselves) */
+
+/* I_16x16 luma prediction selector (modes 0..3) */
+static void pred16_select(Slice *s, int mx, int my, int pred_mode,
+                          i64 pred[16][16])
+{
+    H264Dec *d = s->d;
+    uint8_t *Y = YP(d);
+    long pw = d->pw;
+    int has_l = mx > 0, has_t = my > s->my0;
+    i64 left[16], top[16];
+    if (has_l)
+        for (int i = 0; i < 16; i++)
+            left[i] = Y[(long)(my * 16 + i) * pw + mx * 16 - 1];
+    if (has_t)
+        for (int i = 0; i < 16; i++)
+            top[i] = Y[(long)(my * 16 - 1) * pw + mx * 16 + i];
+    if (pred_mode == 0) {
+        if (!has_t)
+            dec_fail(d, "I16 vertical without top");
+        for (int yy = 0; yy < 16; yy++)
+            for (int xx = 0; xx < 16; xx++)
+                pred[yy][xx] = top[xx];
+    } else if (pred_mode == 1) {
+        if (!has_l)
+            dec_fail(d, "I16 horizontal without left");
+        for (int yy = 0; yy < 16; yy++)
+            for (int xx = 0; xx < 16; xx++)
+                pred[yy][xx] = left[yy];
+    } else if (pred_mode == 2) {
+        i64 v;
+        if (has_l && has_t) {
+            i64 sl = 0, st = 0;
+            for (int i = 0; i < 16; i++) {
+                sl += left[i];
+                st += top[i];
+            }
+            v = (sl + st + 16) >> 5;
+        } else if (has_l) {
+            i64 sl = 0;
+            for (int i = 0; i < 16; i++)
+                sl += left[i];
+            v = (sl + 8) >> 4;
+        } else if (has_t) {
+            i64 st = 0;
+            for (int i = 0; i < 16; i++)
+                st += top[i];
+            v = (st + 8) >> 4;
+        } else {
+            v = 128;
+        }
+        for (int yy = 0; yy < 16; yy++)
+            for (int xx = 0; xx < 16; xx++)
+                pred[yy][xx] = v;
+    } else {
+        if (!has_l || !has_t)
+            dec_fail(d, "I16 plane without neighbours");
+        i64 tl = Y[(long)(my * 16 - 1) * pw + mx * 16 - 1];
+        pred16_plane(top, left, tl, pred);
+    }
+}
+
+/* write an I_16x16 MB reconstruction given prediction + residual syntax */
+static void recon_i16_luma(Slice *s, int mx, int my, const i64 pred[16][16],
+                           const i64 dc_zz[16], const i64 ac[4][4][16],
+                           const i64 vy[4][4], int qp)
+{
+    H264Dec *d = s->d;
+    uint8_t *Y = YP(d);
+    long pw = d->pw;
+    i64 dcs[4][4];
+    i16_dc_scale(dc_zz, vy, qp, dcs);
+    for (int by = 0; by < 4; by++)
+        for (int bx = 0; bx < 4; bx++) {
+            i64 res[4][4];
+            finish_block4(ac[by][bx], vy, qp, 1, dcs[by][bx], res);
+            for (int r = 0; r < 4; r++)
+                for (int c = 0; c < 4; c++)
+                    Y[(long)(my * 16 + by * 4 + r) * pw + mx * 16 + bx * 4 + c] =
+                        clip255(pred[by * 4 + r][bx * 4 + c] + res[r][c]);
+        }
+}
+
+static void recon_chroma(Slice *s, int mx, int my, int chroma_mode,
+                         const i64 cres[2][8][8])
+{
+    H264Dec *d = s->d;
+    long cpw = d->cpw;
+    uint8_t *planes[2] = {CBP(d), CRP(d)};
+    for (int ci = 0; ci < 2; ci++) {
+        i64 pred[8][8];
+        chroma_pred_c(s, planes[ci], mx, my, chroma_mode, pred);
+        for (int r = 0; r < 8; r++)
+            for (int c = 0; c < 8; c++)
+                planes[ci][(long)(my * 8 + r) * cpw + mx * 8 + c] =
+                    clip255(pred[r][c] + cres[ci][r][c]);
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* CAVLC I slice (= IntraDecoder._decode_slice)                        */
+/* ------------------------------------------------------------------ */
+
+static void parse_dbf(H264Dec *d, BitReader *r, int *idc, int *offa, int *offb)
+{
+    *idc = 0; *offa = 0; *offb = 0;
+    if (d->pps.dbf_ctrl) {
+        *idc = (int)br_ue(r);
+        if (*idc > 2)
+            dec_fail(d, "deblock idc");
+        if (*idc != 1) {
+            *offa = br_se(r) * 2;
+            *offb = br_se(r) * 2;
+        }
+    }
+}
+
+static void reset_slice_grids(H264Dec *d)
+{
+    long g4 = (long)d->mbh * 4 * d->mbw * 4;
+    long g2 = (long)d->mbh * 2 * d->mbw * 2;
+    memset(d->dec4, 0, (size_t)g4);
+    memset(d->rd4, 0, (size_t)g4);
+    memset(d->done4, 0, (size_t)g4);
+    memset(d->avail4, 0, (size_t)g4);
+    for (long i = 0; i < g4; i++)
+        d->i4mode[i] = 2;
+    memset(d->nnz_c[0], 0, (size_t)g2 * 4);
+    memset(d->nnz_c[1], 0, (size_t)g2 * 4);
+}
+
+static void decode_slice_cavlc_i(H264Dec *d, const uint8_t *rbsp, long rlen,
+                                 int slice_id)
+{
+    BitReader rr = {rbsp, rlen, 0, d};
+    BitReader *r = &rr;
+    Slice sl = {0};
+    Slice *s = &sl;
+    s->d = d;
+    s->slice_id = slice_id;
+    int first_mb = (int)br_ue(r);
+    int st = (int)br_ue(r);
+    if (st % 5 != 2)
+        dec_fail(d, "not an I slice");
+    br_ue(r);                       /* pps id */
+    br_u(r, d->sps.log2_mfn);       /* frame_num */
+    br_ue(r);                       /* idr_pic_id */
+    if (d->sps.poc_type == 0)
+        br_u(r, d->sps.log2_poc);
+    br_u(r, 1); br_u(r, 1);         /* dec_ref_pic_marking */
+    s->qp = d->pps.init_qp + br_se(r);
+    parse_dbf(d, r, &s->dbf_idc, &s->dbf_offa, &s->dbf_offb);
+    int mbw = d->mbw, mbh = d->mbh;
+    if (first_mb % mbw)
+        dec_fail(d, "slices must start at an MB row");
+    s->my0 = first_mb / mbw;
+    reset_slice_grids(d);
+    long stop_pos = rbsp_stop_pos(rbsp, rlen);
+    int g4w = mbw * 4;
+    uint8_t *Y = YP(d);
+    long pw = d->pw, cpw = d->cpw;
+
+    long n_mbs = (long)mbw * mbh;
+    long mb_addr = first_mb;
+    while (r->pos < stop_pos) {
+        if (mb_addr >= n_mbs)
+            dec_fail(d, "mb address out of range");
+        int my = (int)(mb_addr / mbw), mx = (int)(mb_addr % mbw);
+        mb_addr++;
+        int qpc = chroma_qp((s->qp + d->pps.chroma_off) < 0 ? 0 :
+                            ((s->qp + d->pps.chroma_off) > 51 ? 51 : s->qp + d->pps.chroma_off));
+        i64 vy[4][4], vc[4][4];
+        vmat(s->qp, vy);
+        vmat(qpc, vc);
+        int mb_type = (int)br_ue(r);
+        if (mb_type == 25) { /* I_PCM */
+            br_align(r);
+            for (int i = 0; i < 16; i++)
+                for (int j = 0; j < 16; j++)
+                    Y[(long)(my * 16 + i) * pw + mx * 16 + j] = (uint8_t)br_u(r, 8);
+            uint8_t *planes[2] = {CBP(d), CRP(d)};
+            for (int ci = 0; ci < 2; ci++)
+                for (int i = 0; i < 8; i++)
+                    for (int j = 0; j < 8; j++)
+                        planes[ci][(long)(my * 8 + i) * cpw + mx * 8 + j] =
+                            (uint8_t)br_u(r, 8);
+            for (int by = 0; by < 4; by++)
+                for (int bx = 0; bx < 4; bx++) {
+                    long gi = (long)(my * 4 + by) * g4w + mx * 4 + bx;
+                    d->nnz_l[gi] = 16;
+                    d->done4[gi] = 1;
+                    d->avail4[gi] = 1;
+                    d->i4mode[gi] = 2;
+                }
+            int g2w = mbw * 2;
+            for (int ci = 0; ci < 2; ci++)
+                for (int by = 0; by < 2; by++)
+                    for (int bx = 0; bx < 2; bx++)
+                        d->nnz_c[ci][(long)(my * 2 + by) * g2w + mx * 2 + bx] = 16;
+            record_mb(s, my, mx, 1, 1);
+            continue;
+        }
+
+        if (mb_type == 0) { /* I_4x4 */
+            int modes[16];
+            for (int bi = 0; bi < 16; bi++) {
+                int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
+                int gx = mx * 4 + bx, gy = my * 4 + by;
+                int ma = (gx > 0 && d->avail4[(long)gy * g4w + gx - 1])
+                             ? (int)d->i4mode[(long)gy * g4w + gx - 1] : -1;
+                int mb_ = (gy > s->my0 * 4 && d->avail4[(long)(gy - 1) * g4w + gx])
+                              ? (int)d->i4mode[(long)(gy - 1) * g4w + gx] : -1;
+                int pm = (ma >= 0 ? ma : 2) < (mb_ >= 0 ? mb_ : 2)
+                             ? (ma >= 0 ? ma : 2) : (mb_ >= 0 ? mb_ : 2);
+                if (ma < 0 || mb_ < 0)
+                    pm = 2;
+                if (br_bit(r)) {
+                    modes[bi] = pm;
+                } else {
+                    int rem = (int)br_u(r, 3);
+                    modes[bi] = rem < pm ? rem : rem + 1;
+                }
+                d->i4mode[(long)gy * g4w + gx] = modes[bi];
+                d->avail4[(long)gy * g4w + gx] = 1;
+            }
+            int chroma_mode = (int)br_ue(r);
+            int cbp_code = (int)br_ue(r);
+            if (cbp_code >= 48)
+                dec_fail(d, "bad coded_block_pattern");
+            int cbp = CBP_INTRA[cbp_code];
+            int cbp_luma = cbp & 15, cbp_chroma = cbp >> 4;
+            if (cbp_chroma == 3)
+                dec_fail(d, "bad chroma cbp");
+            if (cbp) {
+                s->qp += br_se(r);
+                qpc = chroma_qp((s->qp + d->pps.chroma_off) < 0 ? 0 :
+                                ((s->qp + d->pps.chroma_off) > 51 ? 51 : s->qp + d->pps.chroma_off));
+                vmat(s->qp, vy);
+                vmat(qpc, vc);
+            }
+            for (int bi = 0; bi < 16; bi++) {
+                int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
+                int gx = mx * 4 + bx, gy = my * 4 + by;
+                int px = gx * 4, py = gy * 4;
+                int mode = modes[bi];
+                int need_tr = mode == 3 || mode == 7;
+                i64 t8[8], l4[4];
+                int has_t, has_l, tl;
+                luma_neighbors(s, px, py, need_tr, t8, &has_t, l4, &has_l, &tl);
+                i64 pred[4][4];
+                pred4x4(d, mode, has_t ? t8 : NULL, has_l ? l4 : NULL, tl, pred);
+                int has = (cbp_luma >> (bi / 4)) & 1;
+                i64 res[4][4] = {{0}};
+                if (has) {
+                    int nc = nc_of(d->nnz_l, g4w, gx, gy, s->my0 * 4);
+                    i64 zz[16];
+                    cavlc_block(d, r, nc, 16, zz);
+                    int nz = 0;
+                    for (int i = 0; i < 16; i++)
+                        nz += zz[i] != 0;
+                    d->nnz_l[(long)gy * g4w + gx] = nz;
+                    finish_block4(zz, vy, s->qp, 0, 0, res);
+                } else {
+                    d->nnz_l[(long)gy * g4w + gx] = 0;
+                }
+                for (int rr2 = 0; rr2 < 4; rr2++)
+                    for (int cc = 0; cc < 4; cc++)
+                        Y[(long)(py + rr2) * pw + px + cc] =
+                            clip255(pred[rr2][cc] + res[rr2][cc]);
+                d->done4[(long)gy * g4w + gx] = 1;
+            }
+            i64 cres[2][8][8];
+            chroma_residuals_cavlc(s, r, cbp_chroma, mx, my,
+                                   (const i64(*)[4])vc, qpc, cres);
+            recon_chroma(s, mx, my, chroma_mode, (const i64(*)[8][8])cres);
+            record_mb(s, my, mx, 1, 0);
+            continue;
+        }
+
+        if (mb_type < 1 || mb_type > 24)
+            dec_fail(d, "mb_type");
+        int t = mb_type - 1;
+        int pred_mode = t % 4;
+        int cbp_chroma = (t / 4) % 3;
+        int cbp_luma = t >= 12 ? 15 : 0;
+        int chroma_mode = (int)br_ue(r);
+        s->qp += br_se(r);
+        qpc = chroma_qp((s->qp + d->pps.chroma_off) < 0 ? 0 :
+                        ((s->qp + d->pps.chroma_off) > 51 ? 51 : s->qp + d->pps.chroma_off));
+        vmat(s->qp, vy);
+        vmat(qpc, vc);
+        for (int by = 0; by < 4; by++)
+            for (int bx = 0; bx < 4; bx++) {
+                long gi = (long)(my * 4 + by) * g4w + mx * 4 + bx;
+                d->i4mode[gi] = 2;
+                d->avail4[gi] = 1;
+            }
+        int nc0 = nc_of(d->nnz_l, g4w, mx * 4, my * 4, s->my0 * 4);
+        i64 dc_zz[16];
+        cavlc_block(d, r, nc0, 16, dc_zz);
+        i64 ac[4][4][16];
+        memset(ac, 0, sizeof(ac));
+        if (cbp_luma) {
+            for (int bi = 0; bi < 16; bi++) {
+                int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
+                int gx = mx * 4 + bx, gy = my * 4 + by;
+                int nc = nc_of(d->nnz_l, g4w, gx, gy, s->my0 * 4);
+                i64 zz[15];
+                cavlc_block(d, r, nc, 15, zz);
+                int nz = 0;
+                for (int i = 0; i < 15; i++) {
+                    ac[by][bx][1 + i] = zz[i];
+                    nz += zz[i] != 0;
+                }
+                d->nnz_l[(long)gy * g4w + gx] = nz;
+            }
+        } else {
+            for (int by = 0; by < 4; by++)
+                for (int bx = 0; bx < 4; bx++)
+                    d->nnz_l[(long)(my * 4 + by) * g4w + mx * 4 + bx] = 0;
+        }
+        i64 pred16[16][16];
+        pred16_select(s, mx, my, pred_mode, pred16);
+        recon_i16_luma(s, mx, my, (const i64(*)[16])pred16, dc_zz,
+                       (const i64(*)[4][16])ac, (const i64(*)[4])vy, s->qp);
+        for (int by = 0; by < 4; by++)
+            for (int bx = 0; bx < 4; bx++)
+                d->done4[(long)(my * 4 + by) * g4w + mx * 4 + bx] = 1;
+        i64 cres[2][8][8];
+        chroma_residuals_cavlc(s, r, cbp_chroma, mx, my, (const i64(*)[4])vc,
+                               qpc, cres);
+        recon_chroma(s, mx, my, chroma_mode, (const i64(*)[8][8])cres);
+        record_mb(s, my, mx, 1, 0);
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* CAVLC P slice (= StreamDecoder._decode_slice_p)                     */
+/* ------------------------------------------------------------------ */
+
+static int read_refidx_cavlc(H264Dec *d, BitReader *r, int l0_active)
+{
+    if (l0_active <= 1)
+        return 0;
+    int ri = (l0_active == 2) ? (1 - (int)br_u(r, 1)) : (int)br_ue(r);
+    if (ri >= l0_active)
+        dec_fail(d, "ref_idx out of range");
+    return ri;
+}
+
+/* MC one partition into the MB-local prediction buffers */
+static void part_pred_c(Slice *s, int mx, int my, int gy, int gx,
+                        int pw4, int ph4, int mvx, int mvy, int ri,
+                        i64 pred16[16][16], i64 predc[2][8][8])
+{
+    H264Dec *d = s->d;
+    if (ri < 0 || ri >= d->dpb_n)
+        dec_fail(d, "ref_idx beyond DPB");
+    RefPic *ref = &d->dpb[ri];
+    int ly = (gy - my * 4) * 4, lx = (gx - mx * 4) * 4;
+    mc_luma_c(d, ref, gx * 4, gy * 4, mvx, mvy, pw4 * 4, ph4 * 4,
+              &pred16[ly][lx], 16);
+    int cy2 = ly / 2, cx2 = lx / 2;
+    mc_chroma_c(d, ref->cb, gx * 2, gy * 2, mvx, mvy, pw4 * 2, ph4 * 2,
+                &predc[0][cy2][cx2], 8);
+    mc_chroma_c(d, ref->cr, gx * 2, gy * 2, mvx, mvy, pw4 * 2, ph4 * 2,
+                &predc[1][cy2][cx2], 8);
+}
+
+static void fill4_c(H264Dec *d, int gy, int gx, int pw4, int ph4,
+                    int mvx, int mvy, int ri)
+{
+    int g4w = d->mbw * 4;
+    for (int yy = 0; yy < ph4; yy++)
+        for (int xx = 0; xx < pw4; xx++) {
+            long gi = (long)(gy + yy) * g4w + gx + xx;
+            d->mv4[gi * 2] = mvx;
+            d->mv4[gi * 2 + 1] = mvy;
+            d->ref4[gi] = ri;
+            d->dec4[gi] = 1;
+        }
+}
+
+static void recon_p_mb(Slice *s, int mx, int my, const i64 pred16[16][16],
+                       const i64 predc[2][8][8], const i64 lres[16][16],
+                       const i64 cres[2][8][8])
+{
+    H264Dec *d = s->d;
+    uint8_t *Y = YP(d);
+    long pw = d->pw, cpw = d->cpw;
+    for (int r = 0; r < 16; r++)
+        for (int c = 0; c < 16; c++)
+            Y[(long)(my * 16 + r) * pw + mx * 16 + c] =
+                clip255(pred16[r][c] + lres[r][c]);
+    uint8_t *planes[2] = {CBP(d), CRP(d)};
+    for (int ci = 0; ci < 2; ci++)
+        for (int r = 0; r < 8; r++)
+            for (int c = 0; c < 8; c++)
+                planes[ci][(long)(my * 8 + r) * cpw + mx * 8 + c] =
+                    clip255(predc[ci][r][c] + cres[ci][r][c]);
+}
+
+/* I_16x16 inside a P slice (= _decode_i16_in_p) */
+static void decode_i16_in_p_cavlc(Slice *s, BitReader *r, int t_code,
+                                  int mx, int my)
+{
+    H264Dec *d = s->d;
+    int g4w = d->mbw * 4;
+    int t = t_code - 1;
+    int pred_mode = t % 4;
+    int cbp_chroma = (t / 4) % 3;
+    int cbp_luma = t >= 12 ? 15 : 0;
+    int chroma_mode = (int)br_ue(r);
+    s->qp += br_se(r);
+    int qpc = chroma_qp((s->qp + d->pps.chroma_off) < 0 ? 0 :
+                        ((s->qp + d->pps.chroma_off) > 51 ? 51 : s->qp + d->pps.chroma_off));
+    i64 vy[4][4], vc[4][4];
+    vmat(s->qp, vy);
+    vmat(qpc, vc);
+    int nc0 = nc_of(d->nnz_l, g4w, mx * 4, my * 4, s->my0 * 4);
+    i64 dc_zz[16];
+    cavlc_block(d, r, nc0, 16, dc_zz);
+    i64 ac[4][4][16];
+    memset(ac, 0, sizeof(ac));
+    if (cbp_luma) {
+        for (int bi = 0; bi < 16; bi++) {
+            int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
+            int gx = mx * 4 + bx, gy = my * 4 + by;
+            int nc = nc_of(d->nnz_l, g4w, gx, gy, s->my0 * 4);
+            i64 zz[15];
+            cavlc_block(d, r, nc, 15, zz);
+            int nz = 0;
+            for (int i = 0; i < 15; i++) {
+                ac[by][bx][1 + i] = zz[i];
+                nz += zz[i] != 0;
+            }
+            d->nnz_l[(long)gy * g4w + gx] = nz;
+        }
+    } else {
+        for (int by = 0; by < 4; by++)
+            for (int bx = 0; bx < 4; bx++)
+                d->nnz_l[(long)(my * 4 + by) * g4w + mx * 4 + bx] = 0;
+    }
+    i64 pred16[16][16];
+    pred16_select(s, mx, my, pred_mode, pred16);
+    recon_i16_luma(s, mx, my, (const i64(*)[16])pred16, dc_zz,
+                   (const i64(*)[4][16])ac, (const i64(*)[4])vy, s->qp);
+    i64 cres[2][8][8];
+    chroma_residuals_cavlc(s, r, cbp_chroma, mx, my, (const i64(*)[4])vc,
+                           qpc, cres);
+    recon_chroma(s, mx, my, chroma_mode, (const i64(*)[8][8])cres);
+}
+
+static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
+                                 int slice_id)
+{
+    BitReader rr = {rbsp, rlen, 0, d};
+    BitReader *r = &rr;
+    Slice sl = {0};
+    Slice *s = &sl;
+    s->d = d;
+    s->slice_id = slice_id;
+    s->is_p = 1;
+    int first_mb = (int)br_ue(r);
+    br_ue(r);                       /* slice_type (known P) */
+    br_ue(r);                       /* pps id */
+    br_u(r, d->sps.log2_mfn);       /* frame_num */
+    if (d->sps.poc_type == 0)
+        br_u(r, d->sps.log2_poc);
+    int l0_active = d->pps.l0_default;
+    if (br_bit(r))
+        l0_active = (int)br_ue(r) + 1;
+    if (l0_active > d->dpb_n)
+        dec_fail(d, "active refs > decoded");
+    if (br_bit(r))
+        dec_fail(d, "ref pic list modification");
+    if (d->pps.weighted_pred)
+        dec_fail(d, "weighted prediction");
+    if (br_bit(r))
+        dec_fail(d, "adaptive ref pic marking");
+    s->qp = d->pps.init_qp + br_se(r);
+    parse_dbf(d, r, &s->dbf_idc, &s->dbf_offa, &s->dbf_offb);
+    s->l0_active = l0_active;
+    int mbw = d->mbw, mbh = d->mbh;
+    if (first_mb % mbw)
+        dec_fail(d, "slices must start at an MB row");
+    s->my0 = first_mb / mbw;
+    reset_slice_grids(d);
+    long stop_pos = rbsp_stop_pos(rbsp, rlen);
+    int g4w = mbw * 4;
+    int g2w = mbw * 2;
+
+    static const i64 zero16[16][16];
+    static const i64 zero8[2][8][8];
+
+    long n_mbs = (long)mbw * mbh;
+    long mb_addr = first_mb;
+    while (mb_addr < n_mbs && r->pos < stop_pos) {
+        long skip_run = br_ue(r);
+        for (long k = 0; k < skip_run; k++) {
+            if (mb_addr >= n_mbs)
+                dec_fail(d, "skip run past frame end");
+            int my = (int)(mb_addr / mbw), mx = (int)(mb_addr % mbw);
+            int mvx, mvy;
+            skip_mv4_c(d, d->dec4, mx, my, s->my0, &mvx, &mvy);
+            i64 pred16[16][16], predc[2][8][8];
+            part_pred_c(s, mx, my, my * 4, mx * 4, 4, 4, mvx, mvy, 0,
+                        pred16, predc);
+            recon_p_mb(s, mx, my, (const i64(*)[16])pred16,
+                       (const i64(*)[8][8])predc, zero16, zero8);
+            fill4_c(d, my * 4, mx * 4, 4, 4, mvx, mvy, 0);
+            for (int by = 0; by < 4; by++)
+                for (int bx = 0; bx < 4; bx++)
+                    d->nnz_l[(long)(my * 4 + by) * g4w + mx * 4 + bx] = 0;
+            record_mb(s, my, mx, 0, 0);
+            mb_addr++;
+        }
+        if (mb_addr >= n_mbs || r->pos >= stop_pos)
+            break;
+        int my = (int)(mb_addr / mbw), mx = (int)(mb_addr % mbw);
+        mb_addr++;
+        int mb_type = (int)br_ue(r);
+        if (mb_type <= 4) { /* inter MB */
+            int gy0 = my * 4, gx0 = mx * 4;
+            i64 pred16[16][16], predc[2][8][8];
+            memset(pred16, 0, sizeof(pred16));
+            memset(predc, 0, sizeof(predc));
+            if (mb_type == 0) { /* P_L0_16x16 */
+                int ri = read_refidx_cavlc(d, r, l0_active);
+                int pmx, pmy;
+                mv_pred4_c(d, d->dec4, gy0, gx0, 4, ri, s->my0, SH_NONE,
+                           &pmx, &pmy);
+                int mvx = pmx + br_se(r), mvy = pmy + br_se(r);
+                part_pred_c(s, mx, my, gy0, gx0, 4, 4, mvx, mvy, ri,
+                            pred16, predc);
+                fill4_c(d, gy0, gx0, 4, 4, mvx, mvy, ri);
+            } else if (mb_type == 1 || mb_type == 2) {
+                int geo[2][5]; /* gy, gx, pw4, ph4, shape */
+                if (mb_type == 1) {
+                    int g0[5] = {gy0, gx0, 4, 2, SH_16x8_0};
+                    int g1[5] = {gy0 + 2, gx0, 4, 2, SH_16x8_1};
+                    memcpy(geo[0], g0, sizeof(g0));
+                    memcpy(geo[1], g1, sizeof(g1));
+                } else {
+                    int g0[5] = {gy0, gx0, 2, 4, SH_8x16_0};
+                    int g1[5] = {gy0, gx0 + 2, 2, 4, SH_8x16_1};
+                    memcpy(geo[0], g0, sizeof(g0));
+                    memcpy(geo[1], g1, sizeof(g1));
+                }
+                int ris[2];
+                for (int p = 0; p < 2; p++)
+                    ris[p] = read_refidx_cavlc(d, r, l0_active);
+                for (int p = 0; p < 2; p++) {
+                    int gy = geo[p][0], gx = geo[p][1];
+                    int pw4 = geo[p][2], ph4 = geo[p][3], shape = geo[p][4];
+                    int pmx, pmy;
+                    mv_pred4_c(d, d->dec4, gy, gx, pw4, ris[p], s->my0,
+                               shape, &pmx, &pmy);
+                    int mvx = pmx + br_se(r), mvy = pmy + br_se(r);
+                    part_pred_c(s, mx, my, gy, gx, pw4, ph4, mvx, mvy,
+                                ris[p], pred16, predc);
+                    fill4_c(d, gy, gx, pw4, ph4, mvx, mvy, ris[p]);
+                }
+            } else { /* P_8x8 (3) / P_8x8ref0 (4) */
+                int subs[4];
+                for (int b = 0; b < 4; b++) {
+                    subs[b] = (int)br_ue(r);
+                    if (subs[b] > 3)
+                        dec_fail(d, "sub_mb_type");
+                }
+                int ris[4] = {0, 0, 0, 0};
+                if (mb_type == 3)
+                    for (int b = 0; b < 4; b++)
+                        ris[b] = read_refidx_cavlc(d, r, l0_active);
+                for (int b = 0; b < 4; b++) {
+                    int by = gy0 + (b / 2) * 2, bx = gx0 + (b % 2) * 2;
+                    for (int p = 0; p < SUB_NPARTS[subs[b]]; p++) {
+                        int dy = SUB_PARTS[subs[b]][p][0];
+                        int dx = SUB_PARTS[subs[b]][p][1];
+                        int pw4 = SUB_PARTS[subs[b]][p][2];
+                        int ph4 = SUB_PARTS[subs[b]][p][3];
+                        int gy = by + dy, gx = bx + dx;
+                        int pmx, pmy;
+                        mv_pred4_c(d, d->dec4, gy, gx, pw4, ris[b], s->my0,
+                                   SH_NONE, &pmx, &pmy);
+                        int mvx = pmx + br_se(r), mvy = pmy + br_se(r);
+                        part_pred_c(s, mx, my, gy, gx, pw4, ph4, mvx, mvy,
+                                    ris[b], pred16, predc);
+                        fill4_c(d, gy, gx, pw4, ph4, mvx, mvy, ris[b]);
+                    }
+                }
+            }
+            int cbp_code = (int)br_ue(r);
+            if (cbp_code >= 48)
+                dec_fail(d, "bad inter cbp");
+            int cbp = CBP_INTER[cbp_code];
+            int cbp_luma = cbp & 15, cbp_chroma = cbp >> 4;
+            if (cbp_chroma == 3)
+                dec_fail(d, "bad chroma cbp");
+            i64 lres[16][16];
+            i64 cres[2][8][8];
+            memset(lres, 0, sizeof(lres));
+            memset(cres, 0, sizeof(cres));
+            int qpc;
+            i64 vy[4][4], vc[4][4];
+            if (cbp) {
+                s->qp += br_se(r);
+            }
+            qpc = chroma_qp((s->qp + d->pps.chroma_off) < 0 ? 0 :
+                            ((s->qp + d->pps.chroma_off) > 51 ? 51 : s->qp + d->pps.chroma_off));
+            vmat(s->qp, vy);
+            vmat(qpc, vc);
+            if (cbp_luma || cbp_chroma) {
+                for (int bi = 0; bi < 16; bi++) {
+                    int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
+                    int gx = mx * 4 + bx, gy = my * 4 + by;
+                    if ((cbp_luma >> (bi / 4)) & 1) {
+                        int nc = nc_of(d->nnz_l, g4w, gx, gy, s->my0 * 4);
+                        i64 zz[16];
+                        cavlc_block(d, r, nc, 16, zz);
+                        int nz = 0;
+                        for (int i = 0; i < 16; i++)
+                            nz += zz[i] != 0;
+                        d->nnz_l[(long)gy * g4w + gx] = nz;
+                        i64 res[4][4];
+                        finish_block4(zz, (const i64(*)[4])vy, s->qp, 0, 0, res);
+                        for (int rr2 = 0; rr2 < 4; rr2++)
+                            for (int cc = 0; cc < 4; cc++)
+                                lres[by * 4 + rr2][bx * 4 + cc] = res[rr2][cc];
+                    } else {
+                        d->nnz_l[(long)gy * g4w + gx] = 0;
+                    }
+                }
+                chroma_residuals_cavlc(s, r, cbp_chroma, mx, my,
+                                       (const i64(*)[4])vc, qpc, cres);
+            } else {
+                for (int by = 0; by < 4; by++)
+                    for (int bx = 0; bx < 4; bx++)
+                        d->nnz_l[(long)(my * 4 + by) * g4w + mx * 4 + bx] = 0;
+                for (int ci = 0; ci < 2; ci++)
+                    for (int by = 0; by < 2; by++)
+                        for (int bx = 0; bx < 2; bx++)
+                            d->nnz_c[ci][(long)(my * 2 + by) * g2w + mx * 2 + bx] = 0;
+            }
+            recon_p_mb(s, mx, my, (const i64(*)[16])pred16,
+                       (const i64(*)[8][8])predc, (const i64(*)[16])lres,
+                       (const i64(*)[8][8])cres);
+            record_mb(s, my, mx, 0, 0);
+            continue;
+        }
+        int it = mb_type - 5;
+        for (int by = 0; by < 4; by++)
+            for (int bx = 0; bx < 4; bx++) {
+                long gi = (long)(my * 4 + by) * g4w + mx * 4 + bx;
+                d->ref4[gi] = -1;
+                d->mv4[gi * 2] = 0;
+                d->mv4[gi * 2 + 1] = 0;
+                d->dec4[gi] = 1;
+            }
+        if (it == 25)
+            dec_fail(d, "I_PCM in P not supported");
+        if (it < 1 || it > 24)
+            dec_fail(d, "intra-in-P mb_type");
+        decode_i16_in_p_cavlc(s, r, it, mx, my);
+        record_mb(s, my, mx, 1, 0);
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* CABAC engine (spec 9.3.3.2) — port of h264_cabac.CabacEngine          */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    const uint8_t *data;
+    long size;
+    long pos;          /* bit position */
+    int range, offset;
+    uint8_t pstate[1024];
+    uint8_t mps[1024];
+    H264Dec *d;
+} Cab;
+
+static inline int cab_bit(Cab *e)
+{
+    long p = e->pos++;
+    long bi = p >> 3;
+    if (bi >= e->size)
+        return 0;
+    return (e->data[bi] >> (7 - (p & 7))) & 1;
+}
+
+static void cab_init(Cab *e, H264Dec *d, const uint8_t *data, long size,
+                     long pos, int table_idx, int slice_qp)
+{
+    e->data = data;
+    e->size = size;
+    e->pos = pos;
+    e->d = d;
+    int qp = slice_qp < 0 ? 0 : (slice_qp > 51 ? 51 : slice_qp);
+    for (int i = 0; i < 1024; i++) {
+        int m = d->ctx_init[table_idx][i][0];
+        int n = d->ctx_init[table_idx][i][1];
+        int pre = ((m * qp) >> 4) + n;
+        if (pre < 1) pre = 1;
+        if (pre > 126) pre = 126;
+        e->mps[i] = pre > 63;
+        e->pstate[i] = (uint8_t)(pre <= 63 ? 63 - pre : pre - 64);
+    }
+    e->range = 510;
+    e->offset = 0;
+    for (int i = 0; i < 9; i++)
+        e->offset = (e->offset << 1) | cab_bit(e);
+    if (e->offset >= 510)
+        dec_fail(d, "CABAC init offset out of range");
+}
+
+static int cab_decision(Cab *e, int ctx)
+{
+    int st = e->pstate[ctx];
+    int lps = e->d->range_tab[st][(e->range >> 6) & 3];
+    e->range -= lps;
+    int b;
+    if (e->offset >= e->range) {
+        b = 1 - e->mps[ctx];
+        e->offset -= e->range;
+        e->range = lps;
+        if (st == 0)
+            e->mps[ctx] ^= 1;
+        e->pstate[ctx] = (uint8_t)e->d->trans_lps[st];
+    } else {
+        b = e->mps[ctx];
+        if (st < 62)
+            e->pstate[ctx] = (uint8_t)(st + 1);
+    }
+    while (e->range < 256) {
+        e->range <<= 1;
+        e->offset = (e->offset << 1) | cab_bit(e);
+    }
+    return b;
+}
+
+static int cab_bypass(Cab *e)
+{
+    e->offset = (e->offset << 1) | cab_bit(e);
+    if (e->offset >= e->range) {
+        e->offset -= e->range;
+        return 1;
+    }
+    return 0;
+}
+
+static int cab_terminate(Cab *e)
+{
+    e->range -= 2;
+    if (e->offset >= e->range)
+        return 1;
+    while (e->range < 256) {
+        e->range <<= 1;
+        e->offset = (e->offset << 1) | cab_bit(e);
+    }
+    return 0;
+}
+
+/* per-category offsets into the sig/last/level context banks (9.3.3.1.3) */
+static const int SIG_OFF[5] = {0, 15, 29, 44, 47};
+static const int LVL_OFF[5] = {0, 10, 20, 30, 39};
+
+/* decode one residual block; returns 0 when coded_block_flag == 0 */
+static int residual_cabac(H264Dec *d, Cab *e, int cat, int n_coeffs,
+                          int cbf_inc, i64 *out /* n_coeffs, zigzag */)
+{
+    (void)d;
+    if (!cab_decision(e, 85 + 4 * cat + cbf_inc))
+        return 0;
+    int sig_base = 105 + SIG_OFF[cat];
+    int last_base = 166 + SIG_OFF[cat];
+    int lvl_base = 227 + LVL_OFF[cat];
+    uint8_t sig[64] = {0};
+    int i = 0, ended = 0;
+    while (i < n_coeffs - 1) {
+        if (cab_decision(e, sig_base + i)) {
+            sig[i] = 1;
+            if (cab_decision(e, last_base + i)) {
+                ended = 1;
+                break;
+            }
+        }
+        i++;
+    }
+    if (!ended)
+        sig[n_coeffs - 1] = 1;
+    memset(out, 0, sizeof(i64) * (size_t)n_coeffs);
+    int num_eq1 = 0, num_gt1 = 0;
+    int cap = 4 - (cat == 3 ? 1 : 0);
+    for (int pos = n_coeffs - 1; pos >= 0; pos--) {
+        if (!sig[pos])
+            continue;
+        int inc0 = num_gt1 ? 0 : (1 + num_eq1 < 4 ? 1 + num_eq1 : 4);
+        i64 level;
+        if (cab_decision(e, lvl_base + inc0) == 0) {
+            level = 1;
+            num_eq1++;
+        } else {
+            int incn = 5 + (num_gt1 < cap ? num_gt1 : cap);
+            level = 2;
+            while (level < 15 && cab_decision(e, lvl_base + incn))
+                level++;
+            if (level == 15) {
+                int j = 0;
+                while (cab_bypass(e) && j < 30)
+                    j++;
+                i64 val = 1;
+                for (int k = 0; k < j; k++)
+                    val = (val << 1) | cab_bypass(e);
+                level = 14 + val;
+            }
+            num_gt1++;
+        }
+        if (cab_bypass(e))
+            level = -level;
+        out[pos] = level;
+    }
+    return 1;
+}
+
+/* mvd component (UEG3, ctx 9.3.3.1.1.7) */
+static int read_mvd_c(H264Dec *d, Cab *e, int base, int amvd)
+{
+    int inc = (amvd > 2 ? 1 : 0) + (amvd > 32 ? 1 : 0);
+    if (!cab_decision(e, base + inc))
+        return 0;
+    int mvd = 1, ctx = 3;
+    while (mvd < 9 && cab_decision(e, base + ctx)) {
+        if (ctx < 6)
+            ctx++;
+        mvd++;
+    }
+    if (mvd >= 9) {
+        int k = 3;
+        while (cab_bypass(e)) {
+            mvd += 1 << k;
+            k++;
+            if (k > 24)
+                dec_fail(d, "mvd escape overflow");
+        }
+        while (k) {
+            k--;
+            mvd += cab_bypass(e) << k;
+        }
+    }
+    return cab_bypass(e) ? -mvd : mvd;
+}
+
+/* mb_qp_delta (9.3.2.7 + ctx 60-63) */
+static int read_dqp_c(H264Dec *d, Cab *e, int last_dqp)
+{
+    int ctx = last_dqp ? 1 : 0;
+    int val = 0;
+    while (cab_decision(e, 60 + ctx)) {
+        ctx = val == 0 ? 2 : 3;
+        val++;
+        if (val > 104)
+            dec_fail(d, "mb_qp_delta runaway");
+    }
+    return (val & 1) ? (val + 1) >> 1 : -(val >> 1);
+}
+
+/* I-MB mb_type suffix (9.3.2.5) */
+static int intra_mb_type_c(Cab *e, int base, int intra_slice, int inc0)
+{
+    int sbase;
+    if (intra_slice) {
+        if (cab_decision(e, base + inc0) == 0)
+            return 0;
+        sbase = base + 2;
+    } else {
+        if (cab_decision(e, base) == 0)
+            return 0;
+        sbase = base;
+    }
+    if (cab_terminate(e))
+        return 25;
+    int mb_type = 1;
+    mb_type += 12 * cab_decision(e, sbase + 1);
+    if (cab_decision(e, sbase + 2))
+        mb_type += 4 + 4 * cab_decision(e, sbase + 2 + (intra_slice ? 1 : 0));
+    int off = 3 + (intra_slice ? 1 : 0);
+    mb_type += 2 * cab_decision(e, sbase + off);
+    mb_type += cab_decision(e, sbase + 3 + (intra_slice ? 2 : 0));
+    return mb_type;
+}
+
+/* ------------------------------------------------------------------ */
+/* CABAC slice decoder (= h264_cabac.decode_slice_cabac)                */
+/* ------------------------------------------------------------------ */
+
+/* contested neighbour-availability conventions (see h264_cabac.py) */
+#define CBF_UNAVAIL_INTRA 1
+
+typedef struct {
+    Slice s;
+    Cab e;
+    int last_dqp;
+    int cur_intra;
+} CabSlice;
+
+static void clear_mb_ctx_c(H264Dec *d, int mx, int my, int intra, int skip)
+{
+    int mbw = d->mbw;
+    long mi = (long)my * mbw + mx;
+    d->c_skip[mi] = (uint8_t)skip;
+    d->c_intra[mi] = (uint8_t)intra;
+    d->c_pcm[mi] = 0;
+    d->c_i16[mi] = 0;
+    d->c_chroma_mode[mi] = 0;
+    d->c_cbp_l[mi] = 0;
+    d->c_cbp_c[mi] = 0;
+    d->c_cbf_ldc[mi] = 0;
+    d->c_cbf_cdc[mi] = 0;
+    d->c_cbf_cdc[(long)d->mbh * mbw + mi] = 0;
+    int g4w = mbw * 4, g2w = mbw * 2;
+    for (int by = 0; by < 4; by++)
+        for (int bx = 0; bx < 4; bx++) {
+            long gi = (long)(my * 4 + by) * g4w + mx * 4 + bx;
+            d->c_cbf_l4[gi] = 0;
+            d->c_absmvd4[gi * 2] = 0;
+            d->c_absmvd4[gi * 2 + 1] = 0;
+        }
+    for (int ci = 0; ci < 2; ci++)
+        for (int by = 0; by < 2; by++)
+            for (int bx = 0; bx < 2; bx++)
+                d->c_cbf_c4[(long)ci * d->mbh * 2 * g2w
+                            + (long)(my * 2 + by) * g2w + mx * 2 + bx] = 0;
+}
+
+static int cbf_inc_mb_c(H264Dec *d, CabSlice *cs, const int32_t *grid,
+                        int mx, int my, const uint8_t *exists_i16,
+                        const int32_t *exists_cbpc)
+{
+    int mbw = d->mbw;
+    int my0 = cs->s.my0;
+    int ca, cb;
+    if (mx > 0) {
+        long ni = (long)my * mbw + mx - 1;
+        int ex = exists_i16 ? exists_i16[ni] : (exists_cbpc[ni] > 0);
+        ca = ex ? (int)grid[ni] : 0;
+        if (d->c_pcm[ni])
+            ca = 1;
+    } else {
+        ca = cs->cur_intra ? CBF_UNAVAIL_INTRA : 0;
+    }
+    if (my > my0) {
+        long ni = (long)(my - 1) * mbw + mx;
+        int ex = exists_i16 ? exists_i16[ni] : (exists_cbpc[ni] > 0);
+        cb = ex ? (int)grid[ni] : 0;
+        if (d->c_pcm[ni])
+            cb = 1;
+    } else {
+        cb = cs->cur_intra ? CBF_UNAVAIL_INTRA : 0;
+    }
+    return ca + 2 * cb;
+}
+
+static int cbf_inc_blk_c(CabSlice *cs, const int32_t *grid, int gw,
+                         int gy, int gx, int gy_min)
+{
+    int ca = (gx > 0) ? (int)grid[(long)gy * gw + gx - 1]
+                      : (cs->cur_intra ? CBF_UNAVAIL_INTRA : 0);
+    int cb = (gy > gy_min) ? (int)grid[(long)(gy - 1) * gw + gx]
+                           : (cs->cur_intra ? CBF_UNAVAIL_INTRA : 0);
+    return ca + 2 * cb;
+}
+
+static int read_chroma_mode_c(H264Dec *d, CabSlice *cs, int mx, int my)
+{
+    int mbw = d->mbw;
+    int my0 = cs->s.my0;
+    int inc = 0;
+    if (mx > 0 && d->c_intra[(long)my * mbw + mx - 1]
+        && d->c_chroma_mode[(long)my * mbw + mx - 1])
+        inc++;
+    if (my > my0 && d->c_intra[(long)(my - 1) * mbw + mx]
+        && d->c_chroma_mode[(long)(my - 1) * mbw + mx])
+        inc++;
+    if (!cab_decision(&cs->e, 64 + inc))
+        return 0;
+    if (!cab_decision(&cs->e, 67))
+        return 1;
+    if (!cab_decision(&cs->e, 67))
+        return 2;
+    return 3;
+}
+
+static void read_cbp_c(H264Dec *d, CabSlice *cs, int mx, int my,
+                       int *cbp_luma, int *cbp_chroma)
+{
+    Cab *e = &cs->e;
+    int mbw = d->mbw;
+    int my0 = cs->s.my0;
+    int la = -1, lb = -1;
+    if (mx > 0) {
+        la = (int)d->c_cbp_l[(long)my * mbw + mx - 1];
+        if (d->c_pcm[(long)my * mbw + mx - 1])
+            la = 0xF;
+    }
+    if (my > my0) {
+        lb = (int)d->c_cbp_l[(long)(my - 1) * mbw + mx];
+        if (d->c_pcm[(long)(my - 1) * mbw + mx])
+            lb = 0xF;
+    }
+    int cbp = 0;
+    int ca_ = (la >= 0) ? (!(la & 0x2) ? 1 : 0) : 0;
+    int cb_ = (lb >= 0) ? (!(lb & 0x4) ? 1 : 0) : 0;
+    cbp |= cab_decision(e, 73 + ca_ + 2 * cb_);
+    cb_ = (lb >= 0) ? (!(lb & 0x8) ? 1 : 0) : 0;
+    cbp |= cab_decision(e, 73 + (!(cbp & 0x1) ? 1 : 0) + 2 * cb_) << 1;
+    ca_ = (la >= 0) ? (!(la & 0x8) ? 1 : 0) : 0;
+    cbp |= cab_decision(e, 73 + ca_ + 2 * (!(cbp & 0x1) ? 1 : 0)) << 2;
+    int ctx = (!(cbp & 0x4) ? 1 : 0) + (!(cbp & 0x2) ? 2 : 0);
+    cbp |= cab_decision(e, 73 + ctx) << 3;
+    int ca = 0, cb = 0;
+    if (mx > 0) {
+        ca = (int)d->c_cbp_c[(long)my * mbw + mx - 1];
+        if (d->c_pcm[(long)my * mbw + mx - 1])
+            ca = 2;
+    }
+    if (my > my0) {
+        cb = (int)d->c_cbp_c[(long)(my - 1) * mbw + mx];
+        if (d->c_pcm[(long)(my - 1) * mbw + mx])
+            cb = 2;
+    }
+    int cc = 0;
+    if (cab_decision(e, 77 + (ca ? 1 : 0) + (cb ? 2 : 0)))
+        cc = 1 + cab_decision(e, 81 + (ca == 2 ? 1 : 0) + (cb == 2 ? 2 : 0));
+    *cbp_luma = cbp;
+    *cbp_chroma = cc;
+}
+
+static int read_ref_idx_cab(H264Dec *d, CabSlice *cs, int gy, int gx)
+{
+    if (cs->s.l0_active <= 1)
+        return 0;
+    int g4w = d->mbw * 4;
+    int my0 = cs->s.my0;
+    int ca = (gx > 0 && d->rd4[(long)gy * g4w + gx - 1]
+              && d->ref4[(long)gy * g4w + gx - 1] > 0) ? 1 : 0;
+    int cb = (gy > my0 * 4 && d->rd4[(long)(gy - 1) * g4w + gx]
+              && d->ref4[(long)(gy - 1) * g4w + gx] > 0) ? 1 : 0;
+    if (!cab_decision(&cs->e, 54 + ca + 2 * cb))
+        return 0;
+    if (!cab_decision(&cs->e, 58))
+        return 1;
+    int ref = 2;
+    while (cab_decision(&cs->e, 59)) {
+        ref++;
+        if (ref > 32)
+            dec_fail(d, "ref_idx runaway");
+    }
+    if (ref >= cs->s.l0_active)
+        dec_fail(d, "ref_idx out of range");
+    return ref;
+}
+
+static int note_ref_c(H264Dec *d, int gy, int gx, int pw4, int ph4, int ri)
+{
+    int g4w = d->mbw * 4;
+    for (int yy = 0; yy < ph4; yy++)
+        for (int xx = 0; xx < pw4; xx++) {
+            long gi = (long)(gy + yy) * g4w + gx + xx;
+            d->ref4[gi] = ri;
+            d->rd4[gi] = 1;
+        }
+    return ri;
+}
+
+static void read_mvd_pair_c(H264Dec *d, CabSlice *cs, int gy, int gx,
+                            int *mdx, int *mdy)
+{
+    int g4w = d->mbw * 4;
+    int my0 = cs->s.my0;
+    int ax = 0, ay = 0;
+    if (gx > 0 && d->dec4[(long)gy * g4w + gx - 1]) {
+        ax += d->c_absmvd4[((long)gy * g4w + gx - 1) * 2];
+        ay += d->c_absmvd4[((long)gy * g4w + gx - 1) * 2 + 1];
+    }
+    if (gy > my0 * 4 && d->dec4[(long)(gy - 1) * g4w + gx]) {
+        ax += d->c_absmvd4[((long)(gy - 1) * g4w + gx) * 2];
+        ay += d->c_absmvd4[((long)(gy - 1) * g4w + gx) * 2 + 1];
+    }
+    *mdx = read_mvd_c(d, &cs->e, 40, ax);
+    *mdy = read_mvd_c(d, &cs->e, 47, ay);
+}
+
+static void fill4_cab(H264Dec *d, int gy, int gx, int pw4, int ph4,
+                      int mvx, int mvy, int ri, int amx, int amy)
+{
+    int g4w = d->mbw * 4;
+    for (int yy = 0; yy < ph4; yy++)
+        for (int xx = 0; xx < pw4; xx++) {
+            long gi = (long)(gy + yy) * g4w + gx + xx;
+            d->mv4[gi * 2] = mvx;
+            d->mv4[gi * 2 + 1] = mvy;
+            d->ref4[gi] = ri;
+            d->dec4[gi] = 1;
+            d->rd4[gi] = 1;
+            d->c_absmvd4[gi * 2] = amx;
+            d->c_absmvd4[gi * 2 + 1] = amy;
+        }
+}
+
+/* CABAC chroma residuals (= chroma_residuals_cabac) */
+static void chroma_residuals_cab(H264Dec *d, CabSlice *cs, int cbp_chroma,
+                                 int mx, int my, const i64 vc[4][4], int qpc,
+                                 i64 res[2][8][8])
+{
+    int mbw = d->mbw, mbh = d->mbh;
+    int g2w = mbw * 2;
+    i64 cdc[2][4];
+    i64 cac[2][2][2][16];
+    memset(cdc, 0, sizeof(cdc));
+    memset(cac, 0, sizeof(cac));
+    if (cbp_chroma) {
+        for (int ci = 0; ci < 2; ci++) {
+            const int32_t *grid = d->c_cbf_cdc + (long)ci * mbh * mbw;
+            int inc = cbf_inc_mb_c(d, cs, grid, mx, my, NULL, d->c_cbp_c);
+            i64 zz[4];
+            if (residual_cabac(d, &cs->e, 3, 4, inc, zz)) {
+                for (int i = 0; i < 4; i++)
+                    cdc[ci][i] = zz[i];
+                d->c_cbf_cdc[(long)ci * mbh * mbw + (long)my * mbw + mx] = 1;
+            }
+        }
+    }
+    if (cbp_chroma == 2) {
+        static const int CBO[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
+        for (int ci = 0; ci < 2; ci++) {
+            int32_t *grid = d->c_cbf_c4 + (long)ci * mbh * 2 * g2w;
+            for (int k = 0; k < 4; k++) {
+                int bx = CBO[k][0], by = CBO[k][1];
+                int gx = mx * 2 + bx, gy = my * 2 + by;
+                int inc = cbf_inc_blk_c(cs, grid, g2w, gy, gx, cs->s.my0 * 2);
+                i64 zz[15];
+                if (residual_cabac(d, &cs->e, 4, 15, inc, zz)) {
+                    int nz = 0;
+                    for (int i = 0; i < 15; i++) {
+                        cac[ci][by][bx][1 + i] = zz[i];
+                        nz += zz[i] != 0;
+                    }
+                    grid[(long)gy * g2w + gx] = 1;
+                    d->nnz_c[ci][(long)gy * g2w + gx] = nz;
+                } else {
+                    d->nnz_c[ci][(long)gy * g2w + gx] = 0;
+                }
+            }
+        }
+    } else {
+        for (int ci = 0; ci < 2; ci++)
+            for (int by = 0; by < 2; by++)
+                for (int bx = 0; bx < 2; bx++)
+                    d->nnz_c[ci][(long)(my * 2 + by) * g2w + mx * 2 + bx] = 0;
+    }
+    chroma_finish((const i64(*)[4])cdc, (const i64(*)[2][2][16])cac, vc, qpc, res);
+}
+
+/* intra MB in a CABAC slice (I_NxN / I_16x16) */
+static void decode_intra_mb_cab(H264Dec *d, CabSlice *cs, int mx, int my,
+                                int mb_type)
+{
+    Slice *s = &cs->s;
+    Cab *e = &cs->e;
+    int mbw = d->mbw;
+    int g4w = mbw * 4;
+    long mi = (long)my * mbw + mx;
+    uint8_t *Y = YP(d);
+    long pw = d->pw;
+    if (mb_type == 25)
+        dec_fail(d, "I_PCM in CABAC stream");
+    int modes[16];
+    int chroma_mode, cbp_luma_mb, cbp_chroma;
+    if (mb_type == 0) {
+        for (int bi = 0; bi < 16; bi++) {
+            int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
+            int gx = mx * 4 + bx, gy = my * 4 + by;
+            int ma = (gx > 0 && d->avail4[(long)gy * g4w + gx - 1])
+                         ? (int)d->i4mode[(long)gy * g4w + gx - 1] : -1;
+            int mb_ = (gy > s->my0 * 4 && d->avail4[(long)(gy - 1) * g4w + gx])
+                          ? (int)d->i4mode[(long)(gy - 1) * g4w + gx] : -1;
+            int pm = (ma >= 0 ? ma : 2) < (mb_ >= 0 ? mb_ : 2)
+                         ? (ma >= 0 ? ma : 2) : (mb_ >= 0 ? mb_ : 2);
+            if (ma < 0 || mb_ < 0)
+                pm = 2;
+            if (cab_decision(e, 68)) {
+                modes[bi] = pm;
+            } else {
+                int rem = cab_decision(e, 69);
+                rem += 2 * cab_decision(e, 69);
+                rem += 4 * cab_decision(e, 69);
+                modes[bi] = rem < pm ? rem : rem + 1;
+            }
+            d->i4mode[(long)gy * g4w + gx] = modes[bi];
+            d->avail4[(long)gy * g4w + gx] = 1;
+        }
+        chroma_mode = read_chroma_mode_c(d, cs, mx, my);
+        read_cbp_c(d, cs, mx, my, &cbp_luma_mb, &cbp_chroma);
+    } else {
+        int t = mb_type - 1;
+        cbp_chroma = (t / 4) % 3;
+        cbp_luma_mb = t >= 12 ? 15 : 0;
+        chroma_mode = read_chroma_mode_c(d, cs, mx, my);
+        for (int by = 0; by < 4; by++)
+            for (int bx = 0; bx < 4; bx++) {
+                long gi = (long)(my * 4 + by) * g4w + mx * 4 + bx;
+                d->i4mode[gi] = 2;
+                d->avail4[gi] = 1;
+            }
+    }
+    d->c_intra[mi] = 1;
+    d->c_i16[mi] = mb_type != 0;
+    d->c_chroma_mode[mi] = chroma_mode;
+    d->c_cbp_l[mi] = cbp_luma_mb;
+    d->c_cbp_c[mi] = cbp_chroma;
+
+    if (mb_type == 0) {
+        if (cbp_luma_mb || cbp_chroma) {
+            int dqp = read_dqp_c(d, e, cs->last_dqp);
+            cs->last_dqp = dqp;
+            s->qp += dqp;
+        } else {
+            cs->last_dqp = 0;
+        }
+        int qpc = chroma_qp((s->qp + d->pps.chroma_off) < 0 ? 0 :
+                            ((s->qp + d->pps.chroma_off) > 51 ? 51 : s->qp + d->pps.chroma_off));
+        i64 vy[4][4], vc[4][4];
+        vmat(s->qp, vy);
+        vmat(qpc, vc);
+        for (int bi = 0; bi < 16; bi++) {
+            int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
+            int gx = mx * 4 + bx, gy = my * 4 + by;
+            int px = gx * 4, py = gy * 4;
+            int mode = modes[bi];
+            int need_tr = mode == 3 || mode == 7;
+            i64 t8[8], l4[4];
+            int has_t, has_l, tl;
+            luma_neighbors(s, px, py, need_tr, t8, &has_t, l4, &has_l, &tl);
+            i64 pred[4][4];
+            pred4x4(d, mode, has_t ? t8 : NULL, has_l ? l4 : NULL, tl, pred);
+            int has = (cbp_luma_mb >> (bi / 4)) & 1;
+            i64 res[4][4] = {{0}};
+            long gi = (long)gy * g4w + gx;
+            if (has) {
+                int inc = cbf_inc_blk_c(cs, d->c_cbf_l4, g4w, gy, gx,
+                                        s->my0 * 4);
+                i64 zz[16];
+                if (residual_cabac(d, e, 2, 16, inc, zz)) {
+                    d->c_cbf_l4[gi] = 1;
+                    int nz = 0;
+                    for (int i = 0; i < 16; i++)
+                        nz += zz[i] != 0;
+                    d->nnz_l[gi] = nz;
+                    finish_block4(zz, (const i64(*)[4])vy, s->qp, 0, 0, res);
+                } else {
+                    d->c_cbf_l4[gi] = 0;
+                    d->nnz_l[gi] = 0;
+                }
+            } else {
+                d->c_cbf_l4[gi] = 0;
+                d->nnz_l[gi] = 0;
+            }
+            for (int rr2 = 0; rr2 < 4; rr2++)
+                for (int cc = 0; cc < 4; cc++)
+                    Y[(long)(py + rr2) * pw + px + cc] =
+                        clip255(pred[rr2][cc] + res[rr2][cc]);
+            d->done4[gi] = 1;
+        }
+        i64 cres[2][8][8];
+        chroma_residuals_cab(d, cs, cbp_chroma, mx, my, (const i64(*)[4])vc,
+                             qpc, cres);
+        recon_chroma(s, mx, my, chroma_mode, (const i64(*)[8][8])cres);
+        record_mb(s, my, mx, 1, 0);
+        return;
+    }
+
+    /* ---- I_16x16 ---- */
+    int pred_mode16 = (mb_type - 1) % 4;
+    int dqp = read_dqp_c(d, e, cs->last_dqp);
+    cs->last_dqp = dqp;
+    s->qp += dqp;
+    int qpc = chroma_qp((s->qp + d->pps.chroma_off) < 0 ? 0 :
+                        ((s->qp + d->pps.chroma_off) > 51 ? 51 : s->qp + d->pps.chroma_off));
+    i64 vy[4][4], vc[4][4];
+    vmat(s->qp, vy);
+    vmat(qpc, vc);
+    int inc = cbf_inc_mb_c(d, cs, d->c_cbf_ldc, mx, my, d->c_i16, NULL);
+    i64 dc_zz[16];
+    memset(dc_zz, 0, sizeof(dc_zz));
+    if (residual_cabac(d, e, 0, 16, inc, dc_zz))
+        d->c_cbf_ldc[mi] = 1;
+    i64 ac[4][4][16];
+    memset(ac, 0, sizeof(ac));
+    if (cbp_luma_mb) {
+        for (int bi = 0; bi < 16; bi++) {
+            int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
+            int gx = mx * 4 + bx, gy = my * 4 + by;
+            long gi = (long)gy * g4w + gx;
+            int binc = cbf_inc_blk_c(cs, d->c_cbf_l4, g4w, gy, gx, s->my0 * 4);
+            i64 zz[15];
+            if (residual_cabac(d, e, 1, 15, binc, zz)) {
+                int nz = 0;
+                for (int i = 0; i < 15; i++) {
+                    ac[by][bx][1 + i] = zz[i];
+                    nz += zz[i] != 0;
+                }
+                d->c_cbf_l4[gi] = 1;
+                d->nnz_l[gi] = nz;
+            } else {
+                d->nnz_l[gi] = 0;
+            }
+        }
+    } else {
+        for (int by = 0; by < 4; by++)
+            for (int bx = 0; bx < 4; bx++)
+                d->nnz_l[(long)(my * 4 + by) * g4w + mx * 4 + bx] = 0;
+    }
+    i64 pred16[16][16];
+    pred16_select(s, mx, my, pred_mode16, pred16);
+    recon_i16_luma(s, mx, my, (const i64(*)[16])pred16, dc_zz,
+                   (const i64(*)[4][16])ac, (const i64(*)[4])vy, s->qp);
+    for (int by = 0; by < 4; by++)
+        for (int bx = 0; bx < 4; bx++)
+            d->done4[(long)(my * 4 + by) * g4w + mx * 4 + bx] = 1;
+    i64 cres[2][8][8];
+    chroma_residuals_cab(d, cs, cbp_chroma, mx, my, (const i64(*)[4])vc,
+                         qpc, cres);
+    recon_chroma(s, mx, my, chroma_mode, (const i64(*)[8][8])cres);
+    record_mb(s, my, mx, 1, 0);
+}
+
+/* P skip / P inter MB in a CABAC slice */
+static void decode_p_skip_cab(H264Dec *d, CabSlice *cs, int mx, int my)
+{
+    Slice *s = &cs->s;
+    int g4w = d->mbw * 4;
+    int mvx, mvy;
+    skip_mv4_c(d, d->dec4, mx, my, s->my0, &mvx, &mvy);
+    i64 pred16[16][16], predc[2][8][8];
+    static const i64 zero16[16][16];
+    static const i64 zero8[2][8][8];
+    part_pred_c(s, mx, my, my * 4, mx * 4, 4, 4, mvx, mvy, 0, pred16, predc);
+    recon_p_mb(s, mx, my, (const i64(*)[16])pred16,
+               (const i64(*)[8][8])predc, zero16, zero8);
+    fill4_cab(d, my * 4, mx * 4, 4, 4, mvx, mvy, 0, 0, 0);
+    for (int by = 0; by < 4; by++)
+        for (int bx = 0; bx < 4; bx++) {
+            long gi = (long)(my * 4 + by) * g4w + mx * 4 + bx;
+            d->nnz_l[gi] = 0;
+            d->done4[gi] = 1;
+            d->i4mode[gi] = 2;
+            d->avail4[gi] = 1;
+        }
+    record_mb(s, my, mx, 0, 0);
+}
+
+static void decode_p_mb_cab(H264Dec *d, CabSlice *cs, int mx, int my,
+                            int mb_type)
+{
+    Slice *s = &cs->s;
+    Cab *e = &cs->e;
+    int g4w = d->mbw * 4, g2w = d->mbw * 2;
+    int gy0 = my * 4, gx0 = mx * 4;
+    i64 pred16[16][16], predc[2][8][8];
+    memset(pred16, 0, sizeof(pred16));
+    memset(predc, 0, sizeof(predc));
+    for (int by = 0; by < 4; by++)
+        for (int bx = 0; bx < 4; bx++) {
+            long gi = (long)(gy0 + by) * g4w + gx0 + bx;
+            d->i4mode[gi] = 2;
+            d->avail4[gi] = 1;
+        }
+    if (mb_type == 0) {
+        int ri = note_ref_c(d, gy0, gx0, 4, 4, read_ref_idx_cab(d, cs, gy0, gx0));
+        int mdx, mdy;
+        read_mvd_pair_c(d, cs, gy0, gx0, &mdx, &mdy);
+        int pmx, pmy;
+        mv_pred4_c(d, d->dec4, gy0, gx0, 4, ri, s->my0, SH_NONE, &pmx, &pmy);
+        int mvx = pmx + mdx, mvy = pmy + mdy;
+        part_pred_c(s, mx, my, gy0, gx0, 4, 4, mvx, mvy, ri, pred16, predc);
+        fill4_cab(d, gy0, gx0, 4, 4, mvx, mvy, ri,
+                  mdx < 0 ? -mdx : mdx, mdy < 0 ? -mdy : mdy);
+    } else if (mb_type == 1 || mb_type == 2) {
+        int geo[2][5];
+        if (mb_type == 1) {
+            int g0[5] = {gy0, gx0, 4, 2, SH_16x8_0};
+            int g1[5] = {gy0 + 2, gx0, 4, 2, SH_16x8_1};
+            memcpy(geo[0], g0, sizeof(g0));
+            memcpy(geo[1], g1, sizeof(g1));
+        } else {
+            int g0[5] = {gy0, gx0, 2, 4, SH_8x16_0};
+            int g1[5] = {gy0, gx0 + 2, 2, 4, SH_8x16_1};
+            memcpy(geo[0], g0, sizeof(g0));
+            memcpy(geo[1], g1, sizeof(g1));
+        }
+        int ris[2];
+        for (int p = 0; p < 2; p++)
+            ris[p] = note_ref_c(d, geo[p][0], geo[p][1], geo[p][2], geo[p][3],
+                                read_ref_idx_cab(d, cs, geo[p][0], geo[p][1]));
+        for (int p = 0; p < 2; p++) {
+            int gy = geo[p][0], gx = geo[p][1];
+            int pw4 = geo[p][2], ph4 = geo[p][3], shape = geo[p][4];
+            int mdx, mdy;
+            read_mvd_pair_c(d, cs, gy, gx, &mdx, &mdy);
+            int pmx, pmy;
+            mv_pred4_c(d, d->dec4, gy, gx, pw4, ris[p], s->my0, shape,
+                       &pmx, &pmy);
+            int mvx = pmx + mdx, mvy = pmy + mdy;
+            part_pred_c(s, mx, my, gy, gx, pw4, ph4, mvx, mvy, ris[p],
+                        pred16, predc);
+            fill4_cab(d, gy, gx, pw4, ph4, mvx, mvy, ris[p],
+                      mdx < 0 ? -mdx : mdx, mdy < 0 ? -mdy : mdy);
+        }
+    } else { /* P_8x8 */
+        int subs[4];
+        for (int b = 0; b < 4; b++) {
+            if (cab_decision(e, 21))
+                subs[b] = 0;
+            else if (!cab_decision(e, 22))
+                subs[b] = 1;
+            else if (cab_decision(e, 23))
+                subs[b] = 2;
+            else
+                subs[b] = 3;
+        }
+        int ris[4];
+        for (int b = 0; b < 4; b++) {
+            int by = gy0 + (b / 2) * 2, bx = gx0 + (b % 2) * 2;
+            ris[b] = note_ref_c(d, by, bx, 2, 2,
+                                read_ref_idx_cab(d, cs, by, bx));
+        }
+        for (int b = 0; b < 4; b++) {
+            int by = gy0 + (b / 2) * 2, bx = gx0 + (b % 2) * 2;
+            for (int p = 0; p < SUB_NPARTS[subs[b]]; p++) {
+                int dy = SUB_PARTS[subs[b]][p][0];
+                int dx = SUB_PARTS[subs[b]][p][1];
+                int pw4 = SUB_PARTS[subs[b]][p][2];
+                int ph4 = SUB_PARTS[subs[b]][p][3];
+                int gy = by + dy, gx = bx + dx;
+                int mdx, mdy;
+                read_mvd_pair_c(d, cs, gy, gx, &mdx, &mdy);
+                int pmx, pmy;
+                mv_pred4_c(d, d->dec4, gy, gx, pw4, ris[b], s->my0, SH_NONE,
+                           &pmx, &pmy);
+                int mvx = pmx + mdx, mvy = pmy + mdy;
+                part_pred_c(s, mx, my, gy, gx, pw4, ph4, mvx, mvy, ris[b],
+                            pred16, predc);
+                fill4_cab(d, gy, gx, pw4, ph4, mvx, mvy, ris[b],
+                          mdx < 0 ? -mdx : mdx, mdy < 0 ? -mdy : mdy);
+            }
+        }
+    }
+    int cbp_luma_mb, cbp_chroma;
+    read_cbp_c(d, cs, mx, my, &cbp_luma_mb, &cbp_chroma);
+    long mi = (long)my * d->mbw + mx;
+    d->c_cbp_l[mi] = cbp_luma_mb;
+    d->c_cbp_c[mi] = cbp_chroma;
+    i64 lres[16][16];
+    i64 cres[2][8][8];
+    memset(lres, 0, sizeof(lres));
+    memset(cres, 0, sizeof(cres));
+    if (cbp_luma_mb || cbp_chroma) {
+        int dqp = read_dqp_c(d, e, cs->last_dqp);
+        cs->last_dqp = dqp;
+        s->qp += dqp;
+        int qpc = chroma_qp((s->qp + d->pps.chroma_off) < 0 ? 0 :
+                            ((s->qp + d->pps.chroma_off) > 51 ? 51 : s->qp + d->pps.chroma_off));
+        i64 vy[4][4], vc[4][4];
+        vmat(s->qp, vy);
+        vmat(qpc, vc);
+        for (int bi = 0; bi < 16; bi++) {
+            int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
+            int gx = mx * 4 + bx, gy = my * 4 + by;
+            long gi = (long)gy * g4w + gx;
+            int has = (cbp_luma_mb >> (bi / 4)) & 1;
+            if (has) {
+                int inc = cbf_inc_blk_c(cs, d->c_cbf_l4, g4w, gy, gx,
+                                        s->my0 * 4);
+                i64 zz[16];
+                if (residual_cabac(d, e, 2, 16, inc, zz)) {
+                    d->c_cbf_l4[gi] = 1;
+                    int nz = 0;
+                    for (int i = 0; i < 16; i++)
+                        nz += zz[i] != 0;
+                    d->nnz_l[gi] = nz;
+                    i64 res[4][4];
+                    finish_block4(zz, (const i64(*)[4])vy, s->qp, 0, 0, res);
+                    for (int rr2 = 0; rr2 < 4; rr2++)
+                        for (int cc = 0; cc < 4; cc++)
+                            lres[by * 4 + rr2][bx * 4 + cc] = res[rr2][cc];
+                } else {
+                    d->c_cbf_l4[gi] = 0;
+                    d->nnz_l[gi] = 0;
+                }
+            } else {
+                d->c_cbf_l4[gi] = 0;
+                d->nnz_l[gi] = 0;
+            }
+        }
+        chroma_residuals_cab(d, cs, cbp_chroma, mx, my, (const i64(*)[4])vc,
+                             qpc, cres);
+    } else {
+        cs->last_dqp = 0;
+        for (int by = 0; by < 4; by++)
+            for (int bx = 0; bx < 4; bx++)
+                d->nnz_l[(long)(gy0 + by) * g4w + gx0 + bx] = 0;
+        for (int ci = 0; ci < 2; ci++)
+            for (int by = 0; by < 2; by++)
+                for (int bx = 0; bx < 2; bx++)
+                    d->nnz_c[ci][(long)(my * 2 + by) * g2w + mx * 2 + bx] = 0;
+    }
+    recon_p_mb(s, mx, my, (const i64(*)[16])pred16,
+               (const i64(*)[8][8])predc, (const i64(*)[16])lres,
+               (const i64(*)[8][8])cres);
+    for (int by = 0; by < 4; by++)
+        for (int bx = 0; bx < 4; bx++)
+            d->done4[(long)(gy0 + by) * g4w + gx0 + bx] = 1;
+    record_mb(s, my, mx, 0, 0);
+}
+
+static void decode_slice_cabac_c(H264Dec *d, const uint8_t *rbsp, long rlen,
+                                 int nal_type, int slice_id)
+{
+    BitReader rr = {rbsp, rlen, 0, d};
+    BitReader *r = &rr;
+    CabSlice csl = {0};
+    CabSlice *cs = &csl;
+    Slice *s = &cs->s;
+    s->d = d;
+    s->slice_id = slice_id;
+    int first_mb = (int)br_ue(r);
+    int slice_type = (int)(br_ue(r) % 5);
+    if (slice_type != 0 && slice_type != 2)
+        dec_fail(d, "CABAC slice type");
+    int is_p = slice_type == 0;
+    s->is_p = is_p;
+    br_ue(r);                       /* pps id */
+    br_u(r, d->sps.log2_mfn);       /* frame_num */
+    if (nal_type == 5)
+        br_ue(r);                   /* idr_pic_id */
+    if (d->sps.poc_type == 0)
+        br_u(r, d->sps.log2_poc);
+    int l0_active = d->pps.l0_default;
+    if (is_p) {
+        if (br_bit(r))
+            l0_active = (int)br_ue(r) + 1;
+        if (br_bit(r))
+            dec_fail(d, "ref pic list modification");
+        if (d->pps.weighted_pred)
+            dec_fail(d, "weighted prediction");
+        if (l0_active > d->dpb_n)
+            dec_fail(d, "active refs > decoded");
+    }
+    if (nal_type == 5) {
+        br_u(r, 1);
+        br_u(r, 1);
+    } else {
+        if (br_bit(r))
+            dec_fail(d, "adaptive ref pic marking");
+    }
+    int cabac_init_idc = is_p ? (int)br_ue(r) : -1;
+    if (cabac_init_idc > 2)
+        dec_fail(d, "cabac_init_idc");
+    s->qp = d->pps.init_qp + br_se(r);
+    parse_dbf(d, r, &s->dbf_idc, &s->dbf_offa, &s->dbf_offb);
+    while (r->pos % 8) {
+        if (br_bit(r) != 1)
+            dec_fail(d, "bad cabac alignment bit");
+    }
+    cab_init(&cs->e, d, rbsp, rlen, r->pos,
+             is_p ? 1 + cabac_init_idc : 0, s->qp);
+    s->l0_active = l0_active;
+    int mbw = d->mbw, mbh = d->mbh;
+    if (first_mb % mbw)
+        dec_fail(d, "slices must start at an MB row");
+    s->my0 = first_mb / mbw;
+    reset_slice_grids(d);
+    if (is_p) {
+        /* P recon does not gate on done4 rows above the slice */
+        int g4w = mbw * 4;
+        for (long i = 0; i < (long)s->my0 * 4 * g4w; i++)
+            d->done4[i] = 1;
+    }
+
+    cs->last_dqp = 0;
+    cs->cur_intra = 0;
+    long n_mbs = (long)mbw * mbh;
+    long mb_addr = first_mb;
+    while (mb_addr < n_mbs) {
+        int my = (int)(mb_addr / mbw), mx = (int)(mb_addr % mbw);
+        mb_addr++;
+        if (is_p) {
+            int inc = 0;
+            if (mx > 0 && !d->c_skip[(long)my * mbw + mx - 1])
+                inc++;
+            if (my > s->my0 && !d->c_skip[(long)(my - 1) * mbw + mx])
+                inc++;
+            int skip = cab_decision(&cs->e, 11 + inc);
+            if (skip) {
+                clear_mb_ctx_c(d, mx, my, 0, 1);
+                decode_p_skip_cab(d, cs, mx, my);
+                cs->last_dqp = 0;
+                if (cab_terminate(&cs->e))
+                    break;
+                continue;
+            }
+            clear_mb_ctx_c(d, mx, my, 0, 0);
+            if (cab_decision(&cs->e, 14) == 0) {
+                int mb_type;
+                if (cab_decision(&cs->e, 15) == 0)
+                    mb_type = 3 * cab_decision(&cs->e, 16);
+                else
+                    mb_type = 2 - cab_decision(&cs->e, 17);
+                cs->cur_intra = 0;
+                decode_p_mb_cab(d, cs, mx, my, mb_type);
+            } else {
+                int it = intra_mb_type_c(&cs->e, 17, 0, 0);
+                cs->cur_intra = 1;
+                int g4w = mbw * 4;
+                for (int by = 0; by < 4; by++)
+                    for (int bx = 0; bx < 4; bx++) {
+                        long gi = (long)(my * 4 + by) * g4w + mx * 4 + bx;
+                        d->ref4[gi] = -1;
+                        d->mv4[gi * 2] = 0;
+                        d->mv4[gi * 2 + 1] = 0;
+                        d->dec4[gi] = 1;
+                        d->rd4[gi] = 1;
+                    }
+                decode_intra_mb_cab(d, cs, mx, my, it);
+            }
+        } else {
+            clear_mb_ctx_c(d, mx, my, 1, 0);
+            int inc = 0;
+            if (mx > 0 && d->c_i16[(long)my * mbw + mx - 1])
+                inc++;
+            if (my > s->my0 && d->c_i16[(long)(my - 1) * mbw + mx])
+                inc++;
+            cs->cur_intra = 1;
+            int mb_type = intra_mb_type_c(&cs->e, 3, 1, inc);
+            decode_intra_mb_cab(d, cs, mx, my, mb_type);
+        }
+        if (cab_terminate(&cs->e))
+            break;
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* parameter set parsing (= _parse_sps / _parse_pps)                    */
+/* ------------------------------------------------------------------ */
+
+static void parse_sps(H264Dec *d, const uint8_t *rbsp, long rlen, SPS *sps)
+{
+    BitReader rr = {rbsp, rlen, 0, d};
+    BitReader *r = &rr;
+    int profile = (int)br_u(r, 8);
+    br_u(r, 8);
+    br_u(r, 8);
+    if (br_ue(r) != 0)
+        dec_fail(d, "sps_id != 0");
+    if (profile != 66 && profile != 77 && profile != 88 && profile != 100)
+        dec_fail(d, "profile");
+    if (profile == 100) {
+        if (br_ue(r) != 1)
+            dec_fail(d, "chroma_format_idc != 4:2:0");
+        if (br_ue(r) != 0 || br_ue(r) != 0)
+            dec_fail(d, "bit depth > 8");
+        br_u(r, 1);
+        if (br_bit(r))
+            dec_fail(d, "seq scaling matrices");
+    }
+    sps->log2_mfn = (int)br_ue(r) + 4;
+    sps->poc_type = (int)br_ue(r);
+    sps->log2_poc = 0;
+    if (sps->poc_type == 0)
+        sps->log2_poc = (int)br_ue(r) + 4;
+    else if (sps->poc_type == 1)
+        dec_fail(d, "poc type 1");
+    int max_refs = (int)br_ue(r);
+    sps->max_refs = max_refs > 1 ? max_refs : 1;
+    if (sps->max_refs > MAX_REFS)
+        dec_fail(d, "too many reference frames");
+    br_u(r, 1);
+    sps->mb_w = (int)br_ue(r) + 1;
+    sps->mb_h = (int)br_ue(r) + 1;
+    if (br_u(r, 1) != 1)
+        dec_fail(d, "interlaced");
+    br_u(r, 1);
+    int crop = (int)br_u(r, 1);
+    int cl = 0, cr2 = 0, ct = 0, cb2 = 0;
+    if (crop) {
+        cl = (int)br_ue(r);
+        cr2 = (int)br_ue(r);
+        ct = (int)br_ue(r);
+        cb2 = (int)br_ue(r);
+    }
+    sps->width = sps->mb_w * 16 - 2 * (cl + cr2);
+    sps->height = sps->mb_h * 16 - 2 * (ct + cb2);
+    if (sps->width <= 0 || sps->height <= 0
+        || sps->mb_w <= 0 || sps->mb_h <= 0
+        || (long)sps->mb_w * sps->mb_h > (1L << 22))
+        dec_fail(d, "bad sps geometry");
+    sps->valid = 1;
+}
+
+static void parse_pps(H264Dec *d, const uint8_t *rbsp, long rlen, PPS *pps)
+{
+    BitReader rr = {rbsp, rlen, 0, d};
+    BitReader *r = &rr;
+    if (br_ue(r) != 0 || br_ue(r) != 0)
+        dec_fail(d, "pps/sps id");
+    pps->cabac = (int)br_u(r, 1);
+    br_u(r, 1);
+    if (br_ue(r) != 0)
+        dec_fail(d, "slice groups");
+    pps->l0_default = (int)br_ue(r) + 1;
+    br_ue(r);
+    pps->weighted_pred = (int)br_u(r, 1);
+    br_u(r, 2);
+    pps->init_qp = 26 + br_se(r);
+    br_se(r);
+    pps->chroma_off = br_se(r);
+    pps->dbf_ctrl = (int)br_u(r, 1);
+    br_u(r, 1);
+    br_u(r, 1);
+    if (br_more_rbsp(r)) {
+        int t8 = (int)br_u(r, 1);
+        if (br_bit(r))
+            dec_fail(d, "pic scaling matrices");
+        br_se(r);
+        if (t8)
+            dec_fail(d, "8x8 transform");
+    }
+    pps->valid = 1;
+}
+
+/* ------------------------------------------------------------------ */
+/* geometry allocation + per-picture reset                              */
+/* ------------------------------------------------------------------ */
+
+static void free_refpic(RefPic *p)
+{
+    free(p->y); free(p->cb); free(p->cr);
+    free(p->hb); free(p->hh); free(p->hj);
+    memset(p, 0, sizeof(*p));
+}
+
+static void free_geometry(H264Dec *d)
+{
+    free(d->cur_y); free(d->cur_cb); free(d->cur_cr);
+    d->cur_y = d->cur_cb = d->cur_cr = NULL;
+    free(d->tmp_b1);
+    d->tmp_b1 = NULL;
+    for (int i = 0; i < d->dpb_n; i++)
+        free_refpic(&d->dpb[i]);
+    d->dpb_n = 0;
+    for (int i = 0; i < d->spare_n; i++)
+        free_refpic(&d->spare[i]);
+    d->spare_n = 0;
+    free(d->db_intra); free(d->db_ipcm); free(d->db_decoded);
+    free(d->db_qp); free(d->db_slice); free(d->db_idc);
+    free(d->db_offa); free(d->db_offb);
+    free(d->nnz_l); free(d->mv4); free(d->ref4);
+    free(d->dec4); free(d->rd4); free(d->done4); free(d->avail4);
+    free(d->i4mode); free(d->nnz_c[0]); free(d->nnz_c[1]);
+    free(d->c_skip); free(d->c_i16); free(d->c_intra); free(d->c_pcm);
+    free(d->c_chroma_mode); free(d->c_cbp_l); free(d->c_cbp_c);
+    free(d->c_cbf_ldc); free(d->c_cbf_l4); free(d->c_cbf_cdc);
+    free(d->c_cbf_c4); free(d->c_absmvd4);
+    d->db_intra = NULL; /* mark unallocated */
+    d->mbw = d->mbh = 0;
+    d->have_pic = 0;
+}
+
+static void alloc_geometry(H264Dec *d)
+{
+    int mbw = d->sps.mb_w, mbh = d->sps.mb_h;
+    if (d->mbw == mbw && d->mbh == mbh && d->db_intra)
+        return;
+    free_geometry(d);
+    d->mbw = mbw;
+    d->mbh = mbh;
+    d->pw = (long)mbw * 16 + 2 * PAD;
+    d->ph = (long)mbh * 16 + 2 * PAD;
+    d->cpw = (long)mbw * 8 + 2 * PAD;
+    d->cph = (long)mbh * 8 + 2 * PAD;
+    d->cur_y = xalloc(d, d->pw * d->ph);
+    d->cur_cb = xalloc(d, d->cpw * d->cph);
+    d->cur_cr = xalloc(d, d->cpw * d->cph);
+    d->tmp_b1 = xalloc(d, d->pw * d->ph * (long)sizeof(int32_t));
+    long nmb = (long)mbw * mbh;
+    long g4 = nmb * 16, g2 = nmb * 4;
+    d->db_intra = xalloc(d, nmb);
+    d->db_ipcm = xalloc(d, nmb);
+    d->db_decoded = xalloc(d, nmb);
+    d->db_qp = xalloc(d, nmb * 4);
+    d->db_slice = xalloc(d, nmb * 4);
+    d->db_idc = xalloc(d, nmb * 4);
+    d->db_offa = xalloc(d, nmb * 4);
+    d->db_offb = xalloc(d, nmb * 4);
+    d->nnz_l = xalloc(d, g4 * 4);
+    d->mv4 = xalloc(d, g4 * 8);
+    d->ref4 = xalloc(d, g4 * 4);
+    d->dec4 = xalloc(d, g4);
+    d->rd4 = xalloc(d, g4);
+    d->done4 = xalloc(d, g4);
+    d->avail4 = xalloc(d, g4);
+    d->i4mode = xalloc(d, g4 * 4);
+    d->nnz_c[0] = xalloc(d, g2 * 4);
+    d->nnz_c[1] = xalloc(d, g2 * 4);
+    d->c_skip = xalloc(d, nmb);
+    d->c_i16 = xalloc(d, nmb);
+    d->c_intra = xalloc(d, nmb);
+    d->c_pcm = xalloc(d, nmb);
+    d->c_chroma_mode = xalloc(d, nmb * 4);
+    d->c_cbp_l = xalloc(d, nmb * 4);
+    d->c_cbp_c = xalloc(d, nmb * 4);
+    d->c_cbf_ldc = xalloc(d, nmb * 4);
+    d->c_cbf_l4 = xalloc(d, g4 * 4);
+    d->c_cbf_cdc = xalloc(d, nmb * 2 * 4);
+    d->c_cbf_c4 = xalloc(d, g2 * 2 * 4);
+    d->c_absmvd4 = xalloc(d, g4 * 8);
+}
+
+static void reset_picture(H264Dec *d)
+{
+    memset(d->cur_y, 0, (size_t)(d->pw * d->ph));
+    memset(d->cur_cb, 0, (size_t)(d->cpw * d->cph));
+    memset(d->cur_cr, 0, (size_t)(d->cpw * d->cph));
+    long nmb = (long)d->mbw * d->mbh;
+    long g4 = nmb * 16, g2 = nmb * 4;
+    memset(d->db_intra, 0, (size_t)nmb);
+    memset(d->db_ipcm, 0, (size_t)nmb);
+    memset(d->db_decoded, 0, (size_t)nmb);
+    memset(d->db_qp, 0, (size_t)nmb * 4);
+    for (long i = 0; i < nmb; i++) {
+        d->db_slice[i] = -1;
+        d->db_idc[i] = 1;
+    }
+    memset(d->db_offa, 0, (size_t)nmb * 4);
+    memset(d->db_offb, 0, (size_t)nmb * 4);
+    memset(d->nnz_l, 0, (size_t)g4 * 4);
+    memset(d->mv4, 0, (size_t)g4 * 8);
+    for (long i = 0; i < g4; i++)
+        d->ref4[i] = -1;
+    memset(d->c_skip, 0, (size_t)nmb);
+    memset(d->c_i16, 0, (size_t)nmb);
+    memset(d->c_intra, 0, (size_t)nmb);
+    memset(d->c_pcm, 0, (size_t)nmb);
+    memset(d->c_chroma_mode, 0, (size_t)nmb * 4);
+    memset(d->c_cbp_l, 0, (size_t)nmb * 4);
+    memset(d->c_cbp_c, 0, (size_t)nmb * 4);
+    memset(d->c_cbf_ldc, 0, (size_t)nmb * 4);
+    memset(d->c_cbf_l4, 0, (size_t)g4 * 4);
+    memset(d->c_cbf_cdc, 0, (size_t)nmb * 2 * 4);
+    memset(d->c_cbf_c4, 0, (size_t)g2 * 2 * 4);
+    memset(d->c_absmvd4, 0, (size_t)g4 * 8);
+}
+
+/* move the current picture into the DPB front (after deblock) */
+static void dpb_insert(H264Dec *d, int is_idr_like)
+{
+    if (is_idr_like) {
+        /* IDR resets the DPB (8.2.5.1): recycle everything */
+        while (d->dpb_n > 0) {
+            d->dpb_n--;
+            if (d->spare_n < MAX_REFS + 1)
+                d->spare[d->spare_n++] = d->dpb[d->dpb_n];
+            else
+                free_refpic(&d->dpb[d->dpb_n]);
+        }
+    }
+    /* pad-replicate picture edges so this frame can serve as a reference */
+    pad_edges(d->cur_y, (long)d->mbw * 16, (long)d->mbh * 16, d->pw);
+    pad_edges(d->cur_cb, (long)d->mbw * 8, (long)d->mbh * 8, d->cpw);
+    pad_edges(d->cur_cr, (long)d->mbw * 8, (long)d->mbh * 8, d->cpw);
+    RefPic np = {0};
+    np.y = d->cur_y;
+    np.cb = d->cur_cb;
+    np.cr = d->cur_cr;
+    if (d->spare_n > 0) {
+        RefPic sp = d->spare[--d->spare_n];
+        d->cur_y = sp.y;
+        d->cur_cb = sp.cb;
+        d->cur_cr = sp.cr;
+        np.hb = sp.hb;   /* reuse half-plane buffers, content invalid */
+        np.hh = sp.hh;
+        np.hj = sp.hj;
+        np.have_half = 0;
+    } else {
+        d->cur_y = xalloc(d, d->pw * d->ph);
+        d->cur_cb = xalloc(d, d->cpw * d->cph);
+        d->cur_cr = xalloc(d, d->cpw * d->cph);
+    }
+    for (int i = d->dpb_n; i > 0; i--)
+        d->dpb[i] = d->dpb[i - 1];
+    d->dpb[0] = np;
+    d->dpb_n++;
+    while (d->dpb_n > d->sps.max_refs) {
+        d->dpb_n--;
+        if (d->spare_n < MAX_REFS + 1)
+            d->spare[d->spare_n++] = d->dpb[d->dpb_n];
+        else
+            free_refpic(&d->dpb[d->dpb_n]);
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* access-unit driver (= StreamDecoder._decode_units)                   */
+/* ------------------------------------------------------------------ */
+
+static int decode_au_inner(H264Dec *d, const uint8_t *au, long size)
+{
+    /* split NALs (= split_nals) */
+    long i = 0;
+    int kind = 0; /* 0 none, 1 I, 2 P */
+    int started_pic = 0;
+    int slice_id = -1;
+    /* collect start positions first */
+    long nstart = 0;
+    long *starts = NULL;
+    long cap = 16;
+    starts = malloc((size_t)cap * sizeof(long));
+    if (!starts)
+        dec_fail(d, "out of memory");
+    while (i < size - 3) {
+        if (au[i] == 0 && au[i + 1] == 0
+            && (au[i + 2] == 1
+                || (au[i + 2] == 0 && i + 3 < size && au[i + 3] == 1))) {
+            int skip = au[i + 2] == 1 ? 3 : 4;
+            if (nstart == cap) {
+                cap *= 2;
+                long *ns = realloc(starts, (size_t)cap * sizeof(long));
+                if (!ns) {
+                    free(starts);
+                    dec_fail(d, "out of memory");
+                }
+                starts = ns;
+            }
+            starts[nstart++] = i + skip;
+            i += skip;
+        } else {
+            i++;
+        }
+    }
+    for (long k = 0; k < nstart; k++) {
+        long sstart = starts[k];
+        long e = (k + 1 < nstart) ? starts[k + 1] - 3 : size;
+        while (e > sstart && au[e - 1] == 0 && k + 1 < nstart)
+            e--;
+        int nal_type = au[sstart] & 0x1F;
+        long rlen = unepb(d, au + sstart + 1, e - sstart - 1, NULL);
+        const uint8_t *rbsp = d->rbsp_buf;
+        if (nal_type == 7) {
+            SPS nsps = {0};
+            parse_sps(d, rbsp, rlen, &nsps);
+            int geom_changed = d->sps.valid
+                && (d->sps.mb_w != nsps.mb_w || d->sps.mb_h != nsps.mb_h);
+            d->sps = nsps;
+            alloc_geometry(d);
+            if (geom_changed)
+                d->dpb_n = 0; /* old-geometry refs freed by alloc_geometry */
+        } else if (nal_type == 8) {
+            parse_pps(d, rbsp, rlen, &d->pps);
+        } else if (nal_type == 1 || nal_type == 5) {
+            if (!d->sps.valid || !d->pps.valid)
+                dec_fail(d, "slice before parameter sets");
+            alloc_geometry(d);
+            if (!started_pic) {
+                reset_picture(d);
+                started_pic = 1;
+            }
+            slice_id++;
+            /* peek slice type */
+            BitReader pk = {rbsp, rlen, 0, d};
+            br_ue(&pk);
+            int slice_type = (int)(br_ue(&pk) % 5);
+            if (d->pps.cabac) {
+                if (slice_type == 0 && d->dpb_n == 0)
+                    dec_fail(d, "P slice without a reference");
+                kind = slice_type == 2 ? 1 : 2;
+                decode_slice_cabac_c(d, rbsp, rlen, nal_type, slice_id);
+            } else if (slice_type == 2) {
+                if (nal_type != 5)
+                    dec_fail(d, "non-IDR I slice");
+                kind = 1;
+                decode_slice_cavlc_i(d, rbsp, rlen, slice_id);
+            } else if (slice_type == 0) {
+                if (d->dpb_n == 0)
+                    dec_fail(d, "P slice without a reference");
+                kind = 2;
+                decode_slice_cavlc_p(d, rbsp, rlen, slice_id);
+            } else {
+                dec_fail(d, "slice type");
+            }
+        }
+    }
+    free(starts);
+    if (kind == 0)
+        dec_fail(d, "no slice in access unit");
+    /* deblock if any MB enabled it */
+    long nmb = (long)d->mbw * d->mbh;
+    int any = 0;
+    for (long m = 0; m < nmb; m++)
+        if (d->db_decoded[m] && d->db_idc[m] != 1) {
+            any = 1;
+            break;
+        }
+    if (any)
+        deblock_frame_c(d);
+    dpb_insert(d, kind == 1);
+    d->out_w = d->sps.width;
+    d->out_h = d->sps.height;
+    d->have_pic = 1;
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* public API (ctypes)                                                  */
+/* ------------------------------------------------------------------ */
+
+void *h264fast_create(const uint8_t *vlc_blob, long vlc_len,
+                      const int8_t *ctx_init, const int32_t *range_tab,
+                      const int32_t *trans_lps)
+{
+    H264Dec *d = calloc(1, sizeof(H264Dec));
+    if (!d)
+        return NULL;
+    if (build_vlc_tables(d->vlc, vlc_blob, vlc_len) != 0) {
+        free(d);
+        return NULL;
+    }
+    memcpy(d->ctx_init, ctx_init, sizeof(d->ctx_init));
+    memcpy(d->range_tab, range_tab, sizeof(d->range_tab));
+    memcpy(d->trans_lps, trans_lps, sizeof(d->trans_lps));
+    return d;
+}
+
+int h264fast_decode_au(void *h, const uint8_t *au, long size)
+{
+    H264Dec *d = h;
+    d->err[0] = 0;
+    if (setjmp(d->jb))
+        return -1;
+    return decode_au_inner(d, au, size);
+}
+
+int h264fast_dims(void *h, int *w, int *hh)
+{
+    H264Dec *d = h;
+    if (!d->have_pic)
+        return -1;
+    *w = d->out_w;
+    *hh = d->out_h;
+    return 0;
+}
+
+/* copy the just-decoded (cropped) picture out; strides = widths */
+void h264fast_get_planes(void *h, uint8_t *y, uint8_t *cb, uint8_t *cr)
+{
+    H264Dec *d = h;
+    if (!d->have_pic || d->dpb_n == 0)
+        return;
+    RefPic *p = &d->dpb[0];
+    int w = d->out_w, hh = d->out_h;
+    int cw = (w + 1) / 2, ch = (hh + 1) / 2;
+    for (int r = 0; r < hh; r++)
+        memcpy(y + (long)r * w, p->y + (long)(PAD + r) * d->pw + PAD,
+               (size_t)w);
+    for (int r = 0; r < ch; r++) {
+        memcpy(cb + (long)r * cw, p->cb + (long)(PAD + r) * d->cpw + PAD,
+               (size_t)cw);
+        memcpy(cr + (long)r * cw, p->cr + (long)(PAD + r) * d->cpw + PAD,
+               (size_t)cw);
+    }
+}
+
+const char *h264fast_error(void *h)
+{
+    return ((H264Dec *)h)->err;
+}
+
+void h264fast_destroy(void *h)
+{
+    H264Dec *d = h;
+    if (!d)
+        return;
+    free_geometry(d);
+    for (int t = 0; t < N_VLC_TABLES; t++)
+        free(d->vlc[t].lut);
+    free(d->rbsp_buf);
+    free(d);
+}

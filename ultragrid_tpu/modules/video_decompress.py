@@ -114,30 +114,101 @@ class JpegToDxtDecompress(VideoDecompress):
 
 
 class OwnH264Decompress(VideoDecompress):
-    """Own H.264 decoder (ops/h264_dec.py): decodes the subset the own
-    encoder emits — intra (I_PCM, I_16x16, I_4x4 CAVLC) and inter pictures
-    (P_Skip / P_L0_16x16 integer-MV GOPs) — sample-exact with libavcodec
-    (tested).  Stateful across access units so P frames find their
-    reference.  Selected as the no-FFmpeg fallback for H.264; raises on
-    streams outside the subset, which the driver treats as decode failure.
+    """Own H.264 decoder, preferred for in-envelope streams: the C entropy
+    + reconstruction stage (native/h264_entropy.c via ops/h264_fast.py)
+    decodes progressive baseline/main/high CAVLC+CABAC I/P streams in
+    real time, sample-exact with libavcodec (tested).  The scalar Python
+    decoder (ops/h264_dec.py) serves when the native build is unavailable.
+    Out-of-envelope streams (B slices, weighted pred, 8x8 transform,
+    interlace) hand the session over to lavc permanently — the same
+    probe-then-commit behavior as the reference's decoder selection
+    (src/video_decompress.c priority probing).
     """
 
     SUPPORTS = [(Codec.H264, Codec.UYVY)]
 
+    GOP_CACHE_CAP = 512  # AUs kept since the last IDR for lavc takeover
+
     def __init__(self):
         self._stream = None
+        self._delegate = None  # lavc takes over after UnsupportedStream
+        self._gop_cache: list = []  # raw AUs since the last IDR
+
+    @staticmethod
+    def _has_idr(au: bytes) -> bool:
+        i, n = 0, len(au)
+        while i < n - 3:
+            if au[i] == 0 and au[i + 1] == 0 and (
+                    au[i + 2] == 1
+                    or (au[i + 2] == 0 and i + 3 < n and au[i + 3] == 1)):
+                s = i + (3 if au[i + 2] == 1 else 4)
+                if s < n and (au[s] & 0x1F) == 5:
+                    return True
+                i = s
+            else:
+                i += 1
+        return False
+
+    def _cache_au(self, au: bytes) -> None:
+        if self._has_idr(au):
+            self._gop_cache = []
+        if len(self._gop_cache) < self.GOP_CACHE_CAP:
+            self._gop_cache.append(au)
+
+    def _lavc_takeover(self, frame: VideoFrame, out_codec: Codec, why):
+        try:
+            from ultragrid_tpu.modules.lavc import LavcDecompress, lavc_available
+        except Exception:  # noqa: BLE001
+            return None
+        if not lavc_available():
+            return None
+        import numpy as np
+
+        from ultragrid_tpu.utils.log import Logger
+
+        Logger("decompress").notice(
+            f"own H.264 decoder: stream out of envelope ({why}); "
+            "libavcodec takes over")
+        self._delegate = LavcDecompress()
+        # replay the GOP so far (incl. SPS/PPS + IDR the own decoder
+        # consumed) so lavc has the references; return the freshest output
+        out = None
+        for au in self._gop_cache:
+            vf = VideoFrame(frame.desc, [np.frombuffer(au, np.uint8)])
+            vf.timestamp = frame.timestamp
+            got = self._delegate.decompress(vf, out_codec)
+            if got is not None:
+                out = got
+        self._gop_cache = []
+        return out
 
     def decompress(self, frame: VideoFrame, out_codec: Codec):
         import numpy as np
 
-        from ultragrid_tpu.ops.h264_dec import StreamDecoder, UnsupportedStream
+        from ultragrid_tpu.ops.h264_dec import UnsupportedStream
+        from ultragrid_tpu.utils.params import get_commandline_param
 
+        if self._delegate is not None:
+            return self._delegate.decompress(frame, out_codec)
         if self._stream is None:
-            self._stream = StreamDecoder()
+            if get_commandline_param("h264-decoder") == "lavc":
+                return self._lavc_takeover(frame, out_codec, "forced by --param")
+            try:
+                if get_commandline_param("h264-decoder") == "python":
+                    raise UnsupportedStream("forced python decoder")
+                from ultragrid_tpu.ops.h264_fast import FastStreamDecoder
+
+                self._stream = FastStreamDecoder()
+            except UnsupportedStream:
+                from ultragrid_tpu.ops.h264_dec import StreamDecoder
+
+                self._stream = StreamDecoder()
+        au = bytes(np.asarray(frame.data))
+        self._cache_au(au)
         try:
-            y, cb, cr = self._stream.decode_au(bytes(np.asarray(frame.data)))
-        except (UnsupportedStream, IndexError, KeyError):
-            return None
+            y, cb, cr = self._stream.decode_au(au)
+        except (UnsupportedStream, IndexError, KeyError) as exc:
+            return self._lavc_takeover(frame, out_codec, exc)
         h, w = y.shape
         # I420 -> UYVY (chroma rows duplicated)
         cbf = np.repeat(cb, 2, axis=0)[:h]
@@ -150,6 +221,12 @@ class OwnH264Decompress(VideoDecompress):
                          frame.desc.interlacing, frame.desc.tile_count)
         return VideoFrame(desc, [out], timestamp=frame.timestamp)
 
+
+from ultragrid_tpu.utils.params import add_to_param  # noqa: E402
+
+add_to_param("h264-decoder",
+             "H.264 decode path: own (default; C entropy+recon, lavc "
+             "fallback out of envelope) | lavc | python")
 
 register_module("dxt", LibraryClass.VIDEO_DECOMPRESS, DxtDecompress)
 register_module("h264_own", LibraryClass.VIDEO_DECOMPRESS, OwnH264Decompress)
@@ -352,9 +429,10 @@ def decompress_init(in_codec: Codec, out_candidates: List[Codec]):
             classes.append(LavcDecompress)
     except Exception:  # noqa: BLE001 - lavc strictly optional
         pass
-    # own H.264 intra decoder: after lavc (which handles every profile),
-    # but present even without FFmpeg so own-encoder streams still display
-    classes.append(OwnH264Decompress)
+    # own H.264 decoder first: the C entropy+recon stage decodes
+    # in-envelope streams in real time and hands out-of-envelope sessions
+    # to lavc itself (--param h264-decoder=lavc forces the old order)
+    classes.insert(0, OwnH264Decompress)
     for out_codec in out_candidates:
         for cls in classes:
             if (in_codec, out_codec) in cls.SUPPORTS:

@@ -300,3 +300,35 @@ def udp_tx_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_uint32,
     ]
     return lib
+
+
+@lru_cache(maxsize=None)
+def h264_fast_lib() -> Optional[ctypes.CDLL]:
+    """Real-time own-H.264 decoder (native/h264_entropy.c): C entropy
+    stage (CAVLC + CABAC) + reconstruction, sample-exact with the Python
+    decoder in ops/h264_dec.py (ref role: the decode half of
+    src/video_decompress/libavcodec.c)."""
+    so = _build("h264_entropy", ["h264_entropy.c"])
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.h264fast_create.restype = ctypes.c_void_p
+    lib.h264fast_create.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
+    lib.h264fast_decode_au.restype = ctypes.c_int
+    lib.h264fast_decode_au.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+    ]
+    lib.h264fast_dims.restype = ctypes.c_int
+    lib.h264fast_dims.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.h264fast_get_planes.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.h264fast_error.restype = ctypes.c_char_p
+    lib.h264fast_error.argtypes = [ctypes.c_void_p]
+    lib.h264fast_destroy.argtypes = [ctypes.c_void_p]
+    return lib
