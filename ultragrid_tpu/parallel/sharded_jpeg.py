@@ -183,6 +183,27 @@ class ShardedJpegDecoder:
         return uyvy, hdr["h"], hdr["w"]
 
 
+def slot_container_geometry(local, k: int):
+    """LDGM container geometry for one device's slot-container band.
+
+    The per-shard payload is the encoder's six slot parts (Y/U/V slot words
+    + bit counts), each padded to whole ``ps``-byte symbol rows and
+    concatenated — so the receiver can slice symbol rows per part with no
+    byte-stream parsing.  Returns (ps, row_counts, part_words)."""
+    from ultragrid_tpu.models.encode import ldgm_container_params
+
+    ww = local.wwords
+    ky = {"422": 2, "420": 4}.get(local.subsampling, 1)
+    n_y, n_c = local.nmcu * ky, local.nmcu
+    part_words = [n_y * ww, n_y, n_c * ww, n_c, n_c * ww, n_c]
+    total_bytes = sum(part_words) * 4
+    ps, _ = ldgm_container_params(total_bytes, k)
+    while sum(-(-(w * 4) // ps) for w in part_words) > k:
+        ps += 4
+    row_counts = [-(-(w * 4) // ps) for w in part_words]
+    return ps, row_counts, part_words
+
+
 class ShardedSenderStep:
     """The FULL multi-chip sender step as ONE shard_map graph: per-device
     JPEG encode of the frame's row band + per-device LDGM parity over that
@@ -200,7 +221,6 @@ class ShardedSenderStep:
     def __init__(self, width: int, height: int, mesh: Mesh,
                  in_codec: Codec = Codec.UYVY, quality: int = 80,
                  k: int = 32, m: int = 8, c: int = 3):
-        from ultragrid_tpu.models.encode import ldgm_container_params
         from ultragrid_tpu.ops.fec import build_ldgm_matrix, gf2_matmul
 
         self.base = ShardedJpegEncoder(width, height, mesh, in_codec, quality)
@@ -210,13 +230,8 @@ class ShardedSenderStep:
         ww = local.wwords
         ky = {"422": 2, "420": 4}.get(local.subsampling, 1)
         n_y, n_c = local.nmcu * ky, local.nmcu
-        part_words = [n_y * ww, n_y, n_c * ww, n_c, n_c * ww, n_c]
-        total_bytes = sum(part_words) * 4
-        ps, _ = ldgm_container_params(total_bytes, k)
-        while sum(-(-(w * 4) // ps) for w in part_words) > k:
-            ps += 4
+        ps, row_counts, part_words = slot_container_geometry(local, k)
         self.ps = ps
-        row_counts = [-(-(w * 4) // ps) for w in part_words]
         self.row_counts = row_counts
         mask_np = build_ldgm_matrix(k, m, c, 1).astype(np.float32)
         starts = np.concatenate([[0], np.cumsum(row_counts)])
@@ -269,3 +284,153 @@ class ShardedSenderStep:
             frame, NamedSharding(self.mesh, P("spatial", None))
         ) if not hasattr(frame, "sharding") else frame
         return self._fn(frame)
+
+
+class ShardedReceiverStep:
+    """The FULL multi-chip receiver step — the mirror of ShardedSenderStep.
+
+    Each device owns one row band's substream (ref: tiled substream IDs,
+    src/transmit.c:490; tiles round-robined over devices, src/host.h:98;
+    receive role: src/rtp/video_decoders.cpp + ldgm decode).  Per shard:
+
+      1. device LDGM erasure peel over that shard's [k+m, ps] symbol block
+         (lossy rows zeroed) — ONE shard_map graph, the lax.while_loop peel
+         running independently per device, no collective anywhere;
+      2. a band-LOCAL host stage: the recovered slot container is sliced
+         into the six slot parts (static row ranges — no byte-stream
+         parse), assembled into that band's JPEG stream and entropy-decoded
+         by the C scan decoder.  In deployment this runs on each device's
+         own host core; there is no cross-band data dependence;
+      3. per-shard reverse mega-matmul (IDCT + upsample + UYVY pack) under
+         shard_map — the output frame stays sharded over 'spatial', ready
+         for a sharded display/postprocess consumer.  Nothing is ever
+         gathered across devices.
+
+    A band whose erasures exceed the LDGM code's reach is zero-filled and
+    reported in the ok mask (the receiver's standard concealment policy,
+    ref: src/rtp/video_decoders.cpp blacklisting/zero-fill).  Per-shard
+    byte-identity vs a single-chip decode of the same band is asserted in
+    tests/test_parallel.py.
+    """
+
+    def __init__(self, width: int, height: int, mesh: Mesh,
+                 in_codec: Codec = Codec.UYVY, quality: int = 80,
+                 k: int = 32, m: int = 8, c: int = 3,
+                 wwords: int | None = None):
+        from ultragrid_tpu.ops.fec import LdgmSession
+        from ultragrid_tpu.ops.jpeg import JpegDecoder, JpegEncoder
+
+        self.mesh = mesh
+        ns = mesh.shape["spatial"]
+        self.nshards = ns
+        assert height % (8 * ns) == 0, "height must split into MCU rows per shard"
+        local_h = height // ns
+        probe = JpegEncoder(width, local_h, in_codec=in_codec, quality=quality)
+        ri = probe.restart_interval
+        while probe.nmcux % ri:
+            ri -= 1
+        self.band = JpegEncoder(width, local_h, in_codec=in_codec,
+                                quality=quality, restart_interval=ri)
+        if wwords is not None:
+            self.band.wwords = wwords
+        self.k, self.m, self.c = k, m, c
+        ps, row_counts, part_words = slot_container_geometry(self.band, k)
+        self.ps, self.row_counts, self.part_words = ps, row_counts, part_words
+        self.session = LdgmSession(k, m, c, seed=1)
+        core = self.session._decode_device_fn(ps)
+
+        def local_peel(sym, have):
+            s, hv = core(sym[0], have[0])
+            return s[None], hv[None]
+
+        self._peel = jax.jit(
+            shard_map(
+                local_peel,
+                mesh=mesh,
+                in_specs=(P("spatial", None, None), P("spatial", None)),
+                out_specs=(P("spatial", None, None), P("spatial", None)),
+                # the peel's while_loop carries an unvarying scalar init
+                # (rounds/progressed); outputs are plainly per-shard
+                check_vma=False,
+            )
+        )
+        self._dec = JpegDecoder()
+        self._mega_cache = {}
+
+    # -- band-local host stage -------------------------------------------
+    def _band_arrays(self, rows: np.ndarray):
+        """Recovered container rows [k, ps] -> the six slot parts."""
+        starts = np.concatenate([[0], np.cumsum(self.row_counts)])
+        out = []
+        for i, w in enumerate(self.part_words):
+            raw = rows[starts[i]:starts[i + 1]].reshape(-1)[: w * 4]
+            arr = raw.view(np.uint32)
+            out.append(arr.view(np.int32) if i % 2 else
+                       arr.reshape(-1, self.band.wwords))
+        return out
+
+    def _assemble_band(self, rows: np.ndarray) -> bytes:
+        body = self.band.assemble(*self._band_arrays(rows))
+        return (self.band._header + body.tobytes() + b"\xff\xd9")
+
+    def _mega(self, hdr, nmcux, nmcuy_band):
+        qsig = tuple(hdr["qtabs"][c["tq"]].tobytes() for c in hdr["scan"])
+        key = (hdr["h"], hdr["w"], qsig)
+        fn = self._mega_cache.get(key)
+        if fn is None:
+            local = self._dec._make_mega_uyvy_fn(hdr, nmcux, nmcuy_band)
+
+            def wrapped(cy, cu, cv):
+                return local(cy[0], cu[0], cv[0])
+
+            fn = self._mega_cache[key] = jax.jit(
+                shard_map(
+                    wrapped,
+                    mesh=self.mesh,
+                    in_specs=(P("spatial", None, None),) * 3,
+                    out_specs=P("spatial", None),
+                )
+            )
+        return fn
+
+    def __call__(self, symbols, present):
+        """symbols: [nshards, k+m, ps] uint8 (missing rows arbitrary);
+        present: [nshards, k+m] bool.  Returns (uyvy, ok): uyvy is the
+        [H, 2W] uint8 frame SHARDED over 'spatial' (one band per device,
+        never gathered); ok[s] is False for bands that could not be
+        recovered (zero-filled)."""
+        from ultragrid_tpu.ops.jpeg import entropy_decode_422
+
+        ns, k = self.nshards, self.k
+        sym_sh = jax.device_put(
+            np.where(np.asarray(present)[:, :, None], np.asarray(symbols), 0)
+            .astype(np.uint8),
+            NamedSharding(self.mesh, P("spatial", None, None)),
+        )
+        have_sh = jax.device_put(
+            np.asarray(present, bool),
+            NamedSharding(self.mesh, P("spatial", None)),
+        )
+        sym, have = self._peel(sym_sh, have_sh)
+        sym_np, have_np = np.asarray(sym), np.asarray(have)
+        ok = np.zeros(ns, bool)
+        coeffs = None
+        hdr = nmcux = nmcuy = None
+        for s in range(ns):
+            if have_np[s, :k].all():
+                decoded = entropy_decode_422(self._assemble_band(sym_np[s]))
+                if decoded is not None:
+                    hdr, outs, nmcux, nmcuy = decoded
+                    if coeffs is None:
+                        coeffs = [np.zeros((ns,) + o.shape, o.dtype) for o in outs]
+                    for st, o in zip(coeffs, outs):
+                        st[s] = o
+                    ok[s] = True
+        if coeffs is None:
+            raise ValueError("no band recovered")
+        stacked = [
+            jax.device_put(c, NamedSharding(self.mesh, P("spatial", None, None)))
+            for c in coeffs
+        ]
+        uyvy = self._mega(hdr, nmcux, nmcuy)(*stacked)
+        return uyvy, ok
