@@ -153,6 +153,7 @@ class CabacPictureCtx:
         self.cbf_cdc = np.zeros((2, mbh, mbw), np.int64)
         self.cbf_c4 = np.zeros((2, mbh * 2, mbw * 2), np.int64)
         self.absmvd4 = np.zeros((mbh * 4, mbw * 4, 2), np.int64)
+        self.t8x8 = np.zeros((mbh, mbw), bool)  # transform_size_8x8_flag
 
 
 # ---------------------------------------------------------------------------
@@ -181,10 +182,37 @@ def _residual_cabac(eng: CabacEngine, cat: int, n_coeffs: int,
         i += 1
     if not ended:
         sig[n_coeffs - 1] = True
-    out = np.zeros(n_coeffs, np.int64)
+    return _levels_from_sig(eng, sig, lvl_base, cap=4 - (1 if cat == 3 else 0))
+
+
+def _residual_cabac8(eng: CabacEngine) -> np.ndarray:
+    """ctxBlockCat 5 (luma 8x8, frame-coded): 64-coefficient significance
+    map with the Table 9-43 position->ctxIdxInc maps; no coded_block_flag
+    (the CBP bit implies coded, 9.3.3.1.1.9)."""
+    from ultragrid_tpu.ops.h264_8x8 import LAST8_INC, SIG8_INC
+
+    sig = np.zeros(64, bool)
+    i = 0
+    ended = False
+    while i < 63:
+        if eng.decision(402 + int(SIG8_INC[i])):
+            sig[i] = True
+            if eng.decision(417 + int(LAST8_INC[i])):
+                ended = True
+                break
+        i += 1
+    if not ended:
+        sig[63] = True
+    return _levels_from_sig(eng, sig, 426, cap=4)
+
+
+def _levels_from_sig(eng: CabacEngine, sig: np.ndarray, lvl_base: int,
+                     cap: int) -> np.ndarray:
+    """coeff_abs_level_minus1 + sign for a decoded significance map
+    (shared by all ctxBlockCats; UEG0 escape at 14)."""
+    out = np.zeros(len(sig), np.int64)
     num_eq1 = 0
     num_gt1 = 0
-    cap = 4 - (1 if cat == 3 else 0)
     for pos in np.flatnonzero(sig)[::-1]:
         inc0 = 0 if num_gt1 else min(4, 1 + num_eq1)
         if eng.decision(lvl_base + inc0) == 0:
@@ -350,7 +378,7 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
     if is_p:
         done4[: my0 * 4] = True  # P recon does not gate on done4 rows above
 
-    def record(my, mx, *, intra=False, ipcm=False):
+    def record(my, mx, *, intra=False, ipcm=False, t8x8=False):
         if db is None:
             return
         db.decoded[my, mx] = True
@@ -361,6 +389,7 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
         db.idc[my, mx] = dbf_idc
         db.offa[my, mx] = dbf_offa
         db.offb[my, mx] = dbf_offb
+        db.t8x8[my, mx] = t8x8
 
     # ---- neighbour helpers (availability is slice-gated via my0) --------
 
@@ -526,6 +555,38 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
         rd4[gy:gy + ph, gx:gx + pw] = True
         return ri
 
+    def read_t8_flag(mx, my):
+        # transform_size_8x8_flag (9.3.3.1.1.10): ctx 399 + condA + condB
+        inc = 0
+        if mb_avail_a(mx) and pic.t8x8[my, mx - 1]:
+            inc += 1
+        if mb_avail_b(my) and pic.t8x8[my - 1, mx]:
+            inc += 1
+        return eng.decision(399 + inc) == 1
+
+    def decode_luma8x8_cabac(mx, my, cbp_luma_mb, qp_):
+        """The four 8x8 luma residual blocks (cat 5) -> 16x16 spatial
+        residual; updates the cbf grid (cells carry the CBP bit, which is
+        the 8x8 coded_block_flag neighbours see per 9.3.3.1.1.9) and the
+        per-4x4 nnz grid (interleaved sub-block counts, the deblock OR
+        happens per containing 8x8)."""
+        from ultragrid_tpu.ops.h264_8x8 import recon_res8
+
+        luma_res = np.zeros((16, 16), np.int64)
+        for b in range(4):
+            has = bool(cbp_luma_mb & (1 << b))
+            zz = _residual_cabac8(eng) if has else None
+            for k in range(4):
+                bx, by = H._BLK_ORDER[b * 4 + k]
+                gx, gy = mx * 4 + bx, my * 4 + by
+                pic.cbf_l4[gy, gx] = 1 if has else 0
+                nnz_l[gy, gx] = (int(np.count_nonzero(zz[k::4]))
+                                 if zz is not None else 0)
+            if zz is not None:
+                py8, px8 = (b // 2) * 8, (b % 2) * 8
+                luma_res[py8:py8 + 8, px8:px8 + 8] = recon_res8(zz, qp_)
+        return luma_res
+
     def read_mvd_pair(gy, gx):
         ax = ay = 0
         if gx > 0 and dec4[gy, gx - 1]:
@@ -573,6 +634,7 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
         pic.cbf_cdc[:, my, mx] = 0
         pic.cbf_c4[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
         pic.absmvd4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+        pic.t8x8[my, mx] = False
 
     def chroma_residuals_cabac(cbp_chroma, mx, my, vc, qpc):
         cdc = [np.zeros(4, np.int64), np.zeros(4, np.int64)]
@@ -631,6 +693,65 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
             # position backed up by the unused offset bits.
             raise UnsupportedStream("I_PCM in CABAC stream")
         i4mode_mb = None
+        if mb_type == 0 and pps.get("transform_8x8") and read_t8_flag(mx, my):
+            # ---- Intra_8x8 (High profile) ----
+            from ultragrid_tpu.ops.h264_8x8 import filter_refs8, pred8x8
+            from ultragrid_tpu.ops.h264_dec import luma_neighbors8
+
+            modes8 = []
+            for b in range(4):
+                gx = mx * 4 + (b % 2) * 2
+                gy = my * 4 + (b // 2) * 2
+                ma = i4mode[gy, gx - 1] if gx > 0 and avail4[gy, gx - 1] else -1
+                mb_ = i4mode[gy - 1, gx] if gy > my0 * 4 and avail4[gy - 1, gx] else -1
+                pm = min(ma if ma >= 0 else 2, mb_ if mb_ >= 0 else 2)
+                if ma < 0 or mb_ < 0:
+                    pm = 2
+                if eng.decision(68):
+                    m = pm
+                else:
+                    rem = eng.decision(69)
+                    rem += 2 * eng.decision(69)
+                    rem += 4 * eng.decision(69)
+                    m = rem if rem < pm else rem + 1
+                modes8.append(m)
+                i4mode[gy:gy + 2, gx:gx + 2] = m
+                avail4[gy:gy + 2, gx:gx + 2] = True
+            chroma_mode = read_chroma_mode(mx, my)
+            cbp_luma_mb, cbp_chroma = read_cbp(mx, my)
+            pic.intra[my, mx] = True
+            pic.i16[my, mx] = False
+            pic.t8x8[my, mx] = True
+            pic.chroma_mode[my, mx] = chroma_mode
+            pic.cbp_l[my, mx] = cbp_luma_mb
+            pic.cbp_c[my, mx] = cbp_chroma
+            if cbp_luma_mb or cbp_chroma:
+                dqp = _read_dqp(eng, last_dqp)
+                last_dqp = dqp
+                qp = qp + dqp
+            else:
+                last_dqp = 0
+            qpc = H.chroma_qp(max(0, min(51, qp + pps["chroma_off"])))
+            vc = _vmat(qpc)
+            luma_res = decode_luma8x8_cabac(mx, my, cbp_luma_mb, qp)
+            for b in range(4):
+                gx = mx * 4 + (b % 2) * 2
+                gy = my * 4 + (b // 2) * 2
+                px, py = gx * 4, gy * 4
+                top, left, tl = luma_neighbors8(y, done4, mbw, my0, px, py)
+                ft, fl, ftl = filter_refs8(top, left, tl)
+                pred = pred8x8(int(modes8[b]), ft, fl, ftl)
+                py8, px8 = (b // 2) * 8, (b % 2) * 8
+                y[py:py + 8, px:px + 8] = np.clip(
+                    pred + luma_res[py8:py8 + 8, px8:px8 + 8], 0, 255)
+                done4[gy:gy + 2, gx:gx + 2] = True
+            cres = chroma_residuals_cabac(cbp_chroma, mx, my, vc, qpc)
+            for ci, plane in enumerate((cbp_, crp)):
+                predc = chroma_pred_block(plane, mx, my, chroma_mode)
+                plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = np.clip(
+                    predc + cres[ci], 0, 255)
+            record(my, mx, intra=True, t8x8=True)
+            return
         if mb_type == 0:
             modes = np.zeros(16, np.int64)
             for bi, (bx, by) in enumerate(H._BLK_ORDER):
@@ -888,6 +1009,13 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
         cbp_luma_mb, cbp_chroma = read_cbp(mx, my)
         pic.cbp_l[my, mx] = cbp_luma_mb
         pic.cbp_c[my, mx] = cbp_chroma
+        # transform_size_8x8_flag (7.3.5): after cbp, before dqp; only
+        # when luma is coded and no partition is below 8x8
+        t8 = False
+        if (cbp_luma_mb and pps.get("transform_8x8")
+                and (mb_type <= 2 or all(s == 0 for s in subs))):
+            t8 = read_t8_flag(mx, my)
+            pic.t8x8[my, mx] = t8
         qpc = H.chroma_qp(max(0, min(51, qp + pps["chroma_off"])))
         vy, vc = _vmat(qp), _vmat(qpc)
         luma_res = np.zeros((16, 16), np.int64)
@@ -898,13 +1026,16 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
             qp = qp + dqp
             qpc = H.chroma_qp(max(0, min(51, qp + pps["chroma_off"])))
             vy, vc = _vmat(qp), _vmat(qpc)
-            for bi, (bx, by) in enumerate(H._BLK_ORDER):
-                gx, gy = mx * 4 + bx, my * 4 + by
-                has = bool(cbp_luma_mb & (1 << (bi // 4)))
-                d = residual_l4(2, gy, gx, has, vy, qp)
-                if pic.cbf_l4[gy, gx]:
-                    luma_res[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = (
-                        (_itransform4(d) + 32) >> 6)
+            if t8:
+                luma_res = decode_luma8x8_cabac(mx, my, cbp_luma_mb, qp)
+            else:
+                for bi, (bx, by) in enumerate(H._BLK_ORDER):
+                    gx, gy = mx * 4 + bx, my * 4 + by
+                    has = bool(cbp_luma_mb & (1 << (bi // 4)))
+                    d = residual_l4(2, gy, gx, has, vy, qp)
+                    if pic.cbf_l4[gy, gx]:
+                        luma_res[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = (
+                            (_itransform4(d) + 32) >> 6)
             cres = chroma_residuals_cabac(cbp_chroma, mx, my, vc, qpc)
         else:
             last_dqp = 0
@@ -913,7 +1044,7 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
                 nn[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
         recon_mb(mx, my, pred16, predc, luma_res, cres)
         done4[gy0:gy0 + 4, gx0:gx0 + 4] = True
-        record(my, mx)
+        record(my, mx, t8x8=t8)
 
     # ---- MB loop --------------------------------------------------------
 

@@ -78,6 +78,10 @@ class DeblockCtx:
         self.offa = np.zeros((mbh, mbw), np.int64)
         self.offb = np.zeros((mbh, mbw), np.int64)
         self.decoded = np.zeros((mbh, mbw), bool)
+        # High profile: per-MB transform_size_8x8_flag — gates which
+        # internal luma edges exist and widens the bS "coded" test to the
+        # containing 8x8 block (spec 8.7 / 8.7.2.1)
+        self.t8x8 = np.zeros((mbh, mbw), bool)
 
     @property
     def any_enabled(self) -> bool:
@@ -159,9 +163,18 @@ def _bs_edge(ctx: DeblockCtx, pmb, qmb, pblocks, qblocks,
     (2) and reference/motion-difference (1) rules at 4x4 granularity."""
     if ctx.intra[pmb] or ctx.intra[qmb]:
         return np.full(4, 4 if mb_edge else 3, np.int64)
+
+    def coded(b, mb):
+        # with the 8x8 transform the "contains nonzero coefficients" test
+        # applies to the 8x8 transform block containing the 4x4 (8.7.2.1)
+        if ctx.t8x8[mb]:
+            gy0, gx0 = b[0] & ~1, b[1] & ~1
+            return bool(ctx.nnz[gy0:gy0 + 2, gx0:gx0 + 2].any())
+        return bool(ctx.nnz[b])
+
     bs = np.zeros(4, np.int64)
     for i, (pb, qb) in enumerate(zip(pblocks, qblocks)):
-        if ctx.nnz[pb] or ctx.nnz[qb]:
+        if coded(pb, pmb) or coded(qb, qmb):
             bs[i] = 2
         elif (ctx.refs[pb] != ctx.refs[qb]
               or abs(int(ctx.mvs[pb][0]) - int(ctx.mvs[qb][0])) >= 4
@@ -202,7 +215,9 @@ def deblock_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                         min(max(qpav + offb, 0), 51))
 
             # ---- vertical luma edges (filtered left to right) ----
-            for ex in (0, 4, 8, 12):
+            # transform_size_8x8_flag removes the internal edges at 4, 12
+            luma_edges = (0, 8) if ctx.t8x8[my, mx] else (0, 4, 8, 12)
+            for ex in luma_edges:
                 x = mx * 16 + ex
                 gx = x // 4
                 groups_q = [(my * 4 + i, gx) for i in range(4)]
@@ -252,7 +267,7 @@ def deblock_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                         seg, bs, ia, ib, chroma=True)
 
             # ---- horizontal luma edges (filtered top to bottom) ----
-            for ey in (0, 4, 8, 12):
+            for ey in luma_edges:
                 yy = my * 16 + ey
                 gy = yy // 4
                 groups_q = [(gy, mx * 4 + i) for i in range(4)]

@@ -401,6 +401,237 @@ def _pred8_chroma_plane(t: np.ndarray, l: np.ndarray, tl: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Intra_8x8 (High profile; transform/prediction math in ops/h264_8x8.py)
+# ---------------------------------------------------------------------------
+
+
+def luma_neighbors8(y, done4, mbw, my0, px, py):
+    """Reference samples for the 8x8 block at pixel (px, py): UNFILTERED
+    (t[0..15], l[0..7], tl) with top-right replication (8.3.2.1.1); the
+    caller runs filter_refs8 before prediction.  None = unavailable."""
+    gx, gy = px // 4, py // 4
+    top = None
+    if py > my0 * 16 and done4[gy - 1, gx] and done4[gy - 1, gx + 1]:
+        t16 = np.empty(16, np.int64)
+        t16[:8] = y[py - 1, px:px + 8]
+        if gx + 2 < mbw * 4 and done4[gy - 1, gx + 2]:
+            t16[8:] = y[py - 1, px + 8:px + 16]
+        else:
+            t16[8:] = y[py - 1, px + 7]
+        top = t16
+    left = None
+    if px > 0 and done4[gy, gx - 1] and done4[gy + 1, gx - 1]:
+        left = y[py:py + 8, px - 1].astype(np.int64)
+    tl = None
+    if top is not None and left is not None:
+        tl = int(y[py - 1, px - 1])
+    return top, left, tl
+
+
+def read_intra8x8_modes_cavlc(r, mx, my, my0, i4mode, avail4):
+    """Parse the four prev/rem Intra_8x8 prediction modes, updating the
+    shared MxM mode grid (all four 4x4 cells of each 8x8 carry its mode,
+    spec 8.3.1.1 / 8.3.2.1)."""
+    modes = []
+    for b in range(4):
+        gx = mx * 4 + (b % 2) * 2
+        gy = my * 4 + (b // 2) * 2
+        ma = i4mode[gy, gx - 1] if gx > 0 and avail4[gy, gx - 1] else -1
+        mb_ = i4mode[gy - 1, gx] if gy > my0 * 4 and avail4[gy - 1, gx] else -1
+        pm = min(ma if ma >= 0 else 2, mb_ if mb_ >= 0 else 2)
+        if ma < 0 or mb_ < 0:
+            pm = 2
+        if r.u(1):  # prev_intra8x8_pred_mode_flag
+            m = pm
+        else:
+            rem = r.u(3)
+            m = rem if rem < pm else rem + 1
+        modes.append(m)
+        i4mode[gy:gy + 2, gx:gx + 2] = m
+        avail4[gy:gy + 2, gx:gx + 2] = True
+    return modes
+
+
+def decode_luma8x8_block_cavlc(r, b, mx, my, my0, nnz_l, nc_of, has):
+    """One 8x8 luma residual in CAVLC: four interleaved 4x4 CAVLC blocks
+    (7.3.5.3.2 — coeff i of sub-block k lands at 8x8 scan position
+    4*i + k); per-sub-block TotalCoeff feeds the nC grid."""
+    zz64 = np.zeros(64, np.int64)
+    for k in range(4):
+        bx, by = H._BLK_ORDER[b * 4 + k]
+        gx, gy = mx * 4 + bx, my * 4 + by
+        if not has:
+            nnz_l[gy, gx] = 0
+            continue
+        nc = nc_of(nnz_l, gx, gy, my0 * 4)
+        zz = decode_cavlc_block(r, nc, 16)
+        nnz_l[gy, gx] = int(np.count_nonzero(zz))
+        zz64[k::4] = zz
+    return zz64
+
+
+def recon_intra8x8_luma(y, done4, mbw, my0, mx, my, modes, zz64s, qp):
+    """Reconstruct the four 8x8 luma blocks in decode order (prediction
+    from already-reconstructed neighbours, filtered refs)."""
+    from ultragrid_tpu.ops.h264_8x8 import filter_refs8, pred8x8, recon_res8
+
+    for b in range(4):
+        gx = mx * 4 + (b % 2) * 2
+        gy = my * 4 + (b // 2) * 2
+        px, py = gx * 4, gy * 4
+        top, left, tl = luma_neighbors8(y, done4, mbw, my0, px, py)
+        ft, fl, ftl = filter_refs8(top, left, tl)
+        pred = pred8x8(int(modes[b]), ft, fl, ftl)
+        res = (recon_res8(zz64s[b], qp) if zz64s[b] is not None
+               else np.zeros((8, 8), np.int64))
+        y[py:py + 8, px:px + 8] = np.clip(pred + res, 0, 255)
+        done4[gy:gy + 2, gx:gx + 2] = True
+
+
+def chroma_pred_mb(plane, mx, my, my0, mode):
+    """Chroma intra prediction for one MB (8.3.4), module-level twin of
+    the slice decoders' closures for the shared intra-in-P paths."""
+    x0, y0 = mx * 8, my * 8
+    lcol = plane[y0:y0 + 8, x0 - 1].astype(np.int64) if mx > 0 else None
+    trow = plane[y0 - 1, x0:x0 + 8].astype(np.int64) if my > my0 else None
+    if mode == 0:  # DC per 4x4 sub-block (spec 8.3.4.1)
+        preds = np.zeros((8, 8), np.int64)
+        for by in range(2):
+            for bx in range(2):
+                lc = lcol[by * 4:by * 4 + 4] if lcol is not None else None
+                tr = trow[bx * 4:bx * 4 + 4] if trow is not None else None
+                use_l, use_t = lc is not None, tr is not None
+                if bx == 1 and by == 0 and tr is not None:
+                    use_l = False
+                if bx == 0 and by == 1 and lc is not None:
+                    use_t = False
+                if use_l and use_t:
+                    v = (int(lc.sum()) + int(tr.sum()) + 4) >> 3
+                elif use_l:
+                    v = (int(lc.sum()) + 2) >> 2
+                elif use_t:
+                    v = (int(tr.sum()) + 2) >> 2
+                else:
+                    v = 128
+                preds[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = v
+        return preds
+    if mode == 1:  # Horizontal
+        return np.repeat(lcol[:, None], 8, axis=1)
+    if mode == 2:  # Vertical
+        return np.repeat(trow[None, :], 8, axis=0)
+    if mode == 3:  # Plane
+        tl = int(plane[y0 - 1, x0 - 1])
+        return _pred8_chroma_plane(trow, lcol, tl)
+    raise UnsupportedStream(f"chroma pred mode {mode}")
+
+
+def _decode_intra4x4_cavlc(r, mx, my, my0, qp, pps, mbw, y, chroma_planes,
+                           nnz_l, nnz_c, nc_of, i4mode, avail4, done4):
+    """Full Intra_4x4 macroblock (CAVLC) for intra-in-P slices; same
+    syntax/reconstruction as the I-slice decoder's inline branch, with
+    done4-gated sample availability (inter neighbours of the same slice
+    are usable since constrained_intra_pred is 0)."""
+    modes = np.zeros(16, np.int64)
+    for bi, (bx, by) in enumerate(H._BLK_ORDER):
+        gx, gy = mx * 4 + bx, my * 4 + by
+        ma = i4mode[gy, gx - 1] if gx > 0 and avail4[gy, gx - 1] else -1
+        mb_ = i4mode[gy - 1, gx] if gy > my0 * 4 and avail4[gy - 1, gx] else -1
+        pm = min(ma if ma >= 0 else 2, mb_ if mb_ >= 0 else 2)
+        if ma < 0 or mb_ < 0:
+            pm = 2
+        if r.u(1):  # prev_intra4x4_pred_mode_flag
+            modes[bi] = pm
+        else:
+            rem = r.u(3)
+            modes[bi] = rem if rem < pm else rem + 1
+        i4mode[gy, gx] = modes[bi]
+        avail4[gy, gx] = True
+    chroma_mode = r.ue()
+    cbp_code = r.ue()
+    if cbp_code >= len(_CBP_INTRA):
+        raise UnsupportedStream("bad coded_block_pattern")
+    cbp = _CBP_INTRA[cbp_code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp_chroma == 3:
+        raise UnsupportedStream("bad chroma cbp")
+    if cbp:
+        qp = qp + r.se()
+    qpc = H.chroma_qp(max(0, min(51, qp + pps["chroma_off"])))
+    vy, vc = _vmat(qp), _vmat(qpc)
+    for bi, (bx, by) in enumerate(H._BLK_ORDER):
+        gx, gy = mx * 4 + bx, my * 4 + by
+        px, py = gx * 4, gy * 4
+        mode = int(modes[bi])
+        # neighbours (same derivation as the I-slice closure)
+        top = None
+        if py > my0 * 16 and done4[gy - 1, gx]:
+            t8 = np.empty(8, np.int64)
+            t8[:4] = y[py - 1, px:px + 4]
+            if mode in (3, 7) and gx + 1 < mbw * 4 and done4[gy - 1, gx + 1]:
+                t8[4:] = y[py - 1, px + 4:px + 8]
+            else:
+                t8[4:] = y[py - 1, px + 3]
+            top = t8
+        left = None
+        if px > 0 and done4[gy, gx - 1]:
+            left = y[py:py + 4, px - 1].astype(np.int64)
+        tl = None
+        if top is not None and left is not None and px > 0 and py > my0 * 16:
+            tl = int(y[py - 1, px - 1])
+        pred = _pred4x4(mode, top, left, tl)
+        if cbp_luma & (1 << (bi // 4)):
+            nc = nc_of(nnz_l, gx, gy, my0 * 4)
+            zz = decode_cavlc_block(r, nc, 16)
+            nnz_l[gy, gx] = int(np.count_nonzero(zz))
+            d = _dezigzag(zz) * vy << (qp // 6)
+            res = (_itransform4(d) + 32) >> 6
+        else:
+            nnz_l[gy, gx] = 0
+            res = np.zeros((4, 4), np.int64)
+        y[py:py + 4, px:px + 4] = np.clip(pred + res, 0, 255)
+        done4[gy, gx] = True
+    cres = chroma_residuals_p(r, cbp_chroma, mx, my, vc, qpc, nnz_c,
+                              nc_of, my0)
+    for ci, plane in enumerate(chroma_planes):
+        predc = chroma_pred_mb(plane, mx, my, my0, chroma_mode)
+        plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = np.clip(
+            predc + cres[ci], 0, 255)
+    return qp
+
+
+def _decode_intra8x8_cavlc(r, mx, my, my0, qp, pps, mbw, y, chroma_planes,
+                           nnz_l, nnz_c, nc_of, i4mode, avail4, done4):
+    """Full Intra_8x8 macroblock (CAVLC), shared by I slices and
+    intra-in-P.  Returns the (possibly delta-updated) slice QP."""
+    modes = read_intra8x8_modes_cavlc(r, mx, my, my0, i4mode, avail4)
+    chroma_mode = r.ue()
+    cbp_code = r.ue()
+    if cbp_code >= len(_CBP_INTRA):
+        raise UnsupportedStream("bad coded_block_pattern")
+    cbp = _CBP_INTRA[cbp_code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp_chroma == 3:
+        raise UnsupportedStream("bad chroma cbp")
+    if cbp:
+        qp = qp + r.se()
+    qpc = H.chroma_qp(max(0, min(51, qp + pps["chroma_off"])))
+    vc = _vmat(qpc)
+    zz64s = []
+    for b in range(4):
+        has = bool(cbp_luma & (1 << b))
+        zz64 = decode_luma8x8_block_cavlc(r, b, mx, my, my0, nnz_l, nc_of, has)
+        zz64s.append(zz64 if has else None)
+    recon_intra8x8_luma(y, done4, mbw, my0, mx, my, modes, zz64s, qp)
+    cres = chroma_residuals_p(r, cbp_chroma, mx, my, vc, qpc, nnz_c,
+                              nc_of, my0)
+    for ci, plane in enumerate(chroma_planes):
+        predc = chroma_pred_mb(plane, mx, my, my0, chroma_mode)
+        plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = np.clip(
+            predc + cres[ci], 0, 255)
+    return qp
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
@@ -529,11 +760,10 @@ class IntraDecoder:
             if r.u(1):
                 raise UnsupportedStream("pic scaling matrices")
             r.se()  # second_chroma_qp_index_offset
-        if transform_8x8:
-            raise UnsupportedStream("8x8 transform")
         return {"init_qp": init_qp, "chroma_off": chroma_off,
                 "dbf_ctrl": dbf_ctrl, "l0_default": l0_default,
-                "cabac": cabac, "weighted_pred": weighted_pred}
+                "cabac": cabac, "weighted_pred": weighted_pred,
+                "transform_8x8": transform_8x8}
 
     def _decode_slice(self, rbsp: bytes, sps, pps, state, db=None,
                       slice_id: int = 0):
@@ -724,7 +954,18 @@ class IntraDecoder:
                 record(my, mx, ipcm=True)
                 continue
 
-            if mb_type == 0:  # I_4x4 (I_NxN, baseline => 4x4 transform)
+            if mb_type == 0 and pps.get("transform_8x8") and r.u(1):
+                # I_NxN with transform_size_8x8_flag == 1 (Intra_8x8)
+                qp = _decode_intra8x8_cavlc(
+                    r, mx, my, my0, qp, pps, mbw, y, (cbp_, crp), nnz_l,
+                    nnz_c, nc_of, i4mode, avail4, done4)
+                qpc = H.chroma_qp(max(0, min(51, qp + pps["chroma_off"])))
+                record(my, mx)
+                if db is not None:
+                    db.t8x8[my, mx] = True
+                continue
+
+            if mb_type == 0:  # I_4x4 (I_NxN with the 4x4 transform)
                 # prediction modes for all 16 blocks (spec 8.3.1.1)
                 modes = np.zeros(16, np.int64)
                 for bi, (bx, by) in enumerate(H._BLK_ORDER):
@@ -1239,8 +1480,12 @@ class StreamDecoder:
         mv4 = db.mvs if db is not None else np.zeros((mbh * 4, mbw * 4, 2), np.int64)
         ref4 = db.refs if db is not None else np.full((mbh * 4, mbw * 4), -1, np.int64)
         dec4 = np.zeros((mbh * 4, mbw * 4), bool)
+        # intra-NxN-in-P state (same semantics as the I-slice grids)
+        i4mode = np.full((mbh * 4, mbw * 4), 2, np.int64)
+        avail4 = np.zeros((mbh * 4, mbw * 4), bool)
+        done4 = np.zeros((mbh * 4, mbw * 4), bool)
 
-        def record(my, mx, *, intra=False):
+        def record(my, mx, *, intra=False, t8x8=False):
             if db is None:
                 return
             db.decoded[my, mx] = True
@@ -1250,6 +1495,7 @@ class StreamDecoder:
             db.idc[my, mx] = dbf_idc
             db.offa[my, mx] = dbf_offa
             db.offb[my, mx] = dbf_offb
+            db.t8x8[my, mx] = t8x8
 
         last_nz = len(rbsp) - 1
         while last_nz >= 0 and rbsp[last_nz] == 0:
@@ -1332,6 +1578,8 @@ class StreamDecoder:
                 recon_mb(mx, my, pred16, predc, zero16, zero8)
                 fill4(my * 4, mx * 4, 4, 4, mvx, mvy, 0)
                 nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                done4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
+                avail4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
                 record(my, mx)
                 mb_addr += 1
             if mb_addr >= n_mbs or r.pos >= stop_pos:
@@ -1393,6 +1641,13 @@ class StreamDecoder:
                 cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
                 if cbp_chroma == 3:
                     raise UnsupportedStream("bad chroma cbp")
+                # transform_size_8x8_flag (7.3.5): after cbp, before dqp;
+                # only when luma is coded and no partition is below 8x8
+                t8 = False
+                if (cbp_luma and pps.get("transform_8x8")
+                        and (mb_type <= 2
+                             or all(s == 0 for s in subs))):
+                    t8 = r.u(1) == 1
                 luma_res = np.zeros((16, 16), np.int64)
                 cres = zero8
                 if cbp:
@@ -1400,17 +1655,30 @@ class StreamDecoder:
                     qpc = H.chroma_qp(max(0, min(51, qp + pps["chroma_off"])))
                     vy, vc = _vmat(qp), _vmat(qpc)
                 if cbp_luma or cbp_chroma:
-                    for bi, (bx, by) in enumerate(H._BLK_ORDER):
-                        gx, gy = mx * 4 + bx, my * 4 + by
-                        if cbp_luma & (1 << (bi // 4)):
-                            nc = nc_of(nnz_l, gx, gy, my0 * 4)
-                            zz = decode_cavlc_block(r, nc, 16)
-                            nnz_l[gy, gx] = int(np.count_nonzero(zz))
-                            d = _dezigzag(zz) * vy << (qp // 6)
-                            luma_res[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = (
-                                (_itransform4(d) + 32) >> 6)
-                        else:
-                            nnz_l[gy, gx] = 0
+                    if t8:
+                        from ultragrid_tpu.ops.h264_8x8 import recon_res8
+
+                        for b in range(4):
+                            has = bool(cbp_luma & (1 << b))
+                            zz64 = decode_luma8x8_block_cavlc(
+                                r, b, mx, my, my0, nnz_l, nc_of, has)
+                            if has:
+                                py8, px8 = (b // 2) * 8, (b % 2) * 8
+                                luma_res[py8:py8 + 8, px8:px8 + 8] = (
+                                    recon_res8(zz64, qp))
+                    else:
+                        for bi, (bx, by) in enumerate(H._BLK_ORDER):
+                            gx, gy = mx * 4 + bx, my * 4 + by
+                            if cbp_luma & (1 << (bi // 4)):
+                                nc = nc_of(nnz_l, gx, gy, my0 * 4)
+                                zz = decode_cavlc_block(r, nc, 16)
+                                nnz_l[gy, gx] = int(np.count_nonzero(zz))
+                                d = _dezigzag(zz) * vy << (qp // 6)
+                                luma_res[by * 4:by * 4 + 4,
+                                         bx * 4:bx * 4 + 4] = (
+                                    (_itransform4(d) + 32) >> 6)
+                            else:
+                                nnz_l[gy, gx] = 0
                     cres = chroma_residuals_p(
                         r, cbp_chroma, mx, my, vc, qpc, nnz_c, nc_of, my0)
                 else:
@@ -1418,7 +1686,10 @@ class StreamDecoder:
                     for nn in nnz_c:
                         nn[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
                 recon_mb(mx, my, pred16, predc, luma_res, cres)
-                record(my, mx)
+                done4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
+                avail4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
+                i4mode[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 2
+                record(my, mx, t8x8=t8)
                 continue
             it = mb_type - 5  # intra-in-P (spec Table 7-13 offset)
             ref4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
@@ -1426,10 +1697,25 @@ class StreamDecoder:
             dec4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
             if it == 25:
                 raise UnsupportedStream("I_PCM in P not supported")
+            if it == 0:  # I_NxN in P
+                if pps.get("transform_8x8") and r.u(1):
+                    qp = _decode_intra8x8_cavlc(
+                        r, mx, my, my0, qp, pps, mbw, y, (cbp_, crp),
+                        nnz_l, nnz_c, nc_of, i4mode, avail4, done4)
+                    record(my, mx, intra=True, t8x8=True)
+                else:
+                    qp = _decode_intra4x4_cavlc(
+                        r, mx, my, my0, qp, pps, mbw, y, (cbp_, crp),
+                        nnz_l, nnz_c, nc_of, i4mode, avail4, done4)
+                    record(my, mx, intra=True)
+                continue
             if not 1 <= it <= 24:
                 raise UnsupportedStream(f"intra-in-P mb_type {it}")
             qp = self._decode_i16_in_p(
                 r, it, mx, my, my0, qp, state, nnz_l, nnz_c, nc_of)
+            i4mode[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 2
+            avail4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
+            done4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
             record(my, mx, intra=True)
         return state
 
