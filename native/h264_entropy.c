@@ -13,8 +13,10 @@
  * Envelope (return -1 = UnsupportedStream outside it): progressive
  * baseline/main/high 4:2:0 8-bit streams with I/P slices, CAVLC and CABAC,
  * multi-reference P, all partition sizes down to 4x4, quarter-pel motion,
- * in-loop deblocking; no B slices, no weighted prediction, no 8x8
- * transform, no interlace/MBAFF, no slice groups, no ref-list reordering.
+ * the High-profile 8x8 transform (Intra_8x8 + inter 8x8 residuals, both
+ * entropy coders), in-loop deblocking; no B slices, no weighted
+ * prediction, no interlace/MBAFF, no slice groups, no ref-list
+ * reordering, no scaling lists.
  *
  * Reference role: the decode half of
  * /root/reference/src/video_decompress/libavcodec.c:1-1876 (the reference
@@ -208,6 +210,7 @@ typedef struct {
 typedef struct {
     int valid;
     int init_qp, chroma_off, dbf_ctrl, l0_default, cabac, weighted_pred;
+    int transform_8x8;
 } PPS;
 
 /* ------------------------------------------------------------------ */
@@ -233,6 +236,10 @@ struct H264Dec {
     int8_t ctx_init[4][1024][2];
     int32_t range_tab[64][4];
     int32_t trans_lps[64];
+    /* Table 9-43 8x8 significance/last ctxIdxInc maps (trained constants,
+       serialized from ops/h264_8x8.py — single source of truth) */
+    int32_t sig8[63];
+    int32_t last8[63];
 
     SPS sps;
     PPS pps;
@@ -251,7 +258,7 @@ struct H264Dec {
     int spare_n;
 
     /* per-picture deblock context (= DeblockCtx) */
-    uint8_t *db_intra, *db_ipcm, *db_decoded;
+    uint8_t *db_intra, *db_ipcm, *db_decoded, *db_t8x8;
     int32_t *db_qp, *db_slice, *db_idc, *db_offa, *db_offb;
     int32_t *nnz_l;               /* 4x4 luma nnz grid, frame-wide */
     int32_t *mv4;                 /* [mbh*4][mbw*4][2] */
@@ -341,15 +348,17 @@ static const int DB_BETA[52] = {
     2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11,
     11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18,
 };
+/* byte-verified against libx264 rodata (see tests' drift check): bS=1
+ * first becomes nonzero at indexA 23, bS=3 at 17 */
 static const int DB_TC0[3][52] = {
     {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
-     0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2,
+     0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2,
      3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13},
     {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
      0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3,
-     3, 4, 4, 5, 5, 6, 7, 8, 8, 9, 10, 12, 13, 15, 17},
+     3, 4, 4, 5, 5, 6, 7, 8, 8, 10, 11, 12, 13, 15, 17},
     {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
-     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4, 4, 4,
+     0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4, 4, 4,
      5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 23, 25},
 };
 
@@ -1096,10 +1105,33 @@ static void bs_edge(const H264Dec *d, int pmy, int pmx, int qmy, int qmx,
         bs4[0] = bs4[1] = bs4[2] = bs4[3] = v;
         return;
     }
+    /* with the 8x8 transform the "contains nonzero coefficients" test
+       applies to the containing 8x8 transform block (8.7.2.1) */
+    int pt8 = d->db_t8x8[(long)pmy * mbw + pmx];
+    int qt8 = d->db_t8x8[(long)qmy * mbw + qmx];
     for (int i = 0; i < 4; i++) {
         long pi = (long)pblocks[i][0] * g4w + pblocks[i][1];
         long qi = (long)qblocks[i][0] * g4w + qblocks[i][1];
-        if (d->nnz_l[pi] || d->nnz_l[qi]) {
+        int pcoded, qcoded;
+        if (pt8) {
+            long gy0 = pblocks[i][0] & ~1, gx0 = pblocks[i][1] & ~1;
+            pcoded = d->nnz_l[gy0 * g4w + gx0]
+                     || d->nnz_l[gy0 * g4w + gx0 + 1]
+                     || d->nnz_l[(gy0 + 1) * g4w + gx0]
+                     || d->nnz_l[(gy0 + 1) * g4w + gx0 + 1];
+        } else {
+            pcoded = d->nnz_l[pi] != 0;
+        }
+        if (qt8) {
+            long gy0 = qblocks[i][0] & ~1, gx0 = qblocks[i][1] & ~1;
+            qcoded = d->nnz_l[gy0 * g4w + gx0]
+                     || d->nnz_l[gy0 * g4w + gx0 + 1]
+                     || d->nnz_l[(gy0 + 1) * g4w + gx0]
+                     || d->nnz_l[(gy0 + 1) * g4w + gx0 + 1];
+        } else {
+            qcoded = d->nnz_l[qi] != 0;
+        }
+        if (pcoded || qcoded) {
             bs4[i] = 2;
         } else {
             int dref = d->ref4[pi] != d->ref4[qi];
@@ -1140,7 +1172,10 @@ static void deblock_frame_c(H264Dec *d)
     ((qpv) + d->pps.chroma_off > 51 ? 51 : (qpv) + d->pps.chroma_off))
 
             /* ---- vertical luma edges ---- */
+            /* transform_size_8x8_flag removes internal edges at 4, 12 */
             for (int ex = 0; ex <= 12; ex += 4) {
+                if (d->db_t8x8[mi] && (ex == 4 || ex == 12))
+                    continue;
                 int x = mx * 16 + ex;
                 int gx = x / 4;
                 for (int i = 0; i < 4; i++) {
@@ -1211,6 +1246,8 @@ static void deblock_frame_c(H264Dec *d)
 
             /* ---- horizontal luma edges ---- */
             for (int ey = 0; ey <= 12; ey += 4) {
+                if (d->db_t8x8[mi] && (ey == 4 || ey == 12))
+                    continue;
                 int yy = my * 16 + ey;
                 int gy = yy / 4;
                 for (int i = 0; i < 4; i++) {
@@ -1503,6 +1540,414 @@ static void chroma_finish(const i64 cdc[2][4], const i64 cac[2][2][2][16],
 }
 
 /* CAVLC chroma residual syntax (= chroma_residuals / chroma_residuals_p) */
+/* ------------------------------------------------------------------ */
+/* High-profile 8x8 transform + Intra_8x8 (= ops/h264_8x8.py)           */
+/* ------------------------------------------------------------------ */
+
+/* 8x8 zig-zag (Table 8-8, frame): scan position -> raster index */
+static const int ZZ8[64] = {
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+};
+
+/* dequant norm-adjust (8.5.13.1), rows qp%6, cols position class */
+static const int V8_TAB[6][6] = {
+    {20, 18, 32, 19, 25, 24}, {22, 19, 35, 21, 28, 26},
+    {26, 23, 42, 24, 33, 31}, {28, 25, 45, 26, 35, 33},
+    {32, 28, 51, 30, 40, 38}, {36, 32, 58, 34, 46, 43},
+};
+
+static int v8_class(int i, int j)
+{
+    if (i % 4 == 0 && j % 4 == 0) return 0;
+    if (i % 2 == 1 && j % 2 == 1) return 1;
+    if (i % 4 == 2 && j % 4 == 2) return 2;
+    if ((i % 4 == 0 && j % 2 == 1) || (i % 2 == 1 && j % 4 == 0)) return 3;
+    if ((i % 4 == 0 && j % 4 == 2) || (i % 4 == 2 && j % 4 == 0)) return 4;
+    return 5;
+}
+
+/* zz64 (scan order) -> dequantized raster 8x8 (flat weightScale = 16) */
+static void dequant8_c(const i64 *zz64, int qp, i64 out[8][8])
+{
+    i64 m[8][8];
+    memset(m, 0, sizeof(m));
+    for (int s2 = 0; s2 < 64; s2++)
+        m[ZZ8[s2] / 8][ZZ8[s2] % 8] = zz64[s2];
+    int sh = qp / 6;
+    for (int r = 0; r < 8; r++)
+        for (int c = 0; c < 8; c++) {
+            i64 v = (i64)V8_TAB[qp % 6][v8_class(r, c)] << 4;
+            if (qp >= 36)
+                out[r][c] = (m[r][c] * v) << (sh - 6);
+            else
+                out[r][c] = (m[r][c] * v + ((i64)1 << (5 - sh))) >> (6 - sh);
+        }
+}
+
+/* one butterfly of the 8.5.13.2 inverse transform over x[0..7] */
+static void it8_butterfly(const i64 x[8], i64 o[8])
+{
+    i64 e[8], f[8];
+    e[0] = x[0] + x[4];
+    e[1] = -x[3] + x[5] - x[7] - (x[7] >> 1);
+    e[2] = x[0] - x[4];
+    e[3] = x[1] + x[7] - x[3] - (x[3] >> 1);
+    e[4] = (x[2] >> 1) - x[6];
+    e[5] = -x[1] + x[7] + x[5] + (x[5] >> 1);
+    e[6] = x[2] + (x[6] >> 1);
+    e[7] = x[3] + x[5] + x[1] + (x[1] >> 1);
+    f[0] = e[0] + e[6];
+    f[1] = e[1] + (e[7] >> 2);
+    f[2] = e[2] + e[4];
+    f[3] = e[3] + (e[5] >> 2);
+    f[4] = e[2] - e[4];
+    f[5] = (e[3] >> 2) - e[5];
+    f[6] = e[0] - e[6];
+    f[7] = e[7] - (e[1] >> 2);
+    o[0] = f[0] + f[7];
+    o[1] = f[2] + f[5];
+    o[2] = f[4] + f[3];
+    o[3] = f[6] + f[1];
+    o[4] = f[6] - f[1];
+    o[5] = f[4] - f[3];
+    o[6] = f[2] - f[5];
+    o[7] = f[0] - f[7];
+}
+
+/* scan-order coefficients -> spatial residual (= recon_res8) */
+static void recon_res8_c(const i64 *zz64, int qp, i64 res[8][8])
+{
+    i64 dq[8][8], h[8][8];
+    dequant8_c(zz64, qp, dq);
+    for (int r = 0; r < 8; r++) {   /* horizontal pass (rows first) */
+        i64 o[8];
+        it8_butterfly(dq[r], o);
+        for (int c = 0; c < 8; c++)
+            h[r][c] = o[c];
+    }
+    for (int c = 0; c < 8; c++) {   /* vertical pass */
+        i64 x[8], o[8];
+        for (int r = 0; r < 8; r++)
+            x[r] = h[r][c];
+        it8_butterfly(x, o);
+        for (int r = 0; r < 8; r++)
+            res[r][c] = (o[r] + 32) >> 6;
+    }
+}
+
+/* reference-sample low-pass filter for Intra_8x8 (8.3.2.2.1);
+   t16/l8 in-out, has_tl with tl value; (= filter_refs8) */
+static void filter_refs8_c(i64 *t16, int has_t, i64 *l8, int has_l,
+                           i64 *tl, int has_tl)
+{
+    i64 ft[16], fl[8], ftl = 0;
+    if (has_t) {
+        if (has_tl)
+            ft[0] = (*tl + 2 * t16[0] + t16[1] + 2) >> 2;
+        else
+            ft[0] = (3 * t16[0] + t16[1] + 2) >> 2;
+        for (int i = 1; i < 15; i++)
+            ft[i] = (t16[i - 1] + 2 * t16[i] + t16[i + 1] + 2) >> 2;
+        ft[15] = (t16[14] + 3 * t16[15] + 2) >> 2;
+    }
+    if (has_l) {
+        if (has_tl)
+            fl[0] = (*tl + 2 * l8[0] + l8[1] + 2) >> 2;
+        else
+            fl[0] = (3 * l8[0] + l8[1] + 2) >> 2;
+        for (int i = 1; i < 7; i++)
+            fl[i] = (l8[i - 1] + 2 * l8[i] + l8[i + 1] + 2) >> 2;
+        fl[7] = (l8[6] + 3 * l8[7] + 2) >> 2;
+    }
+    if (has_tl) {
+        if (has_t && has_l)
+            ftl = (t16[0] + 2 * *tl + l8[0] + 2) >> 2;
+        else if (has_t)
+            ftl = (3 * *tl + t16[0] + 2) >> 2;
+        else if (has_l)
+            ftl = (3 * *tl + l8[0] + 2) >> 2;
+        else
+            ftl = *tl;
+    }
+    if (has_t)
+        memcpy(t16, ft, sizeof(ft));
+    if (has_l)
+        memcpy(l8, fl, sizeof(fl));
+    if (has_tl)
+        *tl = ftl;
+}
+
+/* Intra_8x8 prediction from FILTERED references (= pred8x8) */
+static void pred8x8_c(H264Dec *d, int mode, const i64 *t, int has_t,
+                      const i64 *l, int has_l, i64 tl, int has_tl,
+                      i64 p[8][8])
+{
+#define T4(i) ((i) == -1 ? tl : t[i])
+#define L4(i) ((i) == -1 ? tl : l[i])
+    switch (mode) {
+    case 0:  /* Vertical */
+        if (!has_t) dec_fail(d, "intra8x8 vertical without top");
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++)
+                p[y][x] = t[x];
+        break;
+    case 1:  /* Horizontal */
+        if (!has_l) dec_fail(d, "intra8x8 horizontal without left");
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++)
+                p[y][x] = l[y];
+        break;
+    case 2: {  /* DC */
+        i64 v;
+        if (has_t && has_l) {
+            i64 st = 0, sl = 0;
+            for (int i = 0; i < 8; i++) { st += t[i]; sl += l[i]; }
+            v = (st + sl + 8) >> 4;
+        } else if (has_t) {
+            i64 st = 0;
+            for (int i = 0; i < 8; i++) st += t[i];
+            v = (st + 4) >> 3;
+        } else if (has_l) {
+            i64 sl = 0;
+            for (int i = 0; i < 8; i++) sl += l[i];
+            v = (sl + 4) >> 3;
+        } else {
+            v = 128;
+        }
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++)
+                p[y][x] = v;
+        break;
+    }
+    case 3:  /* Diagonal-Down-Left */
+        if (!has_t) dec_fail(d, "intra8x8 ddl without top");
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) {
+                if (x == 7 && y == 7)
+                    p[y][x] = (t[14] + 3 * t[15] + 2) >> 2;
+                else
+                    p[y][x] = (t[x + y] + 2 * t[x + y + 1] + t[x + y + 2] + 2) >> 2;
+            }
+        break;
+    case 4:  /* Diagonal-Down-Right */
+        if (!has_t || !has_l || !has_tl)
+            dec_fail(d, "intra8x8 ddr without refs");
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) {
+                if (x > y)
+                    p[y][x] = (T4(x - y - 2) + 2 * T4(x - y - 1) + t[x - y] + 2) >> 2;
+                else if (x < y)
+                    p[y][x] = (L4(y - x - 2) + 2 * L4(y - x - 1) + l[y - x] + 2) >> 2;
+                else
+                    p[y][x] = (t[0] + 2 * tl + l[0] + 2) >> 2;
+            }
+        break;
+    case 5:  /* Vertical-Right */
+        if (!has_t || !has_l || !has_tl)
+            dec_fail(d, "intra8x8 vr without refs");
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) {
+                int z = 2 * x - y;
+                if (z >= 0 && z % 2 == 0)
+                    p[y][x] = (T4(x - (y >> 1) - 1) + T4(x - (y >> 1)) + 1) >> 1;
+                else if (z >= 0)
+                    p[y][x] = (T4(x - (y >> 1) - 2) + 2 * T4(x - (y >> 1) - 1)
+                               + T4(x - (y >> 1)) + 2) >> 2;
+                else if (z == -1)
+                    p[y][x] = (l[0] + 2 * tl + t[0] + 2) >> 2;
+                else
+                    p[y][x] = (L4(y - 2 * x - 1) + 2 * L4(y - 2 * x - 2)
+                               + L4(y - 2 * x - 3) + 2) >> 2;
+            }
+        break;
+    case 6:  /* Horizontal-Down */
+        if (!has_t || !has_l || !has_tl)
+            dec_fail(d, "intra8x8 hd without refs");
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) {
+                int z = 2 * y - x;
+                if (z >= 0 && z % 2 == 0)
+                    p[y][x] = (L4(y - (x >> 1) - 1) + L4(y - (x >> 1)) + 1) >> 1;
+                else if (z >= 0)
+                    p[y][x] = (L4(y - (x >> 1) - 2) + 2 * L4(y - (x >> 1) - 1)
+                               + L4(y - (x >> 1)) + 2) >> 2;
+                else if (z == -1)
+                    p[y][x] = (l[0] + 2 * tl + t[0] + 2) >> 2;
+                else
+                    p[y][x] = (T4(x - 2 * y - 1) + 2 * T4(x - 2 * y - 2)
+                               + T4(x - 2 * y - 3) + 2) >> 2;
+            }
+        break;
+    case 7:  /* Vertical-Left */
+        if (!has_t) dec_fail(d, "intra8x8 vl without top");
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) {
+                if (y % 2 == 0)
+                    p[y][x] = (t[x + (y >> 1)] + t[x + (y >> 1) + 1] + 1) >> 1;
+                else
+                    p[y][x] = (t[x + (y >> 1)] + 2 * t[x + (y >> 1) + 1]
+                               + t[x + (y >> 1) + 2] + 2) >> 2;
+            }
+        break;
+    case 8:  /* Horizontal-Up */
+        if (!has_l) dec_fail(d, "intra8x8 hu without left");
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) {
+                int z = x + 2 * y;
+                if (z < 13 && z % 2 == 0)
+                    p[y][x] = (l[y + (x >> 1)] + l[y + (x >> 1) + 1] + 1) >> 1;
+                else if (z < 13)
+                    p[y][x] = (l[y + (x >> 1)] + 2 * l[y + (x >> 1) + 1]
+                               + l[y + (x >> 1) + 2] + 2) >> 2;
+                else if (z == 13)
+                    p[y][x] = (l[6] + 3 * l[7] + 2) >> 2;
+                else
+                    p[y][x] = l[7];
+            }
+        break;
+    default:
+        dec_fail(d, "intra8x8 mode");
+    }
+#undef T4
+#undef L4
+}
+
+/* UNFILTERED reference samples for the 8x8 block at (px, py), with
+   top-right replication (= luma_neighbors8) */
+static void luma_neighbors8_c(Slice *s, int px, int py, i64 *t16, int *has_t,
+                              i64 *l8, int *has_l, i64 *tl, int *has_tl)
+{
+    H264Dec *d = s->d;
+    uint8_t *Y = YP(d);
+    long pw = d->pw;
+    int gx = px / 4, gy = py / 4;
+    int g4w = d->mbw * 4;
+    *has_t = 0;
+    *has_l = 0;
+    *has_tl = 0;
+    if (py > s->my0 * 16 && d->done4[(long)(gy - 1) * g4w + gx]
+        && d->done4[(long)(gy - 1) * g4w + gx + 1]) {
+        for (int i = 0; i < 8; i++)
+            t16[i] = Y[(long)(py - 1) * pw + px + i];
+        if (gx + 2 < g4w && d->done4[(long)(gy - 1) * g4w + gx + 2]) {
+            for (int i = 0; i < 8; i++)
+                t16[8 + i] = Y[(long)(py - 1) * pw + px + 8 + i];
+        } else {
+            for (int i = 0; i < 8; i++)
+                t16[8 + i] = Y[(long)(py - 1) * pw + px + 7];
+        }
+        *has_t = 1;
+    }
+    if (px > 0 && d->done4[(long)gy * g4w + gx - 1]
+        && d->done4[(long)(gy + 1) * g4w + gx - 1]) {
+        for (int i = 0; i < 8; i++)
+            l8[i] = Y[(long)(py + i) * pw + px - 1];
+        *has_l = 1;
+    }
+    if (*has_t && *has_l) {
+        *tl = Y[(long)(py - 1) * pw + px - 1];
+        *has_tl = 1;
+    }
+}
+
+/* the four prev/rem Intra_8x8 prediction modes, CAVLC bits
+   (= read_intra8x8_modes_cavlc) */
+static void read_intra8x8_modes_cavlc_c(Slice *s, BitReader *r, int mx,
+                                        int my, int *modes)
+{
+    H264Dec *d = s->d;
+    int g4w = d->mbw * 4;
+    for (int b = 0; b < 4; b++) {
+        int gx = mx * 4 + (b % 2) * 2;
+        int gy = my * 4 + (b / 2) * 2;
+        int ma = (gx > 0 && d->avail4[(long)gy * g4w + gx - 1])
+                     ? (int)d->i4mode[(long)gy * g4w + gx - 1] : -1;
+        int mb_ = (gy > s->my0 * 4 && d->avail4[(long)(gy - 1) * g4w + gx])
+                      ? (int)d->i4mode[(long)(gy - 1) * g4w + gx] : -1;
+        int pm = (ma >= 0 ? ma : 2) < (mb_ >= 0 ? mb_ : 2)
+                     ? (ma >= 0 ? ma : 2) : (mb_ >= 0 ? mb_ : 2);
+        if (ma < 0 || mb_ < 0)
+            pm = 2;
+        if (br_bit(r)) {
+            modes[b] = pm;
+        } else {
+            int rem = (int)br_u(r, 3);
+            modes[b] = rem < pm ? rem : rem + 1;
+        }
+        for (int dy = 0; dy < 2; dy++)
+            for (int dx = 0; dx < 2; dx++) {
+                long gi = (long)(gy + dy) * g4w + gx + dx;
+                d->i4mode[gi] = modes[b];
+                d->avail4[gi] = 1;
+            }
+    }
+}
+
+/* one 8x8 luma residual in CAVLC: four interleaved 4x4 blocks (7.3.5.3.2
+   — coeff i of sub-block k -> scan position 4*i + k); per-cell nnz
+   (= decode_luma8x8_block_cavlc) */
+static void decode_luma8x8_block_cavlc_c(Slice *s, BitReader *r, int b,
+                                         int mx, int my, int has, i64 *zz64)
+{
+    H264Dec *d = s->d;
+    int g4w = d->mbw * 4;
+    memset(zz64, 0, sizeof(i64) * 64);
+    for (int k = 0; k < 4; k++) {
+        int bx = BLK_ORDER[b * 4 + k][0], by = BLK_ORDER[b * 4 + k][1];
+        int gx = mx * 4 + bx, gy = my * 4 + by;
+        if (!has) {
+            d->nnz_l[(long)gy * g4w + gx] = 0;
+            continue;
+        }
+        int nc = nc_of(d->nnz_l, g4w, gx, gy, s->my0 * 4);
+        i64 zz[16];
+        cavlc_block(d, r, nc, 16, zz);
+        int nz = 0;
+        for (int i = 0; i < 16; i++) {
+            zz64[k + 4 * i] = zz[i];
+            nz += zz[i] != 0;
+        }
+        d->nnz_l[(long)gy * g4w + gx] = nz;
+    }
+}
+
+/* reconstruct the four 8x8 luma blocks in decode order
+   (= recon_intra8x8_luma); have[b] = block b carried residuals */
+static void recon_intra8x8_luma_c(Slice *s, int mx, int my, const int *modes,
+                                  const i64 zz64s[4][64], const int *have,
+                                  int qp)
+{
+    H264Dec *d = s->d;
+    uint8_t *Y = YP(d);
+    long pw = d->pw;
+    int g4w = d->mbw * 4;
+    for (int b = 0; b < 4; b++) {
+        int gx = mx * 4 + (b % 2) * 2;
+        int gy = my * 4 + (b / 2) * 2;
+        int px = gx * 4, py = gy * 4;
+        i64 t16[16], l8[8], tl = 0;
+        int has_t, has_l, has_tl;
+        luma_neighbors8_c(s, px, py, t16, &has_t, l8, &has_l, &tl, &has_tl);
+        filter_refs8_c(t16, has_t, l8, has_l, &tl, has_tl);
+        i64 pred[8][8];
+        pred8x8_c(d, modes[b], t16, has_t, l8, has_l, tl, has_tl, pred);
+        i64 res[8][8];
+        memset(res, 0, sizeof(res));
+        if (have[b])
+            recon_res8_c(zz64s[b], qp, res);
+        for (int rr2 = 0; rr2 < 8; rr2++)
+            for (int cc = 0; cc < 8; cc++)
+                Y[(long)(py + rr2) * pw + px + cc] =
+                    clip255(pred[rr2][cc] + res[rr2][cc]);
+        for (int dy = 0; dy < 2; dy++)
+            for (int dx = 0; dx < 2; dx++)
+                d->done4[(long)(gy + dy) * g4w + gx + dx] = 1;
+    }
+}
+
 static void chroma_residuals_cavlc(Slice *s, BitReader *r, int cbp_chroma,
                                    int mx, int my, const i64 vc[4][4],
                                    int qpc, i64 res[2][8][8])
@@ -1647,6 +2092,124 @@ static void recon_chroma(Slice *s, int mx, int my, int chroma_mode,
     }
 }
 
+/* full Intra_4x4 macroblock, CAVLC — shared by I slices and intra-in-P
+   (= the I-slice inline branch / _decode_intra4x4_cavlc) */
+static void decode_intra4x4_cavlc_c(Slice *s, BitReader *r, int mx, int my)
+{
+    H264Dec *d = s->d;
+    int g4w = d->mbw * 4;
+    uint8_t *Y = YP(d);
+    long pw = d->pw;
+    int modes[16];
+    for (int bi = 0; bi < 16; bi++) {
+        int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
+        int gx = mx * 4 + bx, gy = my * 4 + by;
+        int ma = (gx > 0 && d->avail4[(long)gy * g4w + gx - 1])
+                     ? (int)d->i4mode[(long)gy * g4w + gx - 1] : -1;
+        int mb_ = (gy > s->my0 * 4 && d->avail4[(long)(gy - 1) * g4w + gx])
+                      ? (int)d->i4mode[(long)(gy - 1) * g4w + gx] : -1;
+        int pm = (ma >= 0 ? ma : 2) < (mb_ >= 0 ? mb_ : 2)
+                     ? (ma >= 0 ? ma : 2) : (mb_ >= 0 ? mb_ : 2);
+        if (ma < 0 || mb_ < 0)
+            pm = 2;
+        if (br_bit(r)) {
+            modes[bi] = pm;
+        } else {
+            int rem = (int)br_u(r, 3);
+            modes[bi] = rem < pm ? rem : rem + 1;
+        }
+        d->i4mode[(long)gy * g4w + gx] = modes[bi];
+        d->avail4[(long)gy * g4w + gx] = 1;
+    }
+    int chroma_mode = (int)br_ue(r);
+    int cbp_code = (int)br_ue(r);
+    if (cbp_code >= 48)
+        dec_fail(d, "bad coded_block_pattern");
+    int cbp = CBP_INTRA[cbp_code];
+    int cbp_luma = cbp & 15, cbp_chroma = cbp >> 4;
+    if (cbp_chroma == 3)
+        dec_fail(d, "bad chroma cbp");
+    if (cbp)
+        s->qp += br_se(r);
+    int qpc = chroma_qp((s->qp + d->pps.chroma_off) < 0 ? 0 :
+                        ((s->qp + d->pps.chroma_off) > 51 ? 51 : s->qp + d->pps.chroma_off));
+    i64 vy[4][4], vc[4][4];
+    vmat(s->qp, vy);
+    vmat(qpc, vc);
+    for (int bi = 0; bi < 16; bi++) {
+        int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
+        int gx = mx * 4 + bx, gy = my * 4 + by;
+        int px = gx * 4, py = gy * 4;
+        int mode = modes[bi];
+        int need_tr = mode == 3 || mode == 7;
+        i64 t8[8], l4[4];
+        int has_t, has_l, tl;
+        luma_neighbors(s, px, py, need_tr, t8, &has_t, l4, &has_l, &tl);
+        i64 pred[4][4];
+        pred4x4(d, mode, has_t ? t8 : NULL, has_l ? l4 : NULL, tl, pred);
+        int has = (cbp_luma >> (bi / 4)) & 1;
+        i64 res[4][4] = {{0}};
+        if (has) {
+            int nc = nc_of(d->nnz_l, g4w, gx, gy, s->my0 * 4);
+            i64 zz[16];
+            cavlc_block(d, r, nc, 16, zz);
+            int nz = 0;
+            for (int i = 0; i < 16; i++)
+                nz += zz[i] != 0;
+            d->nnz_l[(long)gy * g4w + gx] = nz;
+            finish_block4(zz, (const i64(*)[4])vy, s->qp, 0, 0, res);
+        } else {
+            d->nnz_l[(long)gy * g4w + gx] = 0;
+        }
+        for (int rr2 = 0; rr2 < 4; rr2++)
+            for (int cc = 0; cc < 4; cc++)
+                Y[(long)(py + rr2) * pw + px + cc] =
+                    clip255(pred[rr2][cc] + res[rr2][cc]);
+        d->done4[(long)gy * g4w + gx] = 1;
+    }
+    i64 cres[2][8][8];
+    chroma_residuals_cavlc(s, r, cbp_chroma, mx, my, (const i64(*)[4])vc,
+                           qpc, cres);
+    recon_chroma(s, mx, my, chroma_mode, (const i64(*)[8][8])cres);
+}
+
+/* full Intra_8x8 macroblock, CAVLC — shared by I slices and intra-in-P
+   (= _decode_intra8x8_cavlc); the transform_size_8x8_flag bit was
+   already consumed by the caller */
+static void decode_intra8x8_cavlc_c(Slice *s, BitReader *r, int mx, int my)
+{
+    H264Dec *d = s->d;
+    int modes[4];
+    read_intra8x8_modes_cavlc_c(s, r, mx, my, modes);
+    int chroma_mode = (int)br_ue(r);
+    int cbp_code = (int)br_ue(r);
+    if (cbp_code >= 48)
+        dec_fail(d, "bad coded_block_pattern");
+    int cbp = CBP_INTRA[cbp_code];
+    int cbp_luma = cbp & 15, cbp_chroma = cbp >> 4;
+    if (cbp_chroma == 3)
+        dec_fail(d, "bad chroma cbp");
+    if (cbp)
+        s->qp += br_se(r);
+    int qpc = chroma_qp((s->qp + d->pps.chroma_off) < 0 ? 0 :
+                        ((s->qp + d->pps.chroma_off) > 51 ? 51 : s->qp + d->pps.chroma_off));
+    i64 vc[4][4];
+    vmat(qpc, vc);
+    i64 zz64s[4][64];
+    int have[4];
+    for (int b = 0; b < 4; b++) {
+        have[b] = (cbp_luma >> b) & 1;
+        decode_luma8x8_block_cavlc_c(s, r, b, mx, my, have[b], zz64s[b]);
+    }
+    recon_intra8x8_luma_c(s, mx, my, modes, (const i64(*)[64])zz64s, have,
+                          s->qp);
+    i64 cres[2][8][8];
+    chroma_residuals_cavlc(s, r, cbp_chroma, mx, my, (const i64(*)[4])vc,
+                           qpc, cres);
+    recon_chroma(s, mx, my, chroma_mode, (const i64(*)[8][8])cres);
+    d->db_t8x8[(long)my * d->mbw + mx] = 1;
+}
+
 /* ------------------------------------------------------------------ */
 /* CAVLC I slice (= IntraDecoder._decode_slice)                        */
 /* ------------------------------------------------------------------ */
@@ -1751,78 +2314,15 @@ static void decode_slice_cavlc_i(H264Dec *d, const uint8_t *rbsp, long rlen,
             continue;
         }
 
+        if (mb_type == 0 && d->pps.transform_8x8 && br_bit(r)) {
+            /* I_NxN with transform_size_8x8_flag == 1 (Intra_8x8) */
+            decode_intra8x8_cavlc_c(s, r, mx, my);
+            record_mb(s, my, mx, 1, 0);
+            continue;
+        }
+
         if (mb_type == 0) { /* I_4x4 */
-            int modes[16];
-            for (int bi = 0; bi < 16; bi++) {
-                int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
-                int gx = mx * 4 + bx, gy = my * 4 + by;
-                int ma = (gx > 0 && d->avail4[(long)gy * g4w + gx - 1])
-                             ? (int)d->i4mode[(long)gy * g4w + gx - 1] : -1;
-                int mb_ = (gy > s->my0 * 4 && d->avail4[(long)(gy - 1) * g4w + gx])
-                              ? (int)d->i4mode[(long)(gy - 1) * g4w + gx] : -1;
-                int pm = (ma >= 0 ? ma : 2) < (mb_ >= 0 ? mb_ : 2)
-                             ? (ma >= 0 ? ma : 2) : (mb_ >= 0 ? mb_ : 2);
-                if (ma < 0 || mb_ < 0)
-                    pm = 2;
-                if (br_bit(r)) {
-                    modes[bi] = pm;
-                } else {
-                    int rem = (int)br_u(r, 3);
-                    modes[bi] = rem < pm ? rem : rem + 1;
-                }
-                d->i4mode[(long)gy * g4w + gx] = modes[bi];
-                d->avail4[(long)gy * g4w + gx] = 1;
-            }
-            int chroma_mode = (int)br_ue(r);
-            int cbp_code = (int)br_ue(r);
-            if (cbp_code >= 48)
-                dec_fail(d, "bad coded_block_pattern");
-            int cbp = CBP_INTRA[cbp_code];
-            int cbp_luma = cbp & 15, cbp_chroma = cbp >> 4;
-            if (cbp_chroma == 3)
-                dec_fail(d, "bad chroma cbp");
-            if (cbp) {
-                s->qp += br_se(r);
-                qpc = chroma_qp((s->qp + d->pps.chroma_off) < 0 ? 0 :
-                                ((s->qp + d->pps.chroma_off) > 51 ? 51 : s->qp + d->pps.chroma_off));
-                vmat(s->qp, vy);
-                vmat(qpc, vc);
-            }
-            for (int bi = 0; bi < 16; bi++) {
-                int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
-                int gx = mx * 4 + bx, gy = my * 4 + by;
-                int px = gx * 4, py = gy * 4;
-                int mode = modes[bi];
-                int need_tr = mode == 3 || mode == 7;
-                i64 t8[8], l4[4];
-                int has_t, has_l, tl;
-                luma_neighbors(s, px, py, need_tr, t8, &has_t, l4, &has_l, &tl);
-                i64 pred[4][4];
-                pred4x4(d, mode, has_t ? t8 : NULL, has_l ? l4 : NULL, tl, pred);
-                int has = (cbp_luma >> (bi / 4)) & 1;
-                i64 res[4][4] = {{0}};
-                if (has) {
-                    int nc = nc_of(d->nnz_l, g4w, gx, gy, s->my0 * 4);
-                    i64 zz[16];
-                    cavlc_block(d, r, nc, 16, zz);
-                    int nz = 0;
-                    for (int i = 0; i < 16; i++)
-                        nz += zz[i] != 0;
-                    d->nnz_l[(long)gy * g4w + gx] = nz;
-                    finish_block4(zz, vy, s->qp, 0, 0, res);
-                } else {
-                    d->nnz_l[(long)gy * g4w + gx] = 0;
-                }
-                for (int rr2 = 0; rr2 < 4; rr2++)
-                    for (int cc = 0; cc < 4; cc++)
-                        Y[(long)(py + rr2) * pw + px + cc] =
-                            clip255(pred[rr2][cc] + res[rr2][cc]);
-                d->done4[(long)gy * g4w + gx] = 1;
-            }
-            i64 cres[2][8][8];
-            chroma_residuals_cavlc(s, r, cbp_chroma, mx, my,
-                                   (const i64(*)[4])vc, qpc, cres);
-            recon_chroma(s, mx, my, chroma_mode, (const i64(*)[8][8])cres);
+            decode_intra4x4_cavlc_c(s, r, mx, my);
             record_mb(s, my, mx, 1, 0);
             continue;
         }
@@ -2060,8 +2560,13 @@ static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
                        (const i64(*)[8][8])predc, zero16, zero8);
             fill4_c(d, my * 4, mx * 4, 4, 4, mvx, mvy, 0);
             for (int by = 0; by < 4; by++)
-                for (int bx = 0; bx < 4; bx++)
-                    d->nnz_l[(long)(my * 4 + by) * g4w + mx * 4 + bx] = 0;
+                for (int bx = 0; bx < 4; bx++) {
+                    long gi = (long)(my * 4 + by) * g4w + mx * 4 + bx;
+                    d->nnz_l[gi] = 0;
+                    d->done4[gi] = 1;
+                    d->avail4[gi] = 1;
+                    d->i4mode[gi] = 2;
+                }
             record_mb(s, my, mx, 0, 0);
             mb_addr++;
         }
@@ -2072,6 +2577,7 @@ static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
         int mb_type = (int)br_ue(r);
         if (mb_type <= 4) { /* inter MB */
             int gy0 = my * 4, gx0 = mx * 4;
+            int all_sub8 = 1;   /* no P_8x8 partition below 8x8 */
             i64 pred16[16][16], predc[2][8][8];
             memset(pred16, 0, sizeof(pred16));
             memset(predc, 0, sizeof(predc));
@@ -2117,6 +2623,8 @@ static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
                     subs[b] = (int)br_ue(r);
                     if (subs[b] > 3)
                         dec_fail(d, "sub_mb_type");
+                    if (subs[b] != 0)
+                        all_sub8 = 0;
                 }
                 int ris[4] = {0, 0, 0, 0};
                 if (mb_type == 3)
@@ -2147,6 +2655,12 @@ static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
             int cbp_luma = cbp & 15, cbp_chroma = cbp >> 4;
             if (cbp_chroma == 3)
                 dec_fail(d, "bad chroma cbp");
+            /* transform_size_8x8_flag (7.3.5): after cbp, before dqp;
+               only when luma is coded and no partition is below 8x8 */
+            int t8 = 0;
+            if (cbp_luma && d->pps.transform_8x8
+                && (mb_type <= 2 || all_sub8))
+                t8 = br_bit(r);
             i64 lres[16][16];
             i64 cres[2][8][8];
             memset(lres, 0, sizeof(lres));
@@ -2161,24 +2675,41 @@ static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
             vmat(s->qp, vy);
             vmat(qpc, vc);
             if (cbp_luma || cbp_chroma) {
-                for (int bi = 0; bi < 16; bi++) {
-                    int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
-                    int gx = mx * 4 + bx, gy = my * 4 + by;
-                    if ((cbp_luma >> (bi / 4)) & 1) {
-                        int nc = nc_of(d->nnz_l, g4w, gx, gy, s->my0 * 4);
-                        i64 zz[16];
-                        cavlc_block(d, r, nc, 16, zz);
-                        int nz = 0;
-                        for (int i = 0; i < 16; i++)
-                            nz += zz[i] != 0;
-                        d->nnz_l[(long)gy * g4w + gx] = nz;
-                        i64 res[4][4];
-                        finish_block4(zz, (const i64(*)[4])vy, s->qp, 0, 0, res);
-                        for (int rr2 = 0; rr2 < 4; rr2++)
-                            for (int cc = 0; cc < 4; cc++)
-                                lres[by * 4 + rr2][bx * 4 + cc] = res[rr2][cc];
-                    } else {
-                        d->nnz_l[(long)gy * g4w + gx] = 0;
+                if (t8) {
+                    for (int b = 0; b < 4; b++) {
+                        int has = (cbp_luma >> b) & 1;
+                        i64 zz64[64];
+                        decode_luma8x8_block_cavlc_c(s, r, b, mx, my, has,
+                                                     zz64);
+                        if (has) {
+                            i64 res[8][8];
+                            recon_res8_c(zz64, s->qp, res);
+                            int py8 = (b / 2) * 8, px8 = (b % 2) * 8;
+                            for (int rr2 = 0; rr2 < 8; rr2++)
+                                for (int cc = 0; cc < 8; cc++)
+                                    lres[py8 + rr2][px8 + cc] = res[rr2][cc];
+                        }
+                    }
+                } else {
+                    for (int bi = 0; bi < 16; bi++) {
+                        int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
+                        int gx = mx * 4 + bx, gy = my * 4 + by;
+                        if ((cbp_luma >> (bi / 4)) & 1) {
+                            int nc = nc_of(d->nnz_l, g4w, gx, gy, s->my0 * 4);
+                            i64 zz[16];
+                            cavlc_block(d, r, nc, 16, zz);
+                            int nz = 0;
+                            for (int i = 0; i < 16; i++)
+                                nz += zz[i] != 0;
+                            d->nnz_l[(long)gy * g4w + gx] = nz;
+                            i64 res[4][4];
+                            finish_block4(zz, (const i64(*)[4])vy, s->qp, 0, 0, res);
+                            for (int rr2 = 0; rr2 < 4; rr2++)
+                                for (int cc = 0; cc < 4; cc++)
+                                    lres[by * 4 + rr2][bx * 4 + cc] = res[rr2][cc];
+                        } else {
+                            d->nnz_l[(long)gy * g4w + gx] = 0;
+                        }
                     }
                 }
                 chroma_residuals_cavlc(s, r, cbp_chroma, mx, my,
@@ -2195,7 +2726,16 @@ static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
             recon_p_mb(s, mx, my, (const i64(*)[16])pred16,
                        (const i64(*)[8][8])predc, (const i64(*)[16])lres,
                        (const i64(*)[8][8])cres);
+            for (int by = 0; by < 4; by++)
+                for (int bx = 0; bx < 4; bx++) {
+                    long gi = (long)(my * 4 + by) * g4w + mx * 4 + bx;
+                    d->done4[gi] = 1;
+                    d->avail4[gi] = 1;
+                    d->i4mode[gi] = 2;
+                }
             record_mb(s, my, mx, 0, 0);
+            if (t8)
+                d->db_t8x8[(long)my * mbw + mx] = 1;
             continue;
         }
         int it = mb_type - 5;
@@ -2209,9 +2749,24 @@ static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
             }
         if (it == 25)
             dec_fail(d, "I_PCM in P not supported");
+        if (it == 0) { /* I_NxN in P */
+            if (d->pps.transform_8x8 && br_bit(r))
+                decode_intra8x8_cavlc_c(s, r, mx, my);
+            else
+                decode_intra4x4_cavlc_c(s, r, mx, my);
+            record_mb(s, my, mx, 1, 0);
+            continue;
+        }
         if (it < 1 || it > 24)
             dec_fail(d, "intra-in-P mb_type");
         decode_i16_in_p_cavlc(s, r, it, mx, my);
+        for (int by = 0; by < 4; by++)
+            for (int bx = 0; bx < 4; bx++) {
+                long gi = (long)(my * 4 + by) * g4w + mx * 4 + bx;
+                d->done4[gi] = 1;
+                d->avail4[gi] = 1;
+                d->i4mode[gi] = 2;
+            }
         record_mb(s, my, mx, 1, 0);
     }
 }
@@ -2315,33 +2870,13 @@ static int cab_terminate(Cab *e)
 static const int SIG_OFF[5] = {0, 15, 29, 44, 47};
 static const int LVL_OFF[5] = {0, 10, 20, 30, 39};
 
-/* decode one residual block; returns 0 when coded_block_flag == 0 */
-static int residual_cabac(H264Dec *d, Cab *e, int cat, int n_coeffs,
-                          int cbf_inc, i64 *out /* n_coeffs, zigzag */)
+/* coeff_abs_level_minus1 + sign for a decoded significance map, shared
+   by all ctxBlockCats incl. cat 5 (= _levels_from_sig; UEG0 escape) */
+static void levels_from_sig(Cab *e, const uint8_t *sig, int n_coeffs,
+                            int lvl_base, int cap, i64 *out)
 {
-    (void)d;
-    if (!cab_decision(e, 85 + 4 * cat + cbf_inc))
-        return 0;
-    int sig_base = 105 + SIG_OFF[cat];
-    int last_base = 166 + SIG_OFF[cat];
-    int lvl_base = 227 + LVL_OFF[cat];
-    uint8_t sig[64] = {0};
-    int i = 0, ended = 0;
-    while (i < n_coeffs - 1) {
-        if (cab_decision(e, sig_base + i)) {
-            sig[i] = 1;
-            if (cab_decision(e, last_base + i)) {
-                ended = 1;
-                break;
-            }
-        }
-        i++;
-    }
-    if (!ended)
-        sig[n_coeffs - 1] = 1;
     memset(out, 0, sizeof(i64) * (size_t)n_coeffs);
     int num_eq1 = 0, num_gt1 = 0;
-    int cap = 4 - (cat == 3 ? 1 : 0);
     for (int pos = n_coeffs - 1; pos >= 0; pos--) {
         if (!sig[pos])
             continue;
@@ -2370,7 +2905,56 @@ static int residual_cabac(H264Dec *d, Cab *e, int cat, int n_coeffs,
             level = -level;
         out[pos] = level;
     }
+}
+
+/* decode one residual block; returns 0 when coded_block_flag == 0 */
+static int residual_cabac(H264Dec *d, Cab *e, int cat, int n_coeffs,
+                          int cbf_inc, i64 *out /* n_coeffs, zigzag */)
+{
+    (void)d;
+    if (!cab_decision(e, 85 + 4 * cat + cbf_inc))
+        return 0;
+    int sig_base = 105 + SIG_OFF[cat];
+    int last_base = 166 + SIG_OFF[cat];
+    int lvl_base = 227 + LVL_OFF[cat];
+    uint8_t sig[64] = {0};
+    int i = 0, ended = 0;
+    while (i < n_coeffs - 1) {
+        if (cab_decision(e, sig_base + i)) {
+            sig[i] = 1;
+            if (cab_decision(e, last_base + i)) {
+                ended = 1;
+                break;
+            }
+        }
+        i++;
+    }
+    if (!ended)
+        sig[n_coeffs - 1] = 1;
+    levels_from_sig(e, sig, n_coeffs, lvl_base, 4 - (cat == 3 ? 1 : 0), out);
     return 1;
+}
+
+/* ctxBlockCat 5 (luma 8x8, frame-coded): 64-coefficient significance map
+   with the Table 9-43 maps; no coded_block_flag — the CBP bit implies
+   coded (9.3.3.1.1.9).  (= _residual_cabac8) */
+static void residual_cabac8(H264Dec *d, Cab *e, i64 *out /* 64, scan */)
+{
+    uint8_t sig[64] = {0};
+    int i = 0, ended = 0;
+    while (i < 63) {
+        if (cab_decision(e, 402 + d->sig8[i])) {
+            sig[i] = 1;
+            if (cab_decision(e, 417 + d->last8[i])) {
+                ended = 1;
+                break;
+            }
+        }
+        i++;
+    }
+    if (!ended)
+        sig[63] = 1;
+    levels_from_sig(e, sig, 64, 426, 4, out);
 }
 
 /* mvd component (UEG3, ctx 9.3.3.1.1.7) */
@@ -2461,6 +3045,7 @@ static void clear_mb_ctx_c(H264Dec *d, int mx, int my, int intra, int skip)
     d->c_skip[mi] = (uint8_t)skip;
     d->c_intra[mi] = (uint8_t)intra;
     d->c_pcm[mi] = 0;
+    d->db_t8x8[mi] = 0;
     d->c_i16[mi] = 0;
     d->c_chroma_mode[mi] = 0;
     d->c_cbp_l[mi] = 0;
@@ -2584,6 +3169,52 @@ static void read_cbp_c(H264Dec *d, CabSlice *cs, int mx, int my,
         cc = 1 + cab_decision(e, 81 + (ca == 2 ? 1 : 0) + (cb == 2 ? 2 : 0));
     *cbp_luma = cbp;
     *cbp_chroma = cc;
+}
+
+/* transform_size_8x8_flag (9.3.3.1.1.10): ctx 399 + condA + condB */
+static int read_t8_flag_cab(H264Dec *d, CabSlice *cs, int mx, int my)
+{
+    int mbw = d->mbw;
+    int inc = 0;
+    if (mx > 0 && d->db_t8x8[(long)my * mbw + mx - 1])
+        inc++;
+    if (my > cs->s.my0 && d->db_t8x8[(long)(my - 1) * mbw + mx])
+        inc++;
+    return cab_decision(&cs->e, 399 + inc);
+}
+
+/* the four 8x8 luma residual blocks (cat 5) -> 16x16 spatial residual;
+   cbf cells carry the CBP bit (what 4x4 neighbours see, 9.3.3.1.1.9),
+   nnz cells carry the interleaved sub-block counts
+   (= decode_luma8x8_cabac) */
+static void decode_luma8x8_cab(H264Dec *d, CabSlice *cs, int mx, int my,
+                               int cbp_luma_mb, int qp, i64 lres[16][16])
+{
+    int g4w = d->mbw * 4;
+    for (int b = 0; b < 4; b++) {
+        int has = (cbp_luma_mb >> b) & 1;
+        i64 zz64[64];
+        if (has)
+            residual_cabac8(d, &cs->e, zz64);
+        for (int k = 0; k < 4; k++) {
+            int bx = BLK_ORDER[b * 4 + k][0], by = BLK_ORDER[b * 4 + k][1];
+            long gi = (long)(my * 4 + by) * g4w + mx * 4 + bx;
+            d->c_cbf_l4[gi] = has ? 1 : 0;
+            int nz = 0;
+            if (has)
+                for (int i = 0; i < 16; i++)
+                    nz += zz64[k + 4 * i] != 0;
+            d->nnz_l[gi] = nz;
+        }
+        if (has) {
+            i64 res[8][8];
+            recon_res8_c(zz64, qp, res);
+            int py8 = (b / 2) * 8, px8 = (b % 2) * 8;
+            for (int rr2 = 0; rr2 < 8; rr2++)
+                for (int cc = 0; cc < 8; cc++)
+                    lres[py8 + rr2][px8 + cc] = res[rr2][cc];
+        }
+    }
 }
 
 static int read_ref_idx_cab(H264Dec *d, CabSlice *cs, int gy, int gx)
@@ -2725,6 +3356,87 @@ static void decode_intra_mb_cab(H264Dec *d, CabSlice *cs, int mx, int my,
     long pw = d->pw;
     if (mb_type == 25)
         dec_fail(d, "I_PCM in CABAC stream");
+    if (mb_type == 0 && d->pps.transform_8x8
+        && read_t8_flag_cab(d, cs, mx, my)) {
+        /* ---- Intra_8x8 (High profile) ---- */
+        int modes8[4];
+        for (int b = 0; b < 4; b++) {
+            int gx = mx * 4 + (b % 2) * 2;
+            int gy = my * 4 + (b / 2) * 2;
+            int ma = (gx > 0 && d->avail4[(long)gy * g4w + gx - 1])
+                         ? (int)d->i4mode[(long)gy * g4w + gx - 1] : -1;
+            int mb_ = (gy > s->my0 * 4 && d->avail4[(long)(gy - 1) * g4w + gx])
+                          ? (int)d->i4mode[(long)(gy - 1) * g4w + gx] : -1;
+            int pm = (ma >= 0 ? ma : 2) < (mb_ >= 0 ? mb_ : 2)
+                         ? (ma >= 0 ? ma : 2) : (mb_ >= 0 ? mb_ : 2);
+            if (ma < 0 || mb_ < 0)
+                pm = 2;
+            if (cab_decision(e, 68)) {
+                modes8[b] = pm;
+            } else {
+                int rem = cab_decision(e, 69);
+                rem += 2 * cab_decision(e, 69);
+                rem += 4 * cab_decision(e, 69);
+                modes8[b] = rem < pm ? rem : rem + 1;
+            }
+            for (int dy = 0; dy < 2; dy++)
+                for (int dx = 0; dx < 2; dx++) {
+                    long gi = (long)(gy + dy) * g4w + gx + dx;
+                    d->i4mode[gi] = modes8[b];
+                    d->avail4[gi] = 1;
+                }
+        }
+        int chroma_mode8 = read_chroma_mode_c(d, cs, mx, my);
+        int cbp_l8, cbp_c8;
+        read_cbp_c(d, cs, mx, my, &cbp_l8, &cbp_c8);
+        d->c_intra[mi] = 1;
+        d->c_i16[mi] = 0;
+        d->db_t8x8[mi] = 1;
+        d->c_chroma_mode[mi] = chroma_mode8;
+        d->c_cbp_l[mi] = cbp_l8;
+        d->c_cbp_c[mi] = cbp_c8;
+        if (cbp_l8 || cbp_c8) {
+            int dqp = read_dqp_c(d, e, cs->last_dqp);
+            cs->last_dqp = dqp;
+            s->qp += dqp;
+        } else {
+            cs->last_dqp = 0;
+        }
+        int qpc8 = chroma_qp((s->qp + d->pps.chroma_off) < 0 ? 0 :
+                             ((s->qp + d->pps.chroma_off) > 51 ? 51 : s->qp + d->pps.chroma_off));
+        i64 vc8[4][4];
+        vmat(qpc8, vc8);
+        i64 lres8[16][16];
+        memset(lres8, 0, sizeof(lres8));
+        decode_luma8x8_cab(d, cs, mx, my, cbp_l8, s->qp, lres8);
+        for (int b = 0; b < 4; b++) {
+            int gx = mx * 4 + (b % 2) * 2;
+            int gy = my * 4 + (b / 2) * 2;
+            int px = gx * 4, py = gy * 4;
+            i64 t16[16], l8[8], tl = 0;
+            int has_t, has_l, has_tl;
+            luma_neighbors8_c(s, px, py, t16, &has_t, l8, &has_l, &tl,
+                              &has_tl);
+            filter_refs8_c(t16, has_t, l8, has_l, &tl, has_tl);
+            i64 pred[8][8];
+            pred8x8_c(d, modes8[b], t16, has_t, l8, has_l, tl, has_tl, pred);
+            int py8 = (b / 2) * 8, px8 = (b % 2) * 8;
+            for (int rr2 = 0; rr2 < 8; rr2++)
+                for (int cc = 0; cc < 8; cc++)
+                    Y[(long)(py + rr2) * pw + px + cc] = clip255(
+                        pred[rr2][cc] + lres8[py8 + rr2][px8 + cc]);
+            for (int dy = 0; dy < 2; dy++)
+                for (int dx = 0; dx < 2; dx++)
+                    d->done4[(long)(gy + dy) * g4w + gx + dx] = 1;
+        }
+        i64 cres8[2][8][8];
+        chroma_residuals_cab(d, cs, cbp_c8, mx, my, (const i64(*)[4])vc8,
+                             qpc8, cres8);
+        recon_chroma(s, mx, my, chroma_mode8, (const i64(*)[8][8])cres8);
+        record_mb(s, my, mx, 1, 0);
+        d->db_t8x8[mi] = 1;
+        return;
+    }
     int modes[16];
     int chroma_mode, cbp_luma_mb, cbp_chroma;
     if (mb_type == 0) {
@@ -2917,6 +3629,7 @@ static void decode_p_mb_cab(H264Dec *d, CabSlice *cs, int mx, int my,
     Cab *e = &cs->e;
     int g4w = d->mbw * 4, g2w = d->mbw * 2;
     int gy0 = my * 4, gx0 = mx * 4;
+    int all_sub8 = 1;   /* no P_8x8 partition below 8x8 */
     i64 pred16[16][16], predc[2][8][8];
     memset(pred16, 0, sizeof(pred16));
     memset(predc, 0, sizeof(predc));
@@ -2978,6 +3691,8 @@ static void decode_p_mb_cab(H264Dec *d, CabSlice *cs, int mx, int my,
                 subs[b] = 2;
             else
                 subs[b] = 3;
+            if (subs[b] != 0)
+                all_sub8 = 0;
         }
         int ris[4];
         for (int b = 0; b < 4; b++) {
@@ -3011,6 +3726,14 @@ static void decode_p_mb_cab(H264Dec *d, CabSlice *cs, int mx, int my,
     long mi = (long)my * d->mbw + mx;
     d->c_cbp_l[mi] = cbp_luma_mb;
     d->c_cbp_c[mi] = cbp_chroma;
+    /* transform_size_8x8_flag (7.3.5): after cbp, before dqp; only when
+       luma is coded and no partition is below 8x8 */
+    int t8 = 0;
+    if (cbp_luma_mb && d->pps.transform_8x8
+        && (mb_type <= 2 || all_sub8)) {
+        t8 = read_t8_flag_cab(d, cs, mx, my);
+        d->db_t8x8[mi] = (uint8_t)t8;
+    }
     i64 lres[16][16];
     i64 cres[2][8][8];
     memset(lres, 0, sizeof(lres));
@@ -3024,6 +3747,9 @@ static void decode_p_mb_cab(H264Dec *d, CabSlice *cs, int mx, int my,
         i64 vy[4][4], vc[4][4];
         vmat(s->qp, vy);
         vmat(qpc, vc);
+        if (t8) {
+            decode_luma8x8_cab(d, cs, mx, my, cbp_luma_mb, s->qp, lres);
+        } else
         for (int bi = 0; bi < 16; bi++) {
             int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
             int gx = mx * 4 + bx, gy = my * 4 + by;
@@ -3278,13 +4004,12 @@ static void parse_pps(H264Dec *d, const uint8_t *rbsp, long rlen, PPS *pps)
     pps->dbf_ctrl = (int)br_u(r, 1);
     br_u(r, 1);
     br_u(r, 1);
+    pps->transform_8x8 = 0;
     if (br_more_rbsp(r)) {
-        int t8 = (int)br_u(r, 1);
+        pps->transform_8x8 = (int)br_u(r, 1);
         if (br_bit(r))
             dec_fail(d, "pic scaling matrices");
         br_se(r);
-        if (t8)
-            dec_fail(d, "8x8 transform");
     }
     pps->valid = 1;
 }
@@ -3313,6 +4038,8 @@ static void free_geometry(H264Dec *d)
         free_refpic(&d->spare[i]);
     d->spare_n = 0;
     free(d->db_intra); free(d->db_ipcm); free(d->db_decoded);
+    free(d->db_t8x8);
+    d->db_t8x8 = NULL;
     free(d->db_qp); free(d->db_slice); free(d->db_idc);
     free(d->db_offa); free(d->db_offb);
     free(d->nnz_l); free(d->mv4); free(d->ref4);
@@ -3348,6 +4075,7 @@ static void alloc_geometry(H264Dec *d)
     d->db_intra = xalloc(d, nmb);
     d->db_ipcm = xalloc(d, nmb);
     d->db_decoded = xalloc(d, nmb);
+    d->db_t8x8 = xalloc(d, nmb);
     d->db_qp = xalloc(d, nmb * 4);
     d->db_slice = xalloc(d, nmb * 4);
     d->db_idc = xalloc(d, nmb * 4);
@@ -3387,6 +4115,7 @@ static void reset_picture(H264Dec *d)
     memset(d->db_intra, 0, (size_t)nmb);
     memset(d->db_ipcm, 0, (size_t)nmb);
     memset(d->db_decoded, 0, (size_t)nmb);
+    memset(d->db_t8x8, 0, (size_t)nmb);
     memset(d->db_qp, 0, (size_t)nmb * 4);
     for (long i = 0; i < nmb; i++) {
         d->db_slice[i] = -1;
@@ -3576,7 +4305,8 @@ static int decode_au_inner(H264Dec *d, const uint8_t *au, long size)
 
 void *h264fast_create(const uint8_t *vlc_blob, long vlc_len,
                       const int8_t *ctx_init, const int32_t *range_tab,
-                      const int32_t *trans_lps)
+                      const int32_t *trans_lps, const int32_t *sig8,
+                      const int32_t *last8)
 {
     H264Dec *d = calloc(1, sizeof(H264Dec));
     if (!d)
@@ -3588,6 +4318,8 @@ void *h264fast_create(const uint8_t *vlc_blob, long vlc_len,
     memcpy(d->ctx_init, ctx_init, sizeof(d->ctx_init));
     memcpy(d->range_tab, range_tab, sizeof(d->range_tab));
     memcpy(d->trans_lps, trans_lps, sizeof(d->trans_lps));
+    memcpy(d->sig8, sig8, sizeof(d->sig8));
+    memcpy(d->last8, last8, sizeof(d->last8));
     return d;
 }
 

@@ -118,7 +118,13 @@ def test_fast_decoder_own_encoder_streams():
      "x264opts=bframes=0:weightp=0"),
     ("cabac-high-multiref",
      "codec=H.264:encoder=libx264:profile=high:qp=28:g=6:aq-mode=0:"
-     "x264opts=bframes=0:weightp=0:8x8dct=0:ref=3"),
+     "x264opts=bframes=0:weightp=0:ref=3"),
+    ("cavlc-high-8x8",
+     "codec=H.264:encoder=libx264:profile=high:qp=24:g=6:aq-mode=0:"
+     "x264opts=bframes=0:weightp=0:coder=0"),
+    ("cabac-high-8x8-dense",
+     "codec=H.264:encoder=libx264:profile=high:qp=20:g=6:aq-mode=0:"
+     "x264opts=bframes=0:weightp=0"),
 ])
 def test_fast_decoder_foreign_matrix(tag, spec):
     """libx264 streams across the supported envelope decode identically
@@ -149,8 +155,8 @@ def test_fast_decoder_foreign_matrix(tag, spec):
                 "aq-mode=0:x264opts=bframes=2"),
     ("weightp", "codec=H.264:encoder=libx264:profile=main:qp=28:g=6:"
                 "aq-mode=0:x264opts=bframes=0:weightp=2"),
-    ("8x8dct", "codec=H.264:encoder=libx264:profile=high:qp=28:g=1:"
-               "aq-mode=0:x264opts=8x8dct=1"),
+    ("interlace", "codec=H.264:encoder=libx264:profile=high:qp=28:g=6:"
+                  "aq-mode=0:bf=0:weightp=0:x264opts=tff=1"),
 ])
 def test_fast_decoder_unsupported_raises(tag, spec):
     """Out-of-envelope features raise UnsupportedStream cleanly (so the

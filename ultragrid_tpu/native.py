@@ -315,7 +315,7 @@ def h264_fast_lib() -> Optional[ctypes.CDLL]:
     lib.h264fast_create.restype = ctypes.c_void_p
     lib.h264fast_create.argtypes = [
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.h264fast_decode_au.restype = ctypes.c_int
     lib.h264fast_decode_au.argtypes = [

@@ -34,17 +34,21 @@ _BETA = np.array(
        11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18],
     np.int64,
 )
-# Table 8-17: tc0 for bS = 1, 2, 3 (rows) by indexA (cols)
+# Table 8-17: tc0 for bS = 1, 2, 3 (rows) by indexA (cols).  Byte-verified
+# against libx264's rodata copy of the ISO table (tests/test_h264.py
+# deblock-table drift check); an earlier transcription had bS=1 starting
+# one step too early (indexA 21 vs 23), which showed up only as +/-1
+# chroma deblock deltas on dense (qp<=24) inter streams.
 _TC0 = np.array(
     [
         [0] * 16
-        + [0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2,
+        + [0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2,
            3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13],
         [0] * 16
         + [0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3,
-           3, 4, 4, 5, 5, 6, 7, 8, 8, 9, 10, 12, 13, 15, 17],
+           3, 4, 4, 5, 5, 6, 7, 8, 8, 10, 11, 12, 13, 15, 17],
         [0] * 16
-        + [1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4, 4, 4,
+        + [0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4, 4, 4,
            5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 23, 25],
     ],
     np.int64,

@@ -82,6 +82,7 @@ class FastStreamDecoder:
         self._lib = h264_fast_lib()
         if self._lib is None:
             raise UnsupportedStream("native decoder unavailable")
+        from ultragrid_tpu.ops.h264_8x8 import LAST8_INC, SIG8_INC
         from ultragrid_tpu.ops.h264_cabac_tables import (
             CONTEXT_INIT, RANGE_TAB_LPS, TRANS_IDX_LPS)
 
@@ -89,10 +90,13 @@ class FastStreamDecoder:
         ctx = np.ascontiguousarray(np.asarray(CONTEXT_INIT, np.int8))
         rtab = np.ascontiguousarray(np.asarray(RANGE_TAB_LPS, np.int32))
         tlps = np.ascontiguousarray(np.asarray(TRANS_IDX_LPS, np.int32))
+        sig8 = np.ascontiguousarray(np.asarray(SIG8_INC, np.int32))
+        last8 = np.ascontiguousarray(np.asarray(LAST8_INC, np.int32))
         assert ctx.shape == (4, 1024, 2) and rtab.shape == (64, 4)
+        assert sig8.shape == (63,) and last8.shape == (63,)
         self._h = self._lib.h264fast_create(
             blob, len(blob), ctx.ctypes.data, rtab.ctypes.data,
-            tlps.ctypes.data)
+            tlps.ctypes.data, sig8.ctypes.data, last8.ctypes.data)
         if not self._h:
             raise UnsupportedStream("native decoder init failed")
 

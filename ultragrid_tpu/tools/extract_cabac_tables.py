@@ -132,9 +132,61 @@ def extract_range_tab(blob: bytes) -> np.ndarray | None:
     return np.frombuffer(blob[hits[0]:hits[0] + 256], np.uint8).reshape(64, 4).astype(np.int64)
 
 
+def extract_deblock_tc0(blob: bytes) -> np.ndarray | None:
+    """Table 8-17 tc0 as stored by libx264: 4-byte-padded {bS1,bS2,bS3,0}
+    rows over an extended indexA range, located by the saturated tail row
+    {13,17,25}.  Returns (3, 52) to match h264_deblock._TC0.  This table
+    was once mistranscribed in-repo (bS=1 column started at indexA 21
+    instead of 23) — the error is invisible on qp>=26 streams and shows
+    only as +/-1 chroma deblock deltas on dense inter frames, so keep it
+    binary-pinned."""
+    tail = bytes([13, 17, 25, 0])
+    for hit in _find_all(blob, tail):
+        for nrows in (64, 76, 52):
+            start = hit + 4 - nrows * 4
+            if start < 0:
+                continue
+            seg = blob[start:hit + 4]
+            rows = [tuple(seg[k * 4:k * 4 + 3]) for k in range(nrows)]
+            nzk = [k for k, r in enumerate(rows) if r != (0, 0, 0)]
+            if not nzk or nzk[0] < 10:
+                continue
+            first = nzk[0]
+            mono = all(rows[k][j] <= rows[k + 1][j]
+                       for k in range(first, nrows - 1) for j in range(3))
+            if mono and rows[first - 1] == (0, 0, 0):
+                tab = np.array(rows[:52], np.int64)  # indexA 0..51
+                return tab.T.copy()  # -> (3, 52): rows bS=1,2,3
+    return None
+
+
+def extract_deblock_alpha_beta(blob: bytes) -> np.ndarray | None:
+    """Tables 8-16 alpha+beta, anchored by alpha's unique 36-byte ramp.
+    Returns (2, 52): [alpha, beta].  In both binaries beta's ramp
+    2,2,2,3,... sits within 512 bytes of alpha's."""
+    alpha_ramp = bytes([4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22,
+                        25, 28, 32, 36, 40, 45, 50, 56, 63, 71, 80, 90,
+                        101, 113, 127, 144, 162, 182, 203, 226, 255, 255])
+    beta_ramp = bytes([2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9,
+                       9, 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15,
+                       16, 16, 17, 17, 18, 18])
+    ah = _find_all(blob, alpha_ramp)
+    if not ah:
+        return None
+    near = [b for b in _find_all(blob, beta_ramp) if abs(b - ah[0]) < 512]
+    if not near:
+        return None
+    alpha = np.concatenate([np.zeros(16, np.int64),
+                            np.frombuffer(alpha_ramp, np.uint8).astype(np.int64)])
+    beta = np.concatenate([np.zeros(16, np.int64),
+                           np.frombuffer(beta_ramp, np.uint8).astype(np.int64)])
+    return np.stack([alpha, beta])
+
+
 def main() -> int:
     from ultragrid_tpu.ops.h264_8x8 import LAST8_INC, SIG8_INC
     from ultragrid_tpu.ops.h264_cabac_tables import CONTEXT_INIT, RANGE_TAB_LPS
+    from ultragrid_tpu.ops.h264_deblock import _ALPHA, _BETA, _TC0
 
     libs = []
     for pref in ("libavcodec.so", "libx264.so"):
@@ -150,6 +202,9 @@ def main() -> int:
         ("LAST8_INC", extract_last8, LAST8_INC),
         ("CONTEXT_INIT", extract_context_init, CONTEXT_INIT),
         ("RANGE_TAB_LPS", extract_range_tab, RANGE_TAB_LPS),
+        ("DEBLOCK_TC0", extract_deblock_tc0, _TC0),
+        ("DEBLOCK_ALPHA_BETA", extract_deblock_alpha_beta,
+         np.stack([_ALPHA, _BETA])),
     ]
     fail = 0
     for lib in libs:
