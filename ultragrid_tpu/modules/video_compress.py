@@ -130,37 +130,67 @@ class JpegCompress(VideoCompress):
     """GPUJPEG-equivalent JPEG encoder on device
     (ref: src/video_compress/gpujpeg.cpp).
 
-    Config: ``jpeg[:quality][:restart_interval][:subsampling]`` (quality
-    default 80; subsampling 422 for YCbCr inputs, 444 for RGB, or 420 —
-    same option set as gpujpeg.cpp:279-353).
+    Config: ``jpeg[:quality][:restart_interval][:subsampling][:rate=<bps>]``
+    (quality default 80; subsampling 422 for YCbCr inputs, 444 for RGB, or
+    420 — same option set as gpujpeg.cpp:279-353).  ``rate=`` (or a fixed
+    ``-l`` on the sender) turns on closed-loop rate control: the quality
+    ladder is driven by the measured frame sizes (see utils/ratectl.py —
+    the role the reference reaches only via libavcodec's rate control,
+    src/video_compress/libavcodec.cpp:943-1003).
     """
 
     def __init__(self, cfg: str):
         super().__init__(cfg)
         parts = [p for p in cfg.split(":") if p]
+        kv = {k: v for k, _, v in
+              (p.partition("=") for p in parts if "=" in p)}
+        parts = [p for p in parts if "=" not in p]
         self.quality = int(parts[0]) if parts else 80
         self.restart_interval = int(parts[1]) if len(parts) > 1 else None
         if not self.restart_interval:
             self.restart_interval = None  # 0 = auto (we always use restarts)
         self.subsampling = parts[2] if len(parts) > 2 else None
-        self._encoder = None
+        self._encoders: dict = {}   # quality -> JpegEncoder (per jit graph)
         self._desc: Optional[VideoDesc] = None
+        self._rate_bps = 0
+        self._rc = None
+        if "rate" in kv:
+            from ultragrid_tpu.utils.ratectl import parse_rate
+
+            self._rate_bps = parse_rate(kv["rate"])
+
+    def set_target_bitrate(self, bps: int) -> None:
+        """Sender hook for a fixed ``-l`` rate; explicit ``rate=`` wins."""
+        if not self._rate_bps:
+            self._rate_bps = int(bps)
+            self._rc = None  # rebuild against the new target
 
     def compress(self, frame: VideoFrame) -> Optional[VideoFrame]:
         from ultragrid_tpu.ops.jpeg import JpegEncoder
 
         desc = frame.desc
-        if self._encoder is None or self._desc != desc:
-            self._encoder = JpegEncoder(
+        if self._desc != desc:
+            self._encoders.clear()
+            self._desc = desc
+            if self._rate_bps:
+                from ultragrid_tpu.utils.ratectl import jpeg_controller
+
+                self._rc = jpeg_controller(self._rate_bps, desc.fps or 30.0,
+                                           self.quality)
+        q = self._rc.value if self._rc is not None else self.quality
+        enc = self._encoders.get(q)
+        if enc is None:
+            enc = self._encoders[q] = JpegEncoder(
                 desc.width,
                 desc.height,
                 in_codec=desc.color_spec,
-                quality=self.quality,
+                quality=q,
                 restart_interval=self.restart_interval,
                 subsampling=self.subsampling,
             )
-            self._desc = desc
-        data = self._encoder.encode(frame.data)
+        data = enc.encode(frame.data)
+        if self._rc is not None:
+            self._rc.update(int(np.asarray(data).size))
         out = VideoFrame(desc.with_(color_spec=Codec.JPEG), [data])
         out.timestamp = frame.timestamp
         return out
@@ -189,6 +219,7 @@ class H264Compress(VideoCompress):
         self.gop = 30
         self.search = 8
         self.deblock = False
+        self._rate_bps = 0
         for tok in [t for t in cfg.split(":") if t]:
             key, _, val = tok.partition("=")
             if key == "qp":
@@ -205,12 +236,24 @@ class H264Compress(VideoCompress):
                 # signal the in-loop filter (idc=0): intra modes only --
                 # P references must match decoder-side filtered pictures
                 self.deblock = val not in ("0", "off", "")
+            elif key == "rate":
+                from ultragrid_tpu.utils.ratectl import parse_rate
+
+                self._rate_bps = parse_rate(val)
             elif key == "help":
                 print("h264 (own encoder): h264[:qp=<0-51>]"
                       "[:mode=i16|i4|pcm|inter][:gop=N][:search=N]"
-                      "[:accel=host|device][:deblock=1 (intra host modes)]")
+                      "[:accel=host|device][:deblock=1 (intra host modes)]"
+                      "[:rate=<bps> (closed-loop QP adaptation)]")
         self._enc = None
         self._geom = None
+        self._rc = None
+
+    def set_target_bitrate(self, bps: int) -> None:
+        """Sender hook for a fixed ``-l`` rate; explicit ``rate=`` wins."""
+        if not self._rate_bps:
+            self._rate_bps = int(bps)
+            self._rc = None
 
     def compress(self, frame: VideoFrame) -> Optional[VideoFrame]:
         import numpy as np
@@ -230,6 +273,17 @@ class H264Compress(VideoCompress):
             and self.accel != "device"
         if self.deblock and not deblock:
             log.warning("h264: deblock=1 only on intra host paths; ignored")
+        if self._rate_bps and self._rc is None and self.mode != "pcm":
+            from ultragrid_tpu.utils.ratectl import (GopRateController,
+                                                     h264_intra_controller)
+
+            fps = desc.fps or 30.0
+            if self.mode == "inter":
+                self._rc = GopRateController(self._rate_bps, fps, self.gop,
+                                             self.qp)
+            else:
+                self._rc = h264_intra_controller(self._rate_bps, fps, self.qp)
+            self._rc_pos = 0
         geom = (desc.width, desc.height, self.qp, self.mode, self.accel,
                 deblock)
         if self._geom != geom:
@@ -259,6 +313,21 @@ class H264Compress(VideoCompress):
                     desc.width, desc.height, qp=self.qp, deblock=deblock)
             self._geom = geom
         bs = self._enc.encode_uyvy(np.asarray(data))
+        if self._rc is not None:
+            nbytes = len(bytes(bs)) if not isinstance(bs, (bytes, bytearray)) \
+                else len(bs)
+            if self.mode == "inter":
+                self._rc_pos += 1
+                gop_done = self._rc_pos % self.gop == 0
+                nqp = self._rc.frame(nbytes, gop_done)
+            else:
+                nqp = self._rc.update(nbytes)
+            if nqp != self.qp:
+                # next build (at the next frame for intra; the next GOP
+                # opens with an IDR for inter, so the reference chain is
+                # never broken by the swap)
+                self.qp = nqp
+                self._geom = None
         out_desc = VideoDesc(desc.width, desc.height, Codec.H264, desc.fps,
                              desc.interlacing, desc.tile_count)
         out = VideoFrame(out_desc, [np.frombuffer(bytes(bs), np.uint8)],

@@ -124,6 +124,13 @@ class VideoSender:
         if start_paused:
             self.paused.set()
         self.compress = CompressDriver(compress_spec, self.sender_module)
+        if bitrate > 0:
+            # a fixed -l rate also constrains the own-codec paths (the
+            # reference reaches rate-targeted video only through its lavc
+            # wrapper, src/video_compress/libavcodec.cpp:943-1003)
+            impl = getattr(self.compress, "_impl", None)
+            if impl is not None and hasattr(impl, "set_target_bitrate"):
+                impl.set_target_bitrate(bitrate)
         crypto = None
         if encryption:
             from ultragrid_tpu.utils.crypto import PacketCrypto
