@@ -498,7 +498,7 @@ class Intra16EncoderTpu:
 
     Bit-identical to Intra16EncoderV / Intra16Encoder."""
 
-    def __init__(self, width: int, height: int, qp: int = 26, wwords: int = 80):
+    def __init__(self, width: int, height: int, qp: int = 26, wwords: int = 40):
         self.width, self.height = width, height
         self.qp = qp
         self.wwords = wwords
@@ -530,7 +530,7 @@ class Intra16EncoderTpu:
         yj, cbj, crj = jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr)
         words, bits, ovf = self._fn()(yj, cbj, crj)
         while bool(ovf) and self.wwords < 1024:
-            self.wwords *= 2
+            self.wwords *= 4  # one jump reaches intra-grade windows
             words, bits, ovf = self._fn()(yj, cbj, crj)
         return self._assemble(words, bits)
 
@@ -572,7 +572,7 @@ class Intra16EncoderTpu:
         fj = jnp.asarray(a)
         words, bits, ovf = self._fn(uyvy_in=True)(fj)
         while bool(ovf) and self.wwords < 1024:
-            self.wwords *= 2
+            self.wwords *= 4
             words, bits, ovf = self._fn(uyvy_in=True)(fj)
         return self._assemble(words, bits)
 
@@ -1197,7 +1197,7 @@ class InterEncoderTpu:
     search=0 they are bit-identical to InterEncoderV/InterEncoder."""
 
     def __init__(self, width: int, height: int, qp: int = 26, gop: int = 30,
-                 search: int = 8, wwords: int = 96):
+                 search: int = 8, wwords: int = 32):
         self.width, self.height = width, height
         self.qp, self.gop, self.search = qp, max(1, gop), search
         self.wwords = wwords
@@ -1247,7 +1247,7 @@ class InterEncoderTpu:
         args = (jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr)) + self.ref
         words, bits, ovf, ny, ncb, ncr = fn(*args)
         while bool(ovf) and self.wwords < 1024:
-            self.wwords *= 2
+            self.wwords *= 4  # one jump reaches intra-grade windows
             words, bits, ovf, ny, ncb, ncr = self._fn()(*args)
         self.ref = (ny, ncb, ncr)
         bs = self._assemble(np.asarray(words), np.asarray(bits))
