@@ -173,6 +173,50 @@ def test_cabac_8x8_ctx_tables_anchored():
     assert extract_main() == 0
 
 
+def _fading(w, h, n, seed=1):
+    """Global fades — the content x264's smart weightp was built for."""
+    rng = np.random.default_rng(seed)
+    base = np.clip(rng.normal(140, 40, (h, w)), 0, 255).astype(np.uint8)
+    frames = []
+    for t in range(n):
+        gain = 4 + abs(n // 2 - t)
+        yv = (np.roll(base, 3 * t, axis=1).astype(np.int32) * gain
+              // (n // 2 + 4)).clip(0, 255).astype(np.uint8)
+        f = np.empty((h, 2 * w), np.uint8)
+        f[:, 1::2] = yv
+        f[:, 0::2] = rng.integers(100, 156, (h, w), np.uint8)
+        frames.append(f)
+    return frames
+
+
+@pytest.mark.parametrize("tag, spec", [
+    ("cavlc-wp1", "profile=main:coder=0:weightp=1"),
+    ("cavlc-wp2", "profile=high:coder=0:weightp=2"),
+    ("cabac-wp1", "profile=main:weightp=1"),
+    ("cabac-wp2", "profile=high:weightp=2"),
+    ("cabac-wp2-mr", "profile=high:weightp=2:ref=3"),
+])
+def test_weighted_prediction_sample_exact(tag, spec):
+    """Explicit weighted P prediction (7.3.3.2 / 8.4.2.3.2) incl. x264's
+    smart weightp=2, which DUPLICATES the reference via ref-list
+    modification (8.2.4.3.1) to bind two weight sets to one picture —
+    fades decode sample-exact, both entropy coders."""
+    LavcCompress, LavcDecompress = _lavc()
+    from ultragrid_tpu.ops.h264_dec import StreamDecoder
+
+    w, h = 64, 48
+    frames = _fading(w, h, 8)
+    comp = LavcCompress(
+        f"codec=H.264:encoder=libx264:qp=24:g=8:aq-mode=0:bf=0:{spec}")
+    dec = StreamDecoder()
+    lavc_dec = LavcDecompress()
+    for i, f in enumerate(frames):
+        frame = VideoFrame(VideoDesc(w, h, Codec.UYVY, 30.0), [f])
+        bs = bytes(np.asarray(comp.compress(frame).tiles[0]).reshape(-1))
+        y, cb, cr = dec.decode_au(bs)
+        _check_exact(bs, w, h, y, cb, cr, lavc_dec, f"{tag} frame {i}")
+
+
 def test_cabac_unsupported_features_raise_cleanly():
     """Outside-envelope features fail with UnsupportedStream (so the live
     decompress path can fall back to lavc), never garbage or crash."""
@@ -184,15 +228,17 @@ def test_cabac_unsupported_features_raise_cleanly():
         # B slices
         "codec=H.264:encoder=libx264:profile=main:qp=28:g=10:aq-mode=0:"
         "x264opts=bframes=2",
-        # weighted P prediction
-        "codec=H.264:encoder=libx264:profile=main:qp=28:g=10:aq-mode=0:"
-        "x264opts=bframes=0:weightp=2",
+        # interlaced coding
+        "codec=H.264:encoder=libx264:profile=high:qp=28:g=10:aq-mode=0:"
+        "bf=0:weightp=0:x264opts=tff=1",
     ]
     for spec in specs:
         comp = LavcCompress(spec)
         dec = StreamDecoder()
+        # enough frames that the B-frame lookahead actually flushes B AUs
+        # (weighted P no longer raises, so the B NAL itself must)
         with pytest.raises(UnsupportedStream):
-            for f in _moving(w, h, 6, seed=1):
+            for f in _moving(w, h, 12, seed=1):
                 out = comp.compress(
                     VideoFrame(VideoDesc(w, h, Codec.UYVY, 30.0), [f]))
                 if out is None:  # encoder latency (B-frame lookahead)

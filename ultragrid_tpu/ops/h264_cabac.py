@@ -314,7 +314,10 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
     """Decode one CABAC I or P slice into ``state`` (Y, Cb, Cr int64
     planes), updating the deblock context ``db`` and picture grids
     ``pic``.  ``sd`` is the owning StreamDecoder (sps/pps/DPB access)."""
-    from ultragrid_tpu.ops.h264_dec import BitReader, _parse_dbf, half_planes, pad_ref
+    from ultragrid_tpu.ops.h264_dec import (BitReader, _parse_dbf,
+                                            _parse_pred_weights_l0,
+                                            _parse_ref_mod_l0, _weight_pred,
+                                            half_planes, pad_ref)
 
     sps, pps = sd.sps, sd.pps
     r = BitReader(rbsp)
@@ -324,22 +327,22 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
         raise UnsupportedStream(f"CABAC slice type {slice_type}")
     is_p = slice_type == 0
     r.ue()  # pps id
-    r.u(sps["log2_mfn"])  # frame_num
+    fnum = r.u(sps["log2_mfn"])  # frame_num
+    sd._cur_frame_num = fnum
     if nal_type == 5:
         r.ue()  # idr_pic_id
     if sps.get("poc_type", 2) == 0:
         r.u(sps["log2_poc"])
     l0_active = pps.get("l0_default", 1)
+    l0map = list(range(l0_active))
+    wp = None
     if is_p:
         if r.u(1):  # num_ref_idx_active_override
             l0_active = r.ue() + 1
-        if r.u(1):
-            raise UnsupportedStream("ref pic list modification")
+        l0map = _parse_ref_mod_l0(r, len(sd.dpb), sd.dpb_meta, fnum,
+                                  1 << sps["log2_mfn"], l0_active)
         if pps.get("weighted_pred"):
-            raise UnsupportedStream("weighted prediction")
-        if l0_active > len(sd.dpb):
-            raise UnsupportedStream(
-                f"{l0_active} active refs > {len(sd.dpb)} decoded")
+            wp = _parse_pred_weights_l0(r, l0_active)
     # dec_ref_pic_marking (nal_ref_idc != 0 assumed: no-B streams mark
     # every picture as reference)
     if nal_type == 5:
@@ -368,7 +371,10 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
     nnz_l = db.nnz if db is not None else np.zeros((mbh * 4, mbw * 4), np.int64)
     nnz_c = [np.zeros((mbh * 2, mbw * 2), np.int64) for _ in range(2)]
     mv4 = db.mvs if db is not None else np.zeros((mbh * 4, mbw * 4, 2), np.int64)
-    ref4 = db.refs if db is not None else np.full((mbh * 4, mbw * 4), -1, np.int64)
+    # ref4 = L0 ref index (MV prediction); db.refs = picture id (deblock
+    # compares reference PICTURES — ref list duplicates alias one picture)
+    ref4 = np.full((mbh * 4, mbw * 4), -1, np.int64)
+    pid4 = db.refs if db is not None else None
     dec4 = np.zeros((mbh * 4, mbw * 4), bool)
     rd4 = np.zeros((mbh * 4, mbw * 4), bool)  # ref_idx known (may precede mv)
     # intra-mode grids (same semantics as the CAVLC paths)
@@ -896,31 +902,42 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
 
     pads = sd._dpb_pad
 
-    def refp(ri):
-        if pads[ri] is None:
-            pads[ri] = [tuple(pad_ref(p) for p in sd.dpb[ri]), None]
-        return pads[ri]
+    def refp(di):
+        if pads[di] is None:
+            pads[di] = [tuple(pad_ref(p) for p in sd.dpb[di]), None]
+        return pads[di]
 
-    def get_halfp(ri):
-        ent = refp(ri)
+    def get_halfp(di):
+        ent = refp(di)
         if ent[1] is None:
             ent[1] = half_planes(ent[0][0])
         return ent[1]
 
     def part_pred(pred16, predc, mx, my, gy, gx, pw, ph, mvx, mvy, ri):
-        ry, rcb, rcr = refp(ri)[0]
-        hp = get_halfp(ri) if ((mvx | mvy) & 3) else None
+        di = l0map[ri]
+        ry, rcb, rcr = refp(di)[0]
+        hp = get_halfp(di) if ((mvx | mvy) & 3) else None
         ly, lx = (gy - my * 4) * 4, (gx - mx * 4) * 4
-        pred16[ly:ly + ph * 4, lx:lx + pw * 4] = mc_luma(
-            ry, gx * 4, gy * 4, mvx, mvy, w=pw * 4, h=ph * 4, halfp=hp)
+        mc = mc_luma(ry, gx * 4, gy * 4, mvx, mvy, w=pw * 4, h=ph * 4,
+                     halfp=hp)
+        if wp is not None:
+            w_, o_ = wp["luma"][ri]
+            mc = _weight_pred(mc, w_, o_, wp["ld"])
+        pred16[ly:ly + ph * 4, lx:lx + pw * 4] = mc
         cy2, cx2 = ly // 2, lx // 2
         for ci, refc in ((0, rcb), (1, rcr)):
-            predc[ci][cy2:cy2 + ph * 2, cx2:cx2 + pw * 2] = mc_chroma(
-                refc, gx * 2, gy * 2, mvx, mvy, w=pw * 2, h=ph * 2)
+            mcc = mc_chroma(refc, gx * 2, gy * 2, mvx, mvy,
+                            w=pw * 2, h=ph * 2)
+            if wp is not None:
+                w_, o_ = wp["chroma"][ri][ci]
+                mcc = _weight_pred(mcc, w_, o_, wp["cd"])
+            predc[ci][cy2:cy2 + ph * 2, cx2:cx2 + pw * 2] = mcc
 
     def fill4(gy, gx, pw, ph, mvx, mvy, ri, amx=0, amy=0):
         mv4[gy:gy + ph, gx:gx + pw] = (mvx, mvy)
         ref4[gy:gy + ph, gx:gx + pw] = ri
+        if pid4 is not None:
+            pid4[gy:gy + ph, gx:gx + pw] = sd.dpb_meta[l0map[ri]][1]
         dec4[gy:gy + ph, gx:gx + pw] = True
         rd4[gy:gy + ph, gx:gx + pw] = True
         pic.absmvd4[gy:gy + ph, gx:gx + pw] = (amx, amy)

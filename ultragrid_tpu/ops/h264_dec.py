@@ -1332,6 +1332,82 @@ _SUB_PARTS = {
 }
 
 
+def _parse_ref_mod_l0(r, nrefs: int, metas, cur_fn: int, max_fn: int,
+                      l0_active: int):
+    """ref_pic_list_modification for L0 (7.3.3.1 + 8.2.4.3.1) -> list of
+    DPB indices of length ``l0_active``.  The insert-and-compact process
+    legitimately produces DUPLICATE entries (two commands naming the same
+    PicNum) — that is how x264's smart weighted-P (``weightp=2``) binds
+    two different weight sets to one reference picture."""
+    if not r.u(1):  # ref_pic_list_modification_flag_l0
+        if l0_active > nrefs:
+            raise UnsupportedStream(
+                f"{l0_active} active refs > {nrefs} decoded")
+        return list(range(l0_active))
+
+    def picnum(i):
+        fn = metas[i][0]
+        return fn - max_fn if fn > cur_fn else fn
+
+    lst = list(range(nrefs))
+    pred = cur_fn
+    refidx = 0
+    while True:
+        idc = r.ue()
+        if idc == 3:
+            break
+        if idc not in (0, 1):
+            raise UnsupportedStream("long-term ref modification")
+        ad = r.ue() + 1
+        nowrap = pred - ad if idc == 0 else pred + ad
+        if nowrap < 0:
+            nowrap += max_fn
+        elif nowrap >= max_fn:
+            nowrap -= max_fn
+        pred = nowrap
+        pn = nowrap - (max_fn if nowrap > cur_fn else 0)
+        tgt = next((i for i in range(nrefs) if picnum(i) == pn), None)
+        if tgt is None:
+            raise UnsupportedStream("ref modification PicNum not in DPB")
+        # 8.2.4.3.1: shift right, insert at refidx, drop LATER entries
+        # with the same PicNum (earlier duplicates survive)
+        lst = (lst[:refidx] + [tgt]
+               + [x for x in lst[refidx:] if picnum(x) != pn])
+        refidx += 1
+    if l0_active > len(lst):
+        raise UnsupportedStream("modified ref list shorter than active")
+    return lst[:l0_active]
+
+
+def _parse_pred_weights_l0(r, l0_active: int):
+    """pred_weight_table for P slices, 4:2:0 (7.3.3.2).  Absent flags
+    yield the identity weight (1 << denom, 0)."""
+    ld = r.ue()
+    cd = r.ue()
+    if ld > 7 or cd > 7:
+        raise UnsupportedStream("weight denom > 7")
+    luma, chroma = [], []
+    for _ in range(l0_active):
+        if r.u(1):
+            luma.append((r.se(), r.se()))
+        else:
+            luma.append((1 << ld, 0))
+        if r.u(1):
+            chroma.append(((r.se(), r.se()), (r.se(), r.se())))
+        else:
+            chroma.append(((1 << cd, 0), (1 << cd, 0)))
+    return {"ld": ld, "cd": cd, "luma": luma, "chroma": chroma}
+
+
+def _weight_pred(block: np.ndarray, w: int, o: int, logd: int) -> np.ndarray:
+    """Explicit weighted sample prediction, one list (8.4.2.3.2)."""
+    if logd:
+        p = (block * w + (1 << (logd - 1))) >> logd
+    else:
+        p = block * w
+    return np.clip(p + o, 0, 255)
+
+
 class StreamDecoder:
     """Stateful Annex-B decoder for own-encoder streams: IDR / I pictures
     (via IntraDecoder's slice machinery) + P pictures (P_Skip, P_L0_16x16
@@ -1346,6 +1422,13 @@ class StreamDecoder:
         # sliding-window DPB, most recent first (default P ref list order =
         # descending PicNum, spec 8.2.4.2.1); entries are (y, cb, cr) uint8
         self.dpb: list = []
+        # per-entry (frame_num, picture id): frame_num drives ref-list
+        # modification PicNum math; the unique picture id feeds the deblock
+        # bS "same reference picture" test (refidx is NOT picture identity
+        # once the list holds duplicates)
+        self.dpb_meta: list = []
+        self._pic_seq = 0
+        self._cur_frame_num = 0
         self._dpb_pad: list = []  # lazy [padded_planes, half_planes] per ref
 
     @property
@@ -1437,9 +1520,14 @@ class StreamDecoder:
             deblock_frame(y, cb, cr, db)
         if kind == "I":
             self.dpb = []  # IDR resets the DPB (8.2.5.1)
+            self.dpb_meta = []
+            self._cur_frame_num = 0  # IDR frame_num is 0 (7.4.3)
         self._cabac_pic = None  # per-picture neighbour grids
         self.dpb.insert(0, (y, cb, cr))
+        self.dpb_meta.insert(0, (self._cur_frame_num, self._pic_seq))
+        self._pic_seq += 1
         del self.dpb[self.sps.get("max_refs", 1):]
+        del self.dpb_meta[self.sps.get("max_refs", 1):]
         self._dpb_pad = [None] * len(self.dpb)
         w, h = self.sps["width"], self.sps["height"]
         return (y[:h, :w], cb[:(h + 1) // 2, :(w + 1) // 2],
@@ -1453,17 +1541,18 @@ class StreamDecoder:
         first_mb = r.ue()
         r.ue()  # slice_type (already known P)
         r.ue()  # pps id
-        r.u(sps["log2_mfn"])  # frame_num
+        fnum = r.u(sps["log2_mfn"])  # frame_num
+        self._cur_frame_num = fnum
         if sps.get("poc_type", 2) == 0:
             r.u(sps["log2_poc"])  # pic_order_cnt_lsb
         l0_active = pps.get("l0_default", 1)
         if r.u(1):  # num_ref_idx_active_override_flag
             l0_active = r.ue() + 1
-        if l0_active > len(self.dpb):
-            raise UnsupportedStream(
-                f"{l0_active} active refs > {len(self.dpb)} decoded")
-        if r.u(1):  # ref_pic_list_modification_flag_l0
-            raise UnsupportedStream("ref pic list modification")
+        l0map = _parse_ref_mod_l0(r, len(self.dpb), self.dpb_meta, fnum,
+                                  1 << sps["log2_mfn"], l0_active)
+        wp = None
+        if pps.get("weighted_pred"):
+            wp = _parse_pred_weights_l0(r, l0_active)
         # nal_ref_idc != 0 (our encoder marks all P as reference):
         if r.u(1):  # adaptive_ref_pic_marking_mode_flag
             raise UnsupportedStream("adaptive ref pic marking")
@@ -1476,9 +1565,14 @@ class StreamDecoder:
         my0 = first_mb // mbw
         nnz_l = db.nnz if db is not None else np.zeros((mbh * 4, mbw * 4), np.int64)
         nnz_c = [np.zeros((mbh * 2, mbw * 2), np.int64) for _ in range(2)]
-        # motion state at 4x4 granularity (partition support; spec 6.4.11)
+        # motion state at 4x4 granularity (partition support; spec 6.4.11).
+        # ref4 keeps the L0 ref INDEX (MV prediction compares indices,
+        # 8.4.1.3); the deblock grid gets the picture ID instead — with a
+        # modified ref list two indices can name the same picture and bS
+        # must see them as equal (8.7.2.1 compares reference pictures)
         mv4 = db.mvs if db is not None else np.zeros((mbh * 4, mbw * 4, 2), np.int64)
-        ref4 = db.refs if db is not None else np.full((mbh * 4, mbw * 4), -1, np.int64)
+        ref4 = np.full((mbh * 4, mbw * 4), -1, np.int64)
+        pid4 = db.refs if db is not None else None
         dec4 = np.zeros((mbh * 4, mbw * 4), bool)
         # intra-NxN-in-P state (same semantics as the I-slice grids)
         i4mode = np.full((mbh * 4, mbw * 4), 2, np.int64)
@@ -1516,13 +1610,13 @@ class StreamDecoder:
 
         pads = self._dpb_pad
 
-        def refp(ri):
-            if pads[ri] is None:
-                pads[ri] = [tuple(pad_ref(p) for p in self.dpb[ri]), None]
-            return pads[ri]
+        def refp(di):
+            if pads[di] is None:
+                pads[di] = [tuple(pad_ref(p) for p in self.dpb[di]), None]
+            return pads[di]
 
-        def get_halfp(ri):
-            ent = refp(ri)
+        def get_halfp(di):
+            ent = refp(di)
             if ent[1] is None:
                 ent[1] = half_planes(ent[0][0])
             return ent[1]
@@ -1530,19 +1624,30 @@ class StreamDecoder:
         def part_pred(pred16, predc, mx, my, gy, gx, pw, ph, mvx, mvy, ri):
             """Motion-compensate one partition into the MB-local pred
             buffers (luma [16,16] at 4x4-grid (gy,gx), chroma halved)."""
-            ry, rcb, rcr = refp(ri)[0]
-            hp = get_halfp(ri) if ((mvx | mvy) & 3) else None
+            di = l0map[ri]
+            ry, rcb, rcr = refp(di)[0]
+            hp = get_halfp(di) if ((mvx | mvy) & 3) else None
             ly, lx = (gy - my * 4) * 4, (gx - mx * 4) * 4
-            pred16[ly:ly + ph * 4, lx:lx + pw * 4] = mc_luma(
-                ry, gx * 4, gy * 4, mvx, mvy, w=pw * 4, h=ph * 4, halfp=hp)
+            mc = mc_luma(ry, gx * 4, gy * 4, mvx, mvy, w=pw * 4, h=ph * 4,
+                         halfp=hp)
+            if wp is not None:
+                w_, o_ = wp["luma"][ri]
+                mc = _weight_pred(mc, w_, o_, wp["ld"])
+            pred16[ly:ly + ph * 4, lx:lx + pw * 4] = mc
             cy2, cx2 = ly // 2, lx // 2
             for ci, refc in ((0, rcb), (1, rcr)):
-                predc[ci][cy2:cy2 + ph * 2, cx2:cx2 + pw * 2] = mc_chroma(
-                    refc, gx * 2, gy * 2, mvx, mvy, w=pw * 2, h=ph * 2)
+                mcc = mc_chroma(refc, gx * 2, gy * 2, mvx, mvy,
+                                w=pw * 2, h=ph * 2)
+                if wp is not None:
+                    w_, o_ = wp["chroma"][ri][ci]
+                    mcc = _weight_pred(mcc, w_, o_, wp["cd"])
+                predc[ci][cy2:cy2 + ph * 2, cx2:cx2 + pw * 2] = mcc
 
         def fill4(gy, gx, pw, ph, mvx, mvy, ri):
             mv4[gy:gy + ph, gx:gx + pw] = (mvx, mvy)
             ref4[gy:gy + ph, gx:gx + pw] = ri
+            if pid4 is not None:
+                pid4[gy:gy + ph, gx:gx + pw] = self.dpb_meta[l0map[ri]][1]
             dec4[gy:gy + ph, gx:gx + pw] = True
 
         def recon_mb(mx, my, pred16, predc, luma_res, chroma_res):
