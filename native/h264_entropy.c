@@ -14,9 +14,10 @@
  * baseline/main/high 4:2:0 8-bit streams with I/P slices, CAVLC and CABAC,
  * multi-reference P, all partition sizes down to 4x4, quarter-pel motion,
  * the High-profile 8x8 transform (Intra_8x8 + inter 8x8 residuals, both
- * entropy coders), in-loop deblocking; no B slices, no weighted
- * prediction, no interlace/MBAFF, no slice groups, no ref-list
- * reordering, no scaling lists.
+ * entropy coders), explicit weighted P prediction + ref-list
+ * modification (incl. x264 weightp=2 duplicate refs), in-loop
+ * deblocking; no B slices, no interlace/MBAFF, no slice groups, no
+ * scaling lists.
  *
  * Reference role: the decode half of
  * /root/reference/src/video_decompress/libavcodec.c:1-1876 (the reference
@@ -38,6 +39,8 @@
 
 #define PAD 32          /* MC edge padding, = ops/h264_dec.py MC_PAD */
 #define MAX_REFS 16
+#define MAX_L0 48       /* bound on num_ref_idx_l0_active (list may hold
+                           duplicates via ref-list modification) */
 
 /* ------------------------------------------------------------------ */
 /* error handling: UnsupportedStream == longjmp out of the decode call  */
@@ -251,8 +254,15 @@ struct H264Dec {
     uint8_t *cur_y, *cur_cb, *cur_cr;   /* current picture, padded */
     int32_t *tmp_b1;    /* half-pel intermediate, pw*ph int32 */
 
-    /* DPB, most recent first */
+    /* DPB, most recent first; fn = frame_num (PicNum math for ref-list
+       modification), pid = unique picture id (deblock bS compares
+       reference PICTURES, not indices — a modified list may alias one
+       picture under two indices) */
     RefPic dpb[MAX_REFS];
+    int dpb_fn[MAX_REFS];
+    int dpb_pid[MAX_REFS];
+    int pic_seq;
+    int cur_frame_num;
     int dpb_n;
     RefPic spare[MAX_REFS + 1]; /* buffer pool */
     int spare_n;
@@ -262,7 +272,8 @@ struct H264Dec {
     int32_t *db_qp, *db_slice, *db_idc, *db_offa, *db_offb;
     int32_t *nnz_l;               /* 4x4 luma nnz grid, frame-wide */
     int32_t *mv4;                 /* [mbh*4][mbw*4][2] */
-    int32_t *ref4;                /* [mbh*4][mbw*4] */
+    int32_t *ref4;                /* [mbh*4][mbw*4] L0 ref INDEX (MV pred) */
+    int32_t *pid4;                /* [mbh*4][mbw*4] ref picture id (deblock) */
 
     /* per-slice grids */
     uint8_t *dec4, *rd4, *done4, *avail4;
@@ -1134,7 +1145,7 @@ static void bs_edge(const H264Dec *d, int pmy, int pmx, int qmy, int qmx,
         if (pcoded || qcoded) {
             bs4[i] = 2;
         } else {
-            int dref = d->ref4[pi] != d->ref4[qi];
+            int dref = d->pid4[pi] != d->pid4[qi];
             int dx = d->mv4[pi * 2] - d->mv4[qi * 2];
             int dy = d->mv4[pi * 2 + 1] - d->mv4[qi * 2 + 1];
             if (dref || (dx < 0 ? -dx : dx) >= 4 || (dy < 0 ? -dy : dy) >= 4)
@@ -1339,6 +1350,12 @@ typedef struct {
     int dbf_idc, dbf_offa, dbf_offb;
     int l0_active;
     int is_p;
+    /* L0 ref list: ref_idx -> DPB index (identity unless modified) */
+    int l0map[MAX_L0];
+    /* explicit weighted prediction (pred_weight_table, 7.3.3.2) */
+    int wp_on, wp_ld, wp_cd;
+    int wl[MAX_L0], wo[MAX_L0];
+    int wcw[MAX_L0][2], wco[MAX_L0][2];
 } Slice;
 
 static void record_mb(Slice *s, int my, int mx, int intra, int ipcm)
@@ -2388,6 +2405,109 @@ static void decode_slice_cavlc_i(H264Dec *d, const uint8_t *rbsp, long rlen,
 /* CAVLC P slice (= StreamDecoder._decode_slice_p)                     */
 /* ------------------------------------------------------------------ */
 
+/* ref_pic_list_modification (7.3.3.1 + 8.2.4.3.1) + pred_weight_table
+ * (7.3.3.2) -> s->l0map / s->w*.  The insert-and-compact process keeps
+ * earlier duplicates, which is how x264's weightp=2 binds two weight
+ * sets to one reference picture. */
+static void parse_ref_mod_and_weights(H264Dec *d, Slice *s, BitReader *r,
+                                      int l0_active, int cur_fn)
+{
+    if (l0_active > MAX_L0)
+        dec_fail(d, "l0_active too large");
+    int nrefs = d->dpb_n;
+    int lst[MAX_REFS + MAX_L0];
+    int lst_n = nrefs;
+    for (int i = 0; i < nrefs; i++)
+        lst[i] = i;
+    int max_fn = 1 << d->sps.log2_mfn;
+    if (br_bit(r)) {                /* ref_pic_list_modification_flag_l0 */
+        int pred = cur_fn, refidx = 0;
+        for (;;) {
+            long idc = br_ue(r);
+            if (idc == 3)
+                break;
+            if (idc > 1)
+                dec_fail(d, "long-term ref modification");
+            int ad = (int)br_ue(r) + 1;
+            int nowrap = idc == 0 ? pred - ad : pred + ad;
+            if (nowrap < 0)
+                nowrap += max_fn;
+            else if (nowrap >= max_fn)
+                nowrap -= max_fn;
+            pred = nowrap;
+            int pn = nowrap - (nowrap > cur_fn ? max_fn : 0);
+            int tgt = -1;
+            for (int i = 0; i < nrefs; i++) {
+                int fn = d->dpb_fn[i];
+                if ((fn > cur_fn ? fn - max_fn : fn) == pn) {
+                    tgt = i;
+                    break;
+                }
+            }
+            if (tgt < 0)
+                dec_fail(d, "ref modification PicNum not in DPB");
+            int out[MAX_REFS + MAX_L0];
+            int on = 0;
+            for (int i = 0; i < refidx && i < lst_n; i++)
+                out[on++] = lst[i];
+            out[on++] = tgt;
+            for (int i = refidx; i < lst_n; i++) {
+                int fn = d->dpb_fn[lst[i]];
+                if ((fn > cur_fn ? fn - max_fn : fn) != pn
+                        && on < MAX_REFS + MAX_L0)
+                    out[on++] = lst[i];
+            }
+            memcpy(lst, out, (size_t)on * sizeof(int));
+            lst_n = on;
+            if (++refidx > MAX_L0)
+                dec_fail(d, "too many ref modifications");
+        }
+        if (l0_active > lst_n)
+            dec_fail(d, "modified ref list too short");
+    } else if (l0_active > nrefs) {
+        dec_fail(d, "active refs > decoded");
+    }
+    for (int i = 0; i < l0_active; i++)
+        s->l0map[i] = lst[i];
+    s->wp_on = 0;
+    if (d->pps.weighted_pred) {
+        s->wp_on = 1;
+        int ld = (int)br_ue(r), cd = (int)br_ue(r);
+        if (ld > 7 || cd > 7)
+            dec_fail(d, "weight denom > 7");
+        s->wp_ld = ld;
+        s->wp_cd = cd;
+        for (int i = 0; i < l0_active; i++) {
+            if (br_bit(r)) {
+                s->wl[i] = (int)br_se(r);
+                s->wo[i] = (int)br_se(r);
+            } else {
+                s->wl[i] = 1 << ld;
+                s->wo[i] = 0;
+            }
+            if (br_bit(r)) {
+                for (int j = 0; j < 2; j++) {
+                    s->wcw[i][j] = (int)br_se(r);
+                    s->wco[i][j] = (int)br_se(r);
+                }
+            } else {
+                for (int j = 0; j < 2; j++) {
+                    s->wcw[i][j] = 1 << cd;
+                    s->wco[i][j] = 0;
+                }
+            }
+        }
+    }
+}
+
+/* explicit weighted sample prediction, one list (8.4.2.3.2) */
+static inline i64 wsample(i64 v, int w, int o, int ld)
+{
+    i64 p = ld ? ((v * w + ((i64)1 << (ld - 1))) >> ld) : v * w;
+    p += o;
+    return p < 0 ? 0 : (p > 255 ? 255 : p);
+}
+
 static int read_refidx_cavlc(H264Dec *d, BitReader *r, int l0_active)
 {
     if (l0_active <= 1)
@@ -2404,9 +2524,12 @@ static void part_pred_c(Slice *s, int mx, int my, int gy, int gx,
                         i64 pred16[16][16], i64 predc[2][8][8])
 {
     H264Dec *d = s->d;
-    if (ri < 0 || ri >= d->dpb_n)
+    if (ri < 0 || ri >= s->l0_active)
+        dec_fail(d, "ref_idx beyond list");
+    int di = s->l0map[ri];
+    if (di < 0 || di >= d->dpb_n)
         dec_fail(d, "ref_idx beyond DPB");
-    RefPic *ref = &d->dpb[ri];
+    RefPic *ref = &d->dpb[di];
     int ly = (gy - my * 4) * 4, lx = (gx - mx * 4) * 4;
     mc_luma_c(d, ref, gx * 4, gy * 4, mvx, mvy, pw4 * 4, ph4 * 4,
               &pred16[ly][lx], 16);
@@ -2415,18 +2538,35 @@ static void part_pred_c(Slice *s, int mx, int my, int gy, int gx,
                 &predc[0][cy2][cx2], 8);
     mc_chroma_c(d, ref->cr, gx * 2, gy * 2, mvx, mvy, pw4 * 2, ph4 * 2,
                 &predc[1][cy2][cx2], 8);
+    if (s->wp_on) {
+        int w = s->wl[ri], o = s->wo[ri], ld = s->wp_ld;
+        for (int yy = 0; yy < ph4 * 4; yy++)
+            for (int xx = 0; xx < pw4 * 4; xx++)
+                pred16[ly + yy][lx + xx] =
+                    wsample(pred16[ly + yy][lx + xx], w, o, ld);
+        for (int ci = 0; ci < 2; ci++) {
+            int wc = s->wcw[ri][ci], oc = s->wco[ri][ci], cdn = s->wp_cd;
+            for (int yy = 0; yy < ph4 * 2; yy++)
+                for (int xx = 0; xx < pw4 * 2; xx++)
+                    predc[ci][cy2 + yy][cx2 + xx] =
+                        wsample(predc[ci][cy2 + yy][cx2 + xx], wc, oc, cdn);
+        }
+    }
 }
 
-static void fill4_c(H264Dec *d, int gy, int gx, int pw4, int ph4,
+static void fill4_c(Slice *s, int gy, int gx, int pw4, int ph4,
                     int mvx, int mvy, int ri)
 {
+    H264Dec *d = s->d;
     int g4w = d->mbw * 4;
+    int pid = d->dpb_pid[s->l0map[ri]];
     for (int yy = 0; yy < ph4; yy++)
         for (int xx = 0; xx < pw4; xx++) {
             long gi = (long)(gy + yy) * g4w + gx + xx;
             d->mv4[gi * 2] = mvx;
             d->mv4[gi * 2 + 1] = mvy;
             d->ref4[gi] = ri;
+            d->pid4[gi] = pid;
             d->dec4[gi] = 1;
         }
 }
@@ -2514,18 +2654,14 @@ static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
     int first_mb = (int)br_ue(r);
     br_ue(r);                       /* slice_type (known P) */
     br_ue(r);                       /* pps id */
-    br_u(r, d->sps.log2_mfn);       /* frame_num */
+    int fnum = (int)br_u(r, d->sps.log2_mfn);
+    d->cur_frame_num = fnum;
     if (d->sps.poc_type == 0)
         br_u(r, d->sps.log2_poc);
     int l0_active = d->pps.l0_default;
     if (br_bit(r))
         l0_active = (int)br_ue(r) + 1;
-    if (l0_active > d->dpb_n)
-        dec_fail(d, "active refs > decoded");
-    if (br_bit(r))
-        dec_fail(d, "ref pic list modification");
-    if (d->pps.weighted_pred)
-        dec_fail(d, "weighted prediction");
+    parse_ref_mod_and_weights(d, s, r, l0_active, fnum);
     if (br_bit(r))
         dec_fail(d, "adaptive ref pic marking");
     s->qp = d->pps.init_qp + br_se(r);
@@ -2558,7 +2694,7 @@ static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
                         pred16, predc);
             recon_p_mb(s, mx, my, (const i64(*)[16])pred16,
                        (const i64(*)[8][8])predc, zero16, zero8);
-            fill4_c(d, my * 4, mx * 4, 4, 4, mvx, mvy, 0);
+            fill4_c(s, my * 4, mx * 4, 4, 4, mvx, mvy, 0);
             for (int by = 0; by < 4; by++)
                 for (int bx = 0; bx < 4; bx++) {
                     long gi = (long)(my * 4 + by) * g4w + mx * 4 + bx;
@@ -2589,7 +2725,7 @@ static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
                 int mvx = pmx + br_se(r), mvy = pmy + br_se(r);
                 part_pred_c(s, mx, my, gy0, gx0, 4, 4, mvx, mvy, ri,
                             pred16, predc);
-                fill4_c(d, gy0, gx0, 4, 4, mvx, mvy, ri);
+                fill4_c(s, gy0, gx0, 4, 4, mvx, mvy, ri);
             } else if (mb_type == 1 || mb_type == 2) {
                 int geo[2][5]; /* gy, gx, pw4, ph4, shape */
                 if (mb_type == 1) {
@@ -2615,7 +2751,7 @@ static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
                     int mvx = pmx + br_se(r), mvy = pmy + br_se(r);
                     part_pred_c(s, mx, my, gy, gx, pw4, ph4, mvx, mvy,
                                 ris[p], pred16, predc);
-                    fill4_c(d, gy, gx, pw4, ph4, mvx, mvy, ris[p]);
+                    fill4_c(s, gy, gx, pw4, ph4, mvx, mvy, ris[p]);
                 }
             } else { /* P_8x8 (3) / P_8x8ref0 (4) */
                 int subs[4];
@@ -2644,7 +2780,7 @@ static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
                         int mvx = pmx + br_se(r), mvy = pmy + br_se(r);
                         part_pred_c(s, mx, my, gy, gx, pw4, ph4, mvx, mvy,
                                     ris[b], pred16, predc);
-                        fill4_c(d, gy, gx, pw4, ph4, mvx, mvy, ris[b]);
+                        fill4_c(s, gy, gx, pw4, ph4, mvx, mvy, ris[b]);
                     }
                 }
             }
@@ -2743,6 +2879,7 @@ static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
             for (int bx = 0; bx < 4; bx++) {
                 long gi = (long)(my * 4 + by) * g4w + mx * 4 + bx;
                 d->ref4[gi] = -1;
+                d->pid4[gi] = -1;
                 d->mv4[gi * 2] = 0;
                 d->mv4[gi * 2 + 1] = 0;
                 d->dec4[gi] = 1;
@@ -3272,16 +3409,19 @@ static void read_mvd_pair_c(H264Dec *d, CabSlice *cs, int gy, int gx,
     *mdy = read_mvd_c(d, &cs->e, 47, ay);
 }
 
-static void fill4_cab(H264Dec *d, int gy, int gx, int pw4, int ph4,
+static void fill4_cab(Slice *s, int gy, int gx, int pw4, int ph4,
                       int mvx, int mvy, int ri, int amx, int amy)
 {
+    H264Dec *d = s->d;
     int g4w = d->mbw * 4;
+    int pid = d->dpb_pid[s->l0map[ri]];
     for (int yy = 0; yy < ph4; yy++)
         for (int xx = 0; xx < pw4; xx++) {
             long gi = (long)(gy + yy) * g4w + gx + xx;
             d->mv4[gi * 2] = mvx;
             d->mv4[gi * 2 + 1] = mvy;
             d->ref4[gi] = ri;
+            d->pid4[gi] = pid;
             d->dec4[gi] = 1;
             d->rd4[gi] = 1;
             d->c_absmvd4[gi * 2] = amx;
@@ -3610,7 +3750,7 @@ static void decode_p_skip_cab(H264Dec *d, CabSlice *cs, int mx, int my)
     part_pred_c(s, mx, my, my * 4, mx * 4, 4, 4, mvx, mvy, 0, pred16, predc);
     recon_p_mb(s, mx, my, (const i64(*)[16])pred16,
                (const i64(*)[8][8])predc, zero16, zero8);
-    fill4_cab(d, my * 4, mx * 4, 4, 4, mvx, mvy, 0, 0, 0);
+    fill4_cab(s, my * 4, mx * 4, 4, 4, mvx, mvy, 0, 0, 0);
     for (int by = 0; by < 4; by++)
         for (int bx = 0; bx < 4; bx++) {
             long gi = (long)(my * 4 + by) * g4w + mx * 4 + bx;
@@ -3647,7 +3787,7 @@ static void decode_p_mb_cab(H264Dec *d, CabSlice *cs, int mx, int my,
         mv_pred4_c(d, d->dec4, gy0, gx0, 4, ri, s->my0, SH_NONE, &pmx, &pmy);
         int mvx = pmx + mdx, mvy = pmy + mdy;
         part_pred_c(s, mx, my, gy0, gx0, 4, 4, mvx, mvy, ri, pred16, predc);
-        fill4_cab(d, gy0, gx0, 4, 4, mvx, mvy, ri,
+        fill4_cab(s, gy0, gx0, 4, 4, mvx, mvy, ri,
                   mdx < 0 ? -mdx : mdx, mdy < 0 ? -mdy : mdy);
     } else if (mb_type == 1 || mb_type == 2) {
         int geo[2][5];
@@ -3677,7 +3817,7 @@ static void decode_p_mb_cab(H264Dec *d, CabSlice *cs, int mx, int my,
             int mvx = pmx + mdx, mvy = pmy + mdy;
             part_pred_c(s, mx, my, gy, gx, pw4, ph4, mvx, mvy, ris[p],
                         pred16, predc);
-            fill4_cab(d, gy, gx, pw4, ph4, mvx, mvy, ris[p],
+            fill4_cab(s, gy, gx, pw4, ph4, mvx, mvy, ris[p],
                       mdx < 0 ? -mdx : mdx, mdy < 0 ? -mdy : mdy);
         }
     } else { /* P_8x8 */
@@ -3716,7 +3856,7 @@ static void decode_p_mb_cab(H264Dec *d, CabSlice *cs, int mx, int my,
                 int mvx = pmx + mdx, mvy = pmy + mdy;
                 part_pred_c(s, mx, my, gy, gx, pw4, ph4, mvx, mvy, ris[b],
                             pred16, predc);
-                fill4_cab(d, gy, gx, pw4, ph4, mvx, mvy, ris[b],
+                fill4_cab(s, gy, gx, pw4, ph4, mvx, mvy, ris[b],
                           mdx < 0 ? -mdx : mdx, mdy < 0 ? -mdy : mdy);
             }
         }
@@ -3817,7 +3957,8 @@ static void decode_slice_cabac_c(H264Dec *d, const uint8_t *rbsp, long rlen,
     int is_p = slice_type == 0;
     s->is_p = is_p;
     br_ue(r);                       /* pps id */
-    br_u(r, d->sps.log2_mfn);       /* frame_num */
+    int fnum = (int)br_u(r, d->sps.log2_mfn);
+    d->cur_frame_num = fnum;
     if (nal_type == 5)
         br_ue(r);                   /* idr_pic_id */
     if (d->sps.poc_type == 0)
@@ -3826,12 +3967,7 @@ static void decode_slice_cabac_c(H264Dec *d, const uint8_t *rbsp, long rlen,
     if (is_p) {
         if (br_bit(r))
             l0_active = (int)br_ue(r) + 1;
-        if (br_bit(r))
-            dec_fail(d, "ref pic list modification");
-        if (d->pps.weighted_pred)
-            dec_fail(d, "weighted prediction");
-        if (l0_active > d->dpb_n)
-            dec_fail(d, "active refs > decoded");
+        parse_ref_mod_and_weights(d, s, r, l0_active, fnum);
     }
     if (nal_type == 5) {
         br_u(r, 1);
@@ -3903,6 +4039,7 @@ static void decode_slice_cabac_c(H264Dec *d, const uint8_t *rbsp, long rlen,
                     for (int bx = 0; bx < 4; bx++) {
                         long gi = (long)(my * 4 + by) * g4w + mx * 4 + bx;
                         d->ref4[gi] = -1;
+                        d->pid4[gi] = -1;
                         d->mv4[gi * 2] = 0;
                         d->mv4[gi * 2 + 1] = 0;
                         d->dec4[gi] = 1;
@@ -4042,7 +4179,8 @@ static void free_geometry(H264Dec *d)
     d->db_t8x8 = NULL;
     free(d->db_qp); free(d->db_slice); free(d->db_idc);
     free(d->db_offa); free(d->db_offb);
-    free(d->nnz_l); free(d->mv4); free(d->ref4);
+    free(d->nnz_l); free(d->mv4); free(d->ref4); free(d->pid4);
+    d->pid4 = NULL;
     free(d->dec4); free(d->rd4); free(d->done4); free(d->avail4);
     free(d->i4mode); free(d->nnz_c[0]); free(d->nnz_c[1]);
     free(d->c_skip); free(d->c_i16); free(d->c_intra); free(d->c_pcm);
@@ -4084,6 +4222,7 @@ static void alloc_geometry(H264Dec *d)
     d->nnz_l = xalloc(d, g4 * 4);
     d->mv4 = xalloc(d, g4 * 8);
     d->ref4 = xalloc(d, g4 * 4);
+    d->pid4 = xalloc(d, g4 * 4);
     d->dec4 = xalloc(d, g4);
     d->rd4 = xalloc(d, g4);
     d->done4 = xalloc(d, g4);
@@ -4125,8 +4264,10 @@ static void reset_picture(H264Dec *d)
     memset(d->db_offb, 0, (size_t)nmb * 4);
     memset(d->nnz_l, 0, (size_t)g4 * 4);
     memset(d->mv4, 0, (size_t)g4 * 8);
-    for (long i = 0; i < g4; i++)
+    for (long i = 0; i < g4; i++) {
         d->ref4[i] = -1;
+        d->pid4[i] = -1;
+    }
     memset(d->c_skip, 0, (size_t)nmb);
     memset(d->c_i16, 0, (size_t)nmb);
     memset(d->c_intra, 0, (size_t)nmb);
@@ -4176,9 +4317,14 @@ static void dpb_insert(H264Dec *d, int is_idr_like)
         d->cur_cb = xalloc(d, d->cpw * d->cph);
         d->cur_cr = xalloc(d, d->cpw * d->cph);
     }
-    for (int i = d->dpb_n; i > 0; i--)
+    for (int i = d->dpb_n; i > 0; i--) {
         d->dpb[i] = d->dpb[i - 1];
+        d->dpb_fn[i] = d->dpb_fn[i - 1];
+        d->dpb_pid[i] = d->dpb_pid[i - 1];
+    }
     d->dpb[0] = np;
+    d->dpb_fn[0] = is_idr_like ? 0 : d->cur_frame_num;
+    d->dpb_pid[0] = d->pic_seq++;
     d->dpb_n++;
     while (d->dpb_n > d->sps.max_refs) {
         d->dpb_n--;

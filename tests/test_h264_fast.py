@@ -125,6 +125,12 @@ def test_fast_decoder_own_encoder_streams():
     ("cabac-high-8x8-dense",
      "codec=H.264:encoder=libx264:profile=high:qp=20:g=6:aq-mode=0:"
      "x264opts=bframes=0:weightp=0"),
+    ("cavlc-weightp2",
+     "codec=H.264:encoder=libx264:profile=high:qp=24:g=6:aq-mode=0:"
+     "bf=0:coder=0:weightp=2"),
+    ("cabac-weightp2-mr",
+     "codec=H.264:encoder=libx264:profile=high:qp=24:g=6:aq-mode=0:"
+     "bf=0:weightp=2:ref=3"),
 ])
 def test_fast_decoder_foreign_matrix(tag, spec):
     """libx264 streams across the supported envelope decode identically
@@ -153,8 +159,8 @@ def test_fast_decoder_foreign_matrix(tag, spec):
 @pytest.mark.parametrize("tag,spec", [
     ("bframes", "codec=H.264:encoder=libx264:profile=main:qp=28:g=6:"
                 "aq-mode=0:x264opts=bframes=2"),
-    ("weightp", "codec=H.264:encoder=libx264:profile=main:qp=28:g=6:"
-                "aq-mode=0:x264opts=bframes=0:weightp=2"),
+    ("scaling-lists", "codec=H.264:encoder=libx264:profile=high:qp=28:g=6:"
+                      "aq-mode=0:bf=0:weightp=0:x264opts=cqm=jvt"),
     ("interlace", "codec=H.264:encoder=libx264:profile=high:qp=28:g=6:"
                   "aq-mode=0:bf=0:weightp=0:x264opts=tff=1"),
 ])
@@ -164,7 +170,9 @@ def test_fast_decoder_unsupported_raises(tag, spec):
     from ultragrid_tpu.ops.h264_dec import UnsupportedStream
 
     Fast = _fast()
-    aus = _encode(spec, _test_frames(n=4))
+    # enough frames that the B-frame lookahead actually flushes B AUs
+    # (weighted P no longer raises before the first B NAL appears)
+    aus = _encode(spec, _test_frames(n=10))
     fd = Fast()
     with pytest.raises(UnsupportedStream):
         for au in aus:

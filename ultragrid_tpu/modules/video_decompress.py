@@ -119,8 +119,8 @@ class OwnH264Decompress(VideoDecompress):
     decodes progressive baseline/main/high CAVLC+CABAC I/P streams in
     real time, sample-exact with libavcodec (tested).  The scalar Python
     decoder (ops/h264_dec.py) serves when the native build is unavailable.
-    Out-of-envelope streams (B slices, weighted pred, 8x8 transform,
-    interlace) hand the session over to lavc permanently — the same
+    Out-of-envelope streams (B slices, interlace, scaling lists) hand
+    the session over to lavc permanently — the same
     probe-then-commit behavior as the reference's decoder selection
     (src/video_decompress.c priority probing).
     """
