@@ -225,9 +225,12 @@ def test_cabac_unsupported_features_raise_cleanly():
 
     w, h = 64, 48
     specs = [
-        # B slices
+        # temporal direct B (we implement spatial only, the x264 default)
         "codec=H.264:encoder=libx264:profile=main:qp=28:g=10:aq-mode=0:"
-        "x264opts=bframes=2",
+        "bf=2:x264opts=direct=temporal",
+        # scaling lists
+        "codec=H.264:encoder=libx264:profile=high:qp=28:g=10:aq-mode=0:"
+        "bf=0:weightp=0:x264opts=cqm=jvt",
         # interlaced coding
         "codec=H.264:encoder=libx264:profile=high:qp=28:g=10:aq-mode=0:"
         "bf=0:weightp=0:x264opts=tff=1",

@@ -119,8 +119,9 @@ class OwnH264Decompress(VideoDecompress):
     decodes progressive baseline/main/high CAVLC+CABAC I/P streams in
     real time, sample-exact with libavcodec (tested).  The scalar Python
     decoder (ops/h264_dec.py) serves when the native build is unavailable.
-    Out-of-envelope streams (B slices, interlace, scaling lists) hand
-    the session over to lavc permanently — the same
+    Out-of-envelope streams (interlace, scaling lists, temporal
+    direct; B slices on the C fast path) hand the session over to lavc
+    permanently — the same
     probe-then-commit behavior as the reference's decoder selection
     (src/video_decompress.c priority probing).
     """
@@ -206,9 +207,12 @@ class OwnH264Decompress(VideoDecompress):
         au = bytes(np.asarray(frame.data))
         self._cache_au(au)
         try:
-            y, cb, cr = self._stream.decode_au(au)
+            got = self._stream.decode_au(au)
         except (UnsupportedStream, IndexError, KeyError) as exc:
             return self._lavc_takeover(frame, out_codec, exc)
+        if got is None:
+            return None  # B-stream display reorder still priming
+        y, cb, cr = got
         h, w = y.shape
         # I420 -> UYVY (chroma rows duplicated)
         cbf = np.repeat(cb, 2, axis=0)[:h]

@@ -10,12 +10,13 @@ transform, and a slice decoder that drives the same reconstruction
 machinery as the CAVLC paths in :mod:`h264_dec`.
 
 Supported envelope (raises :class:`UnsupportedStream` outside it):
-progressive Main-profile CABAC streams — and High-profile streams that do
-not enable the 8x8 transform — with I/P slices, multi-reference P,
-arbitrary partitioning down to 4x4, deblocking; no B slices, no weighted
-prediction, no interlace/MBAFF, no slice groups.  Conformance is gated by
-sample-exact decode of libx264-encoded CABAC streams vs libavcodec in
-tests/test_h264.py.
+progressive Main/High-profile CABAC streams with I/P/B slices (8x8
+transform, multi-reference, weighted P with ref-list modification,
+spatial-direct B with implicit bipred + b-pyramid/MMCO), arbitrary
+partitioning down to 4x4, deblocking; no temporal direct, no
+interlace/MBAFF, no slice groups, no scaling lists.  Conformance is
+gated by sample-exact decode of libx264-encoded CABAC streams vs
+libavcodec in tests/test_h264*.py.
 
 Reference role: the decode half of src/video_decompress/libavcodec.c
 (the reference reaches CABAC via FFmpeg; this is a from-scratch
@@ -153,6 +154,8 @@ class CabacPictureCtx:
         self.cbf_cdc = np.zeros((2, mbh, mbw), np.int64)
         self.cbf_c4 = np.zeros((2, mbh * 2, mbw * 2), np.int64)
         self.absmvd4 = np.zeros((mbh * 4, mbw * 4, 2), np.int64)
+        self.absmvd4b = np.zeros((mbh * 4, mbw * 4, 2), np.int64)  # L1
+        self.bdirect = np.zeros((mbh, mbw), bool)  # B_Skip/B_Direct_16x16
         self.t8x8 = np.zeros((mbh, mbw), bool)  # transform_size_8x8_flag
 
 
@@ -310,7 +313,8 @@ _SUB_PARTS_C = {
 
 
 def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
-                       slice_id: int, pic: CabacPictureCtx) -> None:
+                       slice_id: int, pic: CabacPictureCtx,
+                       ref_idc: int = 1) -> None:
     """Decode one CABAC I or P slice into ``state`` (Y, Cb, Cr int64
     planes), updating the deblock context ``db`` and picture grids
     ``pic``.  ``sd`` is the owning StreamDecoder (sps/pps/DPB access)."""
@@ -323,35 +327,68 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
     r = BitReader(rbsp)
     first_mb = r.ue()
     slice_type = r.ue() % 5
-    if slice_type not in (0, 2):
+    if slice_type not in (0, 1, 2):
         raise UnsupportedStream(f"CABAC slice type {slice_type}")
     is_p = slice_type == 0
+    is_b = slice_type == 1
     r.ue()  # pps id
     fnum = r.u(sps["log2_mfn"])  # frame_num
     sd._cur_frame_num = fnum
     if nal_type == 5:
         r.ue()  # idr_pic_id
     if sps.get("poc_type", 2) == 0:
-        r.u(sps["log2_poc"])
+        sd._cur_poc_lsb = r.u(sps["log2_poc"])
+    cur_poc = sd._poc_preview(fnum)
+    if is_b:
+        if not r.u(1):  # direct_spatial_mv_pred_flag
+            raise UnsupportedStream("temporal direct")
+        if not sps.get("direct_8x8", 1):
+            raise UnsupportedStream("direct_8x8_inference_flag=0")
     l0_active = pps.get("l0_default", 1)
+    l1_active = pps.get("l1_default", 1) if is_b else 0
     l0map = list(range(l0_active))
-    wp = None
-    if is_p:
+    l1map = []
+    wp = wp1 = None
+    wbidc = pps.get("weighted_bipred", 0) if is_b else 0
+    max_fn = 1 << sps["log2_mfn"]
+    if is_p or is_b:
         if r.u(1):  # num_ref_idx_active_override
             l0_active = r.ue() + 1
-        l0map = _parse_ref_mod_l0(r, len(sd.dpb), sd.dpb_meta, fnum,
-                                  1 << sps["log2_mfn"], l0_active)
-        if pps.get("weighted_pred"):
-            wp = _parse_pred_weights_l0(r, l0_active)
+            if is_b:
+                l1_active = r.ue() + 1
+        if is_b:
+            from ultragrid_tpu.ops.h264_bslice import b_list_init
+
+            i0, i1 = b_list_init(sd.dpb_meta, cur_poc)
+            l0map = _parse_ref_mod_l0(r, len(sd.dpb), sd.dpb_meta, fnum,
+                                      max_fn, l0_active, init=i0)
+            l1map = _parse_ref_mod_l0(r, len(sd.dpb), sd.dpb_meta, fnum,
+                                      max_fn, l1_active, init=i1)
+            if wbidc == 1:
+                wp, wp1 = _parse_pred_weights_l0(r, l0_active, l1_active)
+            colmeta = sd.dpb_meta[l1map[0]] if l1map else None
+        else:
+            l0map = _parse_ref_mod_l0(r, len(sd.dpb), sd.dpb_meta, fnum,
+                                      max_fn, l0_active)
+            if pps.get("weighted_pred"):
+                wp = _parse_pred_weights_l0(r, l0_active)
     # dec_ref_pic_marking (nal_ref_idc != 0 assumed: no-B streams mark
     # every picture as reference)
     if nal_type == 5:
         r.u(1)
         r.u(1)
-    else:
-        if r.u(1):
-            raise UnsupportedStream("adaptive ref pic marking")
-    cabac_init_idc = r.ue() if is_p else -1
+    elif ref_idc:  # non-ref pictures carry no dec_ref_pic_marking (7.3.3)
+        if r.u(1):  # MMCO (8.2.5.4) — op 1 only, applied at DPB insert
+            ops = []
+            while True:
+                op = r.ue()
+                if op == 0:
+                    break
+                if op != 1:
+                    raise UnsupportedStream(f"MMCO op {op}")
+                ops.append(r.ue() + 1)
+            sd._pending_mmco = ops
+    cabac_init_idc = r.ue() if (is_p or is_b) else -1
     if not -1 <= cabac_init_idc <= 2:
         raise UnsupportedStream(f"cabac_init_idc {cabac_init_idc}")
     qp = pps["init_qp"] + r.se()
@@ -361,7 +398,7 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
         if r.u(1) != 1:
             raise UnsupportedStream("bad cabac alignment bit")
     eng = CabacEngine(rbsp, r.pos,
-                      0 if not is_p else 1 + cabac_init_idc, qp)
+                      1 + cabac_init_idc if (is_p or is_b) else 0, qp)
 
     mbw, mbh = sps["mb_w"], sps["mb_h"]
     y, cbp_, crp = state
@@ -371,17 +408,28 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
     nnz_l = db.nnz if db is not None else np.zeros((mbh * 4, mbw * 4), np.int64)
     nnz_c = [np.zeros((mbh * 2, mbw * 2), np.int64) for _ in range(2)]
     mv4 = db.mvs if db is not None else np.zeros((mbh * 4, mbw * 4, 2), np.int64)
-    # ref4 = L0 ref index (MV prediction); db.refs = picture id (deblock
+    # ref4 = L0 ref index (MV prediction), picture-wide on sd (colocated
+    # motion for B spatial direct); db.refs = picture id (deblock
     # compares reference PICTURES — ref list duplicates alias one picture)
-    ref4 = np.full((mbh * 4, mbw * 4), -1, np.int64)
+    if sd._pic_ref0 is None:
+        sd._pic_ref0 = np.full((mbh * 4, mbw * 4), -1, np.int64)
+        sd._pic_ref1 = np.full((mbh * 4, mbw * 4), -1, np.int64)
+    ref4 = sd._pic_ref0
+    ref4b = sd._pic_ref1
+    mv4b = db.mvs1 if db is not None else np.zeros((mbh * 4, mbw * 4, 2), np.int64)
     pid4 = db.refs if db is not None else None
+    pid4b = db.refs1 if db is not None else None
     dec4 = np.zeros((mbh * 4, mbw * 4), bool)
     rd4 = np.zeros((mbh * 4, mbw * 4), bool)  # ref_idx known (may precede mv)
+    rd4b = np.zeros((mbh * 4, mbw * 4), bool)
+    dir4 = np.zeros((mbh * 4, mbw * 4), bool)  # B direct/skip blocks:
+    # their derived ref_idx does NOT count toward the ref_idx ctx
+    # (9.3.3.1.1.6 — mirrors lavc's direct_cache gating)
     # intra-mode grids (same semantics as the CAVLC paths)
     i4mode = np.full((mbh * 4, mbw * 4), 2, np.int64)
     done4 = np.zeros((mbh * 4, mbw * 4), bool)
     avail4 = np.zeros((mbh * 4, mbw * 4), bool)
-    if is_p:
+    if is_p or is_b:
         done4[: my0 * 4] = True  # P recon does not gate on done4 rows above
 
     def record(my, mx, *, intra=False, ipcm=False, t8x8=False):
@@ -535,11 +583,16 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
                                   + (2 if cb == 2 else 0))
         return cbp, cc
 
-    def read_ref_idx(gy, gx, pw=4, ph=4):
-        if l0_active <= 1:
+    def read_ref_idx(gy, gx, pw=4, ph=4, lst=0):
+        act = l1_active if lst else l0_active
+        rg = ref4b if lst else ref4
+        rdg = rd4b if lst else rd4
+        if act <= 1:
             return 0
-        ca = 1 if (gx > 0 and rd4[gy, gx - 1] and ref4[gy, gx - 1] > 0) else 0
-        cb = 1 if (gy > my0 * 4 and rd4[gy - 1, gx] and ref4[gy - 1, gx] > 0) else 0
+        ca = 1 if (gx > 0 and rdg[gy, gx - 1] and rg[gy, gx - 1] > 0
+                   and not dir4[gy, gx - 1]) else 0
+        cb = 1 if (gy > my0 * 4 and rdg[gy - 1, gx]
+                   and rg[gy - 1, gx] > 0 and not dir4[gy - 1, gx]) else 0
         if not eng.decision(54 + ca + 2 * cb):
             return 0
         if not eng.decision(58):
@@ -549,16 +602,18 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
             ref += 1
             if ref > 32:
                 raise UnsupportedStream("ref_idx runaway")
-        if ref >= l0_active:
+        if ref >= act:
             raise UnsupportedStream(f"ref_idx {ref}")
         return ref
 
-    def note_ref(gy, gx, pw, ph, ri):
+    def note_ref(gy, gx, pw, ph, ri, lst=0):
         """Record a just-read ref_idx so later same-MB partitions derive
         their ref_idx ctx from it (syntax order reads ALL ref_idx before
         any mvd, so the mv fill has not happened yet)."""
-        ref4[gy:gy + ph, gx:gx + pw] = ri
-        rd4[gy:gy + ph, gx:gx + pw] = True
+        rg = ref4b if lst else ref4
+        rdg = rd4b if lst else rd4
+        rg[gy:gy + ph, gx:gx + pw] = ri
+        rdg[gy:gy + ph, gx:gx + pw] = True
         return ri
 
     def read_t8_flag(mx, my):
@@ -593,14 +648,15 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
                 luma_res[py8:py8 + 8, px8:px8 + 8] = recon_res8(zz, qp_)
         return luma_res
 
-    def read_mvd_pair(gy, gx):
+    def read_mvd_pair(gy, gx, lst=0):
+        am = pic.absmvd4b if lst else pic.absmvd4
         ax = ay = 0
         if gx > 0 and dec4[gy, gx - 1]:
-            ax += int(pic.absmvd4[gy, gx - 1, 0])
-            ay += int(pic.absmvd4[gy, gx - 1, 1])
+            ax += int(am[gy, gx - 1, 0])
+            ay += int(am[gy, gx - 1, 1])
         if gy > my0 * 4 and dec4[gy - 1, gx]:
-            ax += int(pic.absmvd4[gy - 1, gx, 0])
-            ay += int(pic.absmvd4[gy - 1, gx, 1])
+            ax += int(am[gy - 1, gx, 0])
+            ay += int(am[gy - 1, gx, 1])
         mdx = _read_mvd(eng, 40, ax)
         mdy = _read_mvd(eng, 47, ay)
         return mdx, mdy
@@ -640,6 +696,8 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
         pic.cbf_cdc[:, my, mx] = 0
         pic.cbf_c4[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
         pic.absmvd4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+        pic.absmvd4b[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+        pic.bdirect[my, mx] = False
         pic.t8x8[my, mx] = False
 
     def chroma_residuals_cabac(cbp_chroma, mx, my, vc, qpc):
@@ -937,7 +995,7 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
         mv4[gy:gy + ph, gx:gx + pw] = (mvx, mvy)
         ref4[gy:gy + ph, gx:gx + pw] = ri
         if pid4 is not None:
-            pid4[gy:gy + ph, gx:gx + pw] = sd.dpb_meta[l0map[ri]][1]
+            pid4[gy:gy + ph, gx:gx + pw] = sd.dpb_meta[l0map[ri]]["pid"]
         dec4[gy:gy + ph, gx:gx + pw] = True
         rd4[gy:gy + ph, gx:gx + pw] = True
         pic.absmvd4[gy:gy + ph, gx:gx + pw] = (amx, amy)
@@ -968,6 +1026,7 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
 
     def decode_p_mb(mx, my, mb_type):
         nonlocal qp, last_dqp
+        subs = [0, 0, 0, 0]
         gy0, gx0 = my * 4, mx * 4
         pred16 = np.zeros((16, 16), np.int64)
         predc = [np.zeros((8, 8), np.int64) for _ in range(2)]
@@ -995,7 +1054,7 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
                 part_pred(pred16, predc, mx, my, gy, gx, pw, ph, mvx, mvy, ri)
                 fill4(gy, gx, pw, ph, mvx, mvy, ri, abs(mdx), abs(mdy))
         else:  # P_8x8
-            subs = []
+            subs.clear()
             for _ in range(4):
                 if eng.decision(21):
                     subs.append(0)
@@ -1023,14 +1082,19 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
                               mvx, mvy, ris[b])
                     fill4(gy, gx, pw, ph, mvx, mvy, ris[b],
                           abs(mdx), abs(mdy))
+        inter_tail(mx, my, pred16, predc,
+                   not (mb_type <= 2 or all(s == 0 for s in subs)))
+
+    def inter_tail(mx, my, pred16, predc, small_parts):
+        """cbp -> transform_size_8x8_flag -> dqp -> residuals -> recon,
+        shared by P and B inter MBs."""
+        nonlocal qp, last_dqp
+        gy0, gx0 = my * 4, mx * 4
         cbp_luma_mb, cbp_chroma = read_cbp(mx, my)
         pic.cbp_l[my, mx] = cbp_luma_mb
         pic.cbp_c[my, mx] = cbp_chroma
-        # transform_size_8x8_flag (7.3.5): after cbp, before dqp; only
-        # when luma is coded and no partition is below 8x8
         t8 = False
-        if (cbp_luma_mb and pps.get("transform_8x8")
-                and (mb_type <= 2 or all(s == 0 for s in subs))):
+        if (cbp_luma_mb and pps.get("transform_8x8") and not small_parts):
             t8 = read_t8_flag(mx, my)
             pic.t8x8[my, mx] = t8
         qpc = H.chroma_qp(max(0, min(51, qp + pps["chroma_off"])))
@@ -1063,6 +1127,340 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
         done4[gy0:gy0 + 4, gx0:gx0 + 4] = True
         record(my, mx, t8x8=t8)
 
+
+    # ---- B machinery (mirrors _decode_slice_p's B paths) ----------------
+
+    def part_pred_b(pred16, predc, mx, my, gy, gx, pw, ph,
+                    mv0, mv1, ri0, ri1):
+        from ultragrid_tpu.ops.h264_bslice import implicit_weights
+
+        ly, lx = (gy - my * 4) * 4, (gx - mx * 4) * 4
+        cy2, cx2 = ly // 2, lx // 2
+
+        def one(lmap, ri, mv, wpt):
+            di = lmap[ri]
+            ry, rcb, rcr = refp(di)[0]
+            hp = get_halfp(di) if ((mv[0] | mv[1]) & 3) else None
+            mc = mc_luma(ry, gx * 4, gy * 4, mv[0], mv[1], w=pw * 4,
+                         h=ph * 4, halfp=hp)
+            cs = []
+            for ci, refc in ((0, rcb), (1, rcr)):
+                cs.append(mc_chroma(refc, gx * 2, gy * 2, mv[0], mv[1],
+                                    w=pw * 2, h=ph * 2))
+            if wpt is not None:
+                from ultragrid_tpu.ops.h264_dec import _weight_pred
+                w_, o_ = wpt["luma"][ri]
+                mc = _weight_pred(mc, w_, o_, wpt["ld"])
+                for ci in range(2):
+                    w_, o_ = wpt["chroma"][ri][ci]
+                    cs[ci] = _weight_pred(cs[ci], w_, o_, wpt["cd"])
+            return mc, cs
+
+        if ri1 < 0:
+            mc, cs = one(l0map, ri0, mv0, wp)
+        elif ri0 < 0:
+            mc, cs = one(l1map, ri1, mv1, wp1)
+        else:
+            m0, c0 = one(l0map, ri0, mv0, None)
+            m1, c1 = one(l1map, ri1, mv1, None)
+            if wbidc == 2:
+                p0 = sd.dpb_meta[l0map[ri0]]["poc"]
+                p1 = sd.dpb_meta[l1map[ri1]]["poc"]
+                w0, w1 = implicit_weights(cur_poc, p0, p1)
+                mc = np.clip((m0 * w0 + m1 * w1 + 32) >> 6, 0, 255)
+                cs = [np.clip((c0[ci] * w0 + c1[ci] * w1 + 32) >> 6, 0, 255)
+                      for ci in range(2)]
+            elif wbidc == 1:
+                ld = wp["ld"]
+                wl0, ol0 = wp["luma"][ri0]
+                wl1, ol1 = wp1["luma"][ri1]
+                mc = np.clip(((m0 * wl0 + m1 * wl1 + (1 << ld)) >> (ld + 1))
+                             + ((ol0 + ol1 + 1) >> 1), 0, 255)
+                cd = wp["cd"]
+                cs = []
+                for ci in range(2):
+                    wc0, oc0 = wp["chroma"][ri0][ci]
+                    wc1, oc1 = wp1["chroma"][ri1][ci]
+                    cs.append(np.clip(
+                        ((c0[ci] * wc0 + c1[ci] * wc1 + (1 << cd))
+                         >> (cd + 1)) + ((oc0 + oc1 + 1) >> 1), 0, 255))
+            else:
+                mc = (m0 + m1 + 1) >> 1
+                cs = [(c0[ci] + c1[ci] + 1) >> 1 for ci in range(2)]
+        pred16[ly:ly + ph * 4, lx:lx + pw * 4] = mc
+        for ci in range(2):
+            predc[ci][cy2:cy2 + ph * 2, cx2:cx2 + pw * 2] = cs[ci]
+
+    def fill_list(gy, gx, pw, ph, mv, ri, amx, amy, lst, direct=False):
+        """One list's motion grids for a partition (-1 ri = unused)."""
+        dir4[gy:gy + ph, gx:gx + pw] = direct
+        if lst == 0:
+            mv4[gy:gy + ph, gx:gx + pw] = mv if ri >= 0 else (0, 0)
+            ref4[gy:gy + ph, gx:gx + pw] = ri
+            rd4[gy:gy + ph, gx:gx + pw] = True
+            pic.absmvd4[gy:gy + ph, gx:gx + pw] = (amx, amy)
+            if pid4 is not None:
+                pid4[gy:gy + ph, gx:gx + pw] = (
+                    sd.dpb_meta[l0map[ri]]["pid"] if ri >= 0 else -1)
+        else:
+            mv4b[gy:gy + ph, gx:gx + pw] = mv if ri >= 0 else (0, 0)
+            ref4b[gy:gy + ph, gx:gx + pw] = ri
+            rd4b[gy:gy + ph, gx:gx + pw] = True
+            pic.absmvd4b[gy:gy + ph, gx:gx + pw] = (amx, amy)
+            if pid4b is not None:
+                pid4b[gy:gy + ph, gx:gx + pw] = (
+                    sd.dpb_meta[l1map[ri]]["pid"] if ri >= 0 else -1)
+        dec4[gy:gy + ph, gx:gx + pw] = True
+
+    def direct_block_cab(mx, my):
+        """B_Skip / B_Direct_16x16 (spatial, 8x8 inference)."""
+        from ultragrid_tpu.ops.h264_bslice import (col_zero, direct_corner,
+                                                   direct_ref_indices)
+
+        gy0, gx0 = my * 4, mx * 4
+        ri0, ri1 = direct_ref_indices(ref4, ref4b, gy0, gx0, my0, mbw, dec4)
+        zero_pred = ri0 < 0 and ri1 < 0
+        if zero_pred:
+            ri0 = ri1 = 0
+            mvp0 = mvp1 = (0, 0)
+        else:
+            mvp0 = mv_pred4(mv4, ref4, dec4, gy0, gx0, 4, ri0, my0,
+                            mbw) if ri0 >= 0 else (0, 0)
+            mvp1 = mv_pred4(mv4b, ref4b, dec4, gy0, gx0, 4, ri1, my0,
+                            mbw) if ri1 >= 0 else (0, 0)
+        pred16 = np.zeros((16, 16), np.int64)
+        predc = [np.zeros((8, 8), np.int64) for _ in range(2)]
+        for q in range(4):
+            qy, qx = gy0 + (q // 2) * 2, gx0 + (q % 2) * 2
+            cy_, cx_ = direct_corner(gy0, gx0, q, True, 0, 0)
+            cz = (not zero_pred) and col_zero(colmeta, cy_, cx_)
+            m0 = (0, 0) if zero_pred or (cz and ri0 == 0) else mvp0
+            m1 = (0, 0) if zero_pred or (cz and ri1 == 0) else mvp1
+            part_pred_b(pred16, predc, mx, my, qy, qx, 2, 2,
+                        m0, m1, ri0, ri1)
+            fill_list(qy, qx, 2, 2, m0, ri0, 0, 0, 0, direct=True)
+            fill_list(qy, qx, 2, 2, m1, ri1, 0, 0, 1, direct=True)
+        return pred16, predc
+
+    def read_b_mb_type(mx, my):
+        """B mb_type binarization (Table 9-37, ctx 27..31); returns the
+        Table 7-14 value, or 23 + intra subtype for the intra escape."""
+        inc = 0
+        if mb_avail_a(mx) and not pic.bdirect[my, mx - 1]:
+            inc += 1
+        if mb_avail_b(my) and not pic.bdirect[my - 1, mx]:
+            inc += 1
+        if not eng.decision(27 + inc):
+            return 0  # B_Direct_16x16
+        if not eng.decision(27 + 3):
+            return 1 + eng.decision(27 + 5)
+        bits = eng.decision(27 + 4) << 3
+        bits |= eng.decision(27 + 5) << 2
+        bits |= eng.decision(27 + 5) << 1
+        bits |= eng.decision(27 + 5)
+        if bits < 8:
+            return bits + 3
+        if bits == 13:
+            return 23 + _intra_mb_type(eng, 32, False, 0)
+        if bits == 14:
+            return 11
+        if bits == 15:
+            return 22
+        bits = (bits << 1) | eng.decision(27 + 5)
+        return bits - 4
+
+    def read_b_sub_type():
+        """B sub_mb_type binarization (Table 9-38, ctx 36..39)."""
+        if not eng.decision(36):
+            return 0  # B_Direct_8x8
+        if not eng.decision(37):
+            return 1 + eng.decision(39)
+        t = 3
+        if eng.decision(38):
+            if eng.decision(39):
+                return 11 + eng.decision(39)
+            t += 4
+        t += 2 * eng.decision(39)
+        t += eng.decision(39)
+        return t
+
+    def decode_b_skip(mx, my):
+        pred16, predc = direct_block_cab(mx, my)
+        recon_mb(mx, my, pred16, predc, zero16, zero8)
+        nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+        done4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
+        i4mode[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 2
+        avail4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
+        record(my, mx)
+
+    def decode_b_mb(mx, my, mb_type):
+        from ultragrid_tpu.ops.h264_dec import _B_PAIR, _B_SUB, _SUB_PARTS
+        from ultragrid_tpu.ops.h264_bslice import (col_zero, direct_corner,
+                                                   direct_ref_indices)
+
+        gy0, gx0 = my * 4, mx * 4
+        i4mode[gy0:gy0 + 4, gx0:gx0 + 4] = 2
+        avail4[gy0:gy0 + 4, gx0:gx0 + 4] = True
+        if mb_type == 0:
+            pred16, predc = direct_block_cab(mx, my)
+            inter_tail(mx, my, pred16, predc, False)
+            return
+        pred16 = np.zeros((16, 16), np.int64)
+        predc = [np.zeros((8, 8), np.int64) for _ in range(2)]
+        if mb_type <= 3:  # 16x16: 1 L0, 2 L1, 3 Bi
+            use0 = mb_type in (1, 3)
+            use1 = mb_type in (2, 3)
+            ri0 = note_ref(gy0, gx0, 4, 4,
+                           read_ref_idx(gy0, gx0), 0) if use0 else -1
+            ri1 = note_ref(gy0, gx0, 4, 4,
+                           read_ref_idx(gy0, gx0, lst=1), 1) if use1 else -1
+            mv0 = mv1 = (0, 0)
+            if use0:
+                mdx, mdy = read_mvd_pair(gy0, gx0, 0)
+                pmx, pmy = mv_pred4(mv4, ref4, dec4, gy0, gx0, 4, ri0,
+                                    my0, mbw)
+                mv0 = (pmx + mdx, pmy + mdy)
+                fill_list(gy0, gx0, 4, 4, mv0, ri0, abs(mdx), abs(mdy), 0)
+            else:
+                fill_list(gy0, gx0, 4, 4, (0, 0), -1, 0, 0, 0)
+            if use1:
+                mdx, mdy = read_mvd_pair(gy0, gx0, 1)
+                pmx, pmy = mv_pred4(mv4b, ref4b, dec4, gy0, gx0, 4, ri1,
+                                    my0, mbw)
+                mv1 = (pmx + mdx, pmy + mdy)
+                fill_list(gy0, gx0, 4, 4, mv1, ri1, abs(mdx), abs(mdy), 1)
+            else:
+                fill_list(gy0, gx0, 4, 4, (0, 0), -1, 0, 0, 1)
+            part_pred_b(pred16, predc, mx, my, gy0, gx0, 4, 4,
+                        mv0, mv1, ri0, ri1)
+            inter_tail(mx, my, pred16, predc, False)
+            return
+        if mb_type <= 21:  # two-partition types
+            pair = _B_PAIR[(mb_type - 4) // 2]
+            if (mb_type - 4) % 2 == 0:
+                geo = [(gy0, gx0, 4, 2, "16x8_0"),
+                       (gy0 + 2, gx0, 4, 2, "16x8_1")]
+            else:
+                geo = [(gy0, gx0, 2, 4, "8x16_0"),
+                       (gy0, gx0 + 2, 2, 4, "8x16_1")]
+            use0 = [pair[p] in (0, 2) for p in range(2)]
+            use1 = [pair[p] in (1, 2) for p in range(2)]
+            ri0 = [note_ref(g[0], g[1], g[2], g[3],
+                            read_ref_idx(g[0], g[1]), 0)
+                   if use0[p] else -1 for p, g in enumerate(geo)]
+            ri1 = [note_ref(g[0], g[1], g[2], g[3],
+                            read_ref_idx(g[0], g[1], lst=1), 1)
+                   if use1[p] else -1 for p, g in enumerate(geo)]
+            mvs0 = [(0, 0), (0, 0)]
+            mvs1 = [(0, 0), (0, 0)]
+            for p, (gy, gx, pw, ph, shape) in enumerate(geo):
+                if use0[p]:
+                    mdx, mdy = read_mvd_pair(gy, gx, 0)
+                    pmx, pmy = mv_pred4(mv4, ref4, dec4, gy, gx, pw,
+                                        ri0[p], my0, mbw, shape)
+                    mvs0[p] = (pmx + mdx, pmy + mdy)
+                    fill_list(gy, gx, pw, ph, mvs0[p], ri0[p],
+                              abs(mdx), abs(mdy), 0)
+                else:
+                    fill_list(gy, gx, pw, ph, (0, 0), -1, 0, 0, 0)
+            for p, (gy, gx, pw, ph, shape) in enumerate(geo):
+                if use1[p]:
+                    mdx, mdy = read_mvd_pair(gy, gx, 1)
+                    pmx, pmy = mv_pred4(mv4b, ref4b, dec4, gy, gx, pw,
+                                        ri1[p], my0, mbw, shape)
+                    mvs1[p] = (pmx + mdx, pmy + mdy)
+                    fill_list(gy, gx, pw, ph, mvs1[p], ri1[p],
+                              abs(mdx), abs(mdy), 1)
+                else:
+                    fill_list(gy, gx, pw, ph, (0, 0), -1, 0, 0, 1)
+            for p, (gy, gx, pw, ph, _) in enumerate(geo):
+                part_pred_b(pred16, predc, mx, my, gy, gx, pw, ph,
+                            mvs0[p], mvs1[p], ri0[p], ri1[p])
+            inter_tail(mx, my, pred16, predc, False)
+            return
+        if mb_type != 22:
+            raise UnsupportedStream(f"B mb_type {mb_type}")
+        subs = [read_b_sub_type() for _ in range(4)]
+        su0 = [_B_SUB[t][1] in (0, 2) if t else False for t in subs]
+        su1 = [_B_SUB[t][1] in (1, 2) if t else False for t in subs]
+        bpos = [(gy0 + (b // 2) * 2, gx0 + (b % 2) * 2) for b in range(4)]
+        ri0 = [note_ref(bpos[b][0], bpos[b][1], 2, 2,
+                        read_ref_idx(bpos[b][0], bpos[b][1]), 0)
+               if su0[b] else -1 for b in range(4)]
+        ri1 = [note_ref(bpos[b][0], bpos[b][1], 2, 2,
+                        read_ref_idx(bpos[b][0], bpos[b][1], lst=1), 1)
+               if su1[b] else -1 for b in range(4)]
+        # shared direct parameters for any B_Direct_8x8 blocks
+        dri0, dri1 = direct_ref_indices(ref4, ref4b, gy0, gx0, my0, mbw,
+                                        dec4)
+        dzero = dri0 < 0 and dri1 < 0
+        if dzero:
+            dri0 = dri1 = 0
+            dmvp0 = dmvp1 = (0, 0)
+        else:
+            dmvp0 = mv_pred4(mv4, ref4, dec4, gy0, gx0, 4, dri0, my0,
+                             mbw) if dri0 >= 0 else (0, 0)
+            dmvp1 = mv_pred4(mv4b, ref4b, dec4, gy0, gx0, 4, dri1, my0,
+                             mbw) if dri1 >= 0 else (0, 0)
+        parts = []  # (gy, gx, pw, ph, mv0, mv1, r0, r1) for the MC pass
+        small = False
+        dmv = {}
+        for b in range(4):
+            by, bx = bpos[b]
+            if subs[b] == 0:
+                cy_, cx_ = direct_corner(gy0, gx0, b, True, 0, 0)
+                cz = (not dzero) and col_zero(colmeta, cy_, cx_)
+                m0 = (0, 0) if dzero or (cz and dri0 == 0) else dmvp0
+                m1 = (0, 0) if dzero or (cz and dri1 == 0) else dmvp1
+                fill_list(by, bx, 2, 2, m0, dri0, 0, 0, 0, direct=True)
+                fill_list(by, bx, 2, 2, m1, dri1, 0, 0, 1, direct=True)
+                dmv[b] = (m0, m1)
+                parts.append((by, bx, 2, 2, m0, m1, dri0, dri1))
+                continue
+            shp, _m = _B_SUB[subs[b]]
+            if shp != 0:
+                small = True
+            for dy, dx, pw, ph in _SUB_PARTS[shp]:
+                gy, gx = by + dy, bx + dx
+                if su0[b]:
+                    mdx, mdy = read_mvd_pair(gy, gx, 0)
+                    pmx, pmy = mv_pred4(mv4, ref4, dec4, gy, gx, pw,
+                                        ri0[b], my0, mbw)
+                    mv0 = (pmx + mdx, pmy + mdy)
+                    fill_list(gy, gx, pw, ph, mv0, ri0[b],
+                              abs(mdx), abs(mdy), 0)
+                else:
+                    mv0 = (0, 0)
+                    fill_list(gy, gx, pw, ph, mv0, -1, 0, 0, 0)
+                parts.append([gy, gx, pw, ph, mv0, None, ri0[b], ri1[b]])
+        # L1 pass over the non-direct sub-partitions, in syntax order
+        pi = 0
+        for b in range(4):
+            if subs[b] == 0:
+                pi += 1
+                continue
+            shp, _m = _B_SUB[subs[b]]
+            for dy, dx, pw, ph in _SUB_PARTS[shp]:
+                ent = parts[pi]
+                gy, gx = ent[0], ent[1]
+                if su1[b]:
+                    mdx, mdy = read_mvd_pair(gy, gx, 1)
+                    pmx, pmy = mv_pred4(mv4b, ref4b, dec4, gy, gx, pw,
+                                        ri1[b], my0, mbw)
+                    mv1 = (pmx + mdx, pmy + mdy)
+                    fill_list(gy, gx, pw, ph, mv1, ri1[b],
+                              abs(mdx), abs(mdy), 1)
+                else:
+                    mv1 = (0, 0)
+                    fill_list(gy, gx, pw, ph, mv1, -1, 0, 0, 1)
+                ent[5] = mv1
+                pi += 1
+        for ent in parts:
+            gy, gx, pw, ph, mv0, mv1, r0, r1 = ent
+            part_pred_b(pred16, predc, mx, my, gy, gx, pw, ph,
+                        mv0, mv1 if mv1 is not None else (0, 0), r0, r1)
+        inter_tail(mx, my, pred16, predc, small)
+
     # ---- MB loop --------------------------------------------------------
 
     last_dqp = 0
@@ -1072,7 +1470,38 @@ def decode_slice_cabac(sd, rbsp: bytes, nal_type: int, state, db,
     while mb_addr < n_mbs:
         my, mx = mb_addr // mbw, mb_addr % mbw
         mb_addr += 1
-        if is_p:
+        if is_b:
+            inc = 0
+            if mb_avail_a(mx) and not pic.skip[my, mx - 1]:
+                inc += 1
+            if mb_avail_b(my) and not pic.skip[my - 1, mx]:
+                inc += 1
+            if eng.decision(24 + inc):  # B mb_skip_flag
+                clear_mb_ctx(mx, my, intra=False, skip=True)
+                pic.bdirect[my, mx] = True
+                decode_b_skip(mx, my)
+                last_dqp = 0
+                if eng.terminate():
+                    break
+                continue
+            clear_mb_ctx(mx, my, intra=False)
+            mb_type = read_b_mb_type(mx, my)
+            pic.bdirect[my, mx] = mb_type == 0
+            if mb_type >= 23:
+                it = mb_type - 23
+                cur_intra = True
+                for g, v in ((ref4, -1), (ref4b, -1)):
+                    g[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = v
+                mv4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                mv4b[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                dec4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
+                rd4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
+                rd4b[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
+                decode_intra_mb(mx, my, it)
+            else:
+                cur_intra = False
+                decode_b_mb(mx, my, mb_type)
+        elif is_p:
             inc = 0
             if mb_avail_a(mx) and not pic.skip[my, mx - 1]:
                 inc += 1

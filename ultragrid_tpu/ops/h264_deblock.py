@@ -73,9 +73,14 @@ class DeblockCtx:
         self.qp = np.zeros((mbh, mbw), np.int64)
         # per-4x4 luma nonzero-coefficient flags (frame-wide accumulation)
         self.nnz = np.zeros((mbh * 4, mbw * 4), np.int64)
-        # motion at 4x4 granularity (partition support, spec 6.4.11)
+        # motion at 4x4 granularity (partition support, spec 6.4.11);
+        # refs/refs1 hold PICTURE IDS per prediction list (-1 = unused) —
+        # B blocks may carry two (picture, mv) pairs and 8.7.2.1 compares
+        # the SETS, not list slots
         self.mvs = np.zeros((mbh * 4, mbw * 4, 2), np.int64)
         self.refs = np.full((mbh * 4, mbw * 4), -1, np.int64)
+        self.mvs1 = np.zeros((mbh * 4, mbw * 4, 2), np.int64)
+        self.refs1 = np.full((mbh * 4, mbw * 4), -1, np.int64)
         self.slice_id = np.full((mbh, mbw), -1, np.int64)
         # per-MB copy of the owning slice's deblock parameters
         self.idc = np.ones((mbh, mbw), np.int64)  # 1 = filter off
@@ -176,13 +181,45 @@ def _bs_edge(ctx: DeblockCtx, pmb, qmb, pblocks, qblocks,
             return bool(ctx.nnz[gy0:gy0 + 2, gx0:gx0 + 2].any())
         return bool(ctx.nnz[b])
 
+    def pairs(b):
+        out = []
+        if ctx.refs[b] >= 0:
+            out.append((int(ctx.refs[b]),
+                        int(ctx.mvs[b][0]), int(ctx.mvs[b][1])))
+        if ctx.refs1[b] >= 0:
+            out.append((int(ctx.refs1[b]),
+                        int(ctx.mvs1[b][0]), int(ctx.mvs1[b][1])))
+        return out
+
+    def far(a, b):
+        return abs(a[1] - b[1]) >= 4 or abs(a[2] - b[2]) >= 4
+
+    def motion_differs(pp, qq):
+        """8.7.2.1 motion rules over the per-block (picture, mv) sets."""
+        if len(pp) != len(qq):
+            return True  # different number of motion vectors
+        if not pp:
+            return False
+        if len(pp) == 1:
+            return pp[0][0] != qq[0][0] or far(pp[0], qq[0])
+        prefs = sorted(p[0] for p in pp)
+        if prefs != sorted(q[0] for q in qq):
+            return True  # different reference pictures used
+        if pp[0][0] != pp[1][0]:
+            # two distinct pictures: align the comparison by picture
+            q_by_ref = {q[0]: q for q in qq}
+            return any(far(p, q_by_ref[p[0]]) for p in pp)
+        # both predictions from ONE picture: bS stays 0 only if SOME
+        # assignment of the two vectors keeps every difference small
+        straight = not far(pp[0], qq[0]) and not far(pp[1], qq[1])
+        crossed = not far(pp[0], qq[1]) and not far(pp[1], qq[0])
+        return not (straight or crossed)
+
     bs = np.zeros(4, np.int64)
     for i, (pb, qb) in enumerate(zip(pblocks, qblocks)):
         if coded(pb, pmb) or coded(qb, qmb):
             bs[i] = 2
-        elif (ctx.refs[pb] != ctx.refs[qb]
-              or abs(int(ctx.mvs[pb][0]) - int(ctx.mvs[qb][0])) >= 4
-              or abs(int(ctx.mvs[pb][1]) - int(ctx.mvs[qb][1])) >= 4):
+        elif motion_differs(pairs(pb), pairs(qb)):
             bs[i] = 1
     return bs
 

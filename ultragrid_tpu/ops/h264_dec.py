@@ -94,6 +94,13 @@ def _unepb(data: bytes) -> bytes:
 
 def split_nals(bs: bytes):
     """Annex-B -> [(nal_type, rbsp bytes)]."""
+    return [(t, r) for t, _, r in split_nals_ref(bs)]
+
+
+def split_nals_ref(bs: bytes):
+    """Annex-B -> [(nal_type, nal_ref_idc, rbsp bytes)].  ref_idc drives
+    DPB membership (nal_ref_idc == 0 pictures are never references —
+    x264's non-pyramid B frames)."""
     out = []
     i = 0
     n = len(bs)
@@ -111,7 +118,8 @@ def split_nals(bs: bytes):
         while e > s and bs[e - 1] == 0 and k + 1 < len(starts):
             e -= 1
         nal_type = bs[s] & 0x1F
-        out.append((nal_type, _unepb(bs[s + 1 : e])))
+        ref_idc = (bs[s] >> 5) & 3
+        out.append((nal_type, ref_idc, _unepb(bs[s + 1 : e])))
     return out
 
 
@@ -723,15 +731,60 @@ class IntraDecoder:
         mb_h = r.ue() + 1
         if r.u(1) != 1:
             raise UnsupportedStream("interlaced")
-        r.u(1)
+        direct_8x8 = r.u(1)  # direct_8x8_inference_flag (B direct granularity)
         crop = r.u(1)
         cl = cr_ = ct = cb_ = 0
         if crop:
             cl, cr_, ct, cb_ = r.ue(), r.ue(), r.ue(), r.ue()
+        # minimal VUI walk (E.1.1/E.1.2) for bitstream_restriction's
+        # max_num_reorder_frames — the display-reorder delay bound for B
+        # streams; absent means "decoder picks a safe bound" (max_refs)
+        reorder = None
+
+        def skip_hrd(rr):
+            cnt = rr.ue() + 1
+            rr.u(4), rr.u(4)
+            for _ in range(cnt):
+                rr.ue(), rr.ue(), rr.u(1)
+            rr.u(5), rr.u(5), rr.u(5), rr.u(5)
+
+        if r.u(1):  # vui_parameters_present
+            try:
+                if r.u(1):  # aspect_ratio_info
+                    if r.u(8) == 255:  # Extended_SAR
+                        r.u(16), r.u(16)
+                if r.u(1):  # overscan_info
+                    r.u(1)
+                if r.u(1):  # video_signal_type
+                    r.u(3), r.u(1)
+                    if r.u(1):  # colour_description
+                        r.u(8), r.u(8), r.u(8)
+                if r.u(1):  # chroma_loc_info
+                    r.ue(), r.ue()
+                if r.u(1):  # timing_info
+                    r.u(32), r.u(32), r.u(1)
+                nal_hrd = r.u(1)
+                if nal_hrd:
+                    skip_hrd(r)
+                vcl_hrd = r.u(1)
+                if vcl_hrd:
+                    skip_hrd(r)
+                if nal_hrd or vcl_hrd:
+                    r.u(1)  # low_delay_hrd_flag
+                r.u(1)  # pic_struct_present
+                if r.u(1):  # bitstream_restriction
+                    r.u(1)  # motion_vectors_over_pic_boundaries
+                    r.ue(), r.ue(), r.ue(), r.ue()
+                    reorder = r.ue()  # max_num_reorder_frames
+                    r.ue()  # max_dec_frame_buffering
+            except Exception:  # noqa: BLE001 — truncated/exotic VUI
+                reorder = None
         return {
             "mb_w": mb_w, "mb_h": mb_h, "log2_mfn": log2_mfn,
             "max_refs": max(1, max_refs),
             "poc_type": poc_type, "log2_poc": log2_poc,
+            "direct_8x8": direct_8x8,
+            "reorder": reorder,
             "width": mb_w * 16 - 2 * (cl + cr_),
             "height": mb_h * 16 - 2 * (ct + cb_),
         }
@@ -745,9 +798,9 @@ class IntraDecoder:
         if r.ue() != 0:
             raise UnsupportedStream("slice groups")
         l0_default = r.ue() + 1  # num_ref_idx_l0_default_active_minus1
-        r.ue()
+        l1_default = r.ue() + 1
         weighted_pred = r.u(1)
-        r.u(2)  # weighted_bipred_idc
+        weighted_bipred = r.u(2)  # 0 default / 1 explicit / 2 implicit
         init_qp = 26 + r.se()
         r.se()
         chroma_off = r.se()
@@ -762,7 +815,9 @@ class IntraDecoder:
             r.se()  # second_chroma_qp_index_offset
         return {"init_qp": init_qp, "chroma_off": chroma_off,
                 "dbf_ctrl": dbf_ctrl, "l0_default": l0_default,
-                "cabac": cabac, "weighted_pred": weighted_pred,
+                "l1_default": l1_default, "cabac": cabac,
+                "weighted_pred": weighted_pred,
+                "weighted_bipred": weighted_bipred,
                 "transform_8x8": transform_8x8}
 
     def _decode_slice(self, rbsp: bytes, sps, pps, state, db=None,
@@ -1324,6 +1379,21 @@ def skip_mv4(mv4, ref4, dec4, mx, my, my0, mbw):
 
 # P sub-macroblock geometry: sub_mb_type -> list of (dy, dx, pw, ph) in
 # 4x4 units within the 8x8 (spec Table 7-17, raster sub-partition order)
+# B two-partition mb_types 4..21 (Table 7-14): (mode of part0, part1)
+# per PAIR index (mb_type-4)//2; 0 = Pred_L0, 1 = Pred_L1, 2 = BiPred.
+_B_PAIR = [
+    (0, 0), (1, 1), (0, 1), (1, 0), (0, 2), (1, 2), (2, 0), (2, 1), (2, 2),
+]
+# B sub_mb_type (Table 7-18): value -> (_SUB_PARTS shape key, mode);
+# 0 = B_Direct_8x8 handled separately.
+_B_SUB = {
+    1: (0, 0), 2: (0, 1), 3: (0, 2),     # 8x8 L0 / L1 / Bi
+    4: (1, 0), 5: (2, 0),                # 8x4 / 4x8 L0
+    6: (1, 1), 7: (2, 1),                # 8x4 / 4x8 L1
+    8: (1, 2), 9: (2, 2),                # 8x4 / 4x8 Bi
+    10: (3, 0), 11: (3, 1), 12: (3, 2),  # 4x4 L0 / L1 / Bi
+}
+
 _SUB_PARTS = {
     0: [(0, 0, 2, 2)],                                        # P_L0_8x8
     1: [(0, 0, 2, 1), (1, 0, 2, 1)],                          # P_L0_8x4
@@ -1333,23 +1403,28 @@ _SUB_PARTS = {
 
 
 def _parse_ref_mod_l0(r, nrefs: int, metas, cur_fn: int, max_fn: int,
-                      l0_active: int):
-    """ref_pic_list_modification for L0 (7.3.3.1 + 8.2.4.3.1) -> list of
-    DPB indices of length ``l0_active``.  The insert-and-compact process
-    legitimately produces DUPLICATE entries (two commands naming the same
-    PicNum) — that is how x264's smart weighted-P (``weightp=2``) binds
-    two different weight sets to one reference picture."""
-    if not r.u(1):  # ref_pic_list_modification_flag_l0
-        if l0_active > nrefs:
+                      l0_active: int, init=None):
+    """ref_pic_list_modification for one list (7.3.3.1 + 8.2.4.3.1) ->
+    list of DPB indices of length ``l0_active``.  ``init`` overrides the
+    initial list order (B lists are POC-sorted, 8.2.4.2.3); default is
+    DPB order (descending PicNum, the P initialization).  The
+    insert-and-compact process legitimately produces DUPLICATE entries
+    (two commands naming the same PicNum) — that is how x264's smart
+    weighted-P (``weightp=2``) binds two different weight sets to one
+    reference picture."""
+    if init is None:
+        init = list(range(nrefs))
+    if not r.u(1):  # ref_pic_list_modification_flag_lX
+        if l0_active > len(init):
             raise UnsupportedStream(
-                f"{l0_active} active refs > {nrefs} decoded")
-        return list(range(l0_active))
+                f"{l0_active} active refs > {len(init)} decoded")
+        return init[:l0_active]
 
     def picnum(i):
-        fn = metas[i][0]
+        fn = metas[i]["fn"]
         return fn - max_fn if fn > cur_fn else fn
 
-    lst = list(range(nrefs))
+    lst = list(init)
     pred = cur_fn
     refidx = 0
     while True:
@@ -1379,15 +1454,9 @@ def _parse_ref_mod_l0(r, nrefs: int, metas, cur_fn: int, max_fn: int,
     return lst[:l0_active]
 
 
-def _parse_pred_weights_l0(r, l0_active: int):
-    """pred_weight_table for P slices, 4:2:0 (7.3.3.2).  Absent flags
-    yield the identity weight (1 << denom, 0)."""
-    ld = r.ue()
-    cd = r.ue()
-    if ld > 7 or cd > 7:
-        raise UnsupportedStream("weight denom > 7")
+def _parse_weight_entries(r, n: int, ld: int, cd: int):
     luma, chroma = [], []
-    for _ in range(l0_active):
+    for _ in range(n):
         if r.u(1):
             luma.append((r.se(), r.se()))
         else:
@@ -1396,7 +1465,24 @@ def _parse_pred_weights_l0(r, l0_active: int):
             chroma.append(((r.se(), r.se()), (r.se(), r.se())))
         else:
             chroma.append(((1 << cd, 0), (1 << cd, 0)))
-    return {"ld": ld, "cd": cd, "luma": luma, "chroma": chroma}
+    return luma, chroma
+
+
+def _parse_pred_weights_l0(r, l0_active: int, l1_active: int = 0):
+    """pred_weight_table, 4:2:0 (7.3.3.2).  Absent flags yield the
+    identity weight (1 << denom, 0).  For B slices pass ``l1_active`` to
+    also read the L1 entries; returns (wp0, wp1-or-None)."""
+    ld = r.ue()
+    cd = r.ue()
+    if ld > 7 or cd > 7:
+        raise UnsupportedStream("weight denom > 7")
+    luma, chroma = _parse_weight_entries(r, l0_active, ld, cd)
+    wp0 = {"ld": ld, "cd": cd, "luma": luma, "chroma": chroma}
+    if not l1_active:
+        return wp0
+    luma1, chroma1 = _parse_weight_entries(r, l1_active, ld, cd)
+    wp1 = {"ld": ld, "cd": cd, "luma": luma1, "chroma": chroma1}
+    return wp0, wp1
 
 
 def _weight_pred(block: np.ndarray, w: int, o: int, logd: int) -> np.ndarray:
@@ -1429,7 +1515,20 @@ class StreamDecoder:
         self.dpb_meta: list = []
         self._pic_seq = 0
         self._cur_frame_num = 0
+        self._cur_poc_lsb = 0
         self._dpb_pad: list = []  # lazy [padded_planes, half_planes] per ref
+        # POC type 0 tracking (8.2.1.1) + display reorder (B streams)
+        self._poc_msb = 0
+        self._poc_lsb_prev = 0
+        self._poc_base = 0      # global display key across IDR resets
+        self._gop_max_poc = 0
+        self._outq: list = []   # (display_key, seq, frame) pending output
+        self._outseq = 0
+        # per-picture L0/L1 refidx grids (picture-wide: colocated motion
+        # for B spatial direct reads them after the picture completes)
+        self._pic_ref0 = None
+        self._pic_ref1 = None
+        self._pending_mmco = None
 
     @property
     def ref(self):
@@ -1440,19 +1539,79 @@ class StreamDecoder:
     def decode_stream(self, bs: bytes):
         frames = []
         au: list = []
-        for nal_type, rbsp in split_nals(bs):
+        for nal_type, ref_idc, rbsp in split_nals_ref(bs):
             if nal_type in (1, 5):
                 first_mb = BitReader(rbsp).ue()
-                if first_mb == 0 and any(t in (1, 5) for t, _ in au):
-                    frames.append(self._decode_units(au))
+                if first_mb == 0 and any(t in (1, 5) for t, _, _ in au):
+                    got = self._decode_units(au)
+                    if got is not None:
+                        frames.append(got)
                     au = []
-            au.append((nal_type, rbsp))
-        if any(t in (1, 5) for t, _ in au):
-            frames.append(self._decode_units(au))
+            au.append((nal_type, ref_idc, rbsp))
+        if any(t in (1, 5) for t, _, _ in au):
+            got = self._decode_units(au)
+            if got is not None:
+                frames.append(got)
+        frames.extend(self.flush())
         return frames
 
     def decode_au(self, bs: bytes):
-        return self._decode_units(list(split_nals(bs)))
+        """Decode one access unit.  Returns the next frame in DISPLAY
+        order, or None while the reorder buffer of a B stream is still
+        priming (no-reorder streams always return a frame)."""
+        return self._decode_units(list(split_nals_ref(bs)))
+
+    def flush(self):
+        """Drain the display-reorder queue (end of stream)."""
+        self._outq.sort(key=lambda t: (t[0], t[1]))
+        out = [f for _, _, f in self._outq]
+        self._outq = []
+        return out
+
+    def _reorder_delay(self) -> int:
+        if self.sps.get("poc_type", 2) != 0:
+            return 0  # POC type 2: display order == decode order
+        r = self.sps.get("reorder")
+        return r if r is not None else self.sps.get("max_refs", 1)
+
+    def _poc_preview(self, fnum: int) -> int:
+        """Current picture's POC without committing msb/lsb state (the
+        slice header needs it for B list initialization)."""
+        if self.sps.get("poc_type", 2) != 0:
+            return self._pic_seq * 2
+        lsb = self._cur_poc_lsb
+        max_lsb = 1 << self.sps["log2_poc"]
+        prev_msb, prev_lsb = self._poc_msb, self._poc_lsb_prev
+        if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+            msb = prev_msb + max_lsb
+        elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+            msb = prev_msb - max_lsb
+        else:
+            msb = prev_msb
+        return msb + lsb
+
+    def _compute_poc(self, kind: str, is_ref: bool) -> int:
+        """Picture order count, POC type 0 (8.2.1.1) / type 2."""
+        if self.sps.get("poc_type", 2) != 0:
+            return self._pic_seq * 2
+        lsb = self._cur_poc_lsb
+        max_lsb = 1 << self.sps["log2_poc"]
+        if kind == "I":
+            self._poc_msb = 0
+            self._poc_lsb_prev = 0
+            msb = 0
+        else:
+            prev_msb, prev_lsb = self._poc_msb, self._poc_lsb_prev
+            if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+                msb = prev_msb + max_lsb
+            elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+                msb = prev_msb - max_lsb
+            else:
+                msb = prev_msb
+        if is_ref:
+            self._poc_msb = msb
+            self._poc_lsb_prev = lsb
+        return msb + lsb
 
     def _decode_units(self, units):
         from ultragrid_tpu.ops.h264_deblock import DeblockCtx, deblock_frame
@@ -1461,7 +1620,13 @@ class StreamDecoder:
         kind = None
         db = None
         sid = -1
-        for nal_type, rbsp in units:
+        ref_idc_pic = 1
+        for unit in units:
+            if len(unit) == 3:
+                nal_type, ref_idc, rbsp = unit
+            else:  # legacy 2-tuple callers
+                nal_type, rbsp = unit
+                ref_idc = 1
             if nal_type == 7:
                 self.sps = self._intra._parse_sps(rbsp)
             elif nal_type == 8:
@@ -1470,12 +1635,15 @@ class StreamDecoder:
                 if self.sps is None or self.pps is None:
                     raise UnsupportedStream("slice before parameter sets")
                 mbw, mbh = self.sps["mb_w"], self.sps["mb_h"]
+                ref_idc_pic = ref_idc
                 if state is None:
                     state = (
                         np.zeros((mbh * 16, mbw * 16), np.int64),
                         np.zeros((mbh * 8, mbw * 8), np.int64),
                         np.zeros((mbh * 8, mbw * 8), np.int64),
                     )
+                    self._pic_ref0 = np.full((mbh * 4, mbw * 4), -1, np.int64)
+                    self._pic_ref1 = np.full((mbh * 4, mbw * 4), -1, np.int64)
                 if db is None:
                     db = DeblockCtx(mbw, mbh, self.pps["chroma_off"])
                 sid += 1
@@ -1488,11 +1656,15 @@ class StreamDecoder:
                     st = BitReader(rbsp)
                     st.ue()
                     slice_type = st.ue() % 5
-                    kind = "I" if slice_type == 2 else "P"
-                    if kind == "P" and not self.dpb:
-                        raise UnsupportedStream("P slice without a reference")
+                    kind = {2: "I", 0: "P", 1: "B"}.get(slice_type)
+                    if kind is None:
+                        raise UnsupportedStream(
+                            f"CABAC slice type {slice_type}")
+                    if kind != "I" and not self.dpb:
+                        raise UnsupportedStream(
+                            f"{kind} slice without a reference")
                     decode_slice_cabac(self, rbsp, nal_type, state, db, sid,
-                                       self._cabac_pic)
+                                       self._cabac_pic, ref_idc=ref_idc)
                     continue
                 st = BitReader(rbsp)
                 st.ue()  # first_mb
@@ -1504,11 +1676,12 @@ class StreamDecoder:
                     kind = "I"
                     self._intra._decode_slice(rbsp, self.sps, self.pps, state,
                                               db=db, slice_id=sid)
-                elif slice_type % 5 == 0:  # P slice
+                elif slice_type % 5 in (0, 1):  # P / B slice
                     if not self.dpb:
-                        raise UnsupportedStream("P slice without a reference")
-                    kind = "P"
-                    self._decode_slice_p(rbsp, state, db=db, slice_id=sid)
+                        raise UnsupportedStream("inter slice without a reference")
+                    kind = "B" if slice_type % 5 == 1 else "P"
+                    self._decode_slice_p(rbsp, state, db=db, slice_id=sid,
+                                         is_b=kind == "B", ref_idc=ref_idc)
                 else:
                     raise UnsupportedStream(f"slice type {slice_type}")
         if kind is None:
@@ -1518,44 +1691,125 @@ class StreamDecoder:
             # the FILTERED picture is both the output and the reference
             # for the next P picture (spec 8.7 feeds the DPB)
             deblock_frame(y, cb, cr, db)
+        is_ref = ref_idc_pic != 0
         if kind == "I":
             self.dpb = []  # IDR resets the DPB (8.2.5.1)
             self.dpb_meta = []
             self._cur_frame_num = 0  # IDR frame_num is 0 (7.4.3)
+            self._cur_poc_lsb = 0
+            # new coded video sequence: keep the display key monotonic
+            self._poc_base += self._gop_max_poc + 2
+            self._gop_max_poc = 0
+        poc = self._compute_poc(kind, is_ref)
+        self._gop_max_poc = max(self._gop_max_poc, poc)
         self._cabac_pic = None  # per-picture neighbour grids
-        self.dpb.insert(0, (y, cb, cr))
-        self.dpb_meta.insert(0, (self._cur_frame_num, self._pic_seq))
+        if is_ref:
+            # MMCO op-1 drops named short-term refs instead of the
+            # sliding window (8.2.5.4.1; x264 b-pyramid uses this)
+            mmco = getattr(self, "_pending_mmco", None)
+            self._pending_mmco = None
+            if mmco:
+                max_fn = 1 << self.sps["log2_mfn"]
+                cur_fn = self._cur_frame_num
+                for diff in mmco:
+                    pnx = cur_fn - diff  # may be negative (wrap domain)
+                    for i, m in enumerate(self.dpb_meta):
+                        fn = m["fn"]
+                        pn = fn - max_fn if fn > cur_fn else fn
+                        if pn == pnx:
+                            del self.dpb[i]
+                            del self.dpb_meta[i]
+                            break
+            # colocated motion for B spatial direct (8.4.1.2.2): slot-A
+            # mv/refidx = L0 if present else L1
+            use0 = self._pic_ref0 >= 0
+            refcol = np.where(use0, self._pic_ref0, self._pic_ref1)
+            mvcol = np.where(use0[:, :, None], db.mvs, db.mvs1)
+            self.dpb.insert(0, (y, cb, cr))
+            self.dpb_meta.insert(0, {
+                "fn": self._cur_frame_num, "pid": self._pic_seq,
+                "poc": poc, "refcol": refcol, "mvcol": mvcol,
+            })
+            if not mmco:
+                del self.dpb[self.sps.get("max_refs", 1):]
+                del self.dpb_meta[self.sps.get("max_refs", 1):]
+            self._dpb_pad = [None] * len(self.dpb)
         self._pic_seq += 1
-        del self.dpb[self.sps.get("max_refs", 1):]
-        del self.dpb_meta[self.sps.get("max_refs", 1):]
-        self._dpb_pad = [None] * len(self.dpb)
+        self._pic_ref0 = self._pic_ref1 = None
         w, h = self.sps["width"], self.sps["height"]
-        return (y[:h, :w], cb[:(h + 1) // 2, :(w + 1) // 2],
-                cr[:(h + 1) // 2, :(w + 1) // 2])
+        frame = (y[:h, :w], cb[:(h + 1) // 2, :(w + 1) // 2],
+                 cr[:(h + 1) // 2, :(w + 1) // 2])
+        self._outq.append((self._poc_base + poc, self._outseq, frame))
+        self._outseq += 1
+        if len(self._outq) > self._reorder_delay():
+            self._outq.sort(key=lambda t: (t[0], t[1]))
+            return self._outq.pop(0)[2]
+        return None
 
     # -- P slice -----------------------------------------------------------
 
-    def _decode_slice_p(self, rbsp: bytes, state, db=None, slice_id: int = 0):
+    def _decode_slice_p(self, rbsp: bytes, state, db=None, slice_id: int = 0,
+                        is_b: bool = False, ref_idc: int = 1):
+        from ultragrid_tpu.ops.h264_bslice import (b_list_init, col_zero,
+                                                   direct_corner,
+                                                   direct_ref_indices,
+                                                   implicit_weights,
+                                                   min_positive)
+
         sps, pps = self.sps, self.pps
         r = BitReader(rbsp)
         first_mb = r.ue()
-        r.ue()  # slice_type (already known P)
+        r.ue()  # slice_type (already known P/B)
         r.ue()  # pps id
         fnum = r.u(sps["log2_mfn"])  # frame_num
         self._cur_frame_num = fnum
         if sps.get("poc_type", 2) == 0:
-            r.u(sps["log2_poc"])  # pic_order_cnt_lsb
+            self._cur_poc_lsb = r.u(sps["log2_poc"])  # pic_order_cnt_lsb
+        cur_poc = self._poc_preview(fnum)
+        if is_b:
+            if not r.u(1):  # direct_spatial_mv_pred_flag
+                raise UnsupportedStream("temporal direct")
+            if not sps.get("direct_8x8", 1):
+                raise UnsupportedStream("direct_8x8_inference_flag=0")
         l0_active = pps.get("l0_default", 1)
+        l1_active = pps.get("l1_default", 1)
         if r.u(1):  # num_ref_idx_active_override_flag
             l0_active = r.ue() + 1
-        l0map = _parse_ref_mod_l0(r, len(self.dpb), self.dpb_meta, fnum,
-                                  1 << sps["log2_mfn"], l0_active)
-        wp = None
-        if pps.get("weighted_pred"):
+            if is_b:
+                l1_active = r.ue() + 1
+        max_fn = 1 << sps["log2_mfn"]
+        if is_b:
+            i0, i1 = b_list_init(self.dpb_meta, cur_poc)
+            l0map = _parse_ref_mod_l0(r, len(self.dpb), self.dpb_meta, fnum,
+                                      max_fn, l0_active, init=i0)
+            l1map = _parse_ref_mod_l0(r, len(self.dpb), self.dpb_meta, fnum,
+                                      max_fn, l1_active, init=i1)
+        else:
+            l0map = _parse_ref_mod_l0(r, len(self.dpb), self.dpb_meta, fnum,
+                                      max_fn, l0_active)
+            l1map = []
+            l1_active = 0
+        wp = wp1 = None
+        wbidc = pps.get("weighted_bipred", 0) if is_b else 0
+        if not is_b and pps.get("weighted_pred"):
             wp = _parse_pred_weights_l0(r, l0_active)
-        # nal_ref_idc != 0 (our encoder marks all P as reference):
-        if r.u(1):  # adaptive_ref_pic_marking_mode_flag
-            raise UnsupportedStream("adaptive ref pic marking")
+        elif is_b and wbidc == 1:
+            wp, wp1 = _parse_pred_weights_l0(r, l0_active, l1_active)
+        if ref_idc:  # dec_ref_pic_marking only on reference pictures (7.3.3)
+            if r.u(1):  # adaptive_ref_pic_marking_mode_flag
+                # MMCO (8.2.5.4) — x264's b-pyramid manages the window
+                # with op 1 (drop one short-term ref) instead of sliding
+                ops = []
+                while True:
+                    op = r.ue()
+                    if op == 0:
+                        break
+                    if op != 1:
+                        raise UnsupportedStream(f"MMCO op {op}")
+                    ops.append(r.ue() + 1)  # difference_of_pic_nums
+                self._pending_mmco = ops
+        # colocated picture (RefPicList1[0]) motion, for spatial direct
+        colmeta = self.dpb_meta[l1map[0]] if is_b and l1map else None
         qp = pps["init_qp"] + r.se()
         dbf_idc, dbf_offa, dbf_offb = _parse_dbf(r, pps)
         mbw, mbh = sps["mb_w"], sps["mb_h"]
@@ -1566,13 +1820,21 @@ class StreamDecoder:
         nnz_l = db.nnz if db is not None else np.zeros((mbh * 4, mbw * 4), np.int64)
         nnz_c = [np.zeros((mbh * 2, mbw * 2), np.int64) for _ in range(2)]
         # motion state at 4x4 granularity (partition support; spec 6.4.11).
-        # ref4 keeps the L0 ref INDEX (MV prediction compares indices,
-        # 8.4.1.3); the deblock grid gets the picture ID instead — with a
-        # modified ref list two indices can name the same picture and bS
-        # must see them as equal (8.7.2.1 compares reference pictures)
+        # ref4/ref4b keep per-list ref INDICES (MV prediction compares
+        # indices, 8.4.1.3) and live picture-wide on self so the colocated
+        # snapshot for B spatial direct sees every slice; the deblock grids
+        # get PICTURE IDS instead — with a modified ref list two indices
+        # can name the same picture and bS must see them as equal (8.7.2.1
+        # compares reference pictures)
         mv4 = db.mvs if db is not None else np.zeros((mbh * 4, mbw * 4, 2), np.int64)
-        ref4 = np.full((mbh * 4, mbw * 4), -1, np.int64)
+        mv4b = db.mvs1 if db is not None else np.zeros((mbh * 4, mbw * 4, 2), np.int64)
+        if self._pic_ref0 is None:
+            self._pic_ref0 = np.full((mbh * 4, mbw * 4), -1, np.int64)
+            self._pic_ref1 = np.full((mbh * 4, mbw * 4), -1, np.int64)
+        ref4 = self._pic_ref0
+        ref4b = self._pic_ref1
         pid4 = db.refs if db is not None else None
+        pid4b = db.refs1 if db is not None else None
         dec4 = np.zeros((mbh * 4, mbw * 4), bool)
         # intra-NxN-in-P state (same semantics as the I-slice grids)
         i4mode = np.full((mbh * 4, mbw * 4), 2, np.int64)
@@ -1621,33 +1883,105 @@ class StreamDecoder:
                 ent[1] = half_planes(ent[0][0])
             return ent[1]
 
-        def part_pred(pred16, predc, mx, my, gy, gx, pw, ph, mvx, mvy, ri):
-            """Motion-compensate one partition into the MB-local pred
-            buffers (luma [16,16] at 4x4-grid (gy,gx), chroma halved)."""
-            di = l0map[ri]
+        def mc_one(lmap, ri, gy, gx, pw, ph, mvx, mvy, wpt):
+            """One list's clipped prediction for a partition -> (luma
+            [ph*4, pw*4], [cb, cr] halved); explicit weights applied."""
+            di = lmap[ri]
             ry, rcb, rcr = refp(di)[0]
             hp = get_halfp(di) if ((mvx | mvy) & 3) else None
-            ly, lx = (gy - my * 4) * 4, (gx - mx * 4) * 4
             mc = mc_luma(ry, gx * 4, gy * 4, mvx, mvy, w=pw * 4, h=ph * 4,
                          halfp=hp)
-            if wp is not None:
-                w_, o_ = wp["luma"][ri]
-                mc = _weight_pred(mc, w_, o_, wp["ld"])
-            pred16[ly:ly + ph * 4, lx:lx + pw * 4] = mc
-            cy2, cx2 = ly // 2, lx // 2
+            if wpt is not None:
+                w_, o_ = wpt["luma"][ri]
+                mc = _weight_pred(mc, w_, o_, wpt["ld"])
+            cs = []
             for ci, refc in ((0, rcb), (1, rcr)):
                 mcc = mc_chroma(refc, gx * 2, gy * 2, mvx, mvy,
                                 w=pw * 2, h=ph * 2)
-                if wp is not None:
-                    w_, o_ = wp["chroma"][ri][ci]
-                    mcc = _weight_pred(mcc, w_, o_, wp["cd"])
-                predc[ci][cy2:cy2 + ph * 2, cx2:cx2 + pw * 2] = mcc
+                if wpt is not None:
+                    w_, o_ = wpt["chroma"][ri][ci]
+                    mcc = _weight_pred(mcc, w_, o_, wpt["cd"])
+                cs.append(mcc)
+            return mc, cs
+
+        def part_pred(pred16, predc, mx, my, gy, gx, pw, ph, mvx, mvy, ri):
+            """Motion-compensate one L0 partition into the MB-local pred
+            buffers (luma [16,16] at 4x4-grid (gy,gx), chroma halved)."""
+            ly, lx = (gy - my * 4) * 4, (gx - mx * 4) * 4
+            mc, cs = mc_one(l0map, ri, gy, gx, pw, ph, mvx, mvy, wp)
+            pred16[ly:ly + ph * 4, lx:lx + pw * 4] = mc
+            cy2, cx2 = ly // 2, lx // 2
+            for ci in range(2):
+                predc[ci][cy2:cy2 + ph * 2, cx2:cx2 + pw * 2] = cs[ci]
+
+        def part_pred_b(pred16, predc, mx, my, gy, gx, pw, ph,
+                        mv0, mv1, ri0, ri1):
+            """B partition prediction: mono L0/L1, or bipred combined by
+            the default average / implicit POC weights / explicit table
+            (8.4.2.3).  ``ri < 0`` marks an unused list."""
+            ly, lx = (gy - my * 4) * 4, (gx - mx * 4) * 4
+            cy2, cx2 = ly // 2, lx // 2
+            if ri1 < 0:
+                mc, cs = mc_one(l0map, ri0, gy, gx, pw, ph, mv0[0], mv0[1],
+                                wp)
+            elif ri0 < 0:
+                mc, cs = mc_one(l1map, ri1, gy, gx, pw, ph, mv1[0], mv1[1],
+                                wp1)
+            else:
+                # bipred: per-list clipped predictions, then combine —
+                # explicit combines UNWEIGHTED samples with both tables'
+                # weights, so fetch the raw predictions here
+                m0, c0 = mc_one(l0map, ri0, gy, gx, pw, ph, mv0[0], mv0[1],
+                                None)
+                m1, c1 = mc_one(l1map, ri1, gy, gx, pw, ph, mv1[0], mv1[1],
+                                None)
+                if wbidc == 2:
+                    p0 = self.dpb_meta[l0map[ri0]]["poc"]
+                    p1 = self.dpb_meta[l1map[ri1]]["poc"]
+                    w0, w1 = implicit_weights(cur_poc, p0, p1)
+                    mc = np.clip((m0 * w0 + m1 * w1 + 32) >> 6, 0, 255)
+                    cs = [np.clip((c0[ci] * w0 + c1[ci] * w1 + 32) >> 6,
+                                  0, 255) for ci in range(2)]
+                elif wbidc == 1:
+                    ld = wp["ld"]
+                    wl0, ol0 = wp["luma"][ri0]
+                    wl1, ol1 = wp1["luma"][ri1]
+                    mc = np.clip(
+                        ((m0 * wl0 + m1 * wl1 + (1 << ld)) >> (ld + 1))
+                        + ((ol0 + ol1 + 1) >> 1), 0, 255)
+                    cd = wp["cd"]
+                    cs = []
+                    for ci in range(2):
+                        wc0, oc0 = wp["chroma"][ri0][ci]
+                        wc1, oc1 = wp1["chroma"][ri1][ci]
+                        cs.append(np.clip(
+                            ((c0[ci] * wc0 + c1[ci] * wc1 + (1 << cd))
+                             >> (cd + 1)) + ((oc0 + oc1 + 1) >> 1), 0, 255))
+                else:
+                    mc = (m0 + m1 + 1) >> 1
+                    cs = [(c0[ci] + c1[ci] + 1) >> 1 for ci in range(2)]
+            pred16[ly:ly + ph * 4, lx:lx + pw * 4] = mc
+            for ci in range(2):
+                predc[ci][cy2:cy2 + ph * 2, cx2:cx2 + pw * 2] = cs[ci]
 
         def fill4(gy, gx, pw, ph, mvx, mvy, ri):
             mv4[gy:gy + ph, gx:gx + pw] = (mvx, mvy)
             ref4[gy:gy + ph, gx:gx + pw] = ri
             if pid4 is not None:
-                pid4[gy:gy + ph, gx:gx + pw] = self.dpb_meta[l0map[ri]][1]
+                pid4[gy:gy + ph, gx:gx + pw] = \
+                    self.dpb_meta[l0map[ri]]["pid"]
+            dec4[gy:gy + ph, gx:gx + pw] = True
+
+        def fill4_b(gy, gx, pw, ph, mv0, mv1, ri0, ri1):
+            mv4[gy:gy + ph, gx:gx + pw] = mv0 if ri0 >= 0 else (0, 0)
+            ref4[gy:gy + ph, gx:gx + pw] = ri0
+            mv4b[gy:gy + ph, gx:gx + pw] = mv1 if ri1 >= 0 else (0, 0)
+            ref4b[gy:gy + ph, gx:gx + pw] = ri1
+            if pid4 is not None:
+                pid4[gy:gy + ph, gx:gx + pw] = (
+                    self.dpb_meta[l0map[ri0]]["pid"] if ri0 >= 0 else -1)
+                pid4b[gy:gy + ph, gx:gx + pw] = (
+                    self.dpb_meta[l1map[ri1]]["pid"] if ri1 >= 0 else -1)
             dec4[gy:gy + ph, gx:gx + pw] = True
 
         def recon_mb(mx, my, pred16, predc, luma_res, chroma_res):
@@ -1661,27 +1995,186 @@ class StreamDecoder:
         zero16 = np.zeros((16, 16), np.int64)
         zero8 = [np.zeros((8, 8), np.int64), np.zeros((8, 8), np.int64)]
 
-        def read_refidx(rr):
-            if l0_active <= 1:
+        def read_refidx(rr, active=None):
+            n = l0_active if active is None else active
+            if n <= 1:
                 return 0
-            ri = (1 - rr.u(1)) if l0_active == 2 else rr.ue()  # te(v), 9.1.1
-            if ri >= l0_active:
+            ri = (1 - rr.u(1)) if n == 2 else rr.ue()  # te(v), 9.1.1
+            if ri >= n:
                 raise UnsupportedStream(f"ref_idx {ri}")
             return ri
 
+        def direct_block(mx, my):
+            """Derive and apply B_Skip / B_Direct_16x16 for one MB;
+            returns the (pred16, predc) buffers (grids filled)."""
+            gy0, gx0 = my * 4, mx * 4
+            ri0, ri1 = direct_ref_indices(ref4, ref4b, gy0, gx0, my0, mbw,
+                                          dec4)
+            if ri0 < 0 and ri1 < 0:
+                ri0 = ri1 = 0
+                mvp0 = mvp1 = (0, 0)
+                zero_pred = True
+            else:
+                zero_pred = False
+                mvp0 = mv_pred4(mv4, ref4, dec4, gy0, gx0, 4, ri0, my0,
+                                mbw) if ri0 >= 0 else (0, 0)
+                mvp1 = mv_pred4(mv4b, ref4b, dec4, gy0, gx0, 4, ri1, my0,
+                                mbw) if ri1 >= 0 else (0, 0)
+            pred16 = np.zeros((16, 16), np.int64)
+            predc = [np.zeros((8, 8), np.int64) for _ in range(2)]
+            for q in range(4):
+                qy, qx = gy0 + (q // 2) * 2, gx0 + (q % 2) * 2
+                cy_, cx_ = direct_corner(gy0, gx0, q, True, 0, 0)
+                cz = (not zero_pred) and col_zero(colmeta, cy_, cx_)
+                m0 = (0, 0) if (cz and ri0 == 0) or zero_pred else mvp0
+                m1 = (0, 0) if (cz and ri1 == 0) or zero_pred else mvp1
+                if zero_pred:
+                    m0 = m1 = (0, 0)
+                part_pred_b(pred16, predc, mx, my, qy, qx, 2, 2,
+                            m0, m1, ri0, ri1)
+                fill4_b(qy, qx, 2, 2, m0, m1, ri0, ri1)
+            return pred16, predc
+
+        def b_motion(mx, my, mb_type):
+            """Decode one B inter MB's motion + prediction (7.3.5.1/.2,
+            Tables 7-14/7-18).  Returns (pred16, predc, small_parts)."""
+            gy0, gx0 = my * 4, mx * 4
+            if mb_type == 0:  # B_Direct_16x16
+                pred16, predc = direct_block(mx, my)
+                return pred16, predc, False
+            pred16 = np.zeros((16, 16), np.int64)
+            predc = [np.zeros((8, 8), np.int64) for _ in range(2)]
+            if mb_type <= 3:  # 16x16: 1 L0, 2 L1, 3 Bi
+                use0 = mb_type in (1, 3)
+                use1 = mb_type in (2, 3)
+                ri0 = read_refidx(r) if use0 else -1
+                ri1 = read_refidx(r, l1_active) if use1 else -1
+                mv0 = mv1 = (0, 0)
+                if use0:
+                    pmx, pmy = mv_pred4(mv4, ref4, dec4, gy0, gx0, 4, ri0,
+                                        my0, mbw)
+                    mv0 = (pmx + r.se(), pmy + r.se())
+                if use1:
+                    pmx, pmy = mv_pred4(mv4b, ref4b, dec4, gy0, gx0, 4, ri1,
+                                        my0, mbw)
+                    mv1 = (pmx + r.se(), pmy + r.se())
+                part_pred_b(pred16, predc, mx, my, gy0, gx0, 4, 4,
+                            mv0, mv1, ri0, ri1)
+                fill4_b(gy0, gx0, 4, 4, mv0, mv1, ri0, ri1)
+                return pred16, predc, False
+            if mb_type <= 21:  # two-partition types (Table 7-14)
+                # (modeL of part0, part1): 0 = L0, 1 = L1, 2 = Bi
+                pair = _B_PAIR[(mb_type - 4) // 2]
+                if (mb_type - 4) % 2 == 0:
+                    geo = [(gy0, gx0, 4, 2, "16x8_0"),
+                           (gy0 + 2, gx0, 4, 2, "16x8_1")]
+                else:
+                    geo = [(gy0, gx0, 2, 4, "8x16_0"),
+                           (gy0, gx0 + 2, 2, 4, "8x16_1")]
+                use0 = [pair[p] in (0, 2) for p in range(2)]
+                use1 = [pair[p] in (1, 2) for p in range(2)]
+                ri0 = [read_refidx(r) if use0[p] else -1 for p in range(2)]
+                ri1 = [read_refidx(r, l1_active) if use1[p] else -1
+                       for p in range(2)]
+                md0 = [(r.se(), r.se()) if use0[p] else (0, 0)
+                       for p in range(2)]
+                md1 = [(r.se(), r.se()) if use1[p] else (0, 0)
+                       for p in range(2)]
+                mvs0 = [None, None]
+                mvs1 = [None, None]
+                for p, (gy, gx, pw, ph, shape) in enumerate(geo):
+                    mv0 = mv1 = (0, 0)
+                    if use0[p]:
+                        pmx, pmy = mv_pred4(mv4, ref4, dec4, gy, gx, pw,
+                                            ri0[p], my0, mbw, shape)
+                        mv0 = (pmx + md0[p][0], pmy + md0[p][1])
+                    if use1[p]:
+                        pmx, pmy = mv_pred4(mv4b, ref4b, dec4, gy, gx, pw,
+                                            ri1[p], my0, mbw, shape)
+                        mv1 = (pmx + md1[p][0], pmy + md1[p][1])
+                    part_pred_b(pred16, predc, mx, my, gy, gx, pw, ph,
+                                mv0, mv1, ri0[p], ri1[p])
+                    fill4_b(gy, gx, pw, ph, mv0, mv1, ri0[p], ri1[p])
+                    mvs0[p], mvs1[p] = mv0, mv1
+                return pred16, predc, False
+            if mb_type != 22:
+                raise UnsupportedStream(f"B mb_type {mb_type}")
+            # B_8x8 (7.3.5.2): subs, then all ref_l0, ref_l1, mvd_l0, mvd_l1
+            subs = [r.ue() for _ in range(4)]
+            if any(t > 12 for t in subs):
+                raise UnsupportedStream(f"B sub_mb_type {subs}")
+            su0 = [_B_SUB[t][1] in (0, 2) if t else False for t in subs]
+            su1 = [_B_SUB[t][1] in (1, 2) if t else False for t in subs]
+            ri0 = [read_refidx(r) if su0[b] else -1 for b in range(4)]
+            ri1 = [read_refidx(r, l1_active) if su1[b] else -1
+                   for b in range(4)]
+            md0 = [[(r.se(), r.se()) for _ in _SUB_PARTS[_B_SUB[subs[b]][0]]]
+                   if su0[b] else None for b in range(4)]
+            md1 = [[(r.se(), r.se()) for _ in _SUB_PARTS[_B_SUB[subs[b]][0]]]
+                   if su1[b] else None for b in range(4)]
+            small = False
+            # direct parameters shared by every direct 8x8 of this MB
+            dri0, dri1 = direct_ref_indices(ref4, ref4b, gy0, gx0, my0,
+                                            mbw, dec4)
+            dzero = dri0 < 0 and dri1 < 0
+            if dzero:
+                dri0 = dri1 = 0
+                dmvp0 = dmvp1 = (0, 0)
+            else:
+                dmvp0 = mv_pred4(mv4, ref4, dec4, gy0, gx0, 4, dri0, my0,
+                                 mbw) if dri0 >= 0 else (0, 0)
+                dmvp1 = mv_pred4(mv4b, ref4b, dec4, gy0, gx0, 4, dri1, my0,
+                                 mbw) if dri1 >= 0 else (0, 0)
+            for b in range(4):
+                by, bx = gy0 + (b // 2) * 2, gx0 + (b % 2) * 2
+                if subs[b] == 0:  # B_Direct_8x8
+                    cy_, cx_ = direct_corner(gy0, gx0, b, True, 0, 0)
+                    cz = (not dzero) and col_zero(colmeta, cy_, cx_)
+                    m0 = (0, 0) if dzero or (cz and dri0 == 0) else dmvp0
+                    m1 = (0, 0) if dzero or (cz and dri1 == 0) else dmvp1
+                    part_pred_b(pred16, predc, mx, my, by, bx, 2, 2,
+                                m0, m1, dri0, dri1)
+                    fill4_b(by, bx, 2, 2, m0, m1, dri0, dri1)
+                    continue
+                shp, _mode = _B_SUB[subs[b]]
+                if shp != 0:
+                    small = True
+                k0 = k1 = 0
+                for dy, dx, pw, ph in _SUB_PARTS[shp]:
+                    gy, gx = by + dy, bx + dx
+                    mv0 = mv1 = (0, 0)
+                    if su0[b]:
+                        pmx, pmy = mv_pred4(mv4, ref4, dec4, gy, gx, pw,
+                                            ri0[b], my0, mbw)
+                        mv0 = (pmx + md0[b][k0][0], pmy + md0[b][k0][1])
+                        k0 += 1
+                    if su1[b]:
+                        pmx, pmy = mv_pred4(mv4b, ref4b, dec4, gy, gx, pw,
+                                            ri1[b], my0, mbw)
+                        mv1 = (pmx + md1[b][k1][0], pmy + md1[b][k1][1])
+                        k1 += 1
+                    part_pred_b(pred16, predc, mx, my, gy, gx, pw, ph,
+                                mv0, mv1, ri0[b], ri1[b])
+                    fill4_b(gy, gx, pw, ph, mv0, mv1, ri0[b], ri1[b])
+            return pred16, predc, small
+
         mb_addr = first_mb
         n_mbs = mbw * mbh
+        intra_off = 23 if is_b else 5
         while mb_addr < n_mbs and r.pos < stop_pos:
             skip_run = r.ue()
             for _ in range(skip_run):
                 my, mx = mb_addr // mbw, mb_addr % mbw
-                mvx, mvy = skip_mv4(mv4, ref4, dec4, mx, my, my0, mbw)
-                pred16 = np.zeros((16, 16), np.int64)
-                predc = [np.zeros((8, 8), np.int64) for _ in range(2)]
-                part_pred(pred16, predc, mx, my, my * 4, mx * 4, 4, 4,
-                          mvx, mvy, 0)
+                if is_b:  # B_Skip = spatial direct, no residual
+                    pred16, predc = direct_block(mx, my)
+                else:
+                    mvx, mvy = skip_mv4(mv4, ref4, dec4, mx, my, my0, mbw)
+                    pred16 = np.zeros((16, 16), np.int64)
+                    predc = [np.zeros((8, 8), np.int64) for _ in range(2)]
+                    part_pred(pred16, predc, mx, my, my * 4, mx * 4, 4, 4,
+                              mvx, mvy, 0)
+                    fill4(my * 4, mx * 4, 4, 4, mvx, mvy, 0)
                 recon_mb(mx, my, pred16, predc, zero16, zero8)
-                fill4(my * 4, mx * 4, 4, 4, mvx, mvy, 0)
                 nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
                 done4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
                 avail4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
@@ -1694,51 +2187,56 @@ class StreamDecoder:
             qpc = H.chroma_qp(max(0, min(51, qp + pps["chroma_off"])))
             vy, vc = _vmat(qp), _vmat(qpc)
             mb_type = r.ue()
-            if mb_type <= 4:  # inter MB: 16x16 / 16x8 / 8x16 / 8x8(+ref0)
+            if mb_type < intra_off:  # inter MB
                 gy0, gx0 = my * 4, mx * 4
-                pred16 = np.zeros((16, 16), np.int64)
-                predc = [np.zeros((8, 8), np.int64) for _ in range(2)]
-                if mb_type == 0:  # P_L0_16x16
-                    ri = read_refidx(r)
-                    pmx, pmy = mv_pred4(mv4, ref4, dec4, gy0, gx0, 4, ri,
-                                        my0, mbw)
-                    mvx, mvy = pmx + r.se(), pmy + r.se()
-                    part_pred(pred16, predc, mx, my, gy0, gx0, 4, 4,
-                              mvx, mvy, ri)
-                    fill4(gy0, gx0, 4, 4, mvx, mvy, ri)
-                elif mb_type in (1, 2):  # P_L0_L0_16x8 / 8x16
-                    if mb_type == 1:
-                        geo = [(gy0, gx0, 4, 2, "16x8_0"),
-                               (gy0 + 2, gx0, 4, 2, "16x8_1")]
-                    else:
-                        geo = [(gy0, gx0, 2, 4, "8x16_0"),
-                               (gy0, gx0 + 2, 2, 4, "8x16_1")]
-                    ris = [read_refidx(r) for _ in geo]  # all ref_idx first
-                    for (gy, gx, pw, ph, shape), ri in zip(geo, ris):
-                        pmx, pmy = mv_pred4(mv4, ref4, dec4, gy, gx, pw, ri,
-                                            my0, mbw, shape)
+                small_parts = False
+                if is_b:
+                    pred16, predc, small_parts = b_motion(mx, my, mb_type)
+                else:
+                    pred16 = np.zeros((16, 16), np.int64)
+                    predc = [np.zeros((8, 8), np.int64) for _ in range(2)]
+                    if mb_type == 0:  # P_L0_16x16
+                        ri = read_refidx(r)
+                        pmx, pmy = mv_pred4(mv4, ref4, dec4, gy0, gx0, 4, ri,
+                                            my0, mbw)
                         mvx, mvy = pmx + r.se(), pmy + r.se()
-                        part_pred(pred16, predc, mx, my, gy, gx, pw, ph,
+                        part_pred(pred16, predc, mx, my, gy0, gx0, 4, 4,
                                   mvx, mvy, ri)
-                        fill4(gy, gx, pw, ph, mvx, mvy, ri)
-                else:  # P_8x8 (3) / P_8x8ref0 (4)
-                    subs = [r.ue() for _ in range(4)]
-                    if any(t > 3 for t in subs):
-                        raise UnsupportedStream(f"sub_mb_type {subs}")
-                    if mb_type == 3:
-                        ris = [read_refidx(r) for _ in range(4)]
-                    else:
-                        ris = [0, 0, 0, 0]
-                    for b in range(4):
-                        by, bx = gy0 + (b // 2) * 2, gx0 + (b % 2) * 2
-                        for dy, dx, pw, ph in _SUB_PARTS[subs[b]]:
-                            gy, gx = by + dy, bx + dx
+                        fill4(gy0, gx0, 4, 4, mvx, mvy, ri)
+                    elif mb_type in (1, 2):  # P_L0_L0_16x8 / 8x16
+                        if mb_type == 1:
+                            geo = [(gy0, gx0, 4, 2, "16x8_0"),
+                                   (gy0 + 2, gx0, 4, 2, "16x8_1")]
+                        else:
+                            geo = [(gy0, gx0, 2, 4, "8x16_0"),
+                                   (gy0, gx0 + 2, 2, 4, "8x16_1")]
+                        ris = [read_refidx(r) for _ in geo]
+                        for (gy, gx, pw, ph, shape), ri in zip(geo, ris):
                             pmx, pmy = mv_pred4(mv4, ref4, dec4, gy, gx, pw,
-                                                ris[b], my0, mbw)
+                                                ri, my0, mbw, shape)
                             mvx, mvy = pmx + r.se(), pmy + r.se()
                             part_pred(pred16, predc, mx, my, gy, gx, pw, ph,
-                                      mvx, mvy, ris[b])
-                            fill4(gy, gx, pw, ph, mvx, mvy, ris[b])
+                                      mvx, mvy, ri)
+                            fill4(gy, gx, pw, ph, mvx, mvy, ri)
+                    else:  # P_8x8 (3) / P_8x8ref0 (4)
+                        subs = [r.ue() for _ in range(4)]
+                        if any(t > 3 for t in subs):
+                            raise UnsupportedStream(f"sub_mb_type {subs}")
+                        small_parts = any(s != 0 for s in subs)
+                        if mb_type == 3:
+                            ris = [read_refidx(r) for _ in range(4)]
+                        else:
+                            ris = [0, 0, 0, 0]
+                        for b in range(4):
+                            by, bx = gy0 + (b // 2) * 2, gx0 + (b % 2) * 2
+                            for dy, dx, pw, ph in _SUB_PARTS[subs[b]]:
+                                gy, gx = by + dy, bx + dx
+                                pmx, pmy = mv_pred4(mv4, ref4, dec4, gy, gx,
+                                                    pw, ris[b], my0, mbw)
+                                mvx, mvy = pmx + r.se(), pmy + r.se()
+                                part_pred(pred16, predc, mx, my, gy, gx, pw,
+                                          ph, mvx, mvy, ris[b])
+                                fill4(gy, gx, pw, ph, mvx, mvy, ris[b])
                 cbp_code = r.ue()
                 if cbp_code >= len(_CBP_INTER):
                     raise UnsupportedStream("bad inter cbp")
@@ -1748,10 +2246,10 @@ class StreamDecoder:
                     raise UnsupportedStream("bad chroma cbp")
                 # transform_size_8x8_flag (7.3.5): after cbp, before dqp;
                 # only when luma is coded and no partition is below 8x8
+                # (direct MBs qualify via direct_8x8_inference, enforced 1)
                 t8 = False
                 if (cbp_luma and pps.get("transform_8x8")
-                        and (mb_type <= 2
-                             or all(s == 0 for s in subs))):
+                        and not small_parts):
                     t8 = r.u(1) == 1
                 luma_res = np.zeros((16, 16), np.int64)
                 cres = zero8
@@ -1796,7 +2294,7 @@ class StreamDecoder:
                 i4mode[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 2
                 record(my, mx, t8x8=t8)
                 continue
-            it = mb_type - 5  # intra-in-P (spec Table 7-13 offset)
+            it = mb_type - intra_off  # intra-in-P/B (Tables 7-13/7-14)
             ref4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
             mv4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
             dec4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = True
