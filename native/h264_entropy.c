@@ -208,11 +208,14 @@ static void vlc_read(BitReader *r, const VlcTable *tab, int *a, int *b)
 typedef struct {
     int valid;
     int mb_w, mb_h, log2_mfn, max_refs, poc_type, log2_poc, width, height;
+    int direct_8x8;   /* direct_8x8_inference_flag */
+    int reorder;      /* VUI max_num_reorder_frames, -1 = absent */
 } SPS;
 
 typedef struct {
     int valid;
     int init_qp, chroma_off, dbf_ctrl, l0_default, cabac, weighted_pred;
+    int l1_default, weighted_bipred;
     int transform_8x8;
 } PPS;
 
@@ -224,6 +227,10 @@ typedef struct {
     uint8_t *y, *cb, *cr;          /* padded planes */
     uint8_t *hb, *hh, *hj;         /* luma half-pel planes (lazy) */
     int have_half;
+    /* colocated motion for B spatial direct (8.4.1.2.2): per 4x4,
+       slot-A = L0 if present else L1 */
+    int16_t *mvcol;                /* [g4][2] */
+    int8_t *refcol;                /* [g4] refidx, -1 intra */
 } RefPic;
 
 /* ------------------------------------------------------------------ */
@@ -261,9 +268,25 @@ struct H264Dec {
     RefPic dpb[MAX_REFS];
     int dpb_fn[MAX_REFS];
     int dpb_pid[MAX_REFS];
+    long dpb_poc[MAX_REFS];
     int pic_seq;
     int cur_frame_num;
+    int cur_poc_lsb;
+    long cur_pic_poc;
     int dpb_n;
+    /* POC type 0 tracking (8.2.1.1) + global display key */
+    long poc_msb, poc_lsb_prev, poc_base, gop_max_poc;
+    int mmco_drop[16];   /* pids to unmark at storage time (8.2.5.4) */
+    int mmco_n;
+    /* display reorder queue: cropped owned frames, key = poc_base + poc */
+    struct OutSlot {
+        long key, seq;
+        uint8_t *y, *cb, *cr;
+        int used;
+    } outq[MAX_REFS + 2];
+    long out_seq;
+    uint8_t *out_y, *out_cb, *out_cr;  /* popped frame served to the API */
+    int out_ready;
     RefPic spare[MAX_REFS + 1]; /* buffer pool */
     int spare_n;
 
@@ -271,12 +294,15 @@ struct H264Dec {
     uint8_t *db_intra, *db_ipcm, *db_decoded, *db_t8x8;
     int32_t *db_qp, *db_slice, *db_idc, *db_offa, *db_offb;
     int32_t *nnz_l;               /* 4x4 luma nnz grid, frame-wide */
-    int32_t *mv4;                 /* [mbh*4][mbw*4][2] */
+    int32_t *mv4;                 /* [mbh*4][mbw*4][2] L0 mv (pred+deblock) */
     int32_t *ref4;                /* [mbh*4][mbw*4] L0 ref INDEX (MV pred) */
-    int32_t *pid4;                /* [mbh*4][mbw*4] ref picture id (deblock) */
+    int32_t *pid4;                /* [mbh*4][mbw*4] L0 ref picture id */
+    int32_t *mv4b;                /* L1 twins (B slices) */
+    int32_t *ref4b;
+    int32_t *pid4b;
 
     /* per-slice grids */
-    uint8_t *dec4, *rd4, *done4, *avail4;
+    uint8_t *dec4, *rd4, *rd4b, *dir4, *done4, *avail4;
     int32_t *i4mode;
     int32_t *nnz_c[2];            /* chroma nnz, per slice semantics */
 
@@ -299,6 +325,11 @@ static void dec_fail(H264Dec *d, const char *msg)
     snprintf(d->err, sizeof(d->err), "%s", msg);
     longjmp(d->jb, 1);
 }
+
+static long poc_preview(const H264Dec *d);
+struct Slice;
+static void parse_inter_header(H264Dec *d, struct Slice *s,
+                               BitReader *r, int ref_idc);
 
 static void *xalloc(H264Dec *d, long n)
 {
@@ -1342,20 +1373,27 @@ static void deblock_frame_c(H264Dec *d)
 #define CBP(d) ((d)->cur_cb + PAD * (d)->cpw + PAD)
 #define CRP(d) ((d)->cur_cr + PAD * (d)->cpw + PAD)
 
-typedef struct {
+typedef struct Slice {
     H264Dec *d;
     int my0;            /* first MB row of the slice */
     int qp;             /* running slice QP */
     int slice_id;
     int dbf_idc, dbf_offa, dbf_offb;
-    int l0_active;
-    int is_p;
-    /* L0 ref list: ref_idx -> DPB index (identity unless modified) */
+    int l0_active, l1_active;
+    int is_p, is_b;
+    long cur_poc;
+    int wbidc;              /* weighted_bipred_idc for B */
+    /* ref lists: ref_idx -> DPB index (identity unless modified) */
     int l0map[MAX_L0];
+    int l1map[MAX_L0];
     /* explicit weighted prediction (pred_weight_table, 7.3.3.2) */
     int wp_on, wp_ld, wp_cd;
     int wl[MAX_L0], wo[MAX_L0];
     int wcw[MAX_L0][2], wco[MAX_L0][2];
+    int wl1[MAX_L0], wo1[MAX_L0];
+    int wcw1[MAX_L0][2], wco1[MAX_L0][2];
+    /* colocated picture (RefPicList1[0]) for spatial direct */
+    RefPic *colpic;
 } Slice;
 
 static void record_mb(Slice *s, int my, int mx, int intra, int ipcm)
@@ -2251,6 +2289,8 @@ static void reset_slice_grids(H264Dec *d)
     long g2 = (long)d->mbh * 2 * d->mbw * 2;
     memset(d->dec4, 0, (size_t)g4);
     memset(d->rd4, 0, (size_t)g4);
+    memset(d->rd4b, 0, (size_t)g4);
+    memset(d->dir4, 0, (size_t)g4);
     memset(d->done4, 0, (size_t)g4);
     memset(d->avail4, 0, (size_t)g4);
     for (long i = 0; i < g4; i++)
@@ -2409,17 +2449,18 @@ static void decode_slice_cavlc_i(H264Dec *d, const uint8_t *rbsp, long rlen,
  * (7.3.3.2) -> s->l0map / s->w*.  The insert-and-compact process keeps
  * earlier duplicates, which is how x264's weightp=2 binds two weight
  * sets to one reference picture. */
-static void parse_ref_mod_and_weights(H264Dec *d, Slice *s, BitReader *r,
-                                      int l0_active, int cur_fn)
+static void parse_ref_mod_list(H264Dec *d, BitReader *r, int active,
+                               const int *init, int init_n, int *out)
 {
-    if (l0_active > MAX_L0)
-        dec_fail(d, "l0_active too large");
+    if (active > MAX_L0)
+        dec_fail(d, "lX_active too large");
     int nrefs = d->dpb_n;
     int lst[MAX_REFS + MAX_L0];
-    int lst_n = nrefs;
-    for (int i = 0; i < nrefs; i++)
-        lst[i] = i;
+    int lst_n = init_n;
+    for (int i = 0; i < init_n; i++)
+        lst[i] = init[i];
     int max_fn = 1 << d->sps.log2_mfn;
+    int cur_fn = d->cur_frame_num;
     if (br_bit(r)) {                /* ref_pic_list_modification_flag_l0 */
         int pred = cur_fn, refidx = 0;
         for (;;) {
@@ -2462,42 +2503,166 @@ static void parse_ref_mod_and_weights(H264Dec *d, Slice *s, BitReader *r,
             if (++refidx > MAX_L0)
                 dec_fail(d, "too many ref modifications");
         }
-        if (l0_active > lst_n)
+        if (active > lst_n)
             dec_fail(d, "modified ref list too short");
-    } else if (l0_active > nrefs) {
+    } else if (active > init_n) {
         dec_fail(d, "active refs > decoded");
     }
-    for (int i = 0; i < l0_active; i++)
-        s->l0map[i] = lst[i];
+    for (int i = 0; i < active; i++)
+        out[i] = lst[i];
+}
+
+static void parse_weight_entries(H264Dec *d, BitReader *r, int n,
+                                 int ld, int cd, int *wl, int *wo,
+                                 int wcw[][2], int wco[][2])
+{
+    for (int i = 0; i < n; i++) {
+        if (br_bit(r)) {
+            wl[i] = (int)br_se(r);
+            wo[i] = (int)br_se(r);
+        } else {
+            wl[i] = 1 << ld;
+            wo[i] = 0;
+        }
+        if (br_bit(r)) {
+            for (int j = 0; j < 2; j++) {
+                wcw[i][j] = (int)br_se(r);
+                wco[i][j] = (int)br_se(r);
+            }
+        } else {
+            for (int j = 0; j < 2; j++) {
+                wcw[i][j] = 1 << cd;
+                wco[i][j] = 0;
+            }
+        }
+    }
+}
+
+/* B list initialization: POC-sorted short-term refs (8.2.4.2.3) */
+static void b_list_init_c(H264Dec *d, long cur_poc,
+                          int *i0, int *n0, int *i1, int *n1)
+{
+    int before[MAX_REFS], after[MAX_REFS];
+    int nb = 0, na = 0;
+    /* before: poc < cur, descending; after: poc > cur, ascending */
+    int order[MAX_REFS];
+    for (int i = 0; i < d->dpb_n; i++)
+        order[i] = i;
+    /* simple selection sorts (dpb_n <= 16) */
+    for (int i = 0; i < d->dpb_n; i++)
+        if (d->dpb_poc[i] < cur_poc)
+            before[nb++] = i;
+    for (int i = 0; i < nb; i++)
+        for (int j = i + 1; j < nb; j++)
+            if (d->dpb_poc[before[j]] > d->dpb_poc[before[i]]) {
+                int t = before[i]; before[i] = before[j]; before[j] = t;
+            }
+    for (int i = 0; i < d->dpb_n; i++)
+        if (d->dpb_poc[i] > cur_poc)
+            after[na++] = i;
+    for (int i = 0; i < na; i++)
+        for (int j = i + 1; j < na; j++)
+            if (d->dpb_poc[after[j]] < d->dpb_poc[after[i]]) {
+                int t = after[i]; after[i] = after[j]; after[j] = t;
+            }
+    (void)order;
+    *n0 = *n1 = nb + na;
+    for (int i = 0; i < nb; i++)
+        i0[i] = before[i];
+    for (int i = 0; i < na; i++)
+        i0[nb + i] = after[i];
+    for (int i = 0; i < na; i++)
+        i1[i] = after[i];
+    for (int i = 0; i < nb; i++)
+        i1[na + i] = before[i];
+    if (*n1 >= 2) {
+        int same = 1;
+        for (int i = 0; i < *n0; i++)
+            if (i0[i] != i1[i])
+                same = 0;
+        if (same) {
+            int t = i1[0];
+            i1[0] = i1[1];
+            i1[1] = t;
+        }
+    }
+}
+
+/* shared P/B slice-header tail: lists, weights, dec_ref_pic_marking */
+static void parse_inter_header(H264Dec *d, struct Slice *s, BitReader *r,
+                               int ref_idc)
+{
+    int l0_active = d->pps.l0_default;
+    int l1_active = s->is_b ? d->pps.l1_default : 0;
+    if (br_bit(r)) {
+        l0_active = (int)br_ue(r) + 1;
+        if (s->is_b)
+            l1_active = (int)br_ue(r) + 1;
+    }
+    int ident[MAX_REFS];
+    for (int i = 0; i < d->dpb_n; i++)
+        ident[i] = i;
+    if (s->is_b) {
+        int i0[MAX_REFS], i1[MAX_REFS], n0, n1;
+        b_list_init_c(d, s->cur_poc, i0, &n0, i1, &n1);
+        parse_ref_mod_list(d, r, l0_active, i0, n0, s->l0map);
+        parse_ref_mod_list(d, r, l1_active, i1, n1, s->l1map);
+    } else {
+        parse_ref_mod_list(d, r, l0_active, ident, d->dpb_n, s->l0map);
+    }
+    s->l0_active = l0_active;
+    s->l1_active = l1_active;
+    s->wbidc = s->is_b ? d->pps.weighted_bipred : 0;
     s->wp_on = 0;
-    if (d->pps.weighted_pred) {
+    if (!s->is_b && d->pps.weighted_pred) {
         s->wp_on = 1;
         int ld = (int)br_ue(r), cd = (int)br_ue(r);
         if (ld > 7 || cd > 7)
             dec_fail(d, "weight denom > 7");
         s->wp_ld = ld;
         s->wp_cd = cd;
-        for (int i = 0; i < l0_active; i++) {
-            if (br_bit(r)) {
-                s->wl[i] = (int)br_se(r);
-                s->wo[i] = (int)br_se(r);
-            } else {
-                s->wl[i] = 1 << ld;
-                s->wo[i] = 0;
-            }
-            if (br_bit(r)) {
-                for (int j = 0; j < 2; j++) {
-                    s->wcw[i][j] = (int)br_se(r);
-                    s->wco[i][j] = (int)br_se(r);
-                }
-            } else {
-                for (int j = 0; j < 2; j++) {
-                    s->wcw[i][j] = 1 << cd;
-                    s->wco[i][j] = 0;
+        parse_weight_entries(d, r, l0_active, ld, cd, s->wl, s->wo,
+                             s->wcw, s->wco);
+    } else if (s->is_b && s->wbidc == 1) {
+        s->wp_on = 1;
+        int ld = (int)br_ue(r), cd = (int)br_ue(r);
+        if (ld > 7 || cd > 7)
+            dec_fail(d, "weight denom > 7");
+        s->wp_ld = ld;
+        s->wp_cd = cd;
+        parse_weight_entries(d, r, l0_active, ld, cd, s->wl, s->wo,
+                             s->wcw, s->wco);
+        parse_weight_entries(d, r, l1_active, ld, cd, s->wl1, s->wo1,
+                             s->wcw1, s->wco1);
+    }
+    if (ref_idc) {  /* dec_ref_pic_marking only on reference pictures */
+        if (br_bit(r)) {
+            /* MMCO (8.2.5.4): op 1 drops one short-term ref NOW (the
+               spec applies marking at storage time; x264's b-pyramid
+               commands never name a ref the CURRENT slice still uses
+               after this point in our decode order, and the current
+               picture is not in the DPB yet) */
+            for (;;) {
+                long op = br_ue(r);
+                if (op == 0)
+                    break;
+                if (op != 1)
+                    dec_fail(d, "MMCO op");
+                int diff = (int)br_ue(r) + 1;
+                int max_fn = 1 << d->sps.log2_mfn;
+                int pnx = d->cur_frame_num - diff;
+                for (int i = 0; i < d->dpb_n; i++) {
+                    int fn = d->dpb_fn[i];
+                    int pn = fn > d->cur_frame_num ? fn - max_fn : fn;
+                    if (pn == pnx) {
+                        d->mmco_drop[d->mmco_n++ & 15] = d->dpb_pid[i];
+                        break;
+                    }
                 }
             }
         }
     }
+    s->colpic = (s->is_b && l1_active > 0) ? &d->dpb[s->l1map[0]] : NULL;
 }
 
 /* explicit weighted sample prediction, one list (8.4.2.3.2) */
@@ -2642,7 +2807,7 @@ static void decode_i16_in_p_cavlc(Slice *s, BitReader *r, int t_code,
 }
 
 static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
-                                 int slice_id)
+                                 int slice_id, int ref_idc, int is_b)
 {
     BitReader rr = {rbsp, rlen, 0, d};
     BitReader *r = &rr;
@@ -2650,23 +2815,29 @@ static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
     Slice *s = &sl;
     s->d = d;
     s->slice_id = slice_id;
-    s->is_p = 1;
+    s->is_p = !is_b;
+    s->is_b = is_b;
     int first_mb = (int)br_ue(r);
-    br_ue(r);                       /* slice_type (known P) */
+    br_ue(r);                       /* slice_type (known P/B) */
     br_ue(r);                       /* pps id */
     int fnum = (int)br_u(r, d->sps.log2_mfn);
     d->cur_frame_num = fnum;
     if (d->sps.poc_type == 0)
-        br_u(r, d->sps.log2_poc);
-    int l0_active = d->pps.l0_default;
-    if (br_bit(r))
-        l0_active = (int)br_ue(r) + 1;
-    parse_ref_mod_and_weights(d, s, r, l0_active, fnum);
-    if (br_bit(r))
-        dec_fail(d, "adaptive ref pic marking");
+        d->cur_poc_lsb = (int)br_u(r, d->sps.log2_poc);
+    s->cur_poc = poc_preview(d);
+    if (is_b) {
+        if (!br_bit(r))             /* direct_spatial_mv_pred_flag */
+            dec_fail(d, "temporal direct");
+        if (!d->sps.direct_8x8)
+            dec_fail(d, "direct_8x8_inference_flag=0");
+    }
+    parse_inter_header(d, s, r, ref_idc);
+    if (is_b)
+        dec_fail(d, "B slices (native CAVLC pending)");
+    int l0_active = s->l0_active;
+    (void)l0_active;
     s->qp = d->pps.init_qp + br_se(r);
     parse_dbf(d, r, &s->dbf_idc, &s->dbf_offa, &s->dbf_offb);
-    s->l0_active = l0_active;
     int mbw = d->mbw, mbh = d->mbh;
     if (first_mb % mbw)
         dec_fail(d, "slices must start at an MB row");
@@ -3941,7 +4112,7 @@ static void decode_p_mb_cab(H264Dec *d, CabSlice *cs, int mx, int my,
 }
 
 static void decode_slice_cabac_c(H264Dec *d, const uint8_t *rbsp, long rlen,
-                                 int nal_type, int slice_id)
+                                 int nal_type, int slice_id, int ref_idc)
 {
     BitReader rr = {rbsp, rlen, 0, d};
     BitReader *r = &rr;
@@ -3952,31 +4123,37 @@ static void decode_slice_cabac_c(H264Dec *d, const uint8_t *rbsp, long rlen,
     s->slice_id = slice_id;
     int first_mb = (int)br_ue(r);
     int slice_type = (int)(br_ue(r) % 5);
-    if (slice_type != 0 && slice_type != 2)
+    if (slice_type != 0 && slice_type != 1 && slice_type != 2)
         dec_fail(d, "CABAC slice type");
     int is_p = slice_type == 0;
+    int is_b = slice_type == 1;
     s->is_p = is_p;
+    s->is_b = is_b;
     br_ue(r);                       /* pps id */
     int fnum = (int)br_u(r, d->sps.log2_mfn);
     d->cur_frame_num = fnum;
     if (nal_type == 5)
         br_ue(r);                   /* idr_pic_id */
     if (d->sps.poc_type == 0)
-        br_u(r, d->sps.log2_poc);
-    int l0_active = d->pps.l0_default;
-    if (is_p) {
+        d->cur_poc_lsb = (int)br_u(r, d->sps.log2_poc);
+    s->cur_poc = poc_preview(d);
+    if (is_b) {
+        if (!br_bit(r))             /* direct_spatial_mv_pred_flag */
+            dec_fail(d, "temporal direct");
+        if (!d->sps.direct_8x8)
+            dec_fail(d, "direct_8x8_inference_flag=0");
+    }
+    if (is_p || is_b) {
+        parse_inter_header(d, s, r, nal_type == 5 ? 0 : ref_idc);
+    } else if (nal_type != 5 && ref_idc) {
         if (br_bit(r))
-            l0_active = (int)br_ue(r) + 1;
-        parse_ref_mod_and_weights(d, s, r, l0_active, fnum);
+            dec_fail(d, "adaptive ref pic marking (I)");
     }
     if (nal_type == 5) {
         br_u(r, 1);
         br_u(r, 1);
-    } else {
-        if (br_bit(r))
-            dec_fail(d, "adaptive ref pic marking");
     }
-    int cabac_init_idc = is_p ? (int)br_ue(r) : -1;
+    int cabac_init_idc = (is_p || is_b) ? (int)br_ue(r) : -1;
     if (cabac_init_idc > 2)
         dec_fail(d, "cabac_init_idc");
     s->qp = d->pps.init_qp + br_se(r);
@@ -3985,15 +4162,18 @@ static void decode_slice_cabac_c(H264Dec *d, const uint8_t *rbsp, long rlen,
         if (br_bit(r) != 1)
             dec_fail(d, "bad cabac alignment bit");
     }
+    if (is_b)
+        dec_fail(d, "B slices (native CABAC pending)");
     cab_init(&cs->e, d, rbsp, rlen, r->pos,
-             is_p ? 1 + cabac_init_idc : 0, s->qp);
-    s->l0_active = l0_active;
+             (is_p || is_b) ? 1 + cabac_init_idc : 0, s->qp);
+    int l0_active = s->l0_active;
+    (void)l0_active;
     int mbw = d->mbw, mbh = d->mbh;
     if (first_mb % mbw)
         dec_fail(d, "slices must start at an MB row");
     s->my0 = first_mb / mbw;
     reset_slice_grids(d);
-    if (is_p) {
+    if (is_p || is_b) {
         /* P recon does not gate on done4 rows above the slice */
         int g4w = mbw * 4;
         for (long i = 0; i < (long)s->my0 * 4 * g4w; i++)
@@ -4067,6 +4247,24 @@ static void decode_slice_cabac_c(H264Dec *d, const uint8_t *rbsp, long rlen,
 /* parameter set parsing (= _parse_sps / _parse_pps)                    */
 /* ------------------------------------------------------------------ */
 
+static void skip_hrd(H264Dec *d, BitReader *r)
+{
+    long cnt = br_ue(r) + 1;
+    if (cnt > 32)
+        dec_fail(d, "hrd cpb_cnt");
+    br_u(r, 4);
+    br_u(r, 4);
+    for (long i = 0; i < cnt; i++) {
+        br_ue(r);
+        br_ue(r);
+        br_u(r, 1);
+    }
+    br_u(r, 5);
+    br_u(r, 5);
+    br_u(r, 5);
+    br_u(r, 5);
+}
+
 static void parse_sps(H264Dec *d, const uint8_t *rbsp, long rlen, SPS *sps)
 {
     BitReader rr = {rbsp, rlen, 0, d};
@@ -4103,7 +4301,7 @@ static void parse_sps(H264Dec *d, const uint8_t *rbsp, long rlen, SPS *sps)
     sps->mb_h = (int)br_ue(r) + 1;
     if (br_u(r, 1) != 1)
         dec_fail(d, "interlaced");
-    br_u(r, 1);
+    sps->direct_8x8 = (int)br_u(r, 1);
     int crop = (int)br_u(r, 1);
     int cl = 0, cr2 = 0, ct = 0, cb2 = 0;
     if (crop) {
@@ -4118,6 +4316,56 @@ static void parse_sps(H264Dec *d, const uint8_t *rbsp, long rlen, SPS *sps)
         || sps->mb_w <= 0 || sps->mb_h <= 0
         || (long)sps->mb_w * sps->mb_h > (1L << 22))
         dec_fail(d, "bad sps geometry");
+    /* minimal VUI walk (E.1.1/E.1.2) for bitstream_restriction's
+       max_num_reorder_frames — the B display-reorder bound */
+    sps->reorder = -1;
+    if (r->pos < rlen * 8 && br_u(r, 1)) {
+        if (br_bit(r)) {                      /* aspect_ratio_info */
+            if (br_u(r, 8) == 255) {
+                br_u(r, 16);
+                br_u(r, 16);
+            }
+        }
+        if (br_bit(r))
+            br_u(r, 1);                       /* overscan */
+        if (br_bit(r)) {                      /* video_signal_type */
+            br_u(r, 3);
+            br_u(r, 1);
+            if (br_bit(r)) {
+                br_u(r, 8);
+                br_u(r, 8);
+                br_u(r, 8);
+            }
+        }
+        if (br_bit(r)) {                      /* chroma_loc */
+            br_ue(r);
+            br_ue(r);
+        }
+        if (br_bit(r)) {                      /* timing_info */
+            br_u(r, 32);
+            br_u(r, 32);
+            br_u(r, 1);
+        }
+        int nal_hrd = (int)br_bit(r);
+        if (nal_hrd)
+            skip_hrd(d, r);
+        int vcl_hrd = (int)br_bit(r);
+        if (vcl_hrd)
+            skip_hrd(d, r);
+        if (nal_hrd || vcl_hrd)
+            br_u(r, 1);                       /* low_delay_hrd */
+        br_u(r, 1);                           /* pic_struct_present */
+        if (br_bit(r)) {                      /* bitstream_restriction */
+            br_u(r, 1);
+            br_ue(r);
+            br_ue(r);
+            br_ue(r);
+            br_ue(r);
+            br_ue(r);
+            sps->reorder = (int)br_ue(r);     /* max_num_reorder_frames */
+            br_ue(r);
+        }
+    }
     sps->valid = 1;
 }
 
@@ -4132,9 +4380,9 @@ static void parse_pps(H264Dec *d, const uint8_t *rbsp, long rlen, PPS *pps)
     if (br_ue(r) != 0)
         dec_fail(d, "slice groups");
     pps->l0_default = (int)br_ue(r) + 1;
-    br_ue(r);
+    pps->l1_default = (int)br_ue(r) + 1;
     pps->weighted_pred = (int)br_u(r, 1);
-    br_u(r, 2);
+    pps->weighted_bipred = (int)br_u(r, 2);
     pps->init_qp = 26 + br_se(r);
     br_se(r);
     pps->chroma_off = br_se(r);
@@ -4155,8 +4403,17 @@ static void parse_pps(H264Dec *d, const uint8_t *rbsp, long rlen, PPS *pps)
 /* geometry allocation + per-picture reset                              */
 /* ------------------------------------------------------------------ */
 
+static void free_colmo(RefPic *p)
+{
+    free(p->mvcol);
+    free(p->refcol);
+    p->mvcol = NULL;
+    p->refcol = NULL;
+}
+
 static void free_refpic(RefPic *p)
 {
+    free_colmo(p);
     free(p->y); free(p->cb); free(p->cr);
     free(p->hb); free(p->hh); free(p->hj);
     memset(p, 0, sizeof(*p));
@@ -4180,13 +4437,23 @@ static void free_geometry(H264Dec *d)
     free(d->db_qp); free(d->db_slice); free(d->db_idc);
     free(d->db_offa); free(d->db_offb);
     free(d->nnz_l); free(d->mv4); free(d->ref4); free(d->pid4);
-    d->pid4 = NULL;
-    free(d->dec4); free(d->rd4); free(d->done4); free(d->avail4);
+    free(d->mv4b); free(d->ref4b); free(d->pid4b);
+    d->pid4 = d->mv4b = d->ref4b = d->pid4b = NULL;
+    free(d->dec4); free(d->rd4); free(d->rd4b); free(d->dir4);
+    free(d->done4); free(d->avail4);
     free(d->i4mode); free(d->nnz_c[0]); free(d->nnz_c[1]);
     free(d->c_skip); free(d->c_i16); free(d->c_intra); free(d->c_pcm);
     free(d->c_chroma_mode); free(d->c_cbp_l); free(d->c_cbp_c);
     free(d->c_cbf_ldc); free(d->c_cbf_l4); free(d->c_cbf_cdc);
     free(d->c_cbf_c4); free(d->c_absmvd4);
+    for (int i = 0; i < MAX_REFS + 2; i++) {
+        free(d->outq[i].y); free(d->outq[i].cb); free(d->outq[i].cr);
+        d->outq[i].y = d->outq[i].cb = d->outq[i].cr = NULL;
+        d->outq[i].used = 0;
+    }
+    free(d->out_y); free(d->out_cb); free(d->out_cr);
+    d->out_y = d->out_cb = d->out_cr = NULL;
+    d->out_ready = 0;
     d->db_intra = NULL; /* mark unallocated */
     d->mbw = d->mbh = 0;
     d->have_pic = 0;
@@ -4223,8 +4490,13 @@ static void alloc_geometry(H264Dec *d)
     d->mv4 = xalloc(d, g4 * 8);
     d->ref4 = xalloc(d, g4 * 4);
     d->pid4 = xalloc(d, g4 * 4);
+    d->mv4b = xalloc(d, g4 * 8);
+    d->ref4b = xalloc(d, g4 * 4);
+    d->pid4b = xalloc(d, g4 * 4);
     d->dec4 = xalloc(d, g4);
     d->rd4 = xalloc(d, g4);
+    d->rd4b = xalloc(d, g4);
+    d->dir4 = xalloc(d, g4);
     d->done4 = xalloc(d, g4);
     d->avail4 = xalloc(d, g4);
     d->i4mode = xalloc(d, g4 * 4);
@@ -4246,6 +4518,7 @@ static void alloc_geometry(H264Dec *d)
 
 static void reset_picture(H264Dec *d)
 {
+    d->mmco_n = 0;
     memset(d->cur_y, 0, (size_t)(d->pw * d->ph));
     memset(d->cur_cb, 0, (size_t)(d->cpw * d->cph));
     memset(d->cur_cr, 0, (size_t)(d->cpw * d->cph));
@@ -4267,7 +4540,10 @@ static void reset_picture(H264Dec *d)
     for (long i = 0; i < g4; i++) {
         d->ref4[i] = -1;
         d->pid4[i] = -1;
+        d->ref4b[i] = -1;
+        d->pid4b[i] = -1;
     }
+    memset(d->mv4b, 0, (size_t)g4 * 8);
     memset(d->c_skip, 0, (size_t)nmb);
     memset(d->c_i16, 0, (size_t)nmb);
     memset(d->c_intra, 0, (size_t)nmb);
@@ -4280,6 +4556,126 @@ static void reset_picture(H264Dec *d)
     memset(d->c_cbf_cdc, 0, (size_t)nmb * 2 * 4);
     memset(d->c_cbf_c4, 0, (size_t)g2 * 2 * 4);
     memset(d->c_absmvd4, 0, (size_t)g4 * 8);
+}
+
+static long poc_preview(const H264Dec *d)
+{
+    if (d->sps.poc_type != 0)
+        return (long)d->pic_seq * 2;
+    long lsb = d->cur_poc_lsb;
+    long max_lsb = 1L << d->sps.log2_poc;
+    long pm = d->poc_msb, pl = d->poc_lsb_prev;
+    long msb;
+    if (lsb < pl && pl - lsb >= max_lsb / 2)
+        msb = pm + max_lsb;
+    else if (lsb > pl && lsb - pl > max_lsb / 2)
+        msb = pm - max_lsb;
+    else
+        msb = pm;
+    return msb + lsb;
+}
+
+static long compute_poc(H264Dec *d, int is_idr, int is_ref)
+{
+    if (d->sps.poc_type != 0)
+        return (long)d->pic_seq * 2;
+    long lsb = d->cur_poc_lsb;
+    long max_lsb = 1L << d->sps.log2_poc;
+    long msb;
+    if (is_idr) {
+        d->poc_msb = 0;
+        d->poc_lsb_prev = 0;
+        msb = 0;
+    } else {
+        long pm = d->poc_msb, pl = d->poc_lsb_prev;
+        if (lsb < pl && pl - lsb >= max_lsb / 2)
+            msb = pm + max_lsb;
+        else if (lsb > pl && lsb - pl > max_lsb / 2)
+            msb = pm - max_lsb;
+        else
+            msb = pm;
+    }
+    if (is_ref) {
+        d->poc_msb = msb;
+        d->poc_lsb_prev = lsb;
+    }
+    return msb + lsb;
+}
+
+static int reorder_delay(const H264Dec *d)
+{
+    if (d->sps.poc_type != 0)
+        return 0;
+    if (d->sps.reorder >= 0)
+        return d->sps.reorder;
+    return d->sps.max_refs;
+}
+
+/* copy the current (cropped) picture into a free reorder slot */
+static void outq_push(H264Dec *d, long key)
+{
+    int w = d->sps.width, hh = d->sps.height;
+    int cw = (w + 1) / 2, ch = (hh + 1) / 2;
+    struct OutSlot *s = NULL;
+    for (int i = 0; i < MAX_REFS + 2; i++)
+        if (!d->outq[i].used) {
+            s = &d->outq[i];
+            break;
+        }
+    if (!s)
+        dec_fail(d, "reorder queue overflow");
+    if (!s->y) {
+        s->y = xalloc(d, (long)w * hh);
+        s->cb = xalloc(d, (long)cw * ch);
+        s->cr = xalloc(d, (long)cw * ch);
+    }
+    for (int r = 0; r < hh; r++)
+        memcpy(s->y + (long)r * w,
+               d->cur_y + (long)(PAD + r) * d->pw + PAD, (size_t)w);
+    for (int r = 0; r < ch; r++) {
+        memcpy(s->cb + (long)r * cw,
+               d->cur_cb + (long)(PAD + r) * d->cpw + PAD, (size_t)cw);
+        memcpy(s->cr + (long)r * cw,
+               d->cur_cr + (long)(PAD + r) * d->cpw + PAD, (size_t)cw);
+    }
+    s->key = key;
+    s->seq = d->out_seq++;
+    s->used = 1;
+}
+
+/* pop the minimum-key slot into out_y/out_cb/out_cr; 1 if popped */
+static int outq_pop(H264Dec *d)
+{
+    int best = -1;
+    for (int i = 0; i < MAX_REFS + 2; i++)
+        if (d->outq[i].used
+                && (best < 0 || d->outq[i].key < d->outq[best].key
+                    || (d->outq[i].key == d->outq[best].key
+                        && d->outq[i].seq < d->outq[best].seq)))
+            best = i;
+    if (best < 0)
+        return 0;
+    int w = d->sps.width, hh = d->sps.height;
+    int cw = (w + 1) / 2, ch = (hh + 1) / 2;
+    if (!d->out_y) {
+        d->out_y = xalloc(d, (long)w * hh);
+        d->out_cb = xalloc(d, (long)cw * ch);
+        d->out_cr = xalloc(d, (long)cw * ch);
+    }
+    memcpy(d->out_y, d->outq[best].y, (size_t)w * hh);
+    memcpy(d->out_cb, d->outq[best].cb, (size_t)cw * ch);
+    memcpy(d->out_cr, d->outq[best].cr, (size_t)cw * ch);
+    d->outq[best].used = 0;
+    d->out_ready = 1;
+    return 1;
+}
+
+static int outq_count(const H264Dec *d)
+{
+    int n = 0;
+    for (int i = 0; i < MAX_REFS + 2; i++)
+        n += d->outq[i].used;
+    return n;
 }
 
 /* move the current picture into the DPB front (after deblock) */
@@ -4312,21 +4708,66 @@ static void dpb_insert(H264Dec *d, int is_idr_like)
         np.hh = sp.hh;
         np.hj = sp.hj;
         np.have_half = 0;
+        np.mvcol = sp.mvcol;   /* reuse colocated buffers too */
+        np.refcol = sp.refcol;
     } else {
         d->cur_y = xalloc(d, d->pw * d->ph);
         d->cur_cb = xalloc(d, d->cpw * d->cph);
         d->cur_cr = xalloc(d, d->cpw * d->cph);
     }
+    /* adaptive marking: drop the named refs instead of sliding (8.2.5.4) */
+    for (int k = 0; k < d->mmco_n && k < 16; k++) {
+        for (int i = 0; i < d->dpb_n; i++)
+            if (d->dpb_pid[i] == d->mmco_drop[k]) {
+                if (d->spare_n < MAX_REFS + 1)
+                    d->spare[d->spare_n++] = d->dpb[i];
+                else
+                    free_refpic(&d->dpb[i]);
+                for (int j = i; j < d->dpb_n - 1; j++) {
+                    d->dpb[j] = d->dpb[j + 1];
+                    d->dpb_fn[j] = d->dpb_fn[j + 1];
+                    d->dpb_pid[j] = d->dpb_pid[j + 1];
+                    d->dpb_poc[j] = d->dpb_poc[j + 1];
+                }
+                d->dpb_n--;
+                break;
+            }
+    }
+    /* colocated motion snapshot (slot-A = L0 else L1) for B direct */
+    long g4 = (long)d->mbw * 4 * d->mbh * 4;
+    if (!np.mvcol) {
+        np.mvcol = calloc((size_t)g4 * 2, sizeof(int16_t));
+        np.refcol = calloc((size_t)g4, 1);
+        if (!np.mvcol || !np.refcol)
+            dec_fail(d, "out of memory");
+    }
+    for (long i = 0; i < g4; i++) {
+        if (d->ref4[i] >= 0) {
+            np.refcol[i] = (int8_t)d->ref4[i];
+            np.mvcol[i * 2] = (int16_t)d->mv4[i * 2];
+            np.mvcol[i * 2 + 1] = (int16_t)d->mv4[i * 2 + 1];
+        } else if (d->ref4b[i] >= 0) {
+            np.refcol[i] = (int8_t)d->ref4b[i];
+            np.mvcol[i * 2] = (int16_t)d->mv4b[i * 2];
+            np.mvcol[i * 2 + 1] = (int16_t)d->mv4b[i * 2 + 1];
+        } else {
+            np.refcol[i] = -1;
+            np.mvcol[i * 2] = np.mvcol[i * 2 + 1] = 0;
+        }
+    }
     for (int i = d->dpb_n; i > 0; i--) {
         d->dpb[i] = d->dpb[i - 1];
         d->dpb_fn[i] = d->dpb_fn[i - 1];
         d->dpb_pid[i] = d->dpb_pid[i - 1];
+        d->dpb_poc[i] = d->dpb_poc[i - 1];
     }
     d->dpb[0] = np;
     d->dpb_fn[0] = is_idr_like ? 0 : d->cur_frame_num;
-    d->dpb_pid[0] = d->pic_seq++;
+    d->dpb_pid[0] = d->pic_seq;
+    d->dpb_poc[0] = d->cur_pic_poc;
     d->dpb_n++;
-    while (d->dpb_n > d->sps.max_refs) {
+    /* sliding window only when no adaptive marking ran (8.2.5.3/.4) */
+    while (d->mmco_n == 0 && d->dpb_n > d->sps.max_refs) {
         d->dpb_n--;
         if (d->spare_n < MAX_REFS + 1)
             d->spare[d->spare_n++] = d->dpb[d->dpb_n];
@@ -4343,7 +4784,8 @@ static int decode_au_inner(H264Dec *d, const uint8_t *au, long size)
 {
     /* split NALs (= split_nals) */
     long i = 0;
-    int kind = 0; /* 0 none, 1 I, 2 P */
+    int kind = 0; /* 0 none, 1 I, 2 P, 3 B */
+    int pic_ref_idc = 1;
     int started_pic = 0;
     int slice_id = -1;
     /* collect start positions first */
@@ -4379,6 +4821,7 @@ static int decode_au_inner(H264Dec *d, const uint8_t *au, long size)
         while (e > sstart && au[e - 1] == 0 && k + 1 < nstart)
             e--;
         int nal_type = au[sstart] & 0x1F;
+        int ref_idc = (au[sstart] >> 5) & 3;
         long rlen = unepb(d, au + sstart + 1, e - sstart - 1, NULL);
         const uint8_t *rbsp = d->rbsp_buf;
         if (nal_type == 7) {
@@ -4401,25 +4844,30 @@ static int decode_au_inner(H264Dec *d, const uint8_t *au, long size)
                 started_pic = 1;
             }
             slice_id++;
+            pic_ref_idc = ref_idc;
             /* peek slice type */
             BitReader pk = {rbsp, rlen, 0, d};
             br_ue(&pk);
             int slice_type = (int)(br_ue(&pk) % 5);
             if (d->pps.cabac) {
-                if (slice_type == 0 && d->dpb_n == 0)
-                    dec_fail(d, "P slice without a reference");
-                kind = slice_type == 2 ? 1 : 2;
-                decode_slice_cabac_c(d, rbsp, rlen, nal_type, slice_id);
+                if (slice_type != 0 && slice_type != 1 && slice_type != 2)
+                    dec_fail(d, "slice type");
+                if (slice_type != 2 && d->dpb_n == 0)
+                    dec_fail(d, "inter slice without a reference");
+                kind = slice_type == 2 ? 1 : (slice_type == 1 ? 3 : 2);
+                decode_slice_cabac_c(d, rbsp, rlen, nal_type, slice_id,
+                                     ref_idc);
             } else if (slice_type == 2) {
                 if (nal_type != 5)
                     dec_fail(d, "non-IDR I slice");
                 kind = 1;
                 decode_slice_cavlc_i(d, rbsp, rlen, slice_id);
-            } else if (slice_type == 0) {
+            } else if (slice_type == 0 || slice_type == 1) {
                 if (d->dpb_n == 0)
-                    dec_fail(d, "P slice without a reference");
-                kind = 2;
-                decode_slice_cavlc_p(d, rbsp, rlen, slice_id);
+                    dec_fail(d, "inter slice without a reference");
+                kind = slice_type == 1 ? 3 : 2;
+                decode_slice_cavlc_p(d, rbsp, rlen, slice_id, ref_idc,
+                                     slice_type == 1);
             } else {
                 dec_fail(d, "slice type");
             }
@@ -4438,11 +4886,31 @@ static int decode_au_inner(H264Dec *d, const uint8_t *au, long size)
         }
     if (any)
         deblock_frame_c(d);
-    dpb_insert(d, kind == 1);
+    int is_ref = pic_ref_idc != 0;
+    if (kind == 1) {
+        /* IDR: reset POC state, keep the display key monotonic */
+        d->cur_frame_num = 0;
+        d->cur_poc_lsb = 0;
+        d->poc_base += d->gop_max_poc + 2;
+        d->gop_max_poc = 0;
+    }
+    long poc = compute_poc(d, kind == 1, is_ref);
+    if (poc > d->gop_max_poc)
+        d->gop_max_poc = poc;
+    d->cur_pic_poc = poc;
+    outq_push(d, d->poc_base + poc);
+    if (is_ref)
+        dpb_insert(d, kind == 1);
+    d->pic_seq++;
     d->out_w = d->sps.width;
     d->out_h = d->sps.height;
-    d->have_pic = 1;
-    return 0;
+    if (outq_count(d) > reorder_delay(d)) {
+        outq_pop(d);
+        d->have_pic = 1;
+        return 0;
+    }
+    d->have_pic = 0;
+    return 1;  /* reorder queue priming: no display frame yet */
 }
 
 /* ------------------------------------------------------------------ */
@@ -4488,24 +4956,31 @@ int h264fast_dims(void *h, int *w, int *hh)
     return 0;
 }
 
-/* copy the just-decoded (cropped) picture out; strides = widths */
+/* copy the next display-order (cropped) picture out; strides = widths */
 void h264fast_get_planes(void *h, uint8_t *y, uint8_t *cb, uint8_t *cr)
 {
     H264Dec *d = h;
-    if (!d->have_pic || d->dpb_n == 0)
+    if (!d->have_pic || !d->out_ready)
         return;
-    RefPic *p = &d->dpb[0];
     int w = d->out_w, hh = d->out_h;
     int cw = (w + 1) / 2, ch = (hh + 1) / 2;
-    for (int r = 0; r < hh; r++)
-        memcpy(y + (long)r * w, p->y + (long)(PAD + r) * d->pw + PAD,
-               (size_t)w);
-    for (int r = 0; r < ch; r++) {
-        memcpy(cb + (long)r * cw, p->cb + (long)(PAD + r) * d->cpw + PAD,
-               (size_t)cw);
-        memcpy(cr + (long)r * cw, p->cr + (long)(PAD + r) * d->cpw + PAD,
-               (size_t)cw);
-    }
+    memcpy(y, d->out_y, (size_t)w * hh);
+    memcpy(cb, d->out_cb, (size_t)cw * ch);
+    memcpy(cr, d->out_cr, (size_t)cw * ch);
+}
+
+/* drain one frame from the reorder queue (end of stream); 1 if a frame
+ * is now readable via h264fast_get_planes */
+int h264fast_flush_frame(void *h)
+{
+    H264Dec *d = h;
+    d->err[0] = 0;
+    if (setjmp(d->jb))
+        return -1;
+    if (!outq_pop(d))
+        return 0;
+    d->have_pic = 1;
+    return 1;
 }
 
 const char *h264fast_error(void *h)

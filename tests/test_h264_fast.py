@@ -191,9 +191,11 @@ def test_decompress_driver_prefers_own_and_delegates():
     assert out == Codec.UYVY
     # out-of-envelope stream (B frames): the module must still decode via
     # its internal lavc takeover rather than returning None forever
+    # enough frames that the native decoder's reorder priming + lavc's
+    # own B-frame delay still leave several displayed frames
     aus = _encode(
         "codec=H.264:encoder=libx264:profile=main:qp=28:g=6:aq-mode=0:"
-        "x264opts=bframes=2", _test_frames(n=6))
+        "x264opts=bframes=2", _test_frames(n=12))
     got = 0
     for au in aus:
         frame = VideoFrame(VideoDesc(176, 144, Codec.H264, 30.0),

@@ -317,6 +317,8 @@ def h264_fast_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.h264fast_flush_frame.restype = ctypes.c_int
+    lib.h264fast_flush_frame.argtypes = [ctypes.c_void_p]
     lib.h264fast_decode_au.restype = ctypes.c_int
     lib.h264fast_decode_au.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,

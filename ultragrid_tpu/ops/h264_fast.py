@@ -100,14 +100,21 @@ class FastStreamDecoder:
         if not self._h:
             raise UnsupportedStream("native decoder init failed")
 
-    def decode_au(self, bs: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def decode_au(self, bs: bytes):
+        """Decode one AU.  Returns the next DISPLAY-order frame, or None
+        while a B stream's reorder queue is priming (rc == 1)."""
         data = np.frombuffer(bytes(bs), np.uint8)
         rc = self._lib.h264fast_decode_au(
             self._h, data.ctypes.data, data.size)
-        if rc != 0:
+        if rc < 0:
             err = self._lib.h264fast_error(self._h)
             raise UnsupportedStream(
                 (err or b"native decode failed").decode(errors="replace"))
+        if rc == 1:
+            return None
+        return self._read_planes()
+
+    def _read_planes(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         w = ctypes.c_int()
         h = ctypes.c_int()
         if self._lib.h264fast_dims(self._h, ctypes.byref(w), ctypes.byref(h)):
@@ -121,6 +128,16 @@ class FastStreamDecoder:
             self._h, y.ctypes.data, cb.ctypes.data, cr.ctypes.data)
         return y, cb, cr
 
+    def flush(self):
+        """Drain remaining display frames from the reorder queue."""
+        out = []
+        while True:
+            rc = self._lib.h264fast_flush_frame(self._h)
+            if rc <= 0:
+                break
+            out.append(self._read_planes())
+        return out
+
     def decode_stream(self, bs: bytes):
         """Split a whole elementary stream on first_mb_in_slice == 0
         boundaries (same walk as StreamDecoder.decode_stream)."""
@@ -132,7 +149,9 @@ class FastStreamDecoder:
         def flush():
             if any(t in (1, 5) for t, _, _ in au):
                 data = b"".join(raw for _, _, raw in au)
-                frames.append(self.decode_au(data))
+                got = self.decode_au(data)
+                if got is not None:
+                    frames.append(got)
                 au.clear()
 
         # split_nals drops the start codes; keep raw NAL byte ranges so
@@ -159,6 +178,7 @@ class FastStreamDecoder:
                     flush()
             au.append((nal_type, None, raw))
         flush()
+        frames.extend(self.flush())
         return frames
 
     def __del__(self):  # best effort
