@@ -15,9 +15,11 @@
  * multi-reference P, all partition sizes down to 4x4, quarter-pel motion,
  * the High-profile 8x8 transform (Intra_8x8 + inter 8x8 residuals, both
  * entropy coders), explicit weighted P prediction + ref-list
- * modification (incl. x264 weightp=2 duplicate refs), in-loop
- * deblocking; no B slices, no interlace/MBAFF, no slice groups, no
- * scaling lists.
+ * modification (incl. x264 weightp=2 duplicate refs), B slices (spatial
+ * direct with 8x8 inference, every partition mode, implicit/explicit
+ * weighted bipred, b-pyramid via MMCO op 1, POC type 0 display
+ * reordering bounded by the VUI), in-loop deblocking; no temporal
+ * direct, no interlace/MBAFF, no slice groups, no scaling lists.
  *
  * Reference role: the decode half of
  * /root/reference/src/video_decompress/libavcodec.c:1-1876 (the reference
@@ -309,7 +311,8 @@ struct H264Dec {
     /* CABAC per-picture neighbour grids (= CabacPictureCtx) */
     uint8_t *c_skip, *c_i16, *c_intra, *c_pcm;
     int32_t *c_chroma_mode, *c_cbp_l, *c_cbp_c, *c_cbf_ldc;
-    int32_t *c_cbf_l4, *c_cbf_cdc, *c_cbf_c4, *c_absmvd4;
+    int32_t *c_cbf_l4, *c_cbf_cdc, *c_cbf_c4, *c_absmvd4, *c_absmvd4b;
+    uint8_t *c_bdirect;   /* per-MB: B_Skip / B_Direct_16x16 */
     int cabac_pic_live;
 
     /* scratch for NAL unescape */
@@ -974,8 +977,9 @@ static void mc_chroma_c(H264Dec *d, const uint8_t *refc, int px, int py,
 /* ------------------------------------------------------------------ */
 
 /* neighbour fetch on the 4x4 grid; returns 0 if unavailable */
-static int fetch4(const H264Dec *d, const uint8_t *dec4, int gy, int gx,
-                  int my0, int *mvx, int *mvy, int *ri)
+static int fetch4g(const H264Dec *d, const uint8_t *dec4,
+                   const int32_t *mvg, const int32_t *rg,
+                   int gy, int gx, int my0, int *mvx, int *mvy, int *ri)
 {
     int g4w = d->mbw * 4;
     if (gx < 0 || gy < my0 * 4 || gx >= g4w)
@@ -983,25 +987,32 @@ static int fetch4(const H264Dec *d, const uint8_t *dec4, int gy, int gx,
     long idx = (long)gy * g4w + gx;
     if (!dec4[idx])
         return 0;
-    *mvx = d->mv4[idx * 2];
-    *mvy = d->mv4[idx * 2 + 1];
-    *ri = d->ref4[idx];
+    *mvx = mvg[idx * 2];
+    *mvy = mvg[idx * 2 + 1];
+    *ri = rg[idx];
     return 1;
+}
+
+static int fetch4(const H264Dec *d, const uint8_t *dec4, int gy, int gx,
+                  int my0, int *mvx, int *mvy, int *ri)
+{
+    return fetch4g(d, dec4, d->mv4, d->ref4, gy, gx, my0, mvx, mvy, ri);
 }
 
 /* shape codes for the directional 16x8/8x16 rules */
 enum { SH_NONE = 0, SH_16x8_0, SH_16x8_1, SH_8x16_0, SH_8x16_1 };
 
-static void mv_pred4_c(const H264Dec *d, const uint8_t *dec4, int gy, int gx,
-                       int pw4, int refidx, int my0, int shape,
-                       int *pmx, int *pmy)
+static void mv_pred4_g(const H264Dec *d, const uint8_t *dec4,
+                       const int32_t *mvg, const int32_t *rg,
+                       int gy, int gx, int pw4, int refidx, int my0,
+                       int shape, int *pmx, int *pmy)
 {
     int ax = 0, ay = 0, ar = 0, bx = 0, by = 0, brr = 0, cx = 0, cy = 0, cr = 0;
-    int has_a = fetch4(d, dec4, gy, gx - 1, my0, &ax, &ay, &ar);
-    int has_b = fetch4(d, dec4, gy - 1, gx, my0, &bx, &by, &brr);
-    int has_c = fetch4(d, dec4, gy - 1, gx + pw4, my0, &cx, &cy, &cr);
+    int has_a = fetch4g(d, dec4, mvg, rg, gy, gx - 1, my0, &ax, &ay, &ar);
+    int has_b = fetch4g(d, dec4, mvg, rg, gy - 1, gx, my0, &bx, &by, &brr);
+    int has_c = fetch4g(d, dec4, mvg, rg, gy - 1, gx + pw4, my0, &cx, &cy, &cr);
     if (!has_c)
-        has_c = fetch4(d, dec4, gy - 1, gx - 1, my0, &cx, &cy, &cr);
+        has_c = fetch4g(d, dec4, mvg, rg, gy - 1, gx - 1, my0, &cx, &cy, &cr);
     if (shape == SH_16x8_0 && has_b && brr == refidx) {
         *pmx = bx; *pmy = by; return;
     }
@@ -1031,6 +1042,22 @@ static void mv_pred4_c(const H264Dec *d, const uint8_t *dec4, int gy, int gx,
     *pmx = MED3(vax, vbx, vcx);
     *pmy = MED3(vay, vby, vcy);
 #undef MED3
+}
+
+static void mv_pred4_c(const H264Dec *d, const uint8_t *dec4, int gy, int gx,
+                       int pw4, int refidx, int my0, int shape,
+                       int *pmx, int *pmy)
+{
+    mv_pred4_g(d, dec4, d->mv4, d->ref4, gy, gx, pw4, refidx, my0, shape,
+               pmx, pmy);
+}
+
+static void mv_pred4_b(const H264Dec *d, const uint8_t *dec4, int gy, int gx,
+                       int pw4, int refidx, int my0, int shape,
+                       int *pmx, int *pmy)
+{
+    mv_pred4_g(d, dec4, d->mv4b, d->ref4b, gy, gx, pw4, refidx, my0, shape,
+               pmx, pmy);
 }
 
 static void skip_mv4_c(const H264Dec *d, const uint8_t *dec4, int mx, int my,
@@ -1136,6 +1163,56 @@ static void filter_edge_line(uint8_t *base, long step, long nstride, int n,
 }
 
 /* bS for the 4 4x4 groups along one edge (= _bs_edge) */
+/* 8.7.2.1 motion rules over the per-block SETS of (picture, mv) pairs:
+ * a B block can carry two, and when both predictions come from ONE
+ * picture bS stays 0 only if SOME assignment keeps every diff small */
+static int mvfar(const H264Dec *d, const int32_t *ma, long ia,
+                 const int32_t *mb, long ib)
+{
+    int dx = ma[ia * 2] - mb[ib * 2];
+    int dy = ma[ia * 2 + 1] - mb[ib * 2 + 1];
+    return (dx < 0 ? -dx : dx) >= 4 || (dy < 0 ? -dy : dy) >= 4;
+}
+
+static int motion_differs_c(const H264Dec *d, long pi, long qi)
+{
+    int p0 = d->pid4[pi] >= 0, p1 = d->pid4b[pi] >= 0;
+    int q0 = d->pid4[qi] >= 0, q1 = d->pid4b[qi] >= 0;
+    int np = p0 + p1, nq = q0 + q1;
+    if (np != nq)
+        return 1;                      /* different number of MVs */
+    if (np == 0)
+        return 0;
+    if (np == 1) {
+        const int32_t *pm = p0 ? d->mv4 : d->mv4b;
+        long ppid = p0 ? d->pid4[pi] : d->pid4b[pi];
+        const int32_t *qm = q0 ? d->mv4 : d->mv4b;
+        long qpid = q0 ? d->pid4[qi] : d->pid4b[qi];
+        return ppid != qpid || mvfar(d, pm, pi, qm, qi);
+    }
+    /* two MVs each: compare reference-picture sets */
+    long pa = d->pid4[pi], pb = d->pid4b[pi];
+    long qa = d->pid4[qi], qb = d->pid4b[qi];
+    long pl = pa < pb ? pa : pb, ph = pa < pb ? pb : pa;
+    long ql = qa < qb ? qa : qb, qh = qa < qb ? qb : qa;
+    if (pl != ql || ph != qh)
+        return 1;                      /* different reference pictures */
+    if (pa != pb) {
+        /* two distinct pictures: align the comparison by picture */
+        if (pa == qa)
+            return mvfar(d, d->mv4, pi, d->mv4, qi)
+                   || mvfar(d, d->mv4b, pi, d->mv4b, qi);
+        return mvfar(d, d->mv4, pi, d->mv4b, qi)
+               || mvfar(d, d->mv4b, pi, d->mv4, qi);
+    }
+    /* both predictions from ONE picture: either assignment may pass */
+    int straight = !mvfar(d, d->mv4, pi, d->mv4, qi)
+                   && !mvfar(d, d->mv4b, pi, d->mv4b, qi);
+    int crossed = !mvfar(d, d->mv4, pi, d->mv4b, qi)
+                  && !mvfar(d, d->mv4b, pi, d->mv4, qi);
+    return !(straight || crossed);
+}
+
 static void bs_edge(const H264Dec *d, int pmy, int pmx, int qmy, int qmx,
                     const int (*pblocks)[2], const int (*qblocks)[2],
                     int mb_edge, int *bs4)
@@ -1176,13 +1253,7 @@ static void bs_edge(const H264Dec *d, int pmy, int pmx, int qmy, int qmx,
         if (pcoded || qcoded) {
             bs4[i] = 2;
         } else {
-            int dref = d->pid4[pi] != d->pid4[qi];
-            int dx = d->mv4[pi * 2] - d->mv4[qi * 2];
-            int dy = d->mv4[pi * 2 + 1] - d->mv4[qi * 2 + 1];
-            if (dref || (dx < 0 ? -dx : dx) >= 4 || (dy < 0 ? -dy : dy) >= 4)
-                bs4[i] = 1;
-            else
-                bs4[i] = 0;
+            bs4[i] = motion_differs_c(d, pi, qi);
         }
     }
 }
@@ -2806,6 +2877,599 @@ static void decode_i16_in_p_cavlc(Slice *s, BitReader *r, int t_code,
     recon_chroma(s, mx, my, chroma_mode, (const i64(*)[8][8])cres);
 }
 
+/* ------------------------------------------------------------------ */
+/* B-slice machinery (spatial direct, bipred, per-list fills)           */
+/* ------------------------------------------------------------------ */
+
+/* spec '/': truncation toward zero */
+static inline long cdiv_c(long a, long b)
+{
+    long q = (a < 0 ? -a : a) / (b < 0 ? -b : b);
+    return ((a < 0) == (b < 0)) ? q : -q;
+}
+
+/* implicit bipred weights (8.4.2.3.1), logWD = 5 */
+static void implicit_w_c(long cur, long p0, long p1, int *w0, int *w1)
+{
+    if (p0 == p1) {
+        *w0 = *w1 = 32;
+        return;
+    }
+    long tb = cur - p0;
+    if (tb < -128) tb = -128; else if (tb > 127) tb = 127;
+    long td = p1 - p0;
+    if (td < -128) td = -128; else if (td > 127) td = 127;
+    long tx = cdiv_c(16384 + (td < 0 ? -(td / 2) : td / 2), td);
+    long dsf = (tb * tx + 32) >> 6;
+    if (dsf < -1024) dsf = -1024; else if (dsf > 1023) dsf = 1023;
+    long w1v = dsf >> 2;
+    if (w1v < -64 || w1v > 128) {
+        *w0 = *w1 = 32;
+        return;
+    }
+    *w1 = (int)w1v;
+    *w0 = (int)(64 - w1v);
+}
+
+/* one list's clipped prediction for a partition, explicit weights
+ * applied, written into temp MB-shaped buffers at the partition slot */
+static void mc_list_c(Slice *s, int lst, int mx, int my, int gy, int gx,
+                      int pw4, int ph4, int mvx, int mvy, int ri,
+                      int weighted, i64 lum[16][16], i64 chr[2][8][8])
+{
+    H264Dec *d = s->d;
+    const int *lmap = lst ? s->l1map : s->l0map;
+    int act = lst ? s->l1_active : s->l0_active;
+    if (ri < 0 || ri >= act)
+        dec_fail(d, "ref_idx beyond list");
+    int di = lmap[ri];
+    if (di < 0 || di >= d->dpb_n)
+        dec_fail(d, "ref_idx beyond DPB");
+    RefPic *ref = &d->dpb[di];
+    int ly = (gy - my * 4) * 4, lx = (gx - mx * 4) * 4;
+    mc_luma_c(d, ref, gx * 4, gy * 4, mvx, mvy, pw4 * 4, ph4 * 4,
+              &lum[ly][lx], 16);
+    int cy2 = ly / 2, cx2 = lx / 2;
+    mc_chroma_c(d, ref->cb, gx * 2, gy * 2, mvx, mvy, pw4 * 2, ph4 * 2,
+                &chr[0][cy2][cx2], 8);
+    mc_chroma_c(d, ref->cr, gx * 2, gy * 2, mvx, mvy, pw4 * 2, ph4 * 2,
+                &chr[1][cy2][cx2], 8);
+    if (weighted && s->wp_on) {
+        int w = lst ? s->wl1[ri] : s->wl[ri];
+        int o = lst ? s->wo1[ri] : s->wo[ri];
+        int ld = s->wp_ld;
+        for (int yy = 0; yy < ph4 * 4; yy++)
+            for (int xx = 0; xx < pw4 * 4; xx++)
+                lum[ly + yy][lx + xx] =
+                    wsample(lum[ly + yy][lx + xx], w, o, ld);
+        for (int ci = 0; ci < 2; ci++) {
+            int wc = lst ? s->wcw1[ri][ci] : s->wcw[ri][ci];
+            int oc = lst ? s->wco1[ri][ci] : s->wco[ri][ci];
+            int cd = s->wp_cd;
+            for (int yy = 0; yy < ph4 * 2; yy++)
+                for (int xx = 0; xx < pw4 * 2; xx++)
+                    chr[ci][cy2 + yy][cx2 + xx] =
+                        wsample(chr[ci][cy2 + yy][cx2 + xx], wc, oc, cd);
+        }
+    }
+}
+
+static inline i64 clip255_c(i64 v)
+{
+    return v < 0 ? 0 : (v > 255 ? 255 : v);
+}
+
+/* B partition prediction into the MB buffers: mono L0/L1 or bipred
+ * combined per weighted_bipred_idc (8.4.2.3) */
+static void part_pred_b_c(Slice *s, int mx, int my, int gy, int gx,
+                          int pw4, int ph4, int m0x, int m0y,
+                          int m1x, int m1y, int ri0, int ri1,
+                          i64 pred16[16][16], i64 predc[2][8][8])
+{
+    H264Dec *d = s->d;
+    int ly = (gy - my * 4) * 4, lx = (gx - mx * 4) * 4;
+    int cy2 = ly / 2, cx2 = lx / 2;
+    if (ri1 < 0) {
+        mc_list_c(s, 0, mx, my, gy, gx, pw4, ph4, m0x, m0y, ri0, 1,
+                  pred16, predc);
+        return;
+    }
+    if (ri0 < 0) {
+        mc_list_c(s, 1, mx, my, gy, gx, pw4, ph4, m1x, m1y, ri1, 1,
+                  pred16, predc);
+        return;
+    }
+    i64 l1l[16][16], l1c[2][8][8];
+    mc_list_c(s, 0, mx, my, gy, gx, pw4, ph4, m0x, m0y, ri0, 0,
+              pred16, predc);
+    mc_list_c(s, 1, mx, my, gy, gx, pw4, ph4, m1x, m1y, ri1, 0, l1l, l1c);
+    if (s->wbidc == 2) {
+        int w0, w1;
+        implicit_w_c(s->cur_poc, d->dpb_poc[s->l0map[ri0]],
+                     d->dpb_poc[s->l1map[ri1]], &w0, &w1);
+        for (int yy = 0; yy < ph4 * 4; yy++)
+            for (int xx = 0; xx < pw4 * 4; xx++)
+                pred16[ly + yy][lx + xx] = clip255_c(
+                    (pred16[ly + yy][lx + xx] * w0
+                     + l1l[ly + yy][lx + xx] * w1 + 32) >> 6);
+        for (int ci = 0; ci < 2; ci++)
+            for (int yy = 0; yy < ph4 * 2; yy++)
+                for (int xx = 0; xx < pw4 * 2; xx++)
+                    predc[ci][cy2 + yy][cx2 + xx] = clip255_c(
+                        (predc[ci][cy2 + yy][cx2 + xx] * w0
+                         + l1c[ci][cy2 + yy][cx2 + xx] * w1 + 32) >> 6);
+    } else if (s->wbidc == 1 && s->wp_on) {
+        int ld = s->wp_ld, cd = s->wp_cd;
+        int wl0 = s->wl[ri0], ol0 = s->wo[ri0];
+        int wl1 = s->wl1[ri1], ol1 = s->wo1[ri1];
+        for (int yy = 0; yy < ph4 * 4; yy++)
+            for (int xx = 0; xx < pw4 * 4; xx++)
+                pred16[ly + yy][lx + xx] = clip255_c(
+                    ((pred16[ly + yy][lx + xx] * wl0
+                      + l1l[ly + yy][lx + xx] * wl1
+                      + ((i64)1 << ld)) >> (ld + 1))
+                    + ((ol0 + ol1 + 1) >> 1));
+        for (int ci = 0; ci < 2; ci++) {
+            int wc0 = s->wcw[ri0][ci], oc0 = s->wco[ri0][ci];
+            int wc1 = s->wcw1[ri1][ci], oc1 = s->wco1[ri1][ci];
+            for (int yy = 0; yy < ph4 * 2; yy++)
+                for (int xx = 0; xx < pw4 * 2; xx++)
+                    predc[ci][cy2 + yy][cx2 + xx] = clip255_c(
+                        ((predc[ci][cy2 + yy][cx2 + xx] * wc0
+                          + l1c[ci][cy2 + yy][cx2 + xx] * wc1
+                          + ((i64)1 << cd)) >> (cd + 1))
+                        + ((oc0 + oc1 + 1) >> 1));
+        }
+    } else {
+        for (int yy = 0; yy < ph4 * 4; yy++)
+            for (int xx = 0; xx < pw4 * 4; xx++)
+                pred16[ly + yy][lx + xx] =
+                    (pred16[ly + yy][lx + xx]
+                     + l1l[ly + yy][lx + xx] + 1) >> 1;
+        for (int ci = 0; ci < 2; ci++)
+            for (int yy = 0; yy < ph4 * 2; yy++)
+                for (int xx = 0; xx < pw4 * 2; xx++)
+                    predc[ci][cy2 + yy][cx2 + xx] =
+                        (predc[ci][cy2 + yy][cx2 + xx]
+                         + l1c[ci][cy2 + yy][cx2 + xx] + 1) >> 1;
+    }
+}
+
+/* one list's motion grids for a partition (-1 ri = unused) */
+static void fill_list_c(Slice *s, int gy, int gx, int pw4, int ph4,
+                        int mvx, int mvy, int ri, int lst, int direct)
+{
+    H264Dec *d = s->d;
+    int g4w = d->mbw * 4;
+    int32_t *mg = lst ? d->mv4b : d->mv4;
+    int32_t *rg = lst ? d->ref4b : d->ref4;
+    int32_t *pg = lst ? d->pid4b : d->pid4;
+    uint8_t *rdg = lst ? d->rd4b : d->rd4;
+    const int *lmap = lst ? s->l1map : s->l0map;
+    int pid = ri >= 0 ? d->dpb_pid[lmap[ri]] : -1;
+    for (int yy = 0; yy < ph4; yy++)
+        for (int xx = 0; xx < pw4; xx++) {
+            long gi = (long)(gy + yy) * g4w + gx + xx;
+            mg[gi * 2] = ri >= 0 ? mvx : 0;
+            mg[gi * 2 + 1] = ri >= 0 ? mvy : 0;
+            rg[gi] = ri;
+            pg[gi] = pid;
+            rdg[gi] = 1;
+            d->dir4[gi] = (uint8_t)direct;
+            d->dec4[gi] = 1;
+        }
+}
+
+/* spatial direct MB-level parameters (8.4.1.2.2/.3) */
+static void direct_params_c(Slice *s, int gy0, int gx0, int *ri0, int *ri1,
+                            int *m0x, int *m0y, int *m1x, int *m1y,
+                            int *zero_pred)
+{
+    H264Dec *d = s->d;
+    int g4w = d->mbw * 4;
+    int has_a = gx0 > 0;
+    int has_b = gy0 > s->my0 * 4;
+    int cx = gx0 + 4;
+    int cyy = gy0 - 1, cxx = -1;
+    if (has_b && cx < g4w)
+        cxx = cx;
+    else if (has_b && has_a)
+        cxx = gx0 - 1;
+    int r0 = -1, r1 = -1;
+    for (int lst = 0; lst < 2; lst++) {
+        const int32_t *rg = lst ? d->ref4b : d->ref4;
+        int ra = (has_a && d->dec4[(long)gy0 * g4w + gx0 - 1])
+                 ? (int)rg[(long)gy0 * g4w + gx0 - 1] : -1;
+        int rb = (has_b && d->dec4[(long)(gy0 - 1) * g4w + gx0])
+                 ? (int)rg[(long)(gy0 - 1) * g4w + gx0] : -1;
+        int rc = (cxx >= 0 && d->dec4[(long)cyy * g4w + cxx])
+                 ? (int)rg[(long)cyy * g4w + cxx] : -1;
+        int m = (rb >= 0 && rc >= 0) ? (rb < rc ? rb : rc)
+                                     : (rb > rc ? rb : rc);
+        int v = (ra >= 0 && m >= 0) ? (ra < m ? ra : m)
+                                    : (ra > m ? ra : m);
+        if (lst == 0)
+            r0 = v;
+        else
+            r1 = v;
+    }
+    *zero_pred = 0;
+    if (r0 < 0 && r1 < 0) {
+        *zero_pred = 1;
+        *ri0 = *ri1 = 0;
+        *m0x = *m0y = *m1x = *m1y = 0;
+        return;
+    }
+    *ri0 = r0;
+    *ri1 = r1;
+    *m0x = *m0y = *m1x = *m1y = 0;
+    if (r0 >= 0)
+        mv_pred4_c(d, d->dec4, gy0, gx0, 4, r0, s->my0, SH_NONE, m0x, m0y);
+    if (r1 >= 0)
+        mv_pred4_b(d, d->dec4, gy0, gx0, 4, r1, s->my0, SH_NONE, m1x, m1y);
+}
+
+/* colZeroFlag for the quadrant corner 4x4 (8.4.1.2.2, 8x8 inference) */
+static int col_zero_c(Slice *s, int gy0, int gx0, int q)
+{
+    RefPic *col = s->colpic;
+    if (!col || !col->refcol)
+        return 0;
+    H264Dec *d = s->d;
+    int g4w = d->mbw * 4;
+    int cy = gy0 + (q < 2 ? 0 : 3);
+    int cx = gx0 + (q % 2 == 0 ? 0 : 3);
+    long gi = (long)cy * g4w + cx;
+    if (col->refcol[gi] != 0)
+        return 0;
+    int mx = col->mvcol[gi * 2], my = col->mvcol[gi * 2 + 1];
+    return mx >= -1 && mx <= 1 && my >= -1 && my <= 1;
+}
+
+/* B_Skip / B_Direct_16x16: derive, predict, fill (returns into bufs) */
+static void direct_block_c(Slice *s, int mx, int my,
+                           i64 pred16[16][16], i64 predc[2][8][8])
+{
+    int gy0 = my * 4, gx0 = mx * 4;
+    int ri0, ri1, m0x, m0y, m1x, m1y, zp;
+    direct_params_c(s, gy0, gx0, &ri0, &ri1, &m0x, &m0y, &m1x, &m1y, &zp);
+    for (int q = 0; q < 4; q++) {
+        int qy = gy0 + (q / 2) * 2, qx = gx0 + (q % 2) * 2;
+        int cz = !zp && col_zero_c(s, gy0, gx0, q);
+        int a0x = (zp || (cz && ri0 == 0)) ? 0 : m0x;
+        int a0y = (zp || (cz && ri0 == 0)) ? 0 : m0y;
+        int a1x = (zp || (cz && ri1 == 0)) ? 0 : m1x;
+        int a1y = (zp || (cz && ri1 == 0)) ? 0 : m1y;
+        part_pred_b_c(s, mx, my, qy, qx, 2, 2, a0x, a0y, a1x, a1y,
+                      ri0, ri1, pred16, predc);
+        fill_list_c(s, qy, qx, 2, 2, a0x, a0y, ri0, 0, 1);
+        fill_list_c(s, qy, qx, 2, 2, a1x, a1y, ri1, 1, 1);
+    }
+}
+
+/* B two-partition mode pairs (Table 7-14): 0 = L0, 1 = L1, 2 = Bi */
+static const int B_PAIR[9][2] = {
+    {0, 0}, {1, 1}, {0, 1}, {1, 0}, {0, 2}, {1, 2}, {2, 0}, {2, 1}, {2, 2},
+};
+/* B sub_mb_type (Table 7-18): {SUB_PARTS shape, mode}; 0 = direct */
+static const int B_SUB[13][2] = {
+    {0, 0}, {0, 0}, {0, 1}, {0, 2}, {1, 0}, {2, 0}, {1, 1}, {2, 1},
+    {1, 2}, {2, 2}, {3, 0}, {3, 1}, {3, 2},
+};
+
+/* cbp -> t8 flag -> dqp -> residuals -> recon, shared by P and B
+ * CAVLC inter MBs */
+static void cavlc_inter_tail(Slice *s, BitReader *r, int mx, int my,
+                             int small_parts,
+                             i64 pred16[16][16], i64 predc[2][8][8])
+{
+    H264Dec *d = s->d;
+    int g4w = d->mbw * 4, g2w = d->mbw * 2, mbw = d->mbw;
+    int cbp_code = (int)br_ue(r);
+    if (cbp_code >= 48)
+        dec_fail(d, "bad inter cbp");
+    int cbp = CBP_INTER[cbp_code];
+    int cbp_luma = cbp & 15, cbp_chroma = cbp >> 4;
+    if (cbp_chroma == 3)
+        dec_fail(d, "bad chroma cbp");
+    int t8 = 0;
+    if (cbp_luma && d->pps.transform_8x8 && !small_parts)
+        t8 = br_bit(r);
+    i64 lres[16][16];
+    i64 cres[2][8][8];
+    memset(lres, 0, sizeof(lres));
+    memset(cres, 0, sizeof(cres));
+    int qpc;
+    i64 vy[4][4], vc[4][4];
+    if (cbp)
+        s->qp += br_se(r);
+    qpc = chroma_qp((s->qp + d->pps.chroma_off) < 0 ? 0 :
+                    ((s->qp + d->pps.chroma_off) > 51 ? 51 : s->qp + d->pps.chroma_off));
+    vmat(s->qp, vy);
+    vmat(qpc, vc);
+    if (cbp_luma || cbp_chroma) {
+        if (t8) {
+            for (int b = 0; b < 4; b++) {
+                int has = (cbp_luma >> b) & 1;
+                i64 zz64[64];
+                decode_luma8x8_block_cavlc_c(s, r, b, mx, my, has, zz64);
+                if (has) {
+                    i64 res[8][8];
+                    recon_res8_c(zz64, s->qp, res);
+                    int py8 = (b / 2) * 8, px8 = (b % 2) * 8;
+                    for (int rr2 = 0; rr2 < 8; rr2++)
+                        for (int cc = 0; cc < 8; cc++)
+                            lres[py8 + rr2][px8 + cc] = res[rr2][cc];
+                }
+            }
+        } else {
+            for (int bi = 0; bi < 16; bi++) {
+                int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
+                int gx = mx * 4 + bx, gy = my * 4 + by;
+                if ((cbp_luma >> (bi / 4)) & 1) {
+                    int nc = nc_of(d->nnz_l, g4w, gx, gy, s->my0 * 4);
+                    i64 zz[16];
+                    cavlc_block(d, r, nc, 16, zz);
+                    int nz = 0;
+                    for (int i = 0; i < 16; i++)
+                        nz += zz[i] != 0;
+                    d->nnz_l[(long)gy * g4w + gx] = nz;
+                    i64 res[4][4];
+                    finish_block4(zz, (const i64(*)[4])vy, s->qp, 0, 0, res);
+                    for (int rr2 = 0; rr2 < 4; rr2++)
+                        for (int cc = 0; cc < 4; cc++)
+                            lres[by * 4 + rr2][bx * 4 + cc] = res[rr2][cc];
+                } else {
+                    d->nnz_l[(long)gy * g4w + gx] = 0;
+                }
+            }
+        }
+        chroma_residuals_cavlc(s, r, cbp_chroma, mx, my,
+                               (const i64(*)[4])vc, qpc, cres);
+    } else {
+        for (int by = 0; by < 4; by++)
+            for (int bx = 0; bx < 4; bx++)
+                d->nnz_l[(long)(my * 4 + by) * g4w + mx * 4 + bx] = 0;
+        for (int ci = 0; ci < 2; ci++)
+            for (int by = 0; by < 2; by++)
+                for (int bx = 0; bx < 2; bx++)
+                    d->nnz_c[ci][(long)(my * 2 + by) * g2w + mx * 2 + bx] = 0;
+    }
+    recon_p_mb(s, mx, my, (const i64(*)[16])pred16,
+               (const i64(*)[8][8])predc, (const i64(*)[16])lres,
+               (const i64(*)[8][8])cres);
+    for (int by = 0; by < 4; by++)
+        for (int bx = 0; bx < 4; bx++) {
+            long gi = (long)(my * 4 + by) * g4w + mx * 4 + bx;
+            d->done4[gi] = 1;
+            d->avail4[gi] = 1;
+            d->i4mode[gi] = 2;
+        }
+    record_mb(s, my, mx, 0, 0);
+    if (t8)
+        d->db_t8x8[(long)my * mbw + mx] = 1;
+}
+
+/* B inter MB, CAVLC (7.3.5.1/.2 + Tables 7-14/7-18) */
+static void decode_b_mb_cavlc(Slice *s, BitReader *r, int mx, int my,
+                              int mb_type)
+{
+    H264Dec *d = s->d;
+    int g4w = d->mbw * 4;
+    int gy0 = my * 4, gx0 = mx * 4;
+    i64 pred16[16][16], predc[2][8][8];
+    memset(pred16, 0, sizeof(pred16));
+    memset(predc, 0, sizeof(predc));
+    for (int by = 0; by < 4; by++)
+        for (int bx = 0; bx < 4; bx++) {
+            long gi = (long)(gy0 + by) * g4w + gx0 + bx;
+            d->i4mode[gi] = 2;
+            d->avail4[gi] = 1;
+        }
+    int small_parts = 0;
+    if (mb_type == 0) {              /* B_Direct_16x16 */
+        direct_block_c(s, mx, my, pred16, predc);
+    } else if (mb_type <= 3) {       /* 16x16: 1 L0, 2 L1, 3 Bi */
+        int use0 = mb_type == 1 || mb_type == 3;
+        int use1 = mb_type == 2 || mb_type == 3;
+        int ri0 = use0 ? read_refidx_cavlc(d, r, s->l0_active) : -1;
+        int ri1 = use1 ? read_refidx_cavlc(d, r, s->l1_active) : -1;
+        int m0x = 0, m0y = 0, m1x = 0, m1y = 0;
+        if (use0) {
+            int pmx, pmy;
+            mv_pred4_c(d, d->dec4, gy0, gx0, 4, ri0, s->my0, SH_NONE,
+                       &pmx, &pmy);
+            m0x = pmx + br_se(r);
+            m0y = pmy + br_se(r);
+        }
+        if (use1) {
+            int pmx, pmy;
+            mv_pred4_b(d, d->dec4, gy0, gx0, 4, ri1, s->my0, SH_NONE,
+                       &pmx, &pmy);
+            m1x = pmx + br_se(r);
+            m1y = pmy + br_se(r);
+        }
+        part_pred_b_c(s, mx, my, gy0, gx0, 4, 4, m0x, m0y, m1x, m1y,
+                      ri0, ri1, pred16, predc);
+        fill_list_c(s, gy0, gx0, 4, 4, m0x, m0y, ri0, 0, 0);
+        fill_list_c(s, gy0, gx0, 4, 4, m1x, m1y, ri1, 1, 0);
+    } else if (mb_type <= 21) {      /* two-partition types */
+        const int *pair = B_PAIR[(mb_type - 4) / 2];
+        int geo[2][5];
+        if ((mb_type - 4) % 2 == 0) {
+            int g0[5] = {gy0, gx0, 4, 2, SH_16x8_0};
+            int g1[5] = {gy0 + 2, gx0, 4, 2, SH_16x8_1};
+            memcpy(geo[0], g0, sizeof(g0));
+            memcpy(geo[1], g1, sizeof(g1));
+        } else {
+            int g0[5] = {gy0, gx0, 2, 4, SH_8x16_0};
+            int g1[5] = {gy0, gx0 + 2, 2, 4, SH_8x16_1};
+            memcpy(geo[0], g0, sizeof(g0));
+            memcpy(geo[1], g1, sizeof(g1));
+        }
+        int use0[2], use1[2], ri0[2], ri1[2];
+        int md0[2][2], md1[2][2];
+        for (int p = 0; p < 2; p++) {
+            use0[p] = pair[p] == 0 || pair[p] == 2;
+            use1[p] = pair[p] == 1 || pair[p] == 2;
+        }
+        for (int p = 0; p < 2; p++)
+            ri0[p] = use0[p] ? read_refidx_cavlc(d, r, s->l0_active) : -1;
+        for (int p = 0; p < 2; p++)
+            ri1[p] = use1[p] ? read_refidx_cavlc(d, r, s->l1_active) : -1;
+        for (int p = 0; p < 2; p++) {
+            md0[p][0] = use0[p] ? br_se(r) : 0;
+            md0[p][1] = use0[p] ? br_se(r) : 0;
+        }
+        for (int p = 0; p < 2; p++) {
+            md1[p][0] = use1[p] ? br_se(r) : 0;
+            md1[p][1] = use1[p] ? br_se(r) : 0;
+        }
+        int mv0[2][2], mv1[2][2];
+        for (int p = 0; p < 2; p++) {
+            int gy = geo[p][0], gx = geo[p][1];
+            int pw4 = geo[p][2], shape = geo[p][4];
+            mv0[p][0] = mv0[p][1] = 0;
+            if (use0[p]) {
+                int pmx, pmy;
+                mv_pred4_c(d, d->dec4, gy, gx, pw4, ri0[p], s->my0,
+                           shape, &pmx, &pmy);
+                mv0[p][0] = pmx + md0[p][0];
+                mv0[p][1] = pmy + md0[p][1];
+            }
+            fill_list_c(s, gy, gx, geo[p][2], geo[p][3],
+                        mv0[p][0], mv0[p][1], ri0[p], 0, 0);
+        }
+        for (int p = 0; p < 2; p++) {
+            int gy = geo[p][0], gx = geo[p][1];
+            int pw4 = geo[p][2], shape = geo[p][4];
+            mv1[p][0] = mv1[p][1] = 0;
+            if (use1[p]) {
+                int pmx, pmy;
+                mv_pred4_b(d, d->dec4, gy, gx, pw4, ri1[p], s->my0,
+                           shape, &pmx, &pmy);
+                mv1[p][0] = pmx + md1[p][0];
+                mv1[p][1] = pmy + md1[p][1];
+            }
+            fill_list_c(s, gy, gx, geo[p][2], geo[p][3],
+                        mv1[p][0], mv1[p][1], ri1[p], 1, 0);
+        }
+        for (int p = 0; p < 2; p++)
+            part_pred_b_c(s, mx, my, geo[p][0], geo[p][1], geo[p][2],
+                          geo[p][3], mv0[p][0], mv0[p][1],
+                          mv1[p][0], mv1[p][1], ri0[p], ri1[p],
+                          pred16, predc);
+    } else {                          /* B_8x8 */
+        int subs[4], su0[4], su1[4], ri0[4], ri1[4];
+        for (int b = 0; b < 4; b++) {
+            subs[b] = (int)br_ue(r);
+            if (subs[b] > 12)
+                dec_fail(d, "B sub_mb_type");
+            su0[b] = subs[b] && (B_SUB[subs[b]][1] == 0
+                                 || B_SUB[subs[b]][1] == 2);
+            su1[b] = subs[b] && (B_SUB[subs[b]][1] == 1
+                                 || B_SUB[subs[b]][1] == 2);
+        }
+        for (int b = 0; b < 4; b++)
+            ri0[b] = su0[b] ? read_refidx_cavlc(d, r, s->l0_active) : -1;
+        for (int b = 0; b < 4; b++)
+            ri1[b] = su1[b] ? read_refidx_cavlc(d, r, s->l1_active) : -1;
+        int md0[4][4][2], md1[4][4][2];
+        for (int b = 0; b < 4; b++)
+            if (su0[b])
+                for (int p = 0; p < SUB_NPARTS[B_SUB[subs[b]][0]]; p++) {
+                    md0[b][p][0] = br_se(r);
+                    md0[b][p][1] = br_se(r);
+                }
+        for (int b = 0; b < 4; b++)
+            if (su1[b])
+                for (int p = 0; p < SUB_NPARTS[B_SUB[subs[b]][0]]; p++) {
+                    md1[b][p][0] = br_se(r);
+                    md1[b][p][1] = br_se(r);
+                }
+        /* shared direct parameters for any B_Direct_8x8 blocks */
+        int dri0, dri1, dm0x, dm0y, dm1x, dm1y, dzero;
+        direct_params_c(s, gy0, gx0, &dri0, &dri1, &dm0x, &dm0y,
+                        &dm1x, &dm1y, &dzero);
+        /* L0 reconstruction pass in block order, then L1, then MC */
+        int pm0[4][4][2], pm1[4][4][2];
+        for (int b = 0; b < 4; b++) {
+            int by = gy0 + (b / 2) * 2, bx = gx0 + (b % 2) * 2;
+            if (subs[b] == 0) {
+                int cz = !dzero && col_zero_c(s, gy0, gx0, b);
+                int a0x = (dzero || (cz && dri0 == 0)) ? 0 : dm0x;
+                int a0y = (dzero || (cz && dri0 == 0)) ? 0 : dm0y;
+                int a1x = (dzero || (cz && dri1 == 0)) ? 0 : dm1x;
+                int a1y = (dzero || (cz && dri1 == 0)) ? 0 : dm1y;
+                pm0[b][0][0] = a0x; pm0[b][0][1] = a0y;
+                pm1[b][0][0] = a1x; pm1[b][0][1] = a1y;
+                fill_list_c(s, by, bx, 2, 2, a0x, a0y, dri0, 0, 1);
+                fill_list_c(s, by, bx, 2, 2, a1x, a1y, dri1, 1, 1);
+                continue;
+            }
+            int shp = B_SUB[subs[b]][0];
+            for (int p = 0; p < SUB_NPARTS[shp]; p++) {
+                int dy = SUB_PARTS[shp][p][0], dx = SUB_PARTS[shp][p][1];
+                int pw4 = SUB_PARTS[shp][p][2], ph4 = SUB_PARTS[shp][p][3];
+                int gy = by + dy, gx = bx + dx;
+                pm0[b][p][0] = pm0[b][p][1] = 0;
+                if (su0[b]) {
+                    int pmx, pmy;
+                    mv_pred4_c(d, d->dec4, gy, gx, pw4, ri0[b], s->my0,
+                               SH_NONE, &pmx, &pmy);
+                    pm0[b][p][0] = pmx + md0[b][p][0];
+                    pm0[b][p][1] = pmy + md0[b][p][1];
+                }
+                fill_list_c(s, gy, gx, pw4, ph4, pm0[b][p][0],
+                            pm0[b][p][1], su0[b] ? ri0[b] : -1, 0, 0);
+                if (shp != 0)
+                    small_parts = 1;
+            }
+        }
+        for (int b = 0; b < 4; b++) {
+            if (subs[b] == 0)
+                continue;
+            int by = gy0 + (b / 2) * 2, bx = gx0 + (b % 2) * 2;
+            int shp = B_SUB[subs[b]][0];
+            for (int p = 0; p < SUB_NPARTS[shp]; p++) {
+                int dy = SUB_PARTS[shp][p][0], dx = SUB_PARTS[shp][p][1];
+                int pw4 = SUB_PARTS[shp][p][2], ph4 = SUB_PARTS[shp][p][3];
+                int gy = by + dy, gx = bx + dx;
+                pm1[b][p][0] = pm1[b][p][1] = 0;
+                if (su1[b]) {
+                    int pmx, pmy;
+                    mv_pred4_b(d, d->dec4, gy, gx, pw4, ri1[b], s->my0,
+                               SH_NONE, &pmx, &pmy);
+                    pm1[b][p][0] = pmx + md1[b][p][0];
+                    pm1[b][p][1] = pmy + md1[b][p][1];
+                }
+                fill_list_c(s, gy, gx, pw4, ph4, pm1[b][p][0],
+                            pm1[b][p][1], su1[b] ? ri1[b] : -1, 1, 0);
+            }
+        }
+        for (int b = 0; b < 4; b++) {
+            int by = gy0 + (b / 2) * 2, bx = gx0 + (b % 2) * 2;
+            if (subs[b] == 0) {
+                part_pred_b_c(s, mx, my, by, bx, 2, 2, pm0[b][0][0],
+                              pm0[b][0][1], pm1[b][0][0], pm1[b][0][1],
+                              dri0, dri1, pred16, predc);
+                continue;
+            }
+            int shp = B_SUB[subs[b]][0];
+            for (int p = 0; p < SUB_NPARTS[shp]; p++) {
+                int dy = SUB_PARTS[shp][p][0], dx = SUB_PARTS[shp][p][1];
+                int pw4 = SUB_PARTS[shp][p][2], ph4 = SUB_PARTS[shp][p][3];
+                part_pred_b_c(s, mx, my, by + dy, bx + dx, pw4, ph4,
+                              pm0[b][p][0], pm0[b][p][1],
+                              pm1[b][p][0], pm1[b][p][1],
+                              su0[b] ? ri0[b] : -1, su1[b] ? ri1[b] : -1,
+                              pred16, predc);
+            }
+        }
+    }
+    cavlc_inter_tail(s, r, mx, my, small_parts, pred16, predc);
+}
+
 static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
                                  int slice_id, int ref_idc, int is_b)
 {
@@ -2832,8 +3496,6 @@ static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
             dec_fail(d, "direct_8x8_inference_flag=0");
     }
     parse_inter_header(d, s, r, ref_idc);
-    if (is_b)
-        dec_fail(d, "B slices (native CAVLC pending)");
     int l0_active = s->l0_active;
     (void)l0_active;
     s->qp = d->pps.init_qp + br_se(r);
@@ -2858,14 +3520,20 @@ static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
             if (mb_addr >= n_mbs)
                 dec_fail(d, "skip run past frame end");
             int my = (int)(mb_addr / mbw), mx = (int)(mb_addr % mbw);
-            int mvx, mvy;
-            skip_mv4_c(d, d->dec4, mx, my, s->my0, &mvx, &mvy);
             i64 pred16[16][16], predc[2][8][8];
-            part_pred_c(s, mx, my, my * 4, mx * 4, 4, 4, mvx, mvy, 0,
-                        pred16, predc);
+            if (is_b) {  /* B_Skip = spatial direct, no residual */
+                memset(pred16, 0, sizeof(pred16));
+                memset(predc, 0, sizeof(predc));
+                direct_block_c(s, mx, my, pred16, predc);
+            } else {
+                int mvx, mvy;
+                skip_mv4_c(d, d->dec4, mx, my, s->my0, &mvx, &mvy);
+                part_pred_c(s, mx, my, my * 4, mx * 4, 4, 4, mvx, mvy, 0,
+                            pred16, predc);
+                fill4_c(s, my * 4, mx * 4, 4, 4, mvx, mvy, 0);
+            }
             recon_p_mb(s, mx, my, (const i64(*)[16])pred16,
                        (const i64(*)[8][8])predc, zero16, zero8);
-            fill4_c(s, my * 4, mx * 4, 4, 4, mvx, mvy, 0);
             for (int by = 0; by < 4; by++)
                 for (int bx = 0; bx < 4; bx++) {
                     long gi = (long)(my * 4 + by) * g4w + mx * 4 + bx;
@@ -2882,7 +3550,13 @@ static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
         int my = (int)(mb_addr / mbw), mx = (int)(mb_addr % mbw);
         mb_addr++;
         int mb_type = (int)br_ue(r);
-        if (mb_type <= 4) { /* inter MB */
+        if (is_b && mb_type < 23) { /* B inter MB (Table 7-14) */
+            decode_b_mb_cavlc(s, r, mx, my, mb_type);
+            continue;
+        }
+        if (is_b)
+            mb_type -= 18;  /* intra-in-B offset 23 -> shared path's 5 */
+        if (!is_b && mb_type <= 4) { /* inter MB */
             int gy0 = my * 4, gx0 = mx * 4;
             int all_sub8 = 1;   /* no P_8x8 partition below 8x8 */
             i64 pred16[16][16], predc[2][8][8];
@@ -2955,94 +3629,8 @@ static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
                     }
                 }
             }
-            int cbp_code = (int)br_ue(r);
-            if (cbp_code >= 48)
-                dec_fail(d, "bad inter cbp");
-            int cbp = CBP_INTER[cbp_code];
-            int cbp_luma = cbp & 15, cbp_chroma = cbp >> 4;
-            if (cbp_chroma == 3)
-                dec_fail(d, "bad chroma cbp");
-            /* transform_size_8x8_flag (7.3.5): after cbp, before dqp;
-               only when luma is coded and no partition is below 8x8 */
-            int t8 = 0;
-            if (cbp_luma && d->pps.transform_8x8
-                && (mb_type <= 2 || all_sub8))
-                t8 = br_bit(r);
-            i64 lres[16][16];
-            i64 cres[2][8][8];
-            memset(lres, 0, sizeof(lres));
-            memset(cres, 0, sizeof(cres));
-            int qpc;
-            i64 vy[4][4], vc[4][4];
-            if (cbp) {
-                s->qp += br_se(r);
-            }
-            qpc = chroma_qp((s->qp + d->pps.chroma_off) < 0 ? 0 :
-                            ((s->qp + d->pps.chroma_off) > 51 ? 51 : s->qp + d->pps.chroma_off));
-            vmat(s->qp, vy);
-            vmat(qpc, vc);
-            if (cbp_luma || cbp_chroma) {
-                if (t8) {
-                    for (int b = 0; b < 4; b++) {
-                        int has = (cbp_luma >> b) & 1;
-                        i64 zz64[64];
-                        decode_luma8x8_block_cavlc_c(s, r, b, mx, my, has,
-                                                     zz64);
-                        if (has) {
-                            i64 res[8][8];
-                            recon_res8_c(zz64, s->qp, res);
-                            int py8 = (b / 2) * 8, px8 = (b % 2) * 8;
-                            for (int rr2 = 0; rr2 < 8; rr2++)
-                                for (int cc = 0; cc < 8; cc++)
-                                    lres[py8 + rr2][px8 + cc] = res[rr2][cc];
-                        }
-                    }
-                } else {
-                    for (int bi = 0; bi < 16; bi++) {
-                        int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
-                        int gx = mx * 4 + bx, gy = my * 4 + by;
-                        if ((cbp_luma >> (bi / 4)) & 1) {
-                            int nc = nc_of(d->nnz_l, g4w, gx, gy, s->my0 * 4);
-                            i64 zz[16];
-                            cavlc_block(d, r, nc, 16, zz);
-                            int nz = 0;
-                            for (int i = 0; i < 16; i++)
-                                nz += zz[i] != 0;
-                            d->nnz_l[(long)gy * g4w + gx] = nz;
-                            i64 res[4][4];
-                            finish_block4(zz, (const i64(*)[4])vy, s->qp, 0, 0, res);
-                            for (int rr2 = 0; rr2 < 4; rr2++)
-                                for (int cc = 0; cc < 4; cc++)
-                                    lres[by * 4 + rr2][bx * 4 + cc] = res[rr2][cc];
-                        } else {
-                            d->nnz_l[(long)gy * g4w + gx] = 0;
-                        }
-                    }
-                }
-                chroma_residuals_cavlc(s, r, cbp_chroma, mx, my,
-                                       (const i64(*)[4])vc, qpc, cres);
-            } else {
-                for (int by = 0; by < 4; by++)
-                    for (int bx = 0; bx < 4; bx++)
-                        d->nnz_l[(long)(my * 4 + by) * g4w + mx * 4 + bx] = 0;
-                for (int ci = 0; ci < 2; ci++)
-                    for (int by = 0; by < 2; by++)
-                        for (int bx = 0; bx < 2; bx++)
-                            d->nnz_c[ci][(long)(my * 2 + by) * g2w + mx * 2 + bx] = 0;
-            }
-            recon_p_mb(s, mx, my, (const i64(*)[16])pred16,
-                       (const i64(*)[8][8])predc, (const i64(*)[16])lres,
-                       (const i64(*)[8][8])cres);
-            for (int by = 0; by < 4; by++)
-                for (int bx = 0; bx < 4; bx++) {
-                    long gi = (long)(my * 4 + by) * g4w + mx * 4 + bx;
-                    d->done4[gi] = 1;
-                    d->avail4[gi] = 1;
-                    d->i4mode[gi] = 2;
-                }
-            record_mb(s, my, mx, 0, 0);
-            if (t8)
-                d->db_t8x8[(long)my * mbw + mx] = 1;
+            cavlc_inter_tail(s, r, mx, my, !(mb_type <= 2 || all_sub8),
+                             pred16, predc);
             continue;
         }
         int it = mb_type - 5;
@@ -3053,6 +3641,11 @@ static void decode_slice_cavlc_p(H264Dec *d, const uint8_t *rbsp, long rlen,
                 d->pid4[gi] = -1;
                 d->mv4[gi * 2] = 0;
                 d->mv4[gi * 2 + 1] = 0;
+                d->ref4b[gi] = -1;
+                d->pid4b[gi] = -1;
+                d->mv4b[gi * 2] = 0;
+                d->mv4b[gi * 2 + 1] = 0;
+                d->dir4[gi] = 0;
                 d->dec4[gi] = 1;
             }
         if (it == 25)
@@ -3368,7 +3961,10 @@ static void clear_mb_ctx_c(H264Dec *d, int mx, int my, int intra, int skip)
             d->c_cbf_l4[gi] = 0;
             d->c_absmvd4[gi * 2] = 0;
             d->c_absmvd4[gi * 2 + 1] = 0;
+            d->c_absmvd4b[gi * 2] = 0;
+            d->c_absmvd4b[gi * 2 + 1] = 0;
         }
+    d->c_bdirect[mi] = 0;
     for (int ci = 0; ci < 2; ci++)
         for (int by = 0; by < 2; by++)
             for (int bx = 0; bx < 2; bx++)
@@ -3525,16 +4121,24 @@ static void decode_luma8x8_cab(H264Dec *d, CabSlice *cs, int mx, int my,
     }
 }
 
-static int read_ref_idx_cab(H264Dec *d, CabSlice *cs, int gy, int gx)
+static int read_ref_idx_cab_g(H264Dec *d, CabSlice *cs, int gy, int gx,
+                              int lst)
 {
-    if (cs->s.l0_active <= 1)
+    int act = lst ? cs->s.l1_active : cs->s.l0_active;
+    if (act <= 1)
         return 0;
     int g4w = d->mbw * 4;
     int my0 = cs->s.my0;
-    int ca = (gx > 0 && d->rd4[(long)gy * g4w + gx - 1]
-              && d->ref4[(long)gy * g4w + gx - 1] > 0) ? 1 : 0;
-    int cb = (gy > my0 * 4 && d->rd4[(long)(gy - 1) * g4w + gx]
-              && d->ref4[(long)(gy - 1) * g4w + gx] > 0) ? 1 : 0;
+    const int32_t *rg = lst ? d->ref4b : d->ref4;
+    const uint8_t *rdg = lst ? d->rd4b : d->rd4;
+    /* 9.3.3.1.1.6: a DIRECT neighbour never counts, even with a nonzero
+       derived index (mirrors lavc's direct_cache gating) */
+    int ca = (gx > 0 && rdg[(long)gy * g4w + gx - 1]
+              && rg[(long)gy * g4w + gx - 1] > 0
+              && !d->dir4[(long)gy * g4w + gx - 1]) ? 1 : 0;
+    int cb = (gy > my0 * 4 && rdg[(long)(gy - 1) * g4w + gx]
+              && rg[(long)(gy - 1) * g4w + gx] > 0
+              && !d->dir4[(long)(gy - 1) * g4w + gx]) ? 1 : 0;
     if (!cab_decision(&cs->e, 54 + ca + 2 * cb))
         return 0;
     if (!cab_decision(&cs->e, 58))
@@ -3545,39 +4149,88 @@ static int read_ref_idx_cab(H264Dec *d, CabSlice *cs, int gy, int gx)
         if (ref > 32)
             dec_fail(d, "ref_idx runaway");
     }
-    if (ref >= cs->s.l0_active)
+    if (ref >= act)
         dec_fail(d, "ref_idx out of range");
     return ref;
 }
 
-static int note_ref_c(H264Dec *d, int gy, int gx, int pw4, int ph4, int ri)
+static int read_ref_idx_cab(H264Dec *d, CabSlice *cs, int gy, int gx)
+{
+    return read_ref_idx_cab_g(d, cs, gy, gx, 0);
+}
+
+static int note_ref_g(H264Dec *d, int gy, int gx, int pw4, int ph4,
+                      int ri, int lst)
 {
     int g4w = d->mbw * 4;
+    int32_t *rg = lst ? d->ref4b : d->ref4;
+    uint8_t *rdg = lst ? d->rd4b : d->rd4;
     for (int yy = 0; yy < ph4; yy++)
         for (int xx = 0; xx < pw4; xx++) {
             long gi = (long)(gy + yy) * g4w + gx + xx;
-            d->ref4[gi] = ri;
-            d->rd4[gi] = 1;
+            rg[gi] = ri;
+            rdg[gi] = 1;
         }
     return ri;
+}
+
+static int note_ref_c(H264Dec *d, int gy, int gx, int pw4, int ph4, int ri)
+{
+    return note_ref_g(d, gy, gx, pw4, ph4, ri, 0);
+}
+
+static void read_mvd_pair_g(H264Dec *d, CabSlice *cs, int gy, int gx,
+                            int lst, int *mdx, int *mdy)
+{
+    int g4w = d->mbw * 4;
+    int my0 = cs->s.my0;
+    const int32_t *am = lst ? d->c_absmvd4b : d->c_absmvd4;
+    int ax = 0, ay = 0;
+    if (gx > 0 && d->dec4[(long)gy * g4w + gx - 1]) {
+        ax += am[((long)gy * g4w + gx - 1) * 2];
+        ay += am[((long)gy * g4w + gx - 1) * 2 + 1];
+    }
+    if (gy > my0 * 4 && d->dec4[(long)(gy - 1) * g4w + gx]) {
+        ax += am[((long)(gy - 1) * g4w + gx) * 2];
+        ay += am[((long)(gy - 1) * g4w + gx) * 2 + 1];
+    }
+    *mdx = read_mvd_c(d, &cs->e, 40, ax);
+    *mdy = read_mvd_c(d, &cs->e, 47, ay);
 }
 
 static void read_mvd_pair_c(H264Dec *d, CabSlice *cs, int gy, int gx,
                             int *mdx, int *mdy)
 {
+    read_mvd_pair_g(d, cs, gy, gx, 0, mdx, mdy);
+}
+
+/* one list's motion + ctx grids for a B partition (-1 ri = unused) */
+static void fill_list_cab(Slice *s, int gy, int gx, int pw4, int ph4,
+                          int mvx, int mvy, int ri, int amx, int amy,
+                          int lst, int direct)
+{
+    H264Dec *d = s->d;
     int g4w = d->mbw * 4;
-    int my0 = cs->s.my0;
-    int ax = 0, ay = 0;
-    if (gx > 0 && d->dec4[(long)gy * g4w + gx - 1]) {
-        ax += d->c_absmvd4[((long)gy * g4w + gx - 1) * 2];
-        ay += d->c_absmvd4[((long)gy * g4w + gx - 1) * 2 + 1];
-    }
-    if (gy > my0 * 4 && d->dec4[(long)(gy - 1) * g4w + gx]) {
-        ax += d->c_absmvd4[((long)(gy - 1) * g4w + gx) * 2];
-        ay += d->c_absmvd4[((long)(gy - 1) * g4w + gx) * 2 + 1];
-    }
-    *mdx = read_mvd_c(d, &cs->e, 40, ax);
-    *mdy = read_mvd_c(d, &cs->e, 47, ay);
+    int32_t *mg = lst ? d->mv4b : d->mv4;
+    int32_t *rg = lst ? d->ref4b : d->ref4;
+    int32_t *pg = lst ? d->pid4b : d->pid4;
+    uint8_t *rdg = lst ? d->rd4b : d->rd4;
+    int32_t *am = lst ? d->c_absmvd4b : d->c_absmvd4;
+    const int *lmap = lst ? s->l1map : s->l0map;
+    int pid = ri >= 0 ? d->dpb_pid[lmap[ri]] : -1;
+    for (int yy = 0; yy < ph4; yy++)
+        for (int xx = 0; xx < pw4; xx++) {
+            long gi = (long)(gy + yy) * g4w + gx + xx;
+            mg[gi * 2] = ri >= 0 ? mvx : 0;
+            mg[gi * 2 + 1] = ri >= 0 ? mvy : 0;
+            rg[gi] = ri;
+            pg[gi] = pid;
+            rdg[gi] = 1;
+            am[gi * 2] = amx;
+            am[gi * 2 + 1] = amy;
+            d->dir4[gi] = (uint8_t)direct;
+            d->dec4[gi] = 1;
+        }
 }
 
 static void fill4_cab(Slice *s, int gy, int gx, int pw4, int ph4,
@@ -3933,6 +4586,10 @@ static void decode_p_skip_cab(H264Dec *d, CabSlice *cs, int mx, int my)
     record_mb(s, my, mx, 0, 0);
 }
 
+static void cab_inter_tail(H264Dec *d, CabSlice *cs, int mx, int my,
+                           int small_parts,
+                           i64 pred16[16][16], i64 predc[2][8][8]);
+
 static void decode_p_mb_cab(H264Dec *d, CabSlice *cs, int mx, int my,
                             int mb_type)
 {
@@ -4032,16 +4689,28 @@ static void decode_p_mb_cab(H264Dec *d, CabSlice *cs, int mx, int my,
             }
         }
     }
+    cab_inter_tail(d, cs, mx, my, !(mb_type <= 2 || all_sub8),
+                   pred16, predc);
+}
+
+/* cbp -> t8 flag -> dqp -> residuals -> recon, shared by P and B
+ * CABAC inter MBs */
+static void cab_inter_tail(H264Dec *d, CabSlice *cs, int mx, int my,
+                           int small_parts,
+                           i64 pred16[16][16], i64 predc[2][8][8])
+{
+    Slice *s = &cs->s;
+    Cab *e = &cs->e;
+    int g4w = d->mbw * 4, g2w = d->mbw * 2;
+    int gy0 = my * 4, gx0 = mx * 4;
+    (void)e;
     int cbp_luma_mb, cbp_chroma;
     read_cbp_c(d, cs, mx, my, &cbp_luma_mb, &cbp_chroma);
     long mi = (long)my * d->mbw + mx;
     d->c_cbp_l[mi] = cbp_luma_mb;
     d->c_cbp_c[mi] = cbp_chroma;
-    /* transform_size_8x8_flag (7.3.5): after cbp, before dqp; only when
-       luma is coded and no partition is below 8x8 */
     int t8 = 0;
-    if (cbp_luma_mb && d->pps.transform_8x8
-        && (mb_type <= 2 || all_sub8)) {
+    if (cbp_luma_mb && d->pps.transform_8x8 && !small_parts) {
         t8 = read_t8_flag_cab(d, cs, mx, my);
         d->db_t8x8[mi] = (uint8_t)t8;
     }
@@ -4111,6 +4780,342 @@ static void decode_p_mb_cab(H264Dec *d, CabSlice *cs, int mx, int my,
     record_mb(s, my, mx, 0, 0);
 }
 
+/* B_Skip / B_Direct_16x16 for CABAC slices (absmvd ctx grids zeroed) */
+static void direct_block_cab(Slice *s, int mx, int my,
+                             i64 pred16[16][16], i64 predc[2][8][8])
+{
+    int gy0 = my * 4, gx0 = mx * 4;
+    int ri0, ri1, m0x, m0y, m1x, m1y, zp;
+    direct_params_c(s, gy0, gx0, &ri0, &ri1, &m0x, &m0y, &m1x, &m1y, &zp);
+    for (int q = 0; q < 4; q++) {
+        int qy = gy0 + (q / 2) * 2, qx = gx0 + (q % 2) * 2;
+        int cz = !zp && col_zero_c(s, gy0, gx0, q);
+        int a0x = (zp || (cz && ri0 == 0)) ? 0 : m0x;
+        int a0y = (zp || (cz && ri0 == 0)) ? 0 : m0y;
+        int a1x = (zp || (cz && ri1 == 0)) ? 0 : m1x;
+        int a1y = (zp || (cz && ri1 == 0)) ? 0 : m1y;
+        part_pred_b_c(s, mx, my, qy, qx, 2, 2, a0x, a0y, a1x, a1y,
+                      ri0, ri1, pred16, predc);
+        fill_list_cab(s, qy, qx, 2, 2, a0x, a0y, ri0, 0, 0, 0, 1);
+        fill_list_cab(s, qy, qx, 2, 2, a1x, a1y, ri1, 0, 0, 1, 1);
+    }
+}
+
+/* B mb_type binarization (Table 9-37, ctx 27..31); >= 23 = intra esc */
+static int read_b_mb_type_cab(H264Dec *d, CabSlice *cs, int mx, int my)
+{
+    Cab *e = &cs->e;
+    int mbw = d->mbw;
+    int my0 = cs->s.my0;
+    int inc = 0;
+    if (mx > 0 && !d->c_bdirect[(long)my * mbw + mx - 1])
+        inc++;
+    if (my > my0 && !d->c_bdirect[(long)(my - 1) * mbw + mx])
+        inc++;
+    if (!cab_decision(e, 27 + inc))
+        return 0;                    /* B_Direct_16x16 */
+    if (!cab_decision(e, 27 + 3))
+        return 1 + cab_decision(e, 27 + 5);
+    int bits = cab_decision(e, 27 + 4) << 3;
+    bits |= cab_decision(e, 27 + 5) << 2;
+    bits |= cab_decision(e, 27 + 5) << 1;
+    bits |= cab_decision(e, 27 + 5);
+    if (bits < 8)
+        return bits + 3;
+    if (bits == 13)
+        return 23 + intra_mb_type_c(e, 32, 0, 0);
+    if (bits == 14)
+        return 11;
+    if (bits == 15)
+        return 22;
+    bits = (bits << 1) | cab_decision(e, 27 + 5);
+    return bits - 4;
+}
+
+/* B sub_mb_type binarization (Table 9-38, ctx 36..39) */
+static int read_b_sub_type_cab(CabSlice *cs)
+{
+    Cab *e = &cs->e;
+    if (!cab_decision(e, 36))
+        return 0;
+    if (!cab_decision(e, 37))
+        return 1 + cab_decision(e, 39);
+    int t = 3;
+    if (cab_decision(e, 38)) {
+        if (cab_decision(e, 39))
+            return 11 + cab_decision(e, 39);
+        t += 4;
+    }
+    t += 2 * cab_decision(e, 39);
+    t += cab_decision(e, 39);
+    return t;
+}
+
+static void decode_b_skip_cab(H264Dec *d, CabSlice *cs, int mx, int my)
+{
+    Slice *s = &cs->s;
+    int g4w = d->mbw * 4;
+    i64 pred16[16][16], predc[2][8][8];
+    memset(pred16, 0, sizeof(pred16));
+    memset(predc, 0, sizeof(predc));
+    direct_block_cab(s, mx, my, pred16, predc);
+    static const i64 zero16[16][16];
+    static const i64 zero8[2][8][8];
+    recon_p_mb(s, mx, my, (const i64(*)[16])pred16,
+               (const i64(*)[8][8])predc, zero16, zero8);
+    for (int by = 0; by < 4; by++)
+        for (int bx = 0; bx < 4; bx++) {
+            long gi = (long)(my * 4 + by) * g4w + mx * 4 + bx;
+            d->nnz_l[gi] = 0;
+            d->done4[gi] = 1;
+            d->avail4[gi] = 1;
+            d->i4mode[gi] = 2;
+        }
+    record_mb(s, my, mx, 0, 0);
+}
+
+static void decode_b_mb_cab(H264Dec *d, CabSlice *cs, int mx, int my,
+                            int mb_type)
+{
+    Slice *s = &cs->s;
+    int g4w = d->mbw * 4;
+    int gy0 = my * 4, gx0 = mx * 4;
+    i64 pred16[16][16], predc[2][8][8];
+    memset(pred16, 0, sizeof(pred16));
+    memset(predc, 0, sizeof(predc));
+    for (int by = 0; by < 4; by++)
+        for (int bx = 0; bx < 4; bx++) {
+            long gi = (long)(gy0 + by) * g4w + gx0 + bx;
+            d->i4mode[gi] = 2;
+            d->avail4[gi] = 1;
+        }
+    int small_parts = 0;
+    if (mb_type == 0) {
+        direct_block_cab(s, mx, my, pred16, predc);
+    } else if (mb_type <= 3) {
+        int use0 = mb_type == 1 || mb_type == 3;
+        int use1 = mb_type == 2 || mb_type == 3;
+        int ri0 = use0 ? note_ref_g(d, gy0, gx0, 4, 4,
+                                    read_ref_idx_cab_g(d, cs, gy0, gx0, 0),
+                                    0) : -1;
+        int ri1 = use1 ? note_ref_g(d, gy0, gx0, 4, 4,
+                                    read_ref_idx_cab_g(d, cs, gy0, gx0, 1),
+                                    1) : -1;
+        int m0x = 0, m0y = 0, m1x = 0, m1y = 0;
+        if (use0) {
+            int mdx, mdy, pmx, pmy;
+            read_mvd_pair_g(d, cs, gy0, gx0, 0, &mdx, &mdy);
+            mv_pred4_c(d, d->dec4, gy0, gx0, 4, ri0, s->my0, SH_NONE,
+                       &pmx, &pmy);
+            m0x = pmx + mdx;
+            m0y = pmy + mdy;
+            fill_list_cab(s, gy0, gx0, 4, 4, m0x, m0y, ri0,
+                          mdx < 0 ? -mdx : mdx, mdy < 0 ? -mdy : mdy, 0, 0);
+        } else {
+            fill_list_cab(s, gy0, gx0, 4, 4, 0, 0, -1, 0, 0, 0, 0);
+        }
+        if (use1) {
+            int mdx, mdy, pmx, pmy;
+            read_mvd_pair_g(d, cs, gy0, gx0, 1, &mdx, &mdy);
+            mv_pred4_b(d, d->dec4, gy0, gx0, 4, ri1, s->my0, SH_NONE,
+                       &pmx, &pmy);
+            m1x = pmx + mdx;
+            m1y = pmy + mdy;
+            fill_list_cab(s, gy0, gx0, 4, 4, m1x, m1y, ri1,
+                          mdx < 0 ? -mdx : mdx, mdy < 0 ? -mdy : mdy, 1, 0);
+        } else {
+            fill_list_cab(s, gy0, gx0, 4, 4, 0, 0, -1, 0, 0, 1, 0);
+        }
+        part_pred_b_c(s, mx, my, gy0, gx0, 4, 4, m0x, m0y, m1x, m1y,
+                      ri0, ri1, pred16, predc);
+    } else if (mb_type <= 21) {
+        const int *pair = B_PAIR[(mb_type - 4) / 2];
+        int geo[2][5];
+        if ((mb_type - 4) % 2 == 0) {
+            int g0[5] = {gy0, gx0, 4, 2, SH_16x8_0};
+            int g1[5] = {gy0 + 2, gx0, 4, 2, SH_16x8_1};
+            memcpy(geo[0], g0, sizeof(g0));
+            memcpy(geo[1], g1, sizeof(g1));
+        } else {
+            int g0[5] = {gy0, gx0, 2, 4, SH_8x16_0};
+            int g1[5] = {gy0, gx0 + 2, 2, 4, SH_8x16_1};
+            memcpy(geo[0], g0, sizeof(g0));
+            memcpy(geo[1], g1, sizeof(g1));
+        }
+        int use0[2], use1[2], ri0[2], ri1[2];
+        for (int p = 0; p < 2; p++) {
+            use0[p] = pair[p] == 0 || pair[p] == 2;
+            use1[p] = pair[p] == 1 || pair[p] == 2;
+        }
+        for (int p = 0; p < 2; p++)
+            ri0[p] = use0[p]
+                ? note_ref_g(d, geo[p][0], geo[p][1], geo[p][2], geo[p][3],
+                             read_ref_idx_cab_g(d, cs, geo[p][0],
+                                                geo[p][1], 0), 0)
+                : -1;
+        for (int p = 0; p < 2; p++)
+            ri1[p] = use1[p]
+                ? note_ref_g(d, geo[p][0], geo[p][1], geo[p][2], geo[p][3],
+                             read_ref_idx_cab_g(d, cs, geo[p][0],
+                                                geo[p][1], 1), 1)
+                : -1;
+        int mv0[2][2], mv1[2][2];
+        for (int p = 0; p < 2; p++) {
+            int gy = geo[p][0], gx = geo[p][1];
+            int pw4 = geo[p][2], ph4 = geo[p][3], shape = geo[p][4];
+            mv0[p][0] = mv0[p][1] = 0;
+            if (use0[p]) {
+                int mdx, mdy, pmx, pmy;
+                read_mvd_pair_g(d, cs, gy, gx, 0, &mdx, &mdy);
+                mv_pred4_c(d, d->dec4, gy, gx, pw4, ri0[p], s->my0, shape,
+                           &pmx, &pmy);
+                mv0[p][0] = pmx + mdx;
+                mv0[p][1] = pmy + mdy;
+                fill_list_cab(s, gy, gx, pw4, ph4, mv0[p][0], mv0[p][1],
+                              ri0[p], mdx < 0 ? -mdx : mdx,
+                              mdy < 0 ? -mdy : mdy, 0, 0);
+            } else {
+                fill_list_cab(s, gy, gx, pw4, ph4, 0, 0, -1, 0, 0, 0, 0);
+            }
+        }
+        for (int p = 0; p < 2; p++) {
+            int gy = geo[p][0], gx = geo[p][1];
+            int pw4 = geo[p][2], ph4 = geo[p][3], shape = geo[p][4];
+            mv1[p][0] = mv1[p][1] = 0;
+            if (use1[p]) {
+                int mdx, mdy, pmx, pmy;
+                read_mvd_pair_g(d, cs, gy, gx, 1, &mdx, &mdy);
+                mv_pred4_b(d, d->dec4, gy, gx, pw4, ri1[p], s->my0, shape,
+                           &pmx, &pmy);
+                mv1[p][0] = pmx + mdx;
+                mv1[p][1] = pmy + mdy;
+                fill_list_cab(s, gy, gx, pw4, ph4, mv1[p][0], mv1[p][1],
+                              ri1[p], mdx < 0 ? -mdx : mdx,
+                              mdy < 0 ? -mdy : mdy, 1, 0);
+            } else {
+                fill_list_cab(s, gy, gx, pw4, ph4, 0, 0, -1, 0, 0, 1, 0);
+            }
+        }
+        for (int p = 0; p < 2; p++)
+            part_pred_b_c(s, mx, my, geo[p][0], geo[p][1], geo[p][2],
+                          geo[p][3], mv0[p][0], mv0[p][1], mv1[p][0],
+                          mv1[p][1], ri0[p], ri1[p], pred16, predc);
+    } else {                          /* B_8x8 */
+        int subs[4], su0[4], su1[4], ri0[4], ri1[4];
+        for (int b = 0; b < 4; b++) {
+            subs[b] = read_b_sub_type_cab(cs);
+            su0[b] = subs[b] && (B_SUB[subs[b]][1] == 0
+                                 || B_SUB[subs[b]][1] == 2);
+            su1[b] = subs[b] && (B_SUB[subs[b]][1] == 1
+                                 || B_SUB[subs[b]][1] == 2);
+        }
+        for (int b = 0; b < 4; b++) {
+            int by = gy0 + (b / 2) * 2, bx = gx0 + (b % 2) * 2;
+            ri0[b] = su0[b]
+                ? note_ref_g(d, by, bx, 2, 2,
+                             read_ref_idx_cab_g(d, cs, by, bx, 0), 0)
+                : -1;
+        }
+        for (int b = 0; b < 4; b++) {
+            int by = gy0 + (b / 2) * 2, bx = gx0 + (b % 2) * 2;
+            ri1[b] = su1[b]
+                ? note_ref_g(d, by, bx, 2, 2,
+                             read_ref_idx_cab_g(d, cs, by, bx, 1), 1)
+                : -1;
+        }
+        int dri0, dri1, dm0x, dm0y, dm1x, dm1y, dzero;
+        direct_params_c(s, gy0, gx0, &dri0, &dri1, &dm0x, &dm0y,
+                        &dm1x, &dm1y, &dzero);
+        int pm0[4][4][2], pm1[4][4][2];
+        for (int b = 0; b < 4; b++) {
+            int by = gy0 + (b / 2) * 2, bx = gx0 + (b % 2) * 2;
+            if (subs[b] == 0) {
+                int cz = !dzero && col_zero_c(s, gy0, gx0, b);
+                int a0x = (dzero || (cz && dri0 == 0)) ? 0 : dm0x;
+                int a0y = (dzero || (cz && dri0 == 0)) ? 0 : dm0y;
+                int a1x = (dzero || (cz && dri1 == 0)) ? 0 : dm1x;
+                int a1y = (dzero || (cz && dri1 == 0)) ? 0 : dm1y;
+                pm0[b][0][0] = a0x; pm0[b][0][1] = a0y;
+                pm1[b][0][0] = a1x; pm1[b][0][1] = a1y;
+                fill_list_cab(s, by, bx, 2, 2, a0x, a0y, dri0, 0, 0, 0, 1);
+                fill_list_cab(s, by, bx, 2, 2, a1x, a1y, dri1, 0, 0, 1, 1);
+                continue;
+            }
+            int shp = B_SUB[subs[b]][0];
+            if (shp != 0)
+                small_parts = 1;
+            for (int p = 0; p < SUB_NPARTS[shp]; p++) {
+                int dy = SUB_PARTS[shp][p][0], dx = SUB_PARTS[shp][p][1];
+                int pw4 = SUB_PARTS[shp][p][2], ph4 = SUB_PARTS[shp][p][3];
+                int gy = by + dy, gx = bx + dx;
+                pm0[b][p][0] = pm0[b][p][1] = 0;
+                if (su0[b]) {
+                    int mdx, mdy, pmx, pmy;
+                    read_mvd_pair_g(d, cs, gy, gx, 0, &mdx, &mdy);
+                    mv_pred4_c(d, d->dec4, gy, gx, pw4, ri0[b], s->my0,
+                               SH_NONE, &pmx, &pmy);
+                    pm0[b][p][0] = pmx + mdx;
+                    pm0[b][p][1] = pmy + mdy;
+                    fill_list_cab(s, gy, gx, pw4, ph4, pm0[b][p][0],
+                                  pm0[b][p][1], ri0[b],
+                                  mdx < 0 ? -mdx : mdx,
+                                  mdy < 0 ? -mdy : mdy, 0, 0);
+                } else {
+                    fill_list_cab(s, gy, gx, pw4, ph4, 0, 0, -1, 0, 0,
+                                  0, 0);
+                }
+            }
+        }
+        for (int b = 0; b < 4; b++) {
+            if (subs[b] == 0)
+                continue;
+            int by = gy0 + (b / 2) * 2, bx = gx0 + (b % 2) * 2;
+            int shp = B_SUB[subs[b]][0];
+            for (int p = 0; p < SUB_NPARTS[shp]; p++) {
+                int dy = SUB_PARTS[shp][p][0], dx = SUB_PARTS[shp][p][1];
+                int pw4 = SUB_PARTS[shp][p][2], ph4 = SUB_PARTS[shp][p][3];
+                int gy = by + dy, gx = bx + dx;
+                pm1[b][p][0] = pm1[b][p][1] = 0;
+                if (su1[b]) {
+                    int mdx, mdy, pmx, pmy;
+                    read_mvd_pair_g(d, cs, gy, gx, 1, &mdx, &mdy);
+                    mv_pred4_b(d, d->dec4, gy, gx, pw4, ri1[b], s->my0,
+                               SH_NONE, &pmx, &pmy);
+                    pm1[b][p][0] = pmx + mdx;
+                    pm1[b][p][1] = pmy + mdy;
+                    fill_list_cab(s, gy, gx, pw4, ph4, pm1[b][p][0],
+                                  pm1[b][p][1], ri1[b],
+                                  mdx < 0 ? -mdx : mdx,
+                                  mdy < 0 ? -mdy : mdy, 1, 0);
+                } else {
+                    fill_list_cab(s, gy, gx, pw4, ph4, 0, 0, -1, 0, 0,
+                                  1, 0);
+                }
+            }
+        }
+        for (int b = 0; b < 4; b++) {
+            int by = gy0 + (b / 2) * 2, bx = gx0 + (b % 2) * 2;
+            if (subs[b] == 0) {
+                part_pred_b_c(s, mx, my, by, bx, 2, 2, pm0[b][0][0],
+                              pm0[b][0][1], pm1[b][0][0], pm1[b][0][1],
+                              dri0, dri1, pred16, predc);
+                continue;
+            }
+            int shp = B_SUB[subs[b]][0];
+            for (int p = 0; p < SUB_NPARTS[shp]; p++) {
+                int dy = SUB_PARTS[shp][p][0], dx = SUB_PARTS[shp][p][1];
+                int pw4 = SUB_PARTS[shp][p][2], ph4 = SUB_PARTS[shp][p][3];
+                part_pred_b_c(s, mx, my, by + dy, bx + dx, pw4, ph4,
+                              pm0[b][p][0], pm0[b][p][1],
+                              pm1[b][p][0], pm1[b][p][1],
+                              su0[b] ? ri0[b] : -1, su1[b] ? ri1[b] : -1,
+                              pred16, predc);
+            }
+        }
+    }
+    cab_inter_tail(d, cs, mx, my, small_parts, pred16, predc);
+}
+
 static void decode_slice_cabac_c(H264Dec *d, const uint8_t *rbsp, long rlen,
                                  int nal_type, int slice_id, int ref_idc)
 {
@@ -4162,8 +5167,6 @@ static void decode_slice_cabac_c(H264Dec *d, const uint8_t *rbsp, long rlen,
         if (br_bit(r) != 1)
             dec_fail(d, "bad cabac alignment bit");
     }
-    if (is_b)
-        dec_fail(d, "B slices (native CABAC pending)");
     cab_init(&cs->e, d, rbsp, rlen, r->pos,
              (is_p || is_b) ? 1 + cabac_init_idc : 0, s->qp);
     int l0_active = s->l0_active;
@@ -4187,7 +5190,50 @@ static void decode_slice_cabac_c(H264Dec *d, const uint8_t *rbsp, long rlen,
     while (mb_addr < n_mbs) {
         int my = (int)(mb_addr / mbw), mx = (int)(mb_addr % mbw);
         mb_addr++;
-        if (is_p) {
+        if (is_b) {
+            int inc = 0;
+            if (mx > 0 && !d->c_skip[(long)my * mbw + mx - 1])
+                inc++;
+            if (my > s->my0 && !d->c_skip[(long)(my - 1) * mbw + mx])
+                inc++;
+            if (cab_decision(&cs->e, 24 + inc)) {  /* B mb_skip_flag */
+                clear_mb_ctx_c(d, mx, my, 0, 1);
+                d->c_bdirect[(long)my * mbw + mx] = 1;
+                decode_b_skip_cab(d, cs, mx, my);
+                cs->last_dqp = 0;
+                if (cab_terminate(&cs->e))
+                    break;
+                continue;
+            }
+            clear_mb_ctx_c(d, mx, my, 0, 0);
+            int mb_type = read_b_mb_type_cab(d, cs, mx, my);
+            d->c_bdirect[(long)my * mbw + mx] = mb_type == 0;
+            if (mb_type >= 23) {
+                int it = mb_type - 23;
+                cs->cur_intra = 1;
+                int g4w = mbw * 4;
+                for (int by = 0; by < 4; by++)
+                    for (int bx = 0; bx < 4; bx++) {
+                        long gi = (long)(my * 4 + by) * g4w + mx * 4 + bx;
+                        d->ref4[gi] = -1;
+                        d->pid4[gi] = -1;
+                        d->mv4[gi * 2] = 0;
+                        d->mv4[gi * 2 + 1] = 0;
+                        d->ref4b[gi] = -1;
+                        d->pid4b[gi] = -1;
+                        d->mv4b[gi * 2] = 0;
+                        d->mv4b[gi * 2 + 1] = 0;
+                        d->dir4[gi] = 0;
+                        d->dec4[gi] = 1;
+                        d->rd4[gi] = 1;
+                        d->rd4b[gi] = 1;
+                    }
+                decode_intra_mb_cab(d, cs, mx, my, it);
+            } else {
+                cs->cur_intra = 0;
+                decode_b_mb_cab(d, cs, mx, my, mb_type);
+            }
+        } else if (is_p) {
             int inc = 0;
             if (mx > 0 && !d->c_skip[(long)my * mbw + mx - 1])
                 inc++;
@@ -4356,14 +5402,13 @@ static void parse_sps(H264Dec *d, const uint8_t *rbsp, long rlen, SPS *sps)
             br_u(r, 1);                       /* low_delay_hrd */
         br_u(r, 1);                           /* pic_struct_present */
         if (br_bit(r)) {                      /* bitstream_restriction */
-            br_u(r, 1);
-            br_ue(r);
-            br_ue(r);
-            br_ue(r);
-            br_ue(r);
-            br_ue(r);
+            br_u(r, 1);     /* motion_vectors_over_pic_boundaries */
+            br_ue(r);       /* max_bytes_per_pic_denom */
+            br_ue(r);       /* max_bits_per_mb_denom */
+            br_ue(r);       /* log2_max_mv_length_horizontal */
+            br_ue(r);       /* log2_max_mv_length_vertical */
             sps->reorder = (int)br_ue(r);     /* max_num_reorder_frames */
-            br_ue(r);
+            br_ue(r);       /* max_dec_frame_buffering */
         }
     }
     sps->valid = 1;
@@ -4445,7 +5490,8 @@ static void free_geometry(H264Dec *d)
     free(d->c_skip); free(d->c_i16); free(d->c_intra); free(d->c_pcm);
     free(d->c_chroma_mode); free(d->c_cbp_l); free(d->c_cbp_c);
     free(d->c_cbf_ldc); free(d->c_cbf_l4); free(d->c_cbf_cdc);
-    free(d->c_cbf_c4); free(d->c_absmvd4);
+    free(d->c_cbf_c4); free(d->c_absmvd4); free(d->c_absmvd4b);
+    free(d->c_bdirect);
     for (int i = 0; i < MAX_REFS + 2; i++) {
         free(d->outq[i].y); free(d->outq[i].cb); free(d->outq[i].cr);
         d->outq[i].y = d->outq[i].cb = d->outq[i].cr = NULL;
@@ -4514,6 +5560,8 @@ static void alloc_geometry(H264Dec *d)
     d->c_cbf_cdc = xalloc(d, nmb * 2 * 4);
     d->c_cbf_c4 = xalloc(d, g2 * 2 * 4);
     d->c_absmvd4 = xalloc(d, g4 * 8);
+    d->c_absmvd4b = xalloc(d, g4 * 8);
+    d->c_bdirect = xalloc(d, nmb);
 }
 
 static void reset_picture(H264Dec *d)
@@ -4556,6 +5604,8 @@ static void reset_picture(H264Dec *d)
     memset(d->c_cbf_cdc, 0, (size_t)nmb * 2 * 4);
     memset(d->c_cbf_c4, 0, (size_t)g2 * 2 * 4);
     memset(d->c_absmvd4, 0, (size_t)g4 * 8);
+    memset(d->c_absmvd4b, 0, (size_t)g4 * 8);
+    memset(d->c_bdirect, 0, (size_t)nmb);
 }
 
 static long poc_preview(const H264Dec *d)

@@ -64,10 +64,21 @@ def _assert_exact_vs_python(aus, tag):
     for i, au in enumerate(aus):
         py = pd.decode_au(au)
         cc = fd.decode_au(au)
+        assert (py is None) == (cc is None), (
+            f"{tag} frame {i}: reorder priming disagrees "
+            f"(python {py is None}, C {cc is None})")
+        if py is None:
+            continue
         for name, a, b in zip(("y", "cb", "cr"), py, cc):
             assert np.array_equal(a, b), (
                 f"{tag} frame {i} {name}: C decoder diverges from Python "
                 f"(max diff {np.abs(a.astype(int) - b.astype(int)).max()})")
+    pt = pd.flush()
+    ct = fd.flush()
+    assert len(pt) == len(ct), f"{tag}: flush count differs"
+    for i, (py, cc) in enumerate(zip(pt, ct)):
+        for name, a, b in zip(("y", "cb", "cr"), py, cc):
+            assert np.array_equal(a, b), f"{tag} flush {i} {name}" 
 
 
 def test_fast_decoder_own_encoder_streams():
@@ -131,34 +142,52 @@ def test_fast_decoder_own_encoder_streams():
     ("cabac-weightp2-mr",
      "codec=H.264:encoder=libx264:profile=high:qp=24:g=6:aq-mode=0:"
      "bf=0:weightp=2:ref=3"),
+    ("cavlc-b3-pyramid",
+     "codec=H.264:encoder=libx264:profile=high:qp=26:g=12:aq-mode=0:"
+     "coder=0:bf=3"),
+    ("cabac-b3-pyramid",
+     "codec=H.264:encoder=libx264:profile=high:qp=26:g=12:aq-mode=0:"
+     "bf=3"),
+    ("cabac-b2-nopyr-mr",
+     "codec=H.264:encoder=libx264:profile=high:qp=24:g=12:aq-mode=0:"
+     "bf=2:ref=3:x264opts=b-pyramid=none"),
 ])
 def test_fast_decoder_foreign_matrix(tag, spec):
     """libx264 streams across the supported envelope decode identically
-    in the C and Python decoders, and sample-exact vs libavcodec."""
+    in the C and Python decoders, and sample-exact vs libavcodec (both
+    sides compared in DISPLAY order — B streams reorder)."""
     from ultragrid_tpu.modules.lavc import LavcDecompress
 
-    aus = _encode(spec, _test_frames())
+    aus = _encode(spec, _test_frames(n=12))
     _assert_exact_vs_python(aus, tag)
-    # direct lavc cross-check on the final frame (the matrix in
-    # test_h264*.py already pins Python to lavc across configs)
     Fast = _fast()
     fd = Fast()
     rd = LavcDecompress()
+    ours, refs = [], []
     for au in aus:
-        y, cb, cr = fd.decode_au(au)
+        got = fd.decode_au(au)
+        if got is not None:
+            ours.append(got)
         ref = rd.decompress(
-            VideoFrame(VideoDesc(y.shape[1], y.shape[0], Codec.H264, 30.0),
+            VideoFrame(VideoDesc(176, 144, Codec.H264, 30.0),
                        [np.frombuffer(au, np.uint8)]), Codec.UYVY)
-        uy = np.asarray(ref.data)
-    assert np.array_equal(uy[:, 1::2], y), f"{tag}: luma vs lavc"
-    assert np.array_equal(uy[0::2, 0::4], cb), f"{tag}: cb vs lavc"
-    assert np.array_equal(uy[0::2, 2::4], cr), f"{tag}: cr vs lavc"
+        if ref is not None:
+            refs.append(np.asarray(ref.data).copy())
+    ours.extend(fd.flush())
+    n = min(len(ours), len(refs))
+    assert n >= len(aus) - 4, f"{tag}: only {n} comparable frames"
+    for i in range(n):
+        y, cb, cr = ours[i]
+        uy = refs[i]
+        assert np.array_equal(uy[:, 1::2], y), f"{tag} frame {i}: luma"
+        assert np.array_equal(uy[0::2, 0::4], cb), f"{tag} frame {i}: cb"
+        assert np.array_equal(uy[0::2, 2::4], cr), f"{tag} frame {i}: cr"
     rd.done()
 
 
 @pytest.mark.parametrize("tag,spec", [
-    ("bframes", "codec=H.264:encoder=libx264:profile=main:qp=28:g=6:"
-                "aq-mode=0:x264opts=bframes=2"),
+    ("temporal-direct", "codec=H.264:encoder=libx264:profile=main:qp=28:"
+                        "g=6:aq-mode=0:bf=2:x264opts=direct=temporal"),
     ("scaling-lists", "codec=H.264:encoder=libx264:profile=high:qp=28:g=6:"
                       "aq-mode=0:bf=0:weightp=0:x264opts=cqm=jvt"),
     ("interlace", "codec=H.264:encoder=libx264:profile=high:qp=28:g=6:"
@@ -189,13 +218,12 @@ def test_decompress_driver_prefers_own_and_delegates():
     dec, out = decompress_init(Codec.H264, [Codec.UYVY])
     assert isinstance(dec, OwnH264Decompress)
     assert out == Codec.UYVY
-    # out-of-envelope stream (B frames): the module must still decode via
-    # its internal lavc takeover rather than returning None forever
-    # enough frames that the native decoder's reorder priming + lavc's
-    # own B-frame delay still leave several displayed frames
+    # out-of-envelope stream (temporal direct — B frames themselves now
+    # decode natively): the module must still decode via its internal
+    # lavc takeover rather than returning None forever
     aus = _encode(
         "codec=H.264:encoder=libx264:profile=main:qp=28:g=6:aq-mode=0:"
-        "x264opts=bframes=2", _test_frames(n=12))
+        "bf=2:x264opts=direct=temporal", _test_frames(n=12))
     got = 0
     for au in aus:
         frame = VideoFrame(VideoDesc(176, 144, Codec.H264, 30.0),

@@ -120,8 +120,7 @@ class OwnH264Decompress(VideoDecompress):
     real time, sample-exact with libavcodec (tested).  The scalar Python
     decoder (ops/h264_dec.py) serves when the native build is unavailable.
     Out-of-envelope streams (interlace, scaling lists, temporal
-    direct; B slices on the C fast path) hand the session over to lavc
-    permanently — the same
+    direct) hand the session over to lavc permanently — the same
     probe-then-commit behavior as the reference's decoder selection
     (src/video_decompress.c priority probing).
     """
