@@ -31,6 +31,10 @@ def _probe_msg(name: str) -> str:
         "sdl": ("libSDL2 + a display server", ctypes.util.find_library("SDL2")),
         "gl": ("OpenGL context (display server)",
                os.environ.get("DISPLAY") if ctypes.util.find_library("GL") else None),
+        "openxr_gl": ("an OpenXR runtime (libopenxr_loader) + HMD",
+                      ctypes.util.find_library("openxr_loader")),
+        "vulkan": ("libvulkan + a display server",
+                   ctypes.util.find_library("vulkan")),
         "alsa": ("libasound (ALSA)", ctypes.util.find_library("asound")),
     }
     what, found = checks.get(name, (name, None))
@@ -62,7 +66,10 @@ def _make_display_stub(name: str):
 # (modules/gl_display.py); only the SDK-bound cards remain stubs.
 for _name in ("decklink", "ndi", "aja"):
     register_module(_name, LibraryClass.VIDEO_CAPTURE, _make_capture_stub(_name))
-for _name in ("decklink", "ndi", "sdl"):
+# openxr_gl = the reference's stereo-HMD viewer
+# (src/video_display/openxr_gl.cpp, gated on the OpenXR SDK exactly like
+# this); pano_gl covers the mono-360 role natively.
+for _name in ("decklink", "ndi", "sdl", "openxr_gl", "vulkan"):
     register_module(_name, LibraryClass.VIDEO_DISPLAY, _make_display_stub(_name))
 
 

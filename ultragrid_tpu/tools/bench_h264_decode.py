@@ -50,6 +50,8 @@ def main() -> None:
                   "aq-mode=0:refs=3:x264opts=partitions=p8x8"),
         ("cabac", "codec=H.264:encoder=libx264:profile=main:qp=28:g=30:"
                   "aq-mode=0:x264opts=bframes=0:weightp=0"),
+        ("cabac-b3", "codec=H.264:encoder=libx264:profile=high:qp=28:g=30:"
+                     "aq-mode=0:bf=3"),
     ]
     for kind in ("synthetic", "textured"):
         frames = make_frames(w, h, n, kind)
