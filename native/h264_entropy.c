@@ -5963,6 +5963,943 @@ static int decode_au_inner(H264Dec *d, const uint8_t *au, long size)
     return 1;  /* reorder queue priming: no display frame yet */
 }
 
+/* ================================================================== */
+/* CAVLC -> CABAC slice transcoder (own-encoder envelope)               */
+/*                                                                      */
+/* The TPU device encoder emits CAVLC bitstreams (ops/h264_tpu.py);     */
+/* CAVLC doubles as the symbol-transport format and this host stage     */
+/* re-encodes the identical syntax elements with CABAC for ~10-15%      */
+/* smaller streams (the entropy backend choice the reference reaches    */
+/* through libx264's cabac flag, src/video_compress/libavcodec.cpp).    */
+/* Pure syntax: no pixel reconstruction — every CABAC context depends   */
+/* only on parsed syntax values (neighbour |mvd|, cbf grids, modes).    */
+/* Context derivations mirror ops/h264_cabac.py (the decode direction,  */
+/* pinned sample-exact against libavcodec); the arithmetic encoder is   */
+/* spec 9.3.4.                                                          */
+/* ================================================================== */
+
+typedef struct {
+    uint8_t *out;
+    long cap, bytes;
+    int bitn;           /* bits filled in cur */
+    uint8_t cur;
+    uint32_t low;
+    int range;
+    long outstanding;
+    int first;
+    uint8_t pstate[1024], mps[1024];
+    H264Dec *d;
+} CabEnc;
+
+static void ce_putraw(CabEnc *e, int b)
+{
+    e->cur = (uint8_t)((e->cur << 1) | b);
+    if (++e->bitn == 8) {
+        if (e->bytes >= e->cap)
+            dec_fail(e->d, "transcode output overflow");
+        e->out[e->bytes++] = e->cur;
+        e->cur = 0;
+        e->bitn = 0;
+    }
+}
+
+static void ce_putbit(CabEnc *e, int b)
+{
+    if (e->first)
+        e->first = 0;           /* leading bit is not written (9.3.4.4) */
+    else
+        ce_putraw(e, b);
+    while (e->outstanding > 0) {
+        ce_putraw(e, 1 - b);
+        e->outstanding--;
+    }
+}
+
+static void ce_renorm(CabEnc *e)
+{
+    while (e->range < 256) {
+        if (e->low < 256) {
+            ce_putbit(e, 0);
+        } else if (e->low >= 512) {
+            e->low -= 512;
+            ce_putbit(e, 1);
+        } else {
+            e->low -= 256;
+            e->outstanding++;
+        }
+        e->range <<= 1;
+        e->low <<= 1;
+    }
+}
+
+static void ce_init(CabEnc *e, H264Dec *d, uint8_t *out, long cap,
+                    int table_idx, int slice_qp)
+{
+    e->out = out;
+    e->cap = cap;
+    e->bytes = 0;
+    e->bitn = 0;
+    e->cur = 0;
+    e->low = 0;
+    e->range = 510;
+    e->outstanding = 0;
+    e->first = 1;
+    e->d = d;
+    int qp = slice_qp < 0 ? 0 : (slice_qp > 51 ? 51 : slice_qp);
+    for (int i = 0; i < 1024; i++) {
+        int m = d->ctx_init[table_idx][i][0];
+        int n = d->ctx_init[table_idx][i][1];
+        int pre = ((m * qp) >> 4) + n;
+        if (pre < 1) pre = 1;
+        if (pre > 126) pre = 126;
+        e->mps[i] = pre > 63;
+        e->pstate[i] = (uint8_t)(pre <= 63 ? 63 - pre : pre - 64);
+    }
+}
+
+static void ce_decision(CabEnc *e, int ctx, int bin)
+{
+    int st = e->pstate[ctx];
+    int lps = e->d->range_tab[st][(e->range >> 6) & 3];
+    e->range -= lps;
+    if (bin != e->mps[ctx]) {
+        e->low += (uint32_t)e->range;
+        e->range = lps;
+        if (st == 0)
+            e->mps[ctx] ^= 1;
+        e->pstate[ctx] = (uint8_t)e->d->trans_lps[st];
+    } else {
+        if (st < 62)
+            e->pstate[ctx] = (uint8_t)(st + 1);
+    }
+    ce_renorm(e);
+}
+
+static void ce_bypass(CabEnc *e, int bin)
+{
+    e->low <<= 1;
+    if (bin)
+        e->low += (uint32_t)e->range;
+    if (e->low >= 1024) {
+        ce_putbit(e, 1);
+        e->low -= 1024;
+    } else if (e->low < 512) {
+        ce_putbit(e, 0);
+    } else {
+        e->low -= 512;
+        e->outstanding++;
+    }
+}
+
+static void ce_terminate(CabEnc *e, int bin)
+{
+    e->range -= 2;
+    if (bin) {
+        e->low += (uint32_t)e->range;
+        /* EncodeFlush (9.3.4.6): last two written bits include the
+           rbsp_stop_one_bit */
+        e->range = 2;
+        ce_renorm(e);
+        ce_putbit(e, (e->low >> 9) & 1);
+        ce_putraw(e, (e->low >> 8) & 1);
+        ce_putraw(e, 1);
+        while (e->bitn)         /* byte-align with zero bits */
+            ce_putraw(e, 0);
+    } else {
+        ce_renorm(e);
+    }
+}
+
+/* --------------- transcode state ---------------------------------- */
+
+typedef struct {
+    H264Dec *d;
+    BitReader r;
+    CabEnc e;
+    int mbw, mbh, my0;
+    int is_p;
+    int qp, last_dqp;
+    int l0_active;
+    /* per-MB grids */
+    uint8_t *skip, *intra, *i16, *cbf_ldc;
+    uint8_t *cbp_l, *cbp_c, *chroma_mode, *cbf_cdc[2];
+    /* 4x4 grids */
+    uint8_t *cbf_l4, *nnz_l, *avail4, *dec4;
+    int8_t *i4mode;
+    int16_t *amvd;      /* [g4][2] */
+    /* 2x2 chroma grids */
+    uint8_t *cbf_c4[2], *nnz_c[2];
+    void *arena;
+} Tc;
+
+static int tc_avail_a(Tc *t, int mx) { return mx > 0; }
+static int tc_avail_b(Tc *t, int my) { return my > t->my0; }
+
+/* CAVLC nC predictor over a u8 nnz grid */
+static int tc_nc(Tc *t, const uint8_t *nn, int gw, int gx, int gy, int gy_min)
+{
+    int la = gx > 0, ta = gy > gy_min;
+    if (la && ta)
+        return (nn[gy * gw + gx - 1] + nn[(gy - 1) * gw + gx] + 1) >> 1;
+    if (la)
+        return nn[gy * gw + gx - 1];
+    if (ta)
+        return nn[(gy - 1) * gw + gx];
+    return 0;
+}
+
+/* ---- CABAC syntax emitters (ctx derivations = ops/h264_cabac.py) --- */
+
+static void tc_emit_residual(Tc *t, int cat, int n_coeffs, int cbf_inc,
+                             const i64 *zz, int has_cbf_bit)
+{
+    static const int SIG_OFF_T[5] = {0, 15, 29, 44, 47};
+    static const int LVL_OFF_T[5] = {0, 10, 20, 30, 39};
+    CabEnc *e = &t->e;
+    int nz = 0;
+    for (int i = 0; i < n_coeffs; i++)
+        if (zz[i])
+            nz++;
+    if (has_cbf_bit) {
+        ce_decision(e, 85 + 4 * cat + cbf_inc, nz != 0);
+        if (!nz)
+            return;
+    } else if (!nz) {
+        dec_fail(t->d, "transcode: empty residual without cbf");
+    }
+    int sig_base = 105 + SIG_OFF_T[cat];
+    int last_base = 166 + SIG_OFF_T[cat];
+    int lvl_base = 227 + LVL_OFF_T[cat];
+    int last_nz = n_coeffs - 1;
+    while (!zz[last_nz])
+        last_nz--;
+    for (int i = 0; i < n_coeffs - 1; i++) {
+        ce_decision(e, sig_base + i, zz[i] != 0);
+        if (zz[i]) {
+            ce_decision(e, last_base + i, i == last_nz);
+            if (i == last_nz)
+                break;
+        }
+    }
+    /* levels, highest frequency first */
+    int cap = 4 - (cat == 3 ? 1 : 0);
+    int num_eq1 = 0, num_gt1 = 0;
+    for (int pos = last_nz; pos >= 0; pos--) {
+        if (!zz[pos])
+            continue;
+        i64 v = zz[pos];
+        i64 a = v < 0 ? -v : v;
+        int inc0 = num_gt1 ? 0 : (1 + num_eq1 < 4 ? 1 + num_eq1 : 4);
+        if (a == 1) {
+            ce_decision(e, lvl_base + inc0, 0);
+            num_eq1++;
+        } else {
+            ce_decision(e, lvl_base + inc0, 1);
+            int incn = 5 + (num_gt1 < cap ? num_gt1 : cap);
+            if (a < 15) {
+                for (i64 k = 2; k < a; k++)
+                    ce_decision(e, lvl_base + incn, 1);
+                ce_decision(e, lvl_base + incn, 0);
+            } else {
+                for (int k = 2; k < 15; k++)
+                    ce_decision(e, lvl_base + incn, 1);
+                /* UEG0 suffix, uCoff 14: val = a - 14 >= 1 */
+                i64 val = a - 14;
+                int j = 0;
+                while ((val >> (j + 1)) > 0)
+                    j++;
+                for (int k = 0; k < j; k++)
+                    ce_bypass(e, 1);
+                ce_bypass(e, 0);
+                for (int k = j - 1; k >= 0; k--)
+                    ce_bypass(e, (int)((val >> k) & 1));
+            }
+            num_gt1++;
+        }
+        ce_bypass(e, v < 0);
+    }
+}
+
+static void tc_emit_mvd(Tc *t, int base, int amvd_sum, int mvd)
+{
+    CabEnc *e = &t->e;
+    int inc = (amvd_sum > 2) + (amvd_sum > 32);
+    if (mvd == 0) {
+        ce_decision(e, base + inc, 0);
+        return;
+    }
+    ce_decision(e, base + inc, 1);
+    int a = mvd < 0 ? -mvd : mvd;
+    /* unary part: bins 2..8 at ctx base+3..base+6 (capped) */
+    int ctx = 3;
+    int u = a < 9 ? a : 9;
+    for (int k = 1; k < u; k++) {
+        ce_decision(e, base + ctx, 1);
+        if (ctx < 6)
+            ctx++;
+    }
+    if (a < 9) {
+        ce_decision(e, base + ctx, 0);
+    } else {
+        /* EG3 suffix, bypass */
+        int rem = a - 9;
+        int k = 3, nones = 0;
+        while (rem >= (1 << k)) {
+            rem -= 1 << k;
+            k++;
+            nones++;
+        }
+        for (int i = 0; i < nones; i++)
+            ce_bypass(e, 1);
+        ce_bypass(e, 0);
+        for (int i = k - 1; i >= 0; i--)
+            ce_bypass(e, (rem >> i) & 1);
+    }
+    ce_bypass(e, mvd < 0);
+}
+
+static void tc_emit_dqp(Tc *t, int dqp)
+{
+    CabEnc *e = &t->e;
+    int val = dqp > 0 ? 2 * dqp - 1 : -2 * dqp;
+    int ctx = t->last_dqp ? 1 : 0;
+    for (int i = 0; i < val; i++) {
+        ce_decision(e, 60 + ctx, 1);
+        ctx = i == 0 ? 2 : 3;
+    }
+    ce_decision(e, 60 + ctx, 0);
+}
+
+static void tc_emit_chroma_mode(Tc *t, int mx, int my, int mode)
+{
+    CabEnc *e = &t->e;
+    int w = t->mbw;
+    int inc = 0;
+    if (tc_avail_a(t, mx) && t->intra[my * w + mx - 1]
+            && t->chroma_mode[my * w + mx - 1])
+        inc++;
+    if (tc_avail_b(t, my) && t->intra[(my - 1) * w + mx]
+            && t->chroma_mode[(my - 1) * w + mx])
+        inc++;
+    ce_decision(e, 64 + inc, mode > 0);
+    if (mode > 0) {
+        ce_decision(e, 67, mode > 1);
+        if (mode > 1)
+            ce_decision(e, 67, mode > 2);
+    }
+}
+
+static void tc_emit_cbp(Tc *t, int mx, int my, int cbp_luma, int cbp_chroma)
+{
+    CabEnc *e = &t->e;
+    int w = t->mbw;
+    /* luma (9.3.3.1.1.4): cond = neighbour 8x8 bit CLEAR; unavailable
+       neighbours contribute 0 (no PCM in the transcode envelope) */
+    int la = tc_avail_a(t, mx) ? t->cbp_l[my * w + mx - 1] : -1;
+    int lb = tc_avail_b(t, my) ? t->cbp_l[(my - 1) * w + mx] : -1;
+    int cbp = 0;
+    int ca_ = la >= 0 ? !(la & 0x2) : 0;
+    int cb_ = lb >= 0 ? !(lb & 0x4) : 0;
+    ce_decision(e, 73 + ca_ + 2 * cb_, cbp_luma & 1);
+    cbp |= cbp_luma & 1;
+    cb_ = lb >= 0 ? !(lb & 0x8) : 0;
+    ce_decision(e, 73 + !(cbp & 0x1) + 2 * cb_, (cbp_luma >> 1) & 1);
+    cbp |= cbp_luma & 2;
+    ca_ = la >= 0 ? !(la & 0x8) : 0;
+    ce_decision(e, 73 + ca_ + 2 * !(cbp & 0x1), (cbp_luma >> 2) & 1);
+    cbp |= cbp_luma & 4;
+    int ctx = !(cbp & 0x4) + 2 * !(cbp & 0x2);
+    ce_decision(e, 73 + ctx, (cbp_luma >> 3) & 1);
+    /* chroma */
+    int ca = tc_avail_a(t, mx) ? t->cbp_c[my * w + mx - 1] : 0;
+    int cb = tc_avail_b(t, my) ? t->cbp_c[(my - 1) * w + mx] : 0;
+    ce_decision(e, 77 + (ca != 0) + 2 * (cb != 0), cbp_chroma != 0);
+    if (cbp_chroma)
+        ce_decision(e, 81 + (ca == 2) + 2 * (cb == 2), cbp_chroma == 2);
+}
+
+/* I-MB mb_type suffix (mirror of _intra_mb_type): emit the bins that
+   decode to mb_type (1..24; I_NxN/PCM handled by callers) */
+static void tc_emit_i16_suffix(Tc *t, int s, int intra_slice, int mb_type)
+{
+    CabEnc *e = &t->e;
+    ce_terminate(e, 0);                 /* not I_PCM */
+    int tt = mb_type - 1;
+    int pred = tt % 4;
+    int cc = (tt / 4) % 3;
+    int cl = tt >= 12;
+    ce_decision(e, s + 1, cl);
+    ce_decision(e, s + 2, cc != 0);
+    if (cc)
+        ce_decision(e, s + 2 + (intra_slice ? 1 : 0), cc == 2);
+    int off = 3 + (intra_slice ? 1 : 0);
+    ce_decision(e, s + off, (pred >> 1) & 1);
+    ce_decision(e, s + 3 + (intra_slice ? 2 : 0), pred & 1);
+}
+
+/* cbf_inc for MB-granular grids (luma DC / chroma DC) */
+static int tc_cbf_inc_mb(Tc *t, const uint8_t *grid, const uint8_t *exists,
+                         int mx, int my, int cur_intra)
+{
+    int w = t->mbw;
+    int ca, cb;
+    if (tc_avail_a(t, mx))
+        ca = exists[my * w + mx - 1] ? grid[my * w + mx - 1] : 0;
+    else
+        ca = cur_intra ? 1 : 0;
+    if (tc_avail_b(t, my))
+        cb = exists[(my - 1) * w + mx] ? grid[(my - 1) * w + mx] : 0;
+    else
+        cb = cur_intra ? 1 : 0;
+    return ca + 2 * cb;
+}
+
+/* cbf_inc for block-granular grids */
+static int tc_cbf_inc_blk(Tc *t, const uint8_t *grid, int gw, int gy, int gx,
+                          int gy_min, int cur_intra)
+{
+    int ca = gx > 0 ? grid[gy * gw + gx - 1] : (cur_intra ? 1 : 0);
+    int cb = gy > gy_min ? grid[(gy - 1) * gw + gx] : (cur_intra ? 1 : 0);
+    return ca + 2 * cb;
+}
+
+/* --------------- per-MB transcode --------------------------------- */
+
+static void tc_clear_mb(Tc *t, int mx, int my, int intra, int skipped)
+{
+    int w = t->mbw, g4w = w * 4, g2w = w * 2;
+    t->skip[my * w + mx] = (uint8_t)skipped;
+    t->intra[my * w + mx] = (uint8_t)intra;
+    t->i16[my * w + mx] = 0;
+    t->chroma_mode[my * w + mx] = 0;
+    t->cbp_l[my * w + mx] = 0;
+    t->cbp_c[my * w + mx] = 0;
+    t->cbf_ldc[my * w + mx] = 0;
+    for (int ci = 0; ci < 2; ci++)
+        t->cbf_cdc[ci][my * w + mx] = 0;
+    for (int yy = 0; yy < 4; yy++)
+        for (int xx = 0; xx < 4; xx++) {
+            t->cbf_l4[(my * 4 + yy) * g4w + mx * 4 + xx] = 0;
+            t->amvd[((my * 4 + yy) * (long)g4w + mx * 4 + xx) * 2 + 0] = 0;
+            t->amvd[((my * 4 + yy) * (long)g4w + mx * 4 + xx) * 2 + 1] = 0;
+        }
+    for (int ci = 0; ci < 2; ci++)
+        for (int yy = 0; yy < 2; yy++)
+            for (int xx = 0; xx < 2; xx++)
+                t->cbf_c4[ci][(my * 2 + yy) * g2w + mx * 2 + xx] = 0;
+}
+
+/* parse CAVLC chroma residuals + emit CABAC twins (shared by all MB
+   kinds with residuals); also maintains nnz_c for later CAVLC nC */
+static void tc_chroma_residuals(Tc *t, int mx, int my, int cbp_chroma,
+                                int cur_intra)
+{
+    int w = t->mbw, g2w = w * 2;
+    i64 zz[16];
+    if (cbp_chroma) {
+        for (int ci = 0; ci < 2; ci++) {
+            cavlc_block(t->d, &t->r, -1, 4, zz);
+            /* cbf ctx over cbf_cdc, exists-fn = neighbour cbp_c > 0 */
+            int ca, cb;
+            if (tc_avail_a(t, mx))
+                ca = t->cbp_c[my * w + mx - 1] > 0
+                     ? t->cbf_cdc[ci][my * w + mx - 1] : 0;
+            else
+                ca = cur_intra ? 1 : 0;
+            if (tc_avail_b(t, my))
+                cb = t->cbp_c[(my - 1) * w + mx] > 0
+                     ? t->cbf_cdc[ci][(my - 1) * w + mx] : 0;
+            else
+                cb = cur_intra ? 1 : 0;
+            tc_emit_residual(t, 3, 4, ca + 2 * cb, zz, 1);
+            int nz = 0;
+            for (int i = 0; i < 4; i++)
+                if (zz[i])
+                    nz = 1;
+            t->cbf_cdc[ci][my * w + mx] = (uint8_t)nz;
+        }
+    }
+    if (cbp_chroma == 2) {
+        static const int CO[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
+        for (int ci = 0; ci < 2; ci++) {
+            for (int k = 0; k < 4; k++) {
+                int bx = CO[k][0], by = CO[k][1];
+                int gx = mx * 2 + bx, gy = my * 2 + by;
+                int la = (gx % 2 > 0) || tc_avail_a(t, mx);
+                int ta = (gy % 2 > 0) || tc_avail_b(t, my);
+                int nc = 0;
+                {
+                    int has_l = la && gx > 0, has_t = ta && gy > t->my0 * 2;
+                    if (has_l && has_t)
+                        nc = (t->nnz_c[ci][gy * g2w + gx - 1]
+                              + t->nnz_c[ci][(gy - 1) * g2w + gx] + 1) >> 1;
+                    else if (has_l)
+                        nc = t->nnz_c[ci][gy * g2w + gx - 1];
+                    else if (has_t)
+                        nc = t->nnz_c[ci][(gy - 1) * g2w + gx];
+                }
+                cavlc_block(t->d, &t->r, nc, 15, zz);
+                int inc = tc_cbf_inc_blk(t, t->cbf_c4[ci], g2w, gy, gx,
+                                         t->my0 * 2, cur_intra);
+                tc_emit_residual(t, 4, 15, inc, zz, 1);
+                int nz = 0;
+                for (int i = 0; i < 15; i++)
+                    if (zz[i])
+                        nz++;
+                t->cbf_c4[ci][gy * g2w + gx] = (uint8_t)(nz != 0);
+                t->nnz_c[ci][gy * g2w + gx] = (uint8_t)nz;
+            }
+        }
+    } else {
+        for (int ci = 0; ci < 2; ci++)
+            for (int yy = 0; yy < 2; yy++)
+                for (int xx = 0; xx < 2; xx++)
+                    t->nnz_c[ci][(my * 2 + yy) * g2w + mx * 2 + xx] = 0;
+    }
+}
+
+/* I_16x16 MB: parse CAVLC body (after mb_type), emit CABAC body */
+static void tc_i16_body(Tc *t, int mx, int my, int mb_type)
+{
+    int w = t->mbw, g4w = w * 4;
+    int tt = mb_type - 1;
+    int cbp_chroma = (tt / 4) % 3;
+    int cbp_luma = tt >= 12 ? 15 : 0;
+    int chroma_mode = (int)br_ue(&t->r);
+    if (chroma_mode > 3)
+        dec_fail(t->d, "transcode: bad chroma mode");
+    tc_emit_chroma_mode(t, mx, my, chroma_mode);
+    int dqp = (int)br_se(&t->r);
+    tc_emit_dqp(t, dqp);
+    t->last_dqp = dqp;
+    t->qp += dqp;
+
+    t->intra[my * w + mx] = 1;
+    t->i16[my * w + mx] = 1;
+    t->chroma_mode[my * w + mx] = (uint8_t)chroma_mode;
+    t->cbp_l[my * w + mx] = (uint8_t)cbp_luma;
+    t->cbp_c[my * w + mx] = (uint8_t)cbp_chroma;
+    for (int yy = 0; yy < 4; yy++)
+        for (int xx = 0; xx < 4; xx++) {
+            t->i4mode[(my * 4 + yy) * g4w + mx * 4 + xx] = 2;
+            t->avail4[(my * 4 + yy) * g4w + mx * 4 + xx] = 1;
+        }
+
+    i64 zz[16];
+    /* luma DC */
+    int nc = tc_nc(t, t->nnz_l, g4w, mx * 4, my * 4, t->my0 * 4);
+    cavlc_block(t->d, &t->r, nc, 16, zz);
+    {
+        /* cbf_inc over cbf_ldc, exists = neighbour is I16 */
+        int ca, cb;
+        if (tc_avail_a(t, mx))
+            ca = t->i16[my * w + mx - 1] ? t->cbf_ldc[my * w + mx - 1] : 0;
+        else
+            ca = 1;
+        if (tc_avail_b(t, my))
+            cb = t->i16[(my - 1) * w + mx] ? t->cbf_ldc[(my - 1) * w + mx] : 0;
+        else
+            cb = 1;
+        tc_emit_residual(t, 0, 16, ca + 2 * cb, zz, 1);
+    }
+    int dcnz = 0;
+    for (int i = 0; i < 16; i++)
+        if (zz[i])
+            dcnz = 1;
+    t->cbf_ldc[my * w + mx] = (uint8_t)dcnz;
+    /* luma AC */
+    if (cbp_luma) {
+        for (int bi = 0; bi < 16; bi++) {
+            int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
+            int gx = mx * 4 + bx, gy = my * 4 + by;
+            nc = tc_nc(t, t->nnz_l, g4w, gx, gy, t->my0 * 4);
+            cavlc_block(t->d, &t->r, nc, 15, zz);
+            int inc = tc_cbf_inc_blk(t, t->cbf_l4, g4w, gy, gx,
+                                     t->my0 * 4, 1);
+            tc_emit_residual(t, 1, 15, inc, zz, 1);
+            int nz = 0;
+            for (int i = 0; i < 15; i++)
+                if (zz[i])
+                    nz++;
+            t->cbf_l4[gy * g4w + gx] = (uint8_t)(nz != 0);
+            t->nnz_l[gy * g4w + gx] = (uint8_t)nz;
+        }
+    } else {
+        for (int yy = 0; yy < 4; yy++)
+            for (int xx = 0; xx < 4; xx++)
+                t->nnz_l[(my * 4 + yy) * g4w + mx * 4 + xx] = 0;
+    }
+    tc_chroma_residuals(t, mx, my, cbp_chroma, 1);
+}
+
+/* I_NxN (intra 4x4) MB: parse + emit */
+static void tc_i4_body(Tc *t, int mx, int my)
+{
+    int w = t->mbw, g4w = w * 4;
+    CabEnc *e = &t->e;
+    int modes[16];
+    for (int bi = 0; bi < 16; bi++) {
+        int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
+        int gx = mx * 4 + bx, gy = my * 4 + by;
+        int ma = (gx > 0 && t->avail4[gy * g4w + gx - 1])
+                 ? t->i4mode[gy * g4w + gx - 1] : -1;
+        int mb_ = (gy > t->my0 * 4 && t->avail4[(gy - 1) * g4w + gx])
+                  ? t->i4mode[(gy - 1) * g4w + gx] : -1;
+        int pm = (ma < 0 || mb_ < 0) ? 2
+                 : (ma < mb_ ? ma : mb_);
+        int m;
+        if (br_bit(&t->r)) {
+            m = pm;
+            ce_decision(e, 68, 1);
+        } else {
+            int rem = (int)br_u(&t->r, 3);
+            m = rem < pm ? rem : rem + 1;
+            ce_decision(e, 68, 0);
+            ce_decision(e, 69, rem & 1);
+            ce_decision(e, 69, (rem >> 1) & 1);
+            ce_decision(e, 69, (rem >> 2) & 1);
+        }
+        modes[bi] = m;
+        t->i4mode[gy * g4w + gx] = (int8_t)m;
+        t->avail4[gy * g4w + gx] = 1;
+    }
+    (void)modes;
+    int chroma_mode = (int)br_ue(&t->r);
+    if (chroma_mode > 3)
+        dec_fail(t->d, "transcode: bad chroma mode");
+    tc_emit_chroma_mode(t, mx, my, chroma_mode);
+    long cbp_code = br_ue(&t->r);
+    if (cbp_code > 47)
+        dec_fail(t->d, "transcode: bad cbp");
+    int cbp = CBP_INTRA[cbp_code];
+    int cbp_luma = cbp & 15, cbp_chroma = cbp >> 4;
+    tc_emit_cbp(t, mx, my, cbp_luma, cbp_chroma);
+    t->intra[my * w + mx] = 1;
+    t->chroma_mode[my * w + mx] = (uint8_t)chroma_mode;
+    t->cbp_l[my * w + mx] = (uint8_t)cbp_luma;
+    t->cbp_c[my * w + mx] = (uint8_t)cbp_chroma;
+    if (cbp_luma || cbp_chroma) {
+        int dqp = (int)br_se(&t->r);
+        tc_emit_dqp(t, dqp);
+        t->last_dqp = dqp;
+        t->qp += dqp;
+    } else {
+        t->last_dqp = 0;
+    }
+    i64 zz[16];
+    for (int bi = 0; bi < 16; bi++) {
+        int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
+        int gx = mx * 4 + bx, gy = my * 4 + by;
+        if (cbp_luma & (1 << (bi / 4))) {
+            int nc = tc_nc(t, t->nnz_l, g4w, gx, gy, t->my0 * 4);
+            cavlc_block(t->d, &t->r, nc, 16, zz);
+            int inc = tc_cbf_inc_blk(t, t->cbf_l4, g4w, gy, gx,
+                                     t->my0 * 4, 1);
+            tc_emit_residual(t, 2, 16, inc, zz, 1);
+            int nz = 0;
+            for (int i = 0; i < 16; i++)
+                if (zz[i])
+                    nz++;
+            t->cbf_l4[gy * g4w + gx] = (uint8_t)(nz != 0);
+            t->nnz_l[gy * g4w + gx] = (uint8_t)nz;
+        } else {
+            t->cbf_l4[gy * g4w + gx] = 0;
+            t->nnz_l[gy * g4w + gx] = 0;
+        }
+    }
+    tc_chroma_residuals(t, mx, my, cbp_chroma, 1);
+}
+
+/* P_L0_16x16 / P_L0_L0_16x8 / P_L0_L0_8x16 */
+static void tc_p_body(Tc *t, int mx, int my, int mb_type)
+{
+    int w = t->mbw, g4w = w * 4;
+    CabEnc *e = &t->e;
+    int gy0 = my * 4, gx0 = mx * 4;
+    struct { int gy, gx, pw, ph; } parts[2];
+    int np;
+    if (mb_type == 0) {
+        parts[0].gy = gy0; parts[0].gx = gx0;
+        parts[0].pw = 4; parts[0].ph = 4;
+        np = 1;
+    } else if (mb_type == 1) {  /* 16x8 */
+        parts[0].gy = gy0; parts[0].gx = gx0; parts[0].pw = 4; parts[0].ph = 2;
+        parts[1].gy = gy0 + 2; parts[1].gx = gx0;
+        parts[1].pw = 4; parts[1].ph = 2;
+        np = 2;
+    } else {                    /* 8x16 */
+        parts[0].gy = gy0; parts[0].gx = gx0; parts[0].pw = 2; parts[0].ph = 4;
+        parts[1].gy = gy0; parts[1].gx = gx0 + 2;
+        parts[1].pw = 2; parts[1].ph = 4;
+        np = 2;
+    }
+    /* ref_idx: absent when l0_active == 1 (the own-encoder envelope;
+       multi-ref P would need the ref-known ctx grid from the decoder) */
+    if (t->l0_active > 1)
+        dec_fail(t->d, "transcode: l0_active > 1 unsupported");
+    for (int p = 0; p < np; p++) {
+        int gy = parts[p].gy, gx = parts[p].gx;
+        int mdx = (int)br_se(&t->r);
+        int mdy = (int)br_se(&t->r);
+        int ax = 0, ay = 0;
+        if (gx > 0 && t->dec4[gy * g4w + gx - 1]) {
+            ax += t->amvd[((long)gy * g4w + gx - 1) * 2 + 0];
+            ay += t->amvd[((long)gy * g4w + gx - 1) * 2 + 1];
+        }
+        if (gy > t->my0 * 4 && t->dec4[(gy - 1) * g4w + gx]) {
+            ax += t->amvd[((long)(gy - 1) * g4w + gx) * 2 + 0];
+            ay += t->amvd[((long)(gy - 1) * g4w + gx) * 2 + 1];
+        }
+        tc_emit_mvd(t, 40, ax, mdx);
+        tc_emit_mvd(t, 47, ay, mdy);
+        int adx = mdx < 0 ? -mdx : mdx, ady = mdy < 0 ? -mdy : mdy;
+        for (int yy = 0; yy < parts[p].ph; yy++)
+            for (int xx = 0; xx < parts[p].pw; xx++) {
+                long ii = ((long)(gy + yy) * g4w + gx + xx) * 2;
+                t->amvd[ii + 0] = (int16_t)adx;
+                t->amvd[ii + 1] = (int16_t)ady;
+                t->dec4[(gy + yy) * g4w + gx + xx] = 1;
+            }
+    }
+    for (int yy = 0; yy < 4; yy++)
+        for (int xx = 0; xx < 4; xx++) {
+            t->i4mode[(gy0 + yy) * g4w + gx0 + xx] = 2;
+            t->avail4[(gy0 + yy) * g4w + gx0 + xx] = 1;
+        }
+    /* cbp -> dqp -> residuals */
+    long cbp_code = br_ue(&t->r);
+    if (cbp_code > 47)
+        dec_fail(t->d, "transcode: bad cbp");
+    int cbp = CBP_INTER[cbp_code];
+    int cbp_luma = cbp & 15, cbp_chroma = cbp >> 4;
+    tc_emit_cbp(t, mx, my, cbp_luma, cbp_chroma);
+    t->cbp_l[my * w + mx] = (uint8_t)cbp_luma;
+    t->cbp_c[my * w + mx] = (uint8_t)cbp_chroma;
+    i64 zz[16];
+    if (cbp_luma || cbp_chroma) {
+        int dqp = (int)br_se(&t->r);
+        tc_emit_dqp(t, dqp);
+        t->last_dqp = dqp;
+        t->qp += dqp;
+        for (int bi = 0; bi < 16; bi++) {
+            int bx = BLK_ORDER[bi][0], by = BLK_ORDER[bi][1];
+            int gx = mx * 4 + bx, gy = my * 4 + by;
+            if (cbp_luma & (1 << (bi / 4))) {
+                int nc = tc_nc(t, t->nnz_l, g4w, gx, gy, t->my0 * 4);
+                cavlc_block(t->d, &t->r, nc, 16, zz);
+                int inc = tc_cbf_inc_blk(t, t->cbf_l4, g4w, gy, gx,
+                                         t->my0 * 4, 0);
+                tc_emit_residual(t, 2, 16, inc, zz, 1);
+                int nz = 0;
+                for (int i = 0; i < 16; i++)
+                    if (zz[i])
+                        nz++;
+                t->cbf_l4[gy * g4w + gx] = (uint8_t)(nz != 0);
+                t->nnz_l[gy * g4w + gx] = (uint8_t)nz;
+            } else {
+                t->cbf_l4[gy * g4w + gx] = 0;
+                t->nnz_l[gy * g4w + gx] = 0;
+            }
+        }
+        tc_chroma_residuals(t, mx, my, cbp_chroma, 0);
+    } else {
+        t->last_dqp = 0;
+        for (int yy = 0; yy < 4; yy++)
+            for (int xx = 0; xx < 4; xx++)
+                t->nnz_l[(my * 4 + yy) * g4w + mx * 4 + xx] = 0;
+        for (int ci = 0; ci < 2; ci++)
+            for (int yy = 0; yy < 2; yy++)
+                for (int xx = 0; xx < 2; xx++)
+                    t->nnz_c[ci][(my * 2 + yy) * (w * 2) + mx * 2 + xx] = 0;
+    }
+    (void)e;
+}
+
+/* skipped P MB bookkeeping (CAVLC mb_skip_run member) */
+static void tc_p_skip_mb(Tc *t, int mx, int my)
+{
+    int w = t->mbw, g4w = w * 4;
+    CabEnc *e = &t->e;
+    int inc = 0;
+    if (tc_avail_a(t, mx) && !t->skip[my * w + mx - 1])
+        inc++;
+    if (tc_avail_b(t, my) && !t->skip[(my - 1) * w + mx])
+        inc++;
+    tc_clear_mb(t, mx, my, 0, 1);
+    ce_decision(e, 11 + inc, 1);
+    t->last_dqp = 0;
+    for (int yy = 0; yy < 4; yy++)
+        for (int xx = 0; xx < 4; xx++) {
+            t->dec4[(my * 4 + yy) * g4w + mx * 4 + xx] = 1;
+            t->i4mode[(my * 4 + yy) * g4w + mx * 4 + xx] = 2;
+            t->avail4[(my * 4 + yy) * g4w + mx * 4 + xx] = 1;
+            t->nnz_l[(my * 4 + yy) * g4w + mx * 4 + xx] = 0;
+        }
+    for (int ci = 0; ci < 2; ci++)
+        for (int yy = 0; yy < 2; yy++)
+            for (int xx = 0; xx < 2; xx++)
+                t->nnz_c[ci][(my * 2 + yy) * (w * 2) + mx * 2 + xx] = 0;
+}
+
+/* --------------- slice transcode entry ----------------------------- */
+
+long h264fast_transcode_slice(void *h, const uint8_t *rbsp, long rbsp_len,
+                              long bit_off, int slice_type, int slice_qp,
+                              int first_mb, int mbw, int mbh, int l0_active,
+                              int table_idx, uint8_t *out, long out_cap)
+{
+    H264Dec *d = (H264Dec *)h;
+    Tc t;
+    memset(&t, 0, sizeof(t));
+    if (setjmp(d->jb)) {
+        free(t.arena);
+        return -1;
+    }
+    if (first_mb % mbw != 0)
+        dec_fail(d, "transcode: slice not row-aligned");
+    if (slice_type != 0 && slice_type != 2)
+        dec_fail(d, "transcode: only I/P slices");
+    t.d = d;
+    t.r.data = rbsp;
+    t.r.size = rbsp_len;
+    t.r.pos = bit_off;
+    t.r.d = d;
+    t.mbw = mbw;
+    t.mbh = mbh;
+    t.my0 = first_mb / mbw;
+    t.is_p = slice_type == 0;
+    t.qp = slice_qp;
+    t.last_dqp = 0;
+    t.l0_active = l0_active;
+    long nmb = (long)mbw * mbh, g4 = nmb * 16, g2 = nmb * 4;
+    long need = nmb * 10 + g4 * 4 + g2 * 4 + g4 * 2 * 2 + g4;
+    uint8_t *a = calloc(1, (size_t)need);
+    if (!a)
+        dec_fail(d, "transcode: out of memory");
+    t.arena = a;
+    t.skip = a; a += nmb;
+    t.intra = a; a += nmb;
+    t.i16 = a; a += nmb;
+    t.cbf_ldc = a; a += nmb;
+    t.cbp_l = a; a += nmb;
+    t.cbp_c = a; a += nmb;
+    t.chroma_mode = a; a += nmb;
+    t.cbf_cdc[0] = a; a += nmb;
+    t.cbf_cdc[1] = a; a += nmb;
+    a += nmb;  /* pad */
+    t.cbf_l4 = a; a += g4;
+    t.nnz_l = a; a += g4;
+    t.avail4 = a; a += g4;
+    t.dec4 = a; a += g4;
+    t.i4mode = (int8_t *)a; a += g4;
+    t.cbf_c4[0] = a; a += g2;
+    t.cbf_c4[1] = a; a += g2;
+    t.nnz_c[0] = a; a += g2;
+    t.nnz_c[1] = a; a += g2;
+    t.amvd = (int16_t *)(void *)a;
+
+    ce_init(&t.e, d, out, out_cap, table_idx, slice_qp);
+
+    long n_mbs = nmb;
+    long mb_addr = first_mb;
+    int emitted_any = 0;
+    while (mb_addr < n_mbs) {
+        if (!br_more_rbsp(&t.r))
+            break;
+        if (emitted_any)
+            ce_terminate(&t.e, 0);      /* end_of_slice_flag = 0 */
+        long run = 0;
+        if (t.is_p) {
+            run = br_ue(&t.r);
+            while (run-- > 0) {
+                if (mb_addr >= n_mbs)
+                    dec_fail(d, "transcode: skip run overflow");
+                int my = (int)(mb_addr / mbw), mx = (int)(mb_addr % mbw);
+                tc_p_skip_mb(&t, mx, my);
+                mb_addr++;
+                emitted_any = 1;
+                if (mb_addr >= n_mbs || !br_more_rbsp(&t.r))
+                    goto done;
+                ce_terminate(&t.e, 0);
+            }
+            if (!br_more_rbsp(&t.r))
+                break;
+        }
+        int my = (int)(mb_addr / mbw), mx = (int)(mb_addr % mbw);
+        if (t.is_p) {
+            /* non-skipped MB after the run */
+            int inc = 0;
+            if (tc_avail_a(&t, mx) && !t.skip[my * mbw + mx - 1])
+                inc++;
+            if (tc_avail_b(&t, my) && !t.skip[(my - 1) * mbw + mx])
+                inc++;
+            ce_decision(&t.e, 11 + inc, 0);     /* mb_skip_flag = 0 */
+            tc_clear_mb(&t, mx, my, 0, 0);
+            long mt = br_ue(&t.r);
+            if (mt <= 2) {
+                /* P mb_type prefix: ctx 14/15/16/17 */
+                ce_decision(&t.e, 14, 0);
+                if (mt == 0) {
+                    ce_decision(&t.e, 15, 0);
+                    ce_decision(&t.e, 16, 0);
+                } else if (mt == 1) {
+                    ce_decision(&t.e, 15, 1);
+                    ce_decision(&t.e, 17, 1);
+                } else {
+                    ce_decision(&t.e, 15, 1);
+                    ce_decision(&t.e, 17, 0);
+                }
+                tc_p_body(&t, mx, my, (int)mt);
+            } else if (mt == 3 || mt == 4) {
+                dec_fail(d, "transcode: P_8x8 unsupported");
+            } else {
+                long it = mt - 5;
+                t.intra[my * mbw + mx] = 1;
+                for (int yy = 0; yy < 4; yy++)
+                    for (int xx = 0; xx < 4; xx++)
+                        t.dec4[(my * 4 + yy) * (mbw * 4) + mx * 4 + xx] = 1;
+                ce_decision(&t.e, 14, 1);
+                if (it == 0) {
+                    ce_decision(&t.e, 17, 0);
+                    tc_i4_body(&t, mx, my);
+                } else if (it >= 1 && it <= 24) {
+                    ce_decision(&t.e, 17, 1);
+                    tc_emit_i16_suffix(&t, 17, 0, (int)it);
+                    tc_i16_body(&t, mx, my, (int)it);
+                } else {
+                    dec_fail(d, "transcode: I_PCM unsupported");
+                }
+            }
+        } else {
+            tc_clear_mb(&t, mx, my, 1, 0);
+            long mt = br_ue(&t.r);
+            int inc = 0;
+            if (tc_avail_a(&t, mx) && t.i16[my * mbw + mx - 1])
+                inc++;
+            if (tc_avail_b(&t, my) && t.i16[(my - 1) * mbw + mx])
+                inc++;
+            if (mt == 0) {
+                ce_decision(&t.e, 3 + inc, 0);
+                tc_i4_body(&t, mx, my);
+            } else if (mt >= 1 && mt <= 24) {
+                ce_decision(&t.e, 3 + inc, 1);
+                tc_emit_i16_suffix(&t, 5, 1, (int)mt);
+                tc_i16_body(&t, mx, my, (int)mt);
+            } else {
+                dec_fail(d, "transcode: I_PCM unsupported");
+            }
+        }
+        mb_addr++;
+        emitted_any = 1;
+    }
+done:
+    if (!emitted_any)
+        dec_fail(d, "transcode: empty slice");
+    ce_terminate(&t.e, 1);              /* end_of_slice_flag = 1 + flush */
+    free(t.arena);
+    return t.e.bytes;
+}
+
 /* ------------------------------------------------------------------ */
 /* public API (ctypes)                                                  */
 /* ------------------------------------------------------------------ */
