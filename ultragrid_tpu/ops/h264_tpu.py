@@ -810,37 +810,40 @@ def make_device_encode_p(width: int, height: int, qp: int, search: int = 8,
 
             Hq, Wq = Hl + 48, Wl + 48
 
-            # (2) half-pel planes (6-tap, spec 8.4.2.2.1) + ONE 20x20
-            # window per plane at the coarse MV (margin 2: +-1 integer
-            # refine plus the half-pel planes' integer offsets)
-            def tap6(a, axis):
-                def sh(k):
-                    return (a[2 + k:a.shape[0] - 3 + k] if axis == 0
-                            else a[:, 2 + k:a.shape[1] - 3 + k])
-                return (sh(-2) - 5 * sh(-1) + 20 * sh(0) + 20 * sh(1)
-                        - 5 * sh(2) + sh(3))
-
-            b1 = tap6(rpy, axis=1)
-            h1 = tap6(rpy, axis=0)
-            bpl = jnp.clip((b1 + 16) >> 5, 0, 255)
-            hpl = jnp.clip((h1 + 16) >> 5, 0, 255)
-            j1 = (b1[:-5] - 5 * b1[1:-4] + 20 * b1[2:-3] + 20 * b1[3:-2]
-                  - 5 * b1[4:-1] + b1[5:])
-            jpl = jnp.clip((j1 + 512) >> 10, 0, 255)
+            # (2) ONE 25x25 INTEGER window per MB at the coarse MV, then
+            # the half-pel planes (6-tap, spec 8.4.2.2.1) computed
+            # IN-WINDOW.  The earlier shape built b/h/j over the full
+            # padded frame and window-extracted all 4 planes: ~3x the
+            # one-hot select traffic plus three full-frame int32 tap
+            # passes.  The 6-tap is local, so a 25x25 integer window
+            # (20 + 5 tap support; margin 2 for the +-1 refine and the
+            # half-pel sample offsets) yields bit-identical planes.
             from ultragrid_tpu.ops.h264 import _HALF_OFFS
 
-            # common-coordinate u8 stack; per-plane (ox, oy) sampling
-            # offsets of the former gather path are folded into the slices
-            Qs = jnp.stack([
-                rpy[B0:B0 + Hq, B0:B0 + Wq],
-                bpl[B0:B0 + Hq, B0 - 2:B0 - 2 + Wq],
-                hpl[B0 - 2:B0 - 2 + Hq, B0:B0 + Wq],
-                jpl[B0 - 2:B0 - 2 + Hq, B0 - 2:B0 - 2 + Wq],
-            ]).astype(jnp.uint8)
             evens = [2 * v for v in range(-Sh, Sh + 1)]
-            CB4 = _colblock(Qs, 16, 12)                 # [4, Hq, mbw, 48]
-            R4 = _rowsel(CB4, ty0, evens, 16, 20, 22)   # [4, mbh, 20, mbw, 48]
-            W20 = _colsel(R4, tx0, evens, 10, 20)       # [4, mbh, 20, mbw, 20]
+            ru8 = rpy.astype(jnp.uint8)[None]
+            CB1 = _colblock(ru8[:, B0:B0 + Hq, B0:B0 + Wq], 16, 12)
+            R1 = _rowsel(CB1, ty0, evens, 16, 25, 20)   # [1, mbh, 25, mbw, 48]
+            W25 = _colsel(R1, tx0, evens, 8, 25)[0].astype(jnp.int32)
+            # W25[my,r,mx,c] = integer plane at (16my+ty0-4+r, 16mx+tx0-4+c)
+
+            def wtap_c(a):
+                return (a[..., 0:-5] - 5 * a[..., 1:-4] + 20 * a[..., 2:-3]
+                        + 20 * a[..., 3:-2] - 5 * a[..., 4:-1] + a[..., 5:])
+
+            def wtap_r(a):
+                return (a[:, 0:-5] - 5 * a[:, 1:-4] + 20 * a[:, 2:-3]
+                        + 20 * a[:, 3:-2] - 5 * a[:, 4:-1] + a[:, 5:])
+
+            w_b1 = wtap_c(W25)          # [mbh, 25, mbw, 20] (x+0.5 lattice)
+            w_h1 = wtap_r(W25)          # [mbh, 20, mbw, 25] (y+0.5)
+            w_j1 = wtap_r(w_b1)         # [mbh, 20, mbw, 20] (diagonal)
+            W20 = jnp.stack([
+                W25[:, 2:22, :, 2:22],
+                jnp.clip((w_b1[:, 2:22] + 16) >> 5, 0, 255),
+                jnp.clip((w_h1[:, :, :, 2:22] + 16) >> 5, 0, 255),
+                jnp.clip((w_j1 + 512) >> 10, 0, 255),
+            ]).astype(jnp.uint8)        # [4, mbh, 20, mbw, 20]
             if _stop_after == "extract":
                 return (W20,)
 
