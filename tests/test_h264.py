@@ -879,3 +879,45 @@ def test_inter_device_halfpel_conformant():
         assert (got[:, 1::2] == np.asarray(enc.ref[0])[:h, :w]).all(), i
     for i, (y, _, _) in enumerate(StreamDecoder().decode_stream(stream)):
         assert (y == recons[i][:h, :w]).all(), i
+
+
+def test_inter_device_quarterpel_conformant_and_effective():
+    """Device graph quarter-pel refine (subpel=quarter, spec 8.4.2.2.2
+    averaging): lavc + own decoder sample-exact on 0.25 px/frame content,
+    and the quarter-sample MVs must pay — P frames far smaller than the
+    half-pel encode of the same sequence."""
+    from ultragrid_tpu.modules.lavc import LavcDecompress
+    from ultragrid_tpu.ops.h264_dec import StreamDecoder
+    from ultragrid_tpu.ops.h264_tpu import InterEncoderTpu
+
+    w, h = 64, 48
+    xx = np.arange(w, dtype=np.float32)
+    frames = []
+    for i in range(4):
+        g = 16 + (np.sin((xx - i * 0.25) * 0.35) * 0.5 + 0.5) * 200
+        f = np.zeros((h, 2 * w), np.uint8)
+        f[:, 1::2] = np.repeat(g[None, :], h, axis=0).astype(np.uint8)
+        f[:, 0::2] = 128
+        frames.append(f)
+    enc = InterEncoderTpu(w, h, qp=24, gop=10, search=4, subpel="quarter")
+    dec = LavcDecompress()
+    stream = b""
+    recons = []
+    q_sizes = []
+    for i, f in enumerate(frames):
+        bs = enc.encode_uyvy(f)
+        q_sizes.append(len(bs))
+        stream += bs
+        recons.append(np.asarray(enc.ref[0]).copy())
+        out = dec.decompress(
+            VideoFrame(VideoDesc(w, h, Codec.H264, 30.0),
+                       [np.frombuffer(bs, np.uint8)]), Codec.UYVY)
+        if out is None:
+            pytest.skip("no H.264 decoder available")
+        got = np.asarray(out.data)[:h, : 2 * w]
+        assert (got[:, 1::2] == np.asarray(enc.ref[0])[:h, :w]).all(), i
+    for i, (y, _, _) in enumerate(StreamDecoder().decode_stream(stream)):
+        assert (y == recons[i][:h, :w]).all(), i
+    enc_h = InterEncoderTpu(w, h, qp=24, gop=10, search=4, subpel="half")
+    h_sizes = [len(enc_h.encode_uyvy(f)) for f in frames]
+    assert sum(q_sizes[1:]) * 2 < sum(h_sizes[1:]), (q_sizes, h_sizes)

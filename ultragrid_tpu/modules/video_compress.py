@@ -222,6 +222,7 @@ class H264Compress(VideoCompress):
         self.search = 8
         self.deblock = False
         self.entropy = "cavlc"
+        self.subpel = "half"
         self._rate_bps = 0
         for tok in [t for t in cfg.split(":") if t]:
             key, _, val = tok.partition("=")
@@ -244,6 +245,11 @@ class H264Compress(VideoCompress):
                     log.error(f"h264: unknown entropy {val!r}")
                 else:
                     self.entropy = val
+            elif key == "subpel":
+                if val not in ("half", "quarter"):
+                    log.error(f"h264: unknown subpel {val!r}")
+                else:
+                    self.subpel = val
             elif key == "rate":
                 from ultragrid_tpu.utils.ratectl import parse_rate
 
@@ -303,13 +309,17 @@ class H264Compress(VideoCompress):
                 if self.accel == "device":
                     from ultragrid_tpu.ops.h264_tpu import InterEncoderTpu
 
-                    cls = InterEncoderTpu
-                elif self.accel == "scalar":
-                    cls = h264_ops.InterEncoder
+                    self._enc = InterEncoderTpu(
+                        desc.width, desc.height, qp=self.qp, gop=self.gop,
+                        search=self.search, subpel=self.subpel)
                 else:
-                    cls = h264_ops.InterEncoderV
-                self._enc = cls(desc.width, desc.height, qp=self.qp,
-                                gop=self.gop, search=self.search)
+                    if self.subpel == "quarter":
+                        log.warning("h264: subpel=quarter needs "
+                                    "accel=device; using half-pel")
+                    cls = (h264_ops.InterEncoder if self.accel == "scalar"
+                           else h264_ops.InterEncoderV)
+                    self._enc = cls(desc.width, desc.height, qp=self.qp,
+                                    gop=self.gop, search=self.search)
             elif self.mode == "i4":
                 # per-4x4 directional prediction: better compression, host path
                 self._enc = h264_ops.Intra4x4Encoder(
